@@ -1,0 +1,60 @@
+"""Path / URL key expressions (SURVEY §2.8 F4, F5, F7).
+
+Reference: ftm_datalake/model.py:102-104 (name from key),
+ftm_datalake/sync/aleph.py:98-104 (parent folder chain),
+ftm_datalake/sync/memorious.py:125-149 (url → key funcs).
+All pure Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def file_name(key: Column) -> Column:
+    """F7: last path segment."""
+    return F.element_at(F.split(key, "/"), -1)
+
+
+def parent_path(key: Column) -> Column:
+    """F7: parent directory ('' for top-level keys)."""
+    parts = F.split(key, "/")
+    return F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/")
+
+
+def ancestor_paths(key: Column) -> Column:
+    """J7 helper: array of every ancestor prefix of a key.
+
+    'a/b/c.txt' -> ['a', 'a/b']. Used with explode+distinct to build the
+    folders dimension table instead of the reference's memoized recursion
+    (ftm_datalake/sync/aleph.py:95-107).
+    """
+    parts = F.split(key, "/")
+    n = F.size(parts)
+    idx = F.sequence(F.lit(1), n - 1)
+    return F.when(
+        n > 1,
+        F.transform(idx, lambda i: F.array_join(F.slice(parts, 1, i), "/")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def url_to_key(url: Column) -> Column:
+    """F4: derive an archive key from a crawled URL.
+
+    host/path with percent-decoding, query string dropped.
+    Reference: ftm_datalake/sync/memorious.py:125-131.
+    """
+    no_scheme = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", "")
+    no_query = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    return F.url_decode(no_query)
+
+
+def strip_prefix(key: Column, prefix: str) -> Column:
+    """F5: drop a literal leading prefix from keys.
+
+    Reference: ftm_datalake/sync/memorious.py:140-149.
+    """
+    import re
+
+    return F.regexp_replace(key, "^" + re.escape(prefix), "")

@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+- Exact dedup is a single hash-groupBy on the content hash — one shuffle
+  keyed by a uniform hash, no skew by construction.
+- N-gram Jaccard materializes (doc, shingle) pairs and self-joins on the
+  shingle — quadratic in posting-list length, so it is the *verifier* for
+  candidate pairs, not the 100 TB discovery path.
+- MinHash-LSH is the discovery path: per-doc signatures (map-side, no
+  shuffle), banded into buckets; only same-bucket docs ever meet in the
+  join. Hash functions are md5-based so signatures are engine-portable and
+  reproducible (no seed-dependent JVM hashing).
+- SimHash packs token hashes into a 64-bit signature per doc; hamming
+  buckets give another near-dup family detector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.textops import tokens
+
+
+def shingles(text_col: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-token shingles of a text column (empty array if < k tokens)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    built = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(built)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5-content groups with the minimum id as keeper."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def shingle_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Exploded (doc, shingle) postings — shared by Jaccard and MinHash."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_common: int = 2,
+) -> DataFrame:
+    """Pairwise shingle overlap: (doc_a, doc_b, common, uni).
+
+    Jaccard = common/uni, kept as two exact integers so thresholds are
+    integer comparisons (no float drift)."""
+    sh = shingle_postings(df, text_col, id_col, k)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("common")).alias("uni"),
+        )
+    )
+
+
+def minhash_signatures(
+    postings: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """Per-(doc, seed) minhash values using md5('{seed}:{shingle}').
+
+    md5 keeps the signature portable across engines/runs — no JVM
+    hashCode dependence. (doc_id, seed, mh)."""
+    spark = SparkSession.getActiveSession()
+    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        postings.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
+                    )
+                )
+            ).alias("mh")
+        )
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
+    """Band the signature: (doc_id, band_id, band_val=md5 of ordered rows)."""
+    return (
+        signatures.withColumn(
+            "band_id", F.floor(F.col("seed") / rows_per_band).cast("int")
+        )
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_val")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band."""
+    postings = shingle_postings(df, text_col, id_col, k)
+    bands = lsh_bands(minhash_signatures(postings, num_hashes), rows_per_band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash signatures: per-token md5 → bit votes → packed signature.
+
+    Map-side only (explode + groupBy doc): one shuffle keyed by doc_id.
+    32 bits keeps every intermediate in exact long arithmetic."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    # 60-bit integer from the md5 hex prefix (15 hex chars)
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    votes = toks.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{i}"
+            )
+            for i in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,96 @@
+"""Documents-table merge semantics — the reference's beating heart.
+
+Reference (ftm_datalake/archive/documents.py:82-117)::
+
+    new = pd.concat((current, added))                      # UNION ALL   (J1)
+    new = new[~new["key"].isin(deleted["key"])]            # ANTI JOIN   (J2)
+    new = new.sort_values(["key","updated_at"])            # latest-wins (J3/W1)
+             .drop_duplicates(subset=["key"], keep="last")
+
+Spark-first design:
+- J1 is ``unionByName``.
+- J2 is a broadcast left-anti join (the deletion set is always small
+  relative to the table; hint it so no shuffle of the big side).
+- J3 is a ``row_number`` window over (key) — one shuffle on the key, which
+  at 100 TB is the unavoidable upsert shuffle. The reference relies on
+  pandas stable sort for ties; we define a total order with explicit
+  tiebreakers (updated_at desc, content_hash desc) so the merge is
+  deterministic under equal timestamps (SURVEY §7.3 hard-part #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_wins(df: DataFrame, key_cols: list[str], order_col: str = "updated_at",
+                tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """J3/W1: keep the newest row per key, deterministically."""
+    tiebreaks = [F.col(c).desc_nulls_last() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc_nulls_last(), *tiebreaks
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_documents(
+    current: DataFrame,
+    added: DataFrame | None = None,
+    deleted_keys: DataFrame | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full documents merge: union + anti-delete + latest-wins.
+
+    ``deleted_keys`` carries just the key columns. Mirrors
+    Documents.write() (reference: ftm_datalake/archive/documents.py:82-117).
+    """
+    keys = key_cols or ["key"]
+    merged = current if added is None else current.unionByName(added)
+    if deleted_keys is not None:
+        merged = merged.join(F.broadcast(deleted_keys), on=keys, how="left_anti")
+    return latest_wins(merged, keys, "updated_at", tiebreak_cols=["content_hash"])
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """J5: (added_rows, deleted_rows) between two snapshots.
+
+    Relational replacement for the reference's unified-diff of sorted CSV
+    lines (ftm_datalake/archive/documents.py:96-117,165-185): a row that
+    changed shows up in both streams, exactly like a -/+ line pair.
+    """
+    return new.exceptAll(old), old.exceptAll(new)
+
+
+def reconcile(
+    source_files: DataFrame,
+    metadata: DataFrame,
+    key: str = "key",
+    checksum_col: str = "content_hash",
+) -> DataFrame:
+    """The `make` integrity reconciliation as one relational statement.
+
+    Reference runs twin task streams over source keys and info.json keys
+    (ftm_datalake/make.py:52-111); here a single full outer join classifies
+    every key: add (source-only), delete (metadata-only), fix (checksum
+    mismatch), ok. SURVEY §3.2.
+    """
+    s = source_files.select(
+        F.col(key).alias("key"), F.col(checksum_col).alias("src_hash")
+    )
+    m = metadata.select(
+        F.col(key).alias("key"), F.col(checksum_col).alias("meta_hash")
+    )
+    joined = s.join(m, "key", "full_outer")
+    return joined.select(
+        "key",
+        F.when(F.col("meta_hash").isNull(), F.lit("add"))
+        .when(F.col("src_hash").isNull(), F.lit("delete"))
+        .when(F.col("src_hash") != F.col("meta_hash"), F.lit("fix"))
+        .otherwise(F.lit("ok"))
+        .alias("action"),
+    )

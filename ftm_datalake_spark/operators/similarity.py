@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns.
+
+Cross-engine determinism trick: embeddings are quantized to integers
+(round(x*1000)) before any arithmetic. Dot products and norms are then
+*exact* 64-bit integer sums (order-independent), and the final
+cosine = dot / sqrt(na*nb) is a single deterministic IEEE expression —
+so Spark and a SQL oracle agree bit-for-bit, and results are stable
+across partitionings/cluster sizes.
+
+Scale design:
+- Brute-force top-k broadcasts the (small) query set against the corpus:
+  one pass, no shuffle of the corpus, embarrassingly parallel.
+- The sign-LSH variant buckets vectors by sign bits of leading dims, so
+  candidate generation is an equi-join on bucket — the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantize(emb: Column, scale: int = 1000) -> Column:
+    """float array → exact integer array (round(x*scale))."""
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int_norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
+    return dot.cast("double") / F.sqrt(
+        norm2_a.cast("double") * norm2_b.cast("double")
+    )
+
+
+def _with_quantized(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    q = quantize(F.col(emb_col))
+    return df.withColumn("q", q).withColumn("norm2", int_norm2(F.col("q")))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan.
+
+    Output: (qid, nid, rank, cosine)."""
+    corpus = _with_quantized(embeddings, emb_col).select(
+        F.col(id_col).alias("nid"), F.col("q").alias("nq"), F.col("norm2").alias("nn")
+    )
+    qs = _with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("qid"), F.col("q").alias("qq"), F.col("norm2").alias("qn")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
+        .withColumn("dot", int_dot(F.col("qq"), F.col("nq")))
+        .withColumn("cosine", cosine(F.col("dot"), F.col("qn"), F.col("nn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def sign_lsh_bucket(q: Column, n_bits: int = 8) -> Column:
+    """Bucket key from the sign pattern of the leading quantized dims."""
+    bits = F.transform(
+        F.slice(q, 1, n_bits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    The bucket equi-join replaces the cross join — at 100 TB the corpus
+    shuffles once by bucket and each query only scans its bucket."""
+    corpus = _with_quantized(embeddings, emb_col).select(
+        F.col(id_col).alias("nid"),
+        F.col("q").alias("nq"),
+        F.col("norm2").alias("nn"),
+        sign_lsh_bucket(F.col("q"), n_bits).alias("bucket"),
+    )
+    qs = _with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qn"),
+        sign_lsh_bucket(F.col("q"), n_bits).alias("bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .where(F.col("nid") != F.col("qid"))
+        .withColumn("dot", int_dot(F.col("qq"), F.col("nq")))
+        .withColumn("cosine", cosine(F.col("dot"), F.col("qn"), F.col("nn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold_num: int = 999,
+    threshold_den: int = 1000,
+    block_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicates within blocks (e.g. same label/cluster).
+
+    The threshold test is cos >= num/den evaluated as
+    dot*den >= num*sqrt(na*nb)... kept in doubles derived from exact ints,
+    so it is still engine-deterministic."""
+    q = _with_quantized(embeddings, emb_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("block"),
+        "q",
+        "norm2",
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+        int_dot(F.col("a.q"), F.col("b.q")).alias("dot"),
+        F.col("a.norm2").alias("na"),
+        F.col("b.norm2").alias("nb"),
+    )
+    cos = cosine(F.col("dot"), F.col("na"), F.col("nb"))
+    return pairs.withColumn("cosine", cos).where(
+        F.col("cosine") >= threshold_num / threshold_den
+    ).select("vec_a", "vec_b", "cosine")
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    dims: int = 4,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid of the leading dims (exact int sums / count)."""
+    q = quantize(F.col(emb_col))
+    cols = [F.element_at(q, i + 1).alias(f"q{i}") for i in range(dims)]
+    agged = (
+        embeddings.select(F.col(label_col).alias("label"), *cols)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dims)],
+        )
+    )
+    return agged.select(
+        "label",
+        "n",
+        *[
+            (F.col(f"s{i}").cast("double") / F.col("n")).alias(f"c{i}")
+            for i in range(dims)
+        ],
+    )

@@ -1,0 +1,295 @@
+"""Core analytical queries over the TPC-H-ish test tables.
+
+These exercise scan/filter/projection pushdown, hash aggregation,
+broadcast vs shuffle joins, windows, sorts and top-k — the physical
+building blocks every SURVEY §2 operator compiles to. Money math is done
+in DECIMAL (exact) and cast to DOUBLE at the edge so Spark and the DuckDB
+oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(12,2)")
+
+
+# --------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape) — full-scan hash aggregation.
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS DOUBLE) AS sum_disc_price,
+      CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+               * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+           AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan", "bench"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (
+        _dec("l_quantity"),
+        _dec("l_extendedprice"),
+        _dec("l_discount"),
+        _dec("l_tax"),
+    )
+    disc_price = price * (_one() - disc)
+    charge = disc_price * (_one() + tax)
+    cnt = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3: shipping priority (TPC-H Q3 shape) — 3-way join + agg + top-k.
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "bench"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5: local-supplier revenue (TPC-H Q5 shape) — 6-way join, broadcast dims.
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "broadcast", "bench"),
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: per-customer running order total (SURVEY §2.5 W2 analogue).
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS run_total
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("run_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Global top-k with total order (SURVEY §2.6 O3: external sort).
+@register(
+    "global_sort_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("sort", "topk"),
+)
+def global_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set op: INTERSECT (SURVEY §2.7).
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY n_name
+    """,
+    tags=("setop",),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    a = joined.where(F.col("c_mktsegment") == "BUILDING").select("n_name")
+    b = joined.where(F.col("c_mktsegment") == "AUTOMOBILE").select("n_name")
+    return a.intersect(b).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# Anti join: parts never ordered (SURVEY §2.3 J2/J4 shape).
+@register(
+    "anti_join_unsold_parts",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    ORDER BY p_partkey
+    """,
+    tags=("join", "anti"),
+)
+def anti_join_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi join: customers with at least one big order (J4 existence check).
+@register(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000.0
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )

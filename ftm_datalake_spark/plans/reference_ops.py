@@ -1,0 +1,468 @@
+"""Reference-parity operators (SURVEY §2) exercised on the driver's test
+tables. The ftm documents-table semantics are simulated on `events`
+(key=user_id, version=ts) and `documents` so each operator gets a DuckDB
+oracle at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.documents import latest_wins, snapshot_diff
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# J3/W1: latest-wins per key (documents merge core).
+@register(
+    "docs_latest_wins",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+    tags=("window", "dedup", "reference"),
+)
+def docs_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return latest_wins(events, ["user_id"], "ts", tiebreak_cols=["event_id"]).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+# --------------------------------------------------------------------------
+# J1+J2+J3: full documents merge — union + anti-delete + latest-wins.
+# Reference: ftm_datalake/archive/documents.py:82-117.
+@register(
+    "docs_merge_upsert",
+    oracle="""
+    WITH cur AS (SELECT * FROM events WHERE event_id % 2 = 0),
+         adds AS (SELECT * FROM events WHERE event_id % 2 = 1),
+         dels AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'signup' AND value < 50.0),
+         unioned AS (SELECT * FROM cur UNION ALL SELECT * FROM adds),
+         kept AS (SELECT * FROM unioned
+                  WHERE user_id NOT IN (SELECT user_id FROM dels))
+    SELECT user_id, event_id, event_type, ts FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM kept
+    ) t WHERE rn = 1
+    """,
+    tags=("join", "window", "reference", "bench"),
+    bench=True,
+)
+def docs_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    current = events.where(F.col("event_id") % 2 == 0)
+    adds = events.where(F.col("event_id") % 2 == 1)
+    deleted = (
+        events.where((F.col("event_type") == "signup") & (F.col("value") < 50.0))
+        .select("user_id")
+        .distinct()
+    )
+    merged = current.unionByName(adds).join(
+        F.broadcast(deleted), "user_id", "left_anti"
+    )
+    return latest_wins(merged, ["user_id"], "ts", tiebreak_cols=["event_id"]).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+
+
+# --------------------------------------------------------------------------
+# J5: snapshot diff via multiset EXCEPT ALL.
+# Reference: unified-diff of CSV snapshots, ftm_datalake/archive/documents.py:96-117.
+@register(
+    "snapshot_diff_added",
+    oracle="""
+    SELECT user_id, event_type FROM events
+      WHERE event_id < 600 AND event_type <> 'error'
+    EXCEPT ALL
+    SELECT user_id, event_type FROM events WHERE event_id < 300
+    """,
+    tags=("setop", "reference"),
+)
+def snapshot_diff_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v1 = events.where(F.col("event_id") < 300).select("user_id", "event_type")
+    v2 = events.where(
+        (F.col("event_id") < 600) & (F.col("event_type") != "error")
+    ).select("user_id", "event_type")
+    added, _ = snapshot_diff(v1, v2)
+    return added
+
+
+@register(
+    "snapshot_diff_deleted",
+    oracle="""
+    SELECT user_id, event_type FROM events WHERE event_id < 300
+    EXCEPT ALL
+    SELECT user_id, event_type FROM events
+      WHERE event_id < 600 AND event_type <> 'error'
+    """,
+    tags=("setop", "reference"),
+)
+def snapshot_diff_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v1 = events.where(F.col("event_id") < 300).select("user_id", "event_type")
+    v2 = events.where(
+        (F.col("event_id") < 600) & (F.col("event_type") != "error")
+    ).select("user_id", "event_type")
+    _, deleted = snapshot_diff(v1, v2)
+    return deleted
+
+
+# --------------------------------------------------------------------------
+# I1: task-ledger incremental skip (anycache semantics).
+# Reference: ftm_datalake/crawl.py:64-71, docs/cache.md.
+@register(
+    "task_ledger_skip",
+    oracle="""
+    WITH ledger AS (
+      SELECT 'crawl/' || CAST(event_id AS VARCHAR) AS cache_key
+      FROM events WHERE event_id % 3 = 0
+    ),
+    incoming AS (
+      SELECT 'crawl/' || CAST(event_id AS VARCHAR) AS cache_key, event_type
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS todo
+    FROM incoming
+    WHERE cache_key NOT IN (SELECT cache_key FROM ledger)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("join", "anti", "incremental", "reference"),
+)
+def task_ledger_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    key = F.concat(F.lit("crawl/"), F.col("event_id").cast("string")).alias(
+        "cache_key"
+    )
+    ledger = events.where(F.col("event_id") % 3 == 0).select(key)
+    incoming = events.select(key, "event_type")
+    return (
+        incoming.join(ledger, "cache_key", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("todo"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6/O3 flagship: statement → entity aggregation.
+# Reference spec: docs/rfc.md:63-73,121-129 ("sorting a terabyte" → here a
+# single hash-agg shuffle on canonical_id, no global sort).
+@register(
+    "statement_aggregation",
+    oracle="""
+    WITH s AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS canonical_id,
+             event_type AS prop,
+             CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+      FROM events
+    ),
+    per_prop AS (
+      SELECT canonical_id, prop,
+             array_to_string(list_sort(list(DISTINCT value)), ',') AS vals
+      FROM s GROUP BY canonical_id, prop
+    )
+    SELECT canonical_id,
+           array_to_string(list_sort(list(prop || '=' || vals)), '|') AS properties,
+           COUNT(*) AS n_props
+    FROM per_prop
+    GROUP BY canonical_id
+    ORDER BY canonical_id
+    """,
+    tags=("agg", "reference", "flagship", "bench"),
+    bench=True,
+)
+def statement_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stmts = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("canonical_id"),
+        F.col("event_type").alias("prop"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"),
+    )
+    per_prop = stmts.groupBy("canonical_id", "prop").agg(
+        F.array_join(F.sort_array(F.collect_set("value")), ",").alias("vals")
+    )
+    return (
+        per_prop.groupBy("canonical_id")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.concat(F.col("prop"), F.lit("="), F.col("vals")))
+                ),
+                "|",
+            ).alias("properties"),
+            F.count("*").alias("n_props"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# A1/A3/A5: per-source dataset stats → catalog fan-in.
+# Reference: make_index(), ftm_datalake/archive/dataset.py:177-196.
+@register(
+    "dataset_stats",
+    oracle="""
+    SELECT source AS dataset,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+    FROM documents
+    GROUP BY source
+    ORDER BY dataset
+    """,
+    tags=("agg", "reference"),
+)
+def dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.col("source").alias("dataset"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        )
+        .orderBy("dataset")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2/P5: schema facets via a case-mapped class column.
+# Reference: mime→schema map ftm_datalake/util.py:19-38 + Collector facets.
+_LANG_SCHEMA_CASES = (
+    ("en", "PlainText"),
+    ("de", "Pages"),
+    ("fr", "HyperText"),
+    ("es", "Table"),
+    ("zh", "Email"),
+)
+
+
+@register(
+    "schema_facets",
+    oracle="""
+    SELECT CASE lang
+             WHEN 'en' THEN 'PlainText'
+             WHEN 'de' THEN 'Pages'
+             WHEN 'fr' THEN 'HyperText'
+             WHEN 'es' THEN 'Table'
+             WHEN 'zh' THEN 'Email'
+             ELSE 'Document' END AS schema,
+           COUNT(*) AS count
+    FROM documents
+    GROUP BY schema
+    ORDER BY schema
+    """,
+    tags=("agg", "reference"),
+)
+def schema_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mapped: F.Column = F.lit("Document")
+    expr = None
+    for lang, schema in _LANG_SCHEMA_CASES:
+        cond = F.when(F.col("lang") == lang, F.lit(schema))
+        expr = cond if expr is None else expr.when(F.col("lang") == lang, F.lit(schema))
+    expr = expr.otherwise(mapped)
+    return (
+        docs.select(expr.alias("schema"))
+        .groupBy("schema")
+        .agg(F.count("*").alias("count"))
+        .orderBy("schema")
+    )
+
+
+# --------------------------------------------------------------------------
+# P7/F2: file → FTM entity projection with deterministic derived id.
+# Reference: to_proxy(), ftm_datalake/model.py:37-52.
+@register(
+    "entity_projection",
+    oracle="""
+    SELECT 'docs-file-' || md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS id,
+           CASE lang
+             WHEN 'en' THEN 'PlainText'
+             WHEN 'de' THEN 'Pages'
+             WHEN 'fr' THEN 'HyperText'
+             WHEN 'es' THEN 'Table'
+             WHEN 'zh' THEN 'Email'
+             ELSE 'Document' END AS schema,
+           CAST(n_chars AS BIGINT) AS file_size
+    FROM documents
+    ORDER BY id
+    """,
+    tags=("projection", "reference"),
+)
+def entity_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    content_hash = F.md5(F.col("text"))
+    ent_id = F.concat(
+        F.lit("docs-file-"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), content_hash)),
+    )
+    expr = None
+    for lang, schema in _LANG_SCHEMA_CASES:
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(schema))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(schema))
+        )
+    expr = expr.otherwise(F.lit("Document"))
+    return docs.select(
+        ent_id.alias("id"),
+        expr.alias("schema"),
+        F.col("n_chars").alias("file_size"),
+    ).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# J7: folders dimension table from key paths (explode ancestors + distinct).
+# Reference: memoized folder recursion, ftm_datalake/sync/aleph.py:95-107.
+@register(
+    "folders_dim",
+    oracle="""
+    SELECT DISTINCT source AS folder FROM documents
+    UNION
+    SELECT DISTINCT source || '/' || lang AS folder FROM documents
+    ORDER BY folder
+    """,
+    tags=("join", "reference"),
+)
+def folders_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.functions.paths import ancestor_paths
+
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.concat_ws(
+            "/", "source", "lang", F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))
+        ).alias("key")
+    )
+    return (
+        keys.select(F.explode(ancestor_paths(F.col("key"))).alias("folder"))
+        .distinct()
+        .orderBy("folder")
+    )
+
+
+# --------------------------------------------------------------------------
+# P2/P3: glob include filter on keys.
+# Reference: fnmatch include/exclude, ftm_datalake/crawl.py:58-62.
+@register(
+    "glob_filter_sources",
+    oracle="""
+    SELECT source, COUNT(*) AS n FROM documents
+    WHERE source LIKE 'src1%'
+    GROUP BY source ORDER BY source
+    """,
+    tags=("filter", "reference"),
+)
+def glob_filter_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("source").rlike("^src1"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization on the events stream (batch form of the streaming op;
+# gap-based session assignment, 30-minute inactivity threshold).
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("window", "streaming", "bench"),
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev = F.lag(micros).over(w)
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev.isNull() | ((micros - prev) > 1_800_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session").over(wsum).alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window aggregation (batch form of the streaming windowed agg).
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    tags=("agg", "streaming"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,83 @@
+"""Query registry: every implemented operator as a (Spark builder, DuckDB
+oracle SQL) pair — the driver's correctness gate (BASELINE.md t2).
+
+Cross-engine determinism rules every spec follows:
+- Output column types are BIGINT/INT/STRING/TIMESTAMP/BOOLEAN, or DOUBLE
+  values derived from *exact* arithmetic (decimal sums cast to double, or
+  integer-quantized dot products) so Spark and DuckDB produce bit-identical
+  doubles.
+- Every aggregate/computed column is aliased identically in both engines.
+- Multiset semantics (exceptAll / EXCEPT ALL) where dup rows matter.
+- collect_list is always wrapped in sort_array; string_agg always ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tags, bench)
+        return fn
+
+    return deco
+
+
+def get_registry() -> dict[str, QuerySpec]:
+    # Import side-effect modules once, on first use.
+    from ftm_datalake_spark.plans import (  # noqa: F401
+        core,
+        reference_ops,
+        similarity_ops,
+        text_ops,
+    )
+
+    return _REGISTRY
+
+
+class _LazyRegistry(dict):
+    def _load(self) -> None:
+        if not self:
+            self.update(get_registry())
+
+    def __getitem__(self, k):  # pragma: no cover - thin wrapper
+        self._load()
+        return super().__getitem__(k)
+
+    def items(self):
+        self._load()
+        return super().items()
+
+    def keys(self):
+        self._load()
+        return super().keys()
+
+    def values(self):
+        self._load()
+        return super().values()
+
+
+REGISTRY: dict[str, QuerySpec] = _LazyRegistry()

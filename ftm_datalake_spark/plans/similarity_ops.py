@@ -1,0 +1,183 @@
+"""Similarity-search queries over the `embeddings` table.
+
+All cosine math uses the integer-quantization scheme from
+operators/similarity.py so the DuckDB oracle reproduces Spark's doubles
+bit-for-bit (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators import similarity as S
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+_QUANT = "CAST(round(CAST({x} AS DOUBLE) * 1000) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+    pairs AS (
+      SELECT qid, e.vec_id AS nid, qe, e.embedding AS ne
+      FROM q, embeddings e WHERE e.vec_id <> q.qid
+    ),
+    comp AS (
+      SELECT qid, nid,
+             CAST(SUM(t.qq * t.nq) AS BIGINT) AS dot,
+             CAST(SUM(t.qq * t.qq) AS BIGINT) AS qn,
+             CAST(SUM(t.nq * t.nq) AS BIGINT) AS nn
+      FROM pairs, LATERAL (
+        SELECT {_QUANT.format(x='qe[i]')} AS qq,
+               {_QUANT.format(x='ne[i]')} AS nq
+        FROM generate_series(1, 64) g(i)
+      ) t
+      GROUP BY qid, nid
+    ),
+    ranked AS (
+      SELECT qid, nid,
+             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cosine,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) DESC,
+                        nid) AS rank
+      FROM comp
+    )
+    SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+    """,
+    tags=("similarity", "bench"),
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
+    ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, q,
+             array_to_string(list_transform(q[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM qv
+    ),
+    qs AS (SELECT vec_id AS qid, q AS qq, bucket FROM b WHERE vec_id < 10),
+    cand AS (
+      SELECT qid, c.vec_id AS nid, qq, c.q AS nq
+      FROM qs JOIN b c USING (bucket) WHERE c.vec_id <> qs.qid
+    ),
+    comp AS (
+      SELECT qid, nid,
+             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
+             CAST(SUM(t.x * t.x) AS BIGINT) AS qn,
+             CAST(SUM(t.y * t.y) AS BIGINT) AS nn
+      FROM cand, LATERAL (
+        SELECT qq[i] AS x, nq[i] AS y FROM generate_series(1, 64) g(i)
+      ) t
+      GROUP BY qid, nid
+    ),
+    ranked AS (
+      SELECT qid, nid,
+             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cosine,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) DESC,
+                        nid) AS rank
+      FROM comp
+    )
+    SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    tags=("similarity",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.lsh_topk(emb, queries, k=3, n_bits=8)
+    return out.select(
+        "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
+    ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding, label
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    qv AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.q AS qa, b.q AS qb
+      FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    comp AS (
+      SELECT vec_a, vec_b,
+             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
+             CAST(SUM(t.x * t.x) AS BIGINT) AS na,
+             CAST(SUM(t.y * t.y) AS BIGINT) AS nb
+      FROM pairs, LATERAL (
+        SELECT qa[i] AS x, qb[i] AS y FROM generate_series(1, 64) g(i)
+      ) t
+      GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+    FROM comp
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.999
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 == 0).unionByName(
+        emb.where(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    return S.near_dup_pairs(base).orderBy("vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM({_QUANT.format(x='embedding[1]')}) AS DOUBLE) / COUNT(*) AS c0,
+           CAST(SUM({_QUANT.format(x='embedding[2]')}) AS DOUBLE) / COUNT(*) AS c1,
+           CAST(SUM({_QUANT.format(x='embedding[3]')}) AS DOUBLE) / COUNT(*) AS c2,
+           CAST(SUM({_QUANT.format(x='embedding[4]')}) AS DOUBLE) / COUNT(*) AS c3
+    FROM embeddings
+    GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroids(emb, dims=4).orderBy("label")

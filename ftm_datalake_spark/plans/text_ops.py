@@ -1,0 +1,217 @@
+"""Text-analysis + deduplication queries over the `documents` table.
+
+Dedup specs run on an *augmented* corpus (documents UNION ALL re-keyed
+copies of every 100th doc) so the dedup machinery has true duplicates to
+find — the same augmentation is expressed in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators import dedup as D
+from ftm_datalake_spark.operators import textops as TX
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+_AUG_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.where(F.col("doc_id") % 100 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(copies)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|in)\\b')) AS BIGINT) AS n_stopwords,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_alpha_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords, n_alpha_chars,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_alpha_chars AS DOUBLE) / n_tokens AS avg_token_len
+    FROM f ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_features(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_langid",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|of)\\b')) AS BIGINT) AS n_en,
+             CAST(len(regexp_extract_all(text, '\\b(der|die|und)\\b')) AS BIGINT) AS n_de,
+             CAST(len(regexp_extract_all(text, '\\b(le|la|et)\\b')) AS BIGINT) AS n_fr,
+             CAST(len(regexp_extract_all(text, '\\b(el|los|y)\\b')) AS BIGINT) AS n_es
+      FROM documents
+    )
+    SELECT doc_id, n_en, n_de, n_fr, n_es,
+           CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+                WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                WHEN n_fr >= n_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM c ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = TX.marker_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[counts[lang].cast("long").alias(f"n_{lang}") for lang in ("en", "de", "fr", "es")],
+        TX.predict_lang(F.col("text")).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(lower(regexp_replace(text, '\\s+', '', 'g'))), 1, 16) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL})
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           COUNT(*) AS n
+    FROM docs_aug
+    GROUP BY md5(text)
+    ORDER BY content_hash
+    """,
+    tags=("dedup", "bench"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    return D.exact_dedup_groups(docs).orderBy("content_hash")
+
+
+# --------------------------------------------------------------------------
+_SHINGLES_SQL = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(tokens) - 2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+           ))) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+          FROM docs_aug)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    )
+    SELECT doc_a, doc_b, common,
+           CAST(ca.n_sh + cb.n_sh - common AS BIGINT) AS uni
+    FROM common
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    return D.ngram_jaccard_pairs(docs, min_common=2).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    hs AS (
+      SELECT doc_id, s.seed,
+             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band_id,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_val
+      FROM hs GROUP BY doc_id, CAST(seed // 3 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "bench"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    return D.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures — engine-internal bit packing; rows-only check
+# (no portable SQL oracle for the 60-bit hex fold).
+@register("dedup_simhash", oracle=None, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    return D.simhash(docs).orderBy("doc_id")

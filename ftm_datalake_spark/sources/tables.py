@@ -1,0 +1,76 @@
+"""Parquet/CSV/JSON table readers for the lake layout.
+
+Spark mappings of the reference's scan operators (SURVEY §2.1):
+S3 csv scan (reference: ftm_datalake/archive/documents.py:45-50),
+S4 json point read (reference: ftm_datalake/archive/dataset.py:43-45),
+and the driver's synthetic parquet tables.
+
+All readers take explicit schemas — schema inference is a full extra pass
+over the data, which is unacceptable at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ftm_datalake_spark.schemas import DOCUMENTS_SCHEMA, FILE_INFO_SCHEMA, TEST_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table (TESTDATA.md).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as nanos-long (legacy conf) and truncate to
+    microseconds — exactly what DuckDB does on read, so both engines see
+    identical values.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TEST_TABLES}
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S3: documents.csv scan with the fixed 6-column header.
+
+    Reference: ftm_datalake/archive/documents.py:45-50 (pandas read_csv).
+    """
+    return (
+        spark.read.option("header", True)
+        .schema(DOCUMENTS_SCHEMA)
+        .csv(path)
+    )
+
+
+def read_file_info_json(spark: SparkSession, path: str) -> DataFrame:
+    """S4/S5: info.json metadata scan (glob over ``meta/**/info.json``).
+
+    Reference: ftm_datalake/archive/dataset.py:43-45, sync/memorious.py:44-45.
+    """
+    return spark.read.schema(FILE_INFO_SCHEMA).json(path)
+
+
+def scan_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S1/S2: recursive file listing as a DataFrame.
+
+    Reference: ftm_datalake/archive/dataset.py:62-69 (iter_keys) and
+    crawl.py:55-62 (remote crawl scan). ``binaryFile`` yields
+    (path, modificationTime, length, content); metadata-only pipelines
+    should immediately drop ``content`` so the scan prunes it.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.option("recursiveFileLookup", "true").load(path)
