@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline (bench=True) registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing uses the noop sink so we measure the full distributed plan without
+collect-to-driver overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+
+    from ftm_datalake_spark.session import build_session
+
+    spark = build_session(
+        app_name="ftm-datalake-spark-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ftm_datalake_spark.plans import REGISTRY
+
+    bench_specs = [s for s in REGISTRY.values() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache
+        # best-of-2 to damp host-contention noise
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[spec.name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

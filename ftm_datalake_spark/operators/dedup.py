@@ -22,9 +22,13 @@ from pyspark.sql import functions as F
 from ftm_datalake_spark.operators.textops import tokens
 
 
-def shingles(text_col: F.Column, k: int = 3) -> F.Column:
-    """Distinct k-token shingles of a text column (empty array if < k tokens)."""
-    toks = tokens(text_col)
+def shingles_from_tokens(toks: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-token shingles from a *materialized* token-array column.
+
+    Must be given a plain column reference, not the tokenizing expression:
+    higher-order lambdas re-evaluate embedded subexpressions per element,
+    so an inlined split() would re-tokenize the text O(tokens·k) times.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
     built = F.transform(
@@ -55,9 +59,12 @@ def shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Exploded (doc, shingle) postings — shared by Jaccard and MinHash."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), k)).alias("shingle"),
     )
 
 
