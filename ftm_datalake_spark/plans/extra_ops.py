@@ -1,0 +1,304 @@
+"""Second-wave operator coverage: integrity reconciliation, JSON
+extraction, EXISTS-style predicates, rollup aggregates, n-gram frequency
+tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.documents import reconcile
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# The `make` integrity reconciliation (SURVEY §3.2) as one full-outer join:
+# source-only → add, metadata-only → delete, hash mismatch → fix.
+# Reference: twin task streams in ftm_datalake/make.py:52-111.
+@register(
+    "make_reconcile",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS key,
+             md5(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)) AS src_hash
+      FROM events WHERE event_id % 7 <> 0
+    ),
+    meta AS (
+      SELECT CAST(event_id AS VARCHAR) AS key,
+             CASE WHEN event_id % 11 = 0
+                  THEN md5('corrupt' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR))
+                  ELSE md5(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)) END AS meta_hash
+      FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT COALESCE(src.key, meta.key) AS key,
+           CASE WHEN meta.key IS NULL THEN 'add'
+                WHEN src.key IS NULL THEN 'delete'
+                WHEN src.src_hash <> meta.meta_hash THEN 'fix'
+                ELSE 'ok' END AS action
+    FROM src FULL OUTER JOIN meta ON src.key = meta.key
+    ORDER BY key
+    """,
+    tags=("join", "reference"),
+)
+def make_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vhash = F.md5(F.col("value").cast("decimal(18,2)").cast("string"))
+    src = events.where(F.col("event_id") % 7 != 0).select(
+        F.col("event_id").cast("string").alias("key"),
+        vhash.alias("content_hash"),
+    )
+    meta = events.where(F.col("event_id") % 5 != 0).select(
+        F.col("event_id").cast("string").alias("key"),
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.md5(
+                F.concat(
+                    F.lit("corrupt"),
+                    F.col("value").cast("decimal(18,2)").cast("string"),
+                )
+            ),
+        )
+        .otherwise(vhash)
+        .alias("content_hash"),
+    )
+    return reconcile(src, meta).orderBy("key")
+
+
+# --------------------------------------------------------------------------
+# F10: JSON field extraction from the events `props` column.
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+    tags=("json", "agg"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select(
+            (k % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q4 shape: order-priority count with EXISTS semi join.
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q6 shape: pure filter + aggregate (pushdown showcase).
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25.0
+    """,
+    tags=("agg", "scan"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25.0)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(12,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup aggregate (multi-granularity stats in one pass).
+@register(
+    "rollup_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group via rank window (the reference's per-dataset "latest N"
+# pattern generalized).
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) t WHERE rn <= 5
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global token vocabulary (training-pipeline staple): token → frequency.
+@register(
+    "token_vocabulary",
+    oracle="""
+    SELECT t.token, COUNT(*) AS freq
+    FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(token)
+    GROUP BY t.token
+    ORDER BY freq DESC, token
+    """,
+    tags=("text", "agg"),
+)
+def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top trigram table (n-gram language-model counts).
+@register(
+    "trigram_freq_top100",
+    oracle="""
+    WITH docs_aug AS (SELECT doc_id, text FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tokens) - 2),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+             )) AS trigram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+            FROM docs_aug)
+    )
+    SELECT trigram, COUNT(*) AS freq
+    FROM sh GROUP BY trigram
+    ORDER BY freq DESC, trigram
+    LIMIT 100
+    """,
+    tags=("text", "agg"),
+)
+def trigram_freq_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    exploded = toked.where(n >= 3).select(F.explode(tri).alias("trigram"))
+    return (
+        exploded.groupBy("trigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "trigram")
+        .limit(100)
+    )

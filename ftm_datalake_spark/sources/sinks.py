@@ -1,0 +1,102 @@
+"""Spec-layout sinks (SURVEY §2.1 S11-S14).
+
+The reference's interchange formats are single deterministic files:
+documents.csv (+ timestamped snapshots + diffs), index.json, and
+entities.ftm.json (reference: ftm_datalake/archive/documents.py:82-117,
+dataset.py:150-190, export.py:13-36). Distributed engines produce
+part-files, so these sinks write through a single-partition stage with a
+stable ORDER BY and rename to the spec name — correct for the metadata
+scale these files have (per-dataset, not per-row-of-lake).
+
+The *real* queryable tables stay dataset-partitioned parquet; these sinks
+exist for interchange parity only.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+import shutil
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCUMENT_COLUMNS = ["key", "content_hash", "size", "mimetype", "created_at", "updated_at"]
+
+
+def _single_file_write(df: DataFrame, target: str, fmt: str, header: bool) -> None:
+    tmp = target + ".__stage__"
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", str(header).lower()).csv(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    else:
+        writer.json(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.json"))[0]
+    os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+    shutil.move(part, target)
+    shutil.rmtree(tmp)
+
+
+def write_documents_csv(
+    documents: DataFrame, out_dir: str, snapshot: bool = True
+) -> str:
+    """S11: documents.csv with stable ordering + timestamped snapshot.
+
+    Mirrors Documents.write() (reference: archive/documents.py:82-117):
+    current table at documents.csv, plus documents.csv.{iso-ts} snapshot.
+    Diffs between snapshots are *computed relationally* (snapshot_diff),
+    not stored as unified-diff text."""
+    target = os.path.join(out_dir, "documents.csv")
+    ordered = documents.select(*DOCUMENT_COLUMNS).orderBy("key", "updated_at")
+    _single_file_write(ordered, target, "csv", header=True)
+    if snapshot:
+        stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
+        shutil.copyfile(target, f"{target}.{stamp}")
+    return target
+
+
+def write_index_json(index_row: dict, out_dir: str) -> str:
+    """S12: per-dataset index.json from a collected stats row."""
+    target = os.path.join(out_dir, "index.json")
+    os.makedirs(out_dir, exist_ok=True)
+    clean = {k: v for k, v in index_row.items() if v is not None}
+    with open(target, "w", encoding="utf-8") as fh:
+        json.dump(clean, fh, default=str, sort_keys=True)
+    return target
+
+
+def write_entities_jsonl(entities: DataFrame, out_dir: str) -> str:
+    """S13: entities.ftm.json (JSON-lines of entity rows, ordered by id)."""
+    target = os.path.join(out_dir, "entities.ftm.json")
+    _single_file_write(entities.orderBy("id"), target, "json", header=False)
+    return target
+
+
+def export_dataset_zip(dataset_dir: str, zip_path: str) -> str:
+    """S14: zip export of a dataset directory (driver-side; the reference
+    is also single-threaded here, export.py:13-36)."""
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(dataset_dir):
+            for name in sorted(files):
+                full = os.path.join(root, name)
+                zf.write(full, os.path.relpath(full, dataset_dir))
+    return zip_path
+
+
+def read_zip_store(spark: SparkSession, zip_path: str, staging_dir: str) -> DataFrame:
+    """S8: read a zipped dataset as a binaryFile DataFrame.
+
+    Spark has no zip-directory reader; extract to a staging dir (driver)
+    then scan distributed. For object-store scale, extraction would be a
+    foreachPartition job over the zip's central directory."""
+    os.makedirs(staging_dir, exist_ok=True)
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(staging_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(staging_dir)
+    )

@@ -1,0 +1,95 @@
+"""Structured-Streaming counterparts of the batch operators.
+
+The reference's incremental model is event-coupled stage directories —
+"dropping a file to one origin folder triggers the next layer"
+(reference: docs/rfc.md:148-152) — plus a task-ledger cache. Spark-first,
+that is a Structured Streaming file source per stage directory with
+`trigger(availableNow=True)`: each run drains whatever landed since the
+last checkpoint, exactly-once, and the checkpoint directory *is* the task
+ledger.
+
+At 100 TB these same topologies run continuously with real triggers;
+`availableNow` keeps them testable and cron-schedulable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def read_stage_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    schema: StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """I3: a stage directory as an append-only stream."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(stage_dir)
+
+
+def run_stage_to_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Drain the stream exactly-once into parquet (stage output dir).
+
+    The checkpoint carries the processed-file ledger — re-running with the
+    same checkpoint processes only new files (the anycache semantics of
+    reference ftm_datalake/crawl.py:64-71, without a ledger table)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization with the built-in session_window.
+
+    Batch-equivalent of the `events_sessionize` registry query; with a
+    watermark this runs incrementally with bounded state."""
+    return (
+        events.withWatermark(ts_col, "1 hour")
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def hourly_rollup_stream(
+    events: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Streaming tumbling-window rollup (batch twin: events_hourly_rollup)."""
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(F.window(F.col(ts_col), "1 hour"), F.col(type_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            type_col,
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,89 @@
+"""Spec-layout sink tests: documents.csv roundtrip, index.json, entities
+JSONL, zip export/import (SURVEY §2.1 S8, S11-S14)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+from pyspark.sql import functions as F
+
+
+def _documents(spark):
+    rows = [
+        ("b.txt", "h2", 20, "text/plain", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        ("a.txt", "h1", 10, "text/plain", "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, content_hash string, size long, mimetype string, created_at string, updated_at string"
+    )
+    return df.withColumn("created_at", F.to_timestamp("created_at")).withColumn(
+        "updated_at", F.to_timestamp("updated_at")
+    )
+
+
+def test_documents_csv_roundtrip(spark, tmp_path):
+    from ftm_datalake_spark.sources.sinks import write_documents_csv
+    from ftm_datalake_spark.sources.tables import read_documents_csv
+
+    out = str(tmp_path / "ds")
+    target = write_documents_csv(_documents(spark), out)
+    assert os.path.basename(target) == "documents.csv"
+    with open(target) as fh:
+        header = fh.readline().strip()
+    assert header == "key,content_hash,size,mimetype,created_at,updated_at"
+    # snapshot written alongside
+    snaps = [p for p in os.listdir(out) if p.startswith("documents.csv.")]
+    assert len(snaps) == 1
+    # roundtrip through the S3 csv scan
+    back = read_documents_csv(spark, target)
+    assert [r["key"] for r in back.orderBy("key").collect()] == ["a.txt", "b.txt"]
+    assert back.where(F.col("size").isNull()).count() == 0
+
+
+def test_index_json(tmp_path):
+    from ftm_datalake_spark.sources.sinks import write_index_json
+
+    target = write_index_json(
+        {"name": "ds1", "entity_count": 75, "total_file_size": 22385367, "nothing": None},
+        str(tmp_path),
+    )
+    data = json.loads(open(target).read())
+    assert data == {"name": "ds1", "entity_count": 75, "total_file_size": 22385367}
+
+
+def test_entities_jsonl(spark, tmp_path):
+    from ftm_datalake_spark.operators.statements import aggregate_statements
+    from ftm_datalake_spark.schemas import STATEMENT_SCHEMA
+    from ftm_datalake_spark.sources.sinks import write_entities_jsonl
+
+    stmts = spark.createDataFrame(
+        [
+            ("s1", "e1", "e1", "Person", "name", "Alice", "ds1", "ingest", None, None),
+            ("s2", "e2", "e2", "Company", "name", "ACME", "ds1", "ingest", None, None),
+        ],
+        STATEMENT_SCHEMA,
+    )
+    target = write_entities_jsonl(aggregate_statements(stmts), str(tmp_path))
+    lines = [json.loads(line) for line in open(target)]
+    assert [x["id"] for x in lines] == ["e1", "e2"]
+    assert lines[0]["properties"]["name"] == ["Alice"]
+
+
+def test_zip_export_roundtrip(spark, tmp_path):
+    from ftm_datalake_spark.sources.sinks import (
+        export_dataset_zip,
+        read_zip_store,
+        write_documents_csv,
+    )
+
+    ds_dir = str(tmp_path / "ds")
+    write_documents_csv(_documents(spark), ds_dir, snapshot=False)
+    zip_path = str(tmp_path / "ds.ftm_datalake.zip")
+    export_dataset_zip(ds_dir, zip_path)
+    assert zipfile.ZipFile(zip_path).namelist() == ["documents.csv"]
+
+    staged = read_zip_store(spark, zip_path, str(tmp_path / "staging"))
+    assert staged.count() == 1
+    assert staged.first()["path"].endswith("documents.csv")
