@@ -1,0 +1,194 @@
+"""The crawl / make ingest lifecycle as single Spark jobs (SURVEY §3.1-3.2).
+
+Reference control flow is producer/consumer threads over an in-process
+queue (anystore Worker); here each lifecycle is ONE declarative plan:
+
+crawl:  binaryFile scan → glob filters → anti-join existing → checksum/
+        mime projection → merge into documents → stats index
+make:   full-outer reconcile of source scan vs metadata table → actions
+
+No task queue, no threads, no per-file IO loops — a 1000-executor cluster
+runs the same plan unchanged; the scan parallelism comes from file
+splits, the merge shuffle is keyed by `key`.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.functions.checksum import content_checksum, entity_id
+from ftm_datalake_spark.functions.mime import guess_mimetype, mimetype_to_schema
+from ftm_datalake_spark.operators.documents import merge_documents
+from ftm_datalake_spark.sources.tables import scan_binary_files
+
+
+def _glob_to_regex(glob: str) -> str:
+    return fnmatch.translate(glob)
+
+
+def crawl_scan(
+    spark: SparkSession,
+    source_uri: str,
+    dataset: str,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> DataFrame:
+    """S1/S2 + P2/P3 + F1/F9: list files, filter by glob, checksum, type.
+
+    Returns file-metadata rows in DOCUMENTS_SCHEMA shape. Reference:
+    CrawlWorker (ftm_datalake/crawl.py:55-106)."""
+    files = scan_binary_files(spark, source_uri)
+    prefix = source_uri.rstrip("/") + "/"
+    key = F.regexp_replace(F.col("path"), r"^file:", "")
+    key = F.regexp_replace(key, "^" + prefix.replace("\\", "\\\\"), "")
+    df = files.select(
+        key.alias("key"),
+        content_checksum(F.col("content")).alias("content_hash"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("updated_at"),
+    )
+    if include:
+        df = df.where(F.col("key").rlike(_glob_to_regex(include)))
+    if exclude:
+        df = df.where(~F.col("key").rlike(_glob_to_regex(exclude)))
+    return df.select(
+        "key",
+        "content_hash",
+        "size",
+        guess_mimetype(F.col("key")).alias("mimetype"),
+        F.col("updated_at").alias("created_at"),
+        "updated_at",
+        F.lit(dataset).alias("dataset"),
+    )
+
+
+def read_documents(spark: SparkSession, lake_dir: str, dataset: str) -> DataFrame:
+    from ftm_datalake_spark.schemas import DOCUMENTS_SCHEMA
+
+    path = os.path.join(lake_dir, "documents")
+    try:
+        df = spark.read.parquet(path)
+        return df.where(F.col("dataset") == dataset)
+    except Exception:
+        return spark.createDataFrame([], DOCUMENTS_SCHEMA)
+
+
+def write_documents(documents: DataFrame, lake_dir: str) -> None:
+    """The managed documents table: dataset-partitioned parquet."""
+    (
+        documents.write.mode("overwrite")
+        .partitionBy("dataset")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(lake_dir, "documents"))
+    )
+
+
+def crawl(
+    spark: SparkSession,
+    source_uri: str,
+    dataset: str,
+    lake_dir: str,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> dict:
+    """Full crawl: scan → skip-existing anti-join → merge → stats.
+
+    Returns the counter dict the reference tracks (A4:
+    files_total/added/updated, ftm_datalake/crawl.py:29-30)."""
+    incoming = crawl_scan(spark, source_uri, dataset, include, exclude)
+    current = read_documents(spark, lake_dir, dataset)
+
+    # J4 skip-existing: a key with unchanged hash is not re-ingested
+    unchanged = current.select("key", "content_hash")
+    new_or_changed = incoming.join(
+        F.broadcast(unchanged), ["key", "content_hash"], "left_anti"
+    )
+    n_total = incoming.count()
+    n_new = new_or_changed.count()
+
+    merged = merge_documents(current, new_or_changed)
+    write_documents(merged, lake_dir)
+    return {"files_total": n_total, "added_or_updated": n_new}
+
+
+def make_index_stats(spark: SparkSession, lake_dir: str, dataset: str) -> dict:
+    """A1-A3: stats row for index.json from the documents table."""
+    docs = read_documents(spark, lake_dir, dataset)
+    entities = project_entities(docs)
+    facets = [
+        {"name": r["schema"], "count": r["count"]}
+        for r in entities.groupBy("schema")
+        .agg(F.count("*").alias("count"))
+        .orderBy("schema")
+        .collect()
+    ]
+    totals = docs.agg(
+        F.count("*").alias("n"), F.sum("size").alias("total_file_size")
+    ).first()
+    return {
+        "name": dataset,
+        "entity_count": int(totals["n"]),
+        "total_file_size": int(totals["total_file_size"] or 0),
+        "things": {"total": int(totals["n"]), "schemata": facets},
+    }
+
+
+def project_entities(documents: DataFrame) -> DataFrame:
+    """P7: file rows → FTM entity proxies (ENTITY_SCHEMA shape).
+
+    Reference: to_proxy(), ftm_datalake/model.py:37-52 — id derived from
+    (dataset, key, content_hash), schema from the mime map, properties as
+    MAP<STRING, ARRAY<STRING>>."""
+    return documents.select(
+        entity_id(F.col("dataset"), F.col("key"), F.col("content_hash")).alias("id"),
+        mimetype_to_schema(F.col("mimetype")).alias("schema"),
+        F.map_from_arrays(
+            F.array(
+                F.lit("contentHash"),
+                F.lit("fileName"),
+                F.lit("fileSize"),
+                F.lit("mimeType"),
+            ),
+            F.array(
+                F.array(F.col("content_hash")),
+                F.array(F.element_at(F.split(F.col("key"), "/"), -1)),
+                F.array(F.col("size").cast("string")),
+                F.array(F.col("mimetype")),
+            ),
+        ).alias("properties"),
+        F.col("dataset"),
+    )
+
+
+def make(
+    spark: SparkSession, source_uri: str, dataset: str, lake_dir: str
+) -> DataFrame:
+    """Integrity check: reconcile source files vs the documents table.
+
+    One full-outer join replaces the reference's twin task streams
+    (ftm_datalake/make.py:52-111). Returns (key, action) with
+    add|delete|fix|ok."""
+    from ftm_datalake_spark.operators.documents import reconcile
+
+    source = crawl_scan(spark, source_uri, dataset)
+    current = read_documents(spark, lake_dir, dataset)
+    return reconcile(source, current)
+
+
+def repair(
+    spark: SparkSession, source_uri: str, dataset: str, lake_dir: str
+) -> dict:
+    """Apply `make` actions: re-add missing, drop orphaned, fix corrupted —
+    by rebuilding the table from the reconciled source scan (idempotent)."""
+    actions = make(spark, source_uri, dataset, lake_dir)
+    counters = {
+        r["action"]: r["n"]
+        for r in actions.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    source = crawl_scan(spark, source_uri, dataset)
+    write_documents(source, lake_dir)
+    return counters

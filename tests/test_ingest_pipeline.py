@@ -1,0 +1,109 @@
+"""End-to-end crawl → documents table → stats lifecycle, mirroring the
+reference's crawl/make e2e tests (tests/test_crawl.py, tests/test_make.py,
+SURVEY §5): exact counts, checksums, re-crawl idempotence, mutation
+repair."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+
+def _make_corpus(base: str) -> dict[str, bytes]:
+    files = {
+        "report.pdf": b"%PDF-1.4 fake report content",
+        "data.csv": b"a,b\n1,2\n",
+        "mail/message.eml": b"From: x@y.z\n\nhello",
+        "notes.txt": b"some plain text notes",
+        "img/photo.jpg": b"\xff\xd8\xff fakejpeg",
+    }
+    for rel, content in files.items():
+        full = os.path.join(base, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as fh:
+            fh.write(content)
+    return files
+
+
+def test_crawl_make_lifecycle(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.ingest import (
+        crawl,
+        make,
+        make_index_stats,
+        read_documents,
+        repair,
+    )
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    files = _make_corpus(src)
+
+    # first crawl: everything added
+    counters = crawl(spark, src, "ds1", lake)
+    assert counters == {"files_total": 5, "added_or_updated": 5}
+
+    docs = read_documents(spark, lake, "ds1")
+    got = {r["key"]: r for r in docs.collect()}
+    assert set(got) == set(files)
+    for key, content in files.items():
+        assert got[key]["content_hash"] == hashlib.sha1(content).hexdigest()
+        assert got[key]["size"] == len(content)
+    assert got["report.pdf"]["mimetype"] == "application/pdf"
+
+    # stats (A1-A3 golden-aggregate shape)
+    stats = make_index_stats(spark, lake, "ds1")
+    assert stats["entity_count"] == 5
+    assert stats["total_file_size"] == sum(len(c) for c in files.values())
+    facet = {x["name"]: x["count"] for x in stats["things"]["schemata"]}
+    assert facet == {"Pages": 1, "Table": 1, "Email": 1, "PlainText": 1, "Image": 1}
+
+    # re-crawl: nothing new (skip-existing J4)
+    counters2 = crawl(spark, src, "ds1", lake)
+    assert counters2 == {"files_total": 5, "added_or_updated": 0}
+
+    # make on a clean lake: everything ok
+    actions = {r["key"]: r["action"] for r in make(spark, src, "ds1", lake).collect()}
+    assert set(actions.values()) == {"ok"}
+
+    # mutations: delete one source file, corrupt another
+    os.remove(os.path.join(src, "notes.txt"))
+    with open(os.path.join(src, "data.csv"), "wb") as fh:
+        fh.write(b"corrupted!")
+    actions = {r["key"]: r["action"] for r in make(spark, src, "ds1", lake).collect()}
+    assert actions["notes.txt"] == "delete"
+    assert actions["data.csv"] == "fix"
+    assert actions["report.pdf"] == "ok"
+
+    counters = repair(spark, src, "ds1", lake)
+    assert counters.get("fix") == 1 and counters.get("delete") == 1
+    repaired = {r["key"]: r for r in read_documents(spark, lake, "ds1").collect()}
+    assert "notes.txt" not in repaired
+    assert repaired["data.csv"]["content_hash"] == hashlib.sha1(b"corrupted!").hexdigest()
+
+
+def test_crawl_glob_filters(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.ingest import crawl_scan
+
+    src = str(tmp_path / "src")
+    _make_corpus(src)
+    only_pdf = crawl_scan(spark, src, "ds1", include="*.pdf")
+    assert [r["key"] for r in only_pdf.collect()] == ["report.pdf"]
+    no_mail = crawl_scan(spark, src, "ds1", exclude="mail/*")
+    assert "mail/message.eml" not in {r["key"] for r in no_mail.collect()}
+
+
+def test_entity_projection_shape(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.ingest import crawl, project_entities, read_documents
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _make_corpus(src)
+    crawl(spark, src, "ds1", lake)
+    ents = project_entities(read_documents(spark, lake, "ds1"))
+    row = {r["properties"]["fileName"][0]: r for r in ents.collect()}
+    assert row["report.pdf"]["schema"] == "Pages"
+    assert row["report.pdf"]["id"].startswith("ds1-file-")
+    assert row["message.eml"]["schema"] == "Email"
+    assert row["photo.jpg"]["properties"]["mimeType"] == ["image/jpeg"]

@@ -1,0 +1,93 @@
+"""Sync-pipeline tests: memorious import + key funcs + batched push,
+mirroring the reference's tests/test_sync.py coverage (SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("request_id", T.StringType()),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("title", T.StringType()),
+        T.StructField("retrieved_at", T.TimestampType()),
+        T.StructField("modified_at", T.TimestampType()),
+        T.StructField("_file_name", T.StringType()),
+    ]
+)
+
+NOW = dt.datetime(2024, 1, 1)
+
+
+def _meta(spark):
+    rows = [
+        ("https://ex.com/docs/f%20ile.pdf?x=1", "r1", 200, "aa11",
+         {"Content-Type": "application/pdf", "Content-Length": "123"},
+         "File", NOW, None, "aa11.data.pdf"),
+        ("https://ex.com/docs/other.csv", "r2", 200, "bb22",
+         {"Content-Type": "text/csv"}, "Other", NOW, NOW, "bb22.data.csv"),
+        ("https://ex.com/missing", "r3", 404, None, {}, None, NOW, None, None),
+    ]
+    return spark.createDataFrame(rows, META_SCHEMA)
+
+
+def test_memorious_import_default_key(spark):
+    from ftm_datalake_spark.pipelines.sync import memorious_import
+
+    out = {r["key"]: r for r in memorious_import(_meta(spark)).collect()}
+    # not_found row skipped; url-decoded keys without query string
+    assert set(out) == {"ex.com/docs/f ile.pdf", "ex.com/docs/other.csv"}
+    assert out["ex.com/docs/f ile.pdf"]["size"] == 123
+    assert out["ex.com/docs/other.csv"]["size"] is None
+    assert out["ex.com/docs/other.csv"]["mimetype"] == "text/csv"
+
+
+def test_memorious_import_strip_prefix_key(spark):
+    from ftm_datalake_spark.pipelines.sync import key_strip_prefix, memorious_import
+
+    out = memorious_import(
+        _meta(spark), key_func=lambda df: key_strip_prefix(F.col("url"), "ex.com/docs/")
+    )
+    assert {r["key"] for r in out.collect()} == {"f ile.pdf", "other.csv"}
+
+
+def test_memorious_import_template_key(spark):
+    from ftm_datalake_spark.pipelines.sync import key_from_template, memorious_import
+
+    udf = key_from_template("{{ request_id }}/{{ content_hash }}")
+    out = memorious_import(
+        _meta(spark),
+        key_func=lambda df: udf(F.struct("request_id", "content_hash")),
+    )
+    assert {r["key"] for r in out.collect()} == {"r1/aa11", "r2/bb22"}
+
+
+def test_push_in_batches(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.sync import push_in_batches
+
+    outdir = str(tmp_path / "pushed")
+    os.makedirs(outdir, exist_ok=True)
+
+    def send(batch: list[dict]) -> None:
+        # stand-in for the HTTP sink: one file per request
+        import uuid
+
+        with open(os.path.join(outdir, f"{uuid.uuid4().hex}.json"), "w") as fh:
+            json.dump(batch, fh)
+
+    df = spark.range(2500).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    push_in_batches(df, send, batch_size=1000, max_concurrency=2)
+
+    batches = [json.load(open(os.path.join(outdir, p))) for p in os.listdir(outdir)]
+    assert sum(len(b) for b in batches) == 2500
+    assert max(len(b) for b in batches) <= 1000
+    ids = sorted(row["id"] for b in batches for row in b)
+    assert ids == list(range(2500))
