@@ -1,0 +1,91 @@
+"""Versioned documents table: timestamped snapshots, version listing,
+relational diffs, and version-replay — the reference's documents.csv.{ts}
+machinery (SURVEY §2.1 S11, §2.3 J5, §2.5 W2, §2.10 I2).
+
+Reference behavior (ftm_datalake/archive/documents.py:82-185): every
+write stores a timestamped snapshot plus a unified-diff text file;
+incremental sync replays keys added since the last-synced version
+(sync/aleph.py:73-93).
+
+Spark-first: snapshots are parquet subdirectories `version={ts}` under a
+versions root — readable individually, listable from the filesystem, and
+diffable relationally with exceptAll (no diff-text parsing, P9
+eliminated). `changes_since` is the I2 replay: the union of per-step adds
+between two versions, deduplicated to latest state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ftm_datalake_spark.operators.documents import snapshot_diff
+
+
+def _versions_root(lake_dir: str, dataset: str) -> str:
+    return os.path.join(lake_dir, "document_versions", f"dataset={dataset}")
+
+
+def write_version(
+    documents: DataFrame,
+    lake_dir: str,
+    dataset: str,
+    version: str | None = None,
+) -> str:
+    """Persist a snapshot as `version=<utc-iso-basic>` parquet."""
+    version = version or dt.datetime.now(dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
+    path = os.path.join(_versions_root(lake_dir, dataset), f"version={version}")
+    documents.drop("dataset").write.mode("errorifexists").parquet(path)
+    return version
+
+
+def list_versions(lake_dir: str, dataset: str) -> list[str]:
+    """W2: ascending version ids; last is current."""
+    root = _versions_root(lake_dir, dataset)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d.split("=", 1)[1] for d in os.listdir(root) if d.startswith("version=")
+    )
+
+
+def read_version(
+    spark: SparkSession, lake_dir: str, dataset: str, version: str | None = None
+) -> DataFrame:
+    """Point-in-time read; default latest (the reference's "current")."""
+    versions = list_versions(lake_dir, dataset)
+    if not versions:
+        raise FileNotFoundError(f"no versions for dataset {dataset}")
+    version = version or versions[-1]
+    path = os.path.join(_versions_root(lake_dir, dataset), f"version={version}")
+    return spark.read.parquet(path)
+
+
+def diff_versions(
+    spark: SparkSession,
+    lake_dir: str,
+    dataset: str,
+    old_version: str,
+    new_version: str,
+) -> tuple[DataFrame, DataFrame]:
+    """J5 across stored versions: (added_rows, deleted_rows)."""
+    old = read_version(spark, lake_dir, dataset, old_version)
+    new = read_version(spark, lake_dir, dataset, new_version)
+    return snapshot_diff(old, new)
+
+
+def changes_since(
+    spark: SparkSession, lake_dir: str, dataset: str, since_version: str
+) -> DataFrame:
+    """I2 incremental replay: net-new/updated rows after `since_version`.
+
+    Exactly the keys an incremental sync must push (reference:
+    sync/aleph.py:73-93) — computed as one exceptAll between the since
+    snapshot and the current one, so intermediate versions need not be
+    replayed pairwise."""
+    added, _deleted = diff_versions(
+        spark, lake_dir, dataset, since_version, list_versions(lake_dir, dataset)[-1]
+    )
+    return added

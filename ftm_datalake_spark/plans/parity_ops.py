@@ -1,0 +1,126 @@
+"""Remaining SURVEY §2 checklist items as oracle-paired queries:
+A7 distinct line-sets, J8 set-equality checks, F12 coalesce chains,
+A3 coverage intervals, and the approximate-distinct scale variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# A7: distinct line-set (dedup identical lines before diffing).
+# Reference: ftm_datalake/archive/documents.py:129-136.
+@register(
+    "distinct_line_set",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+    tags=("setop", "reference"),
+)
+def distinct_line_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").distinct().orderBy(
+        "user_id", "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# J8: set-compare integrity check between two scans (crawl equality test).
+# Reference: tests/test_crawl.py:20-23.
+@register(
+    "set_equality_check",
+    oracle="""
+    WITH a AS (SELECT user_id, event_type FROM events WHERE event_id < 500),
+         b AS (SELECT user_id, event_type FROM events
+               WHERE event_id < 500 AND event_type <> 'error')
+    SELECT 'a_minus_b' AS side, COUNT(*) AS n FROM (
+      SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'b_minus_a' AS side, COUNT(*) AS n FROM (
+      SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+    ORDER BY side
+    """,
+    tags=("setop", "reference"),
+)
+def set_equality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_id") < 500).select("user_id", "event_type")
+    b = events.where(
+        (F.col("event_id") < 500) & (F.col("event_type") != "error")
+    ).select("user_id", "event_type")
+    rows_a = a.exceptAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("a_minus_b").alias("side"), "n"
+    )
+    rows_b = b.exceptAll(a).agg(F.count("*").alias("n")).select(
+        F.lit("b_minus_a").alias("side"), "n"
+    )
+    return rows_a.unionByName(rows_b).orderBy("side")
+
+
+# --------------------------------------------------------------------------
+# F12: source-url coalesce chain.
+# Reference: ftm_datalake/sync/aleph.py:44-51.
+@register(
+    "coalesce_source_url",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(NULLIF(source, 'src0'), 'lang:' || lang, 'unknown') AS origin
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("projection", "reference"),
+)
+def coalesce_source_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.col("source"), F.lit("src0")),
+            F.concat(F.lit("lang:"), F.col("lang")),
+            F.lit("unknown"),
+        ).alias("origin"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# A3: coverage intervals (min/max span per group).
+# Reference: Collector date coverage, tests/test_archive.py:48-55.
+@register(
+    "coverage_intervals",
+    oracle="""
+    SELECT event_type,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "reference"),
+)
+def coverage_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HLL) — the 100 TB variant of entity counting.
+# No cross-engine oracle: sketch implementations differ; rows-only check.
+@register("approx_distinct_users", oracle=None, tags=("agg", "approx"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )

@@ -51,6 +51,7 @@ def get_registry() -> dict[str, QuerySpec]:
     from ftm_datalake_spark.plans import (  # noqa: F401
         core,
         extra_ops,
+        parity_ops,
         reference_ops,
         similarity_ops,
         text_ops,

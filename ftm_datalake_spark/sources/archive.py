@@ -1,0 +1,70 @@
+"""Content-addressed blob archiving + dataset config (SURVEY §2.1 S7/S10).
+
+S10 blob sink: the reference copies each crawled file into the
+`archive/ab/cd/ef/<sha1>` layout and writes info.json per file
+(ftm_datalake/archive/dataset.py:119-148). Spark-first, the copy is a
+foreachPartition job over (source path, content_hash) rows — each
+executor copies its partition's blobs with no driver involvement — and
+the *metadata* goes to the documents table instead of per-file JSON.
+Preferred mode at scale is copy=False: leave blobs in place and only
+manage metadata (the reference supports the same choice).
+
+S7 config: YAML `config.yml` per dataset, a driver-side small read
+(ftm_datalake/archive/dataset.py:75-83).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from ftm_datalake_spark.functions.checksum import shard_path  # noqa: F401  (expr twin)
+
+
+def _shard(content_hash: str) -> str:
+    return f"{content_hash[0:2]}/{content_hash[2:4]}/{content_hash[4:6]}/{content_hash}"
+
+
+def archive_blobs(
+    files: DataFrame,
+    archive_root: str,
+    dataset: str,
+    path_col: str = "path",
+    hash_col: str = "content_hash",
+) -> None:
+    """S10: distributed copy of blobs into the sharded archive layout.
+
+    `files` carries (local source path, content hash); each partition
+    copies its own blobs. Idempotent: existing target shards are kept
+    (content-addressing makes overwrites meaningless)."""
+    base = os.path.join(archive_root, dataset, "archive")
+
+    def copy_partition(rows: Iterator) -> None:
+        for row in rows:
+            src = row[path_col]
+            if src.startswith("file:"):
+                src = src[len("file:") :]
+            target = os.path.join(base, _shard(row[hash_col]))
+            if os.path.exists(target):
+                continue
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            shutil.copyfile(src, target)
+
+    files.select(path_col, hash_col).foreachPartition(copy_partition)
+
+
+def open_blob(archive_root: str, dataset: str, content_hash: str) -> bytes:
+    """S9: read one archived blob back (serving-layer point read)."""
+    with open(os.path.join(archive_root, dataset, "archive", _shard(content_hash)), "rb") as fh:
+        return fh.read()
+
+
+def read_dataset_config(config_path: str) -> dict:
+    """S7: dataset config.yml (driver-side; not a distributed op)."""
+    import yaml
+
+    with open(config_path, encoding="utf-8") as fh:
+        return yaml.safe_load(fh) or {}
