@@ -50,6 +50,7 @@ def get_registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first use.
     from ftm_datalake_spark.plans import (  # noqa: F401
         core,
+        curation,
         extra_ops,
         parity_ops,
         reference_ops,

@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the merge semantics: the
+latest-wins total order must be deterministic under any row order and
+any partitioning — the reference relies on pandas stable sort here
+(SURVEY §7.3 hard-part #1), our engine must not depend on input order."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+KEYS = ["a", "b", "c"]
+HASHES = ["h1", "h2", "h3", "h4"]
+TIMES = [dt.datetime(2024, 1, d + 1) for d in range(3)]
+
+row_strategy = st.tuples(
+    st.sampled_from(KEYS), st.sampled_from(HASHES), st.sampled_from(TIMES)
+)
+
+
+def test_0_session_bootstrap(spark):
+    """Runs first (definition order): materializes the session-scoped
+    spark fixture so the @given test can use the active session (fixtures
+    can't be injected under @given)."""
+    assert spark.range(1).count() == 1
+
+
+def _expected_latest(rows):
+    best: dict[str, tuple] = {}
+    for key, chash, ts in rows:
+        cur = best.get(key)
+        # total order: updated_at desc, content_hash desc
+        if cur is None or (ts, chash) > (cur[2], cur[1]):
+            best[key] = (key, chash, ts)
+    return {k: (v[1], v[2]) for k, v in best.items()}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(row_strategy, min_size=1, max_size=30), st.integers(1, 4))
+def test_latest_wins_matches_model(rows, partitions):
+    # session-scoped spark fixture isn't usable under @given; use active one
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    from ftm_datalake_spark.operators.documents import latest_wins
+
+    df = spark.createDataFrame(
+        rows, "key string, content_hash string, updated_at timestamp"
+    ).repartition(partitions)
+    got = {
+        r["key"]: (r["content_hash"], r["updated_at"])
+        for r in latest_wins(
+            df, ["key"], "updated_at", tiebreak_cols=["content_hash"]
+        ).collect()
+    }
+    assert got == _expected_latest(rows)
