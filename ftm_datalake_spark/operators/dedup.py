@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ftm_datalake_spark.operators.textops import tokens
@@ -109,48 +109,45 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    postings: DataFrame, num_hashes: int = 12
-) -> DataFrame:
-    """Per-(doc, seed) minhash values using md5('{seed}:{shingle}').
+def minhash_signatures(postings: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """Wide-form minhash signatures: ONE hash-aggregate on doc_id computes
+    all `num_hashes` mins as parallel aggregate columns (mh0..mhN).
 
-    md5 keeps the signature portable across engines/runs — no JVM
-    hashCode dependence. (doc_id, seed, mh)."""
-    spark = SparkSession.getActiveSession()
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        postings.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
+    md5('{seed}:{shingle}') keeps signatures portable across engines/runs
+    (no JVM hashCode). Wide-form beats the (doc, shingle) × seeds
+    cross-join + (doc_id, seed) groupBy by a full shuffle multiple: the
+    postings shuffle once, keyed by doc_id, with map-side partial mins."""
+    return postings.groupBy("doc_id").agg(
+        *[
             F.min(
-                F.md5(
-                    F.concat(
-                        F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
-                    )
-                )
-            ).alias("mh")
-        )
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+            ).alias(f"mh{seed}")
+            for seed in range(num_hashes)
+        ]
     )
 
 
-def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
-    """Band the signature: (doc_id, band_id, band_val=md5 of ordered rows)."""
-    return (
-        signatures.withColumn(
-            "band_id", F.floor(F.col("seed") / rows_per_band).cast("int")
-        )
-        .groupBy("doc_id", "band_id")
-        .agg(
+def lsh_bands(
+    signatures: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
+) -> DataFrame:
+    """Band wide-form signatures: (doc_id, band_id, band_val) — a pure
+    projection (posexplode over per-band md5s), no extra shuffle."""
+    band_vals = F.array(
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
                 )
-            ).alias("band_val")
-        )
+            )
+            for b in range(num_hashes // rows_per_band)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.posexplode(band_vals).alias("band_id", "band_val")
     )
 
 
@@ -164,7 +161,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band."""
     postings = shingle_postings(df, text_col, id_col, k)
-    bands = lsh_bands(minhash_signatures(postings, num_hashes), rows_per_band)
+    bands = lsh_bands(
+        minhash_signatures(postings, num_hashes), num_hashes, rows_per_band
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
