@@ -1,0 +1,121 @@
+"""CLI entry points mirroring the reference's Typer commands (SURVEY §3):
+
+    python -m ftm_datalake_spark crawl  SRC  -d DATASET --lake LAKE [--include G] [--exclude G]
+    python -m ftm_datalake_spark make   SRC  -d DATASET --lake LAKE
+    python -m ftm_datalake_spark stats       -d DATASET --lake LAKE
+    python -m ftm_datalake_spark ls          -d DATASET --lake LAKE [--keys|--checksums]
+    python -m ftm_datalake_spark export-zip  -d DATASET --lake LAKE --out FILE.zip
+
+Reference: ftm_datalake/cli.py:159-283 (crawl/make/ls) — same verbs,
+Spark jobs underneath.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="ftm_datalake_spark")
+    parser.add_argument("--master", default=None, help="spark master override")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_crawl = sub.add_parser("crawl")
+    p_crawl.add_argument("source")
+    p_crawl.add_argument("-d", "--dataset", required=True)
+    p_crawl.add_argument("--lake", required=True)
+    p_crawl.add_argument("--include")
+    p_crawl.add_argument("--exclude")
+
+    p_make = sub.add_parser("make")
+    p_make.add_argument("source")
+    p_make.add_argument("-d", "--dataset", required=True)
+    p_make.add_argument("--lake", required=True)
+
+    p_stats = sub.add_parser("stats")
+    p_stats.add_argument("-d", "--dataset", required=True)
+    p_stats.add_argument("--lake", required=True)
+
+    p_ls = sub.add_parser("ls")
+    p_ls.add_argument("-d", "--dataset", required=True)
+    p_ls.add_argument("--lake", required=True)
+    group = p_ls.add_mutually_exclusive_group()
+    group.add_argument("--keys", action="store_true")
+    group.add_argument("--checksums", action="store_true")
+
+    p_zip = sub.add_parser("export-zip")
+    p_zip.add_argument("-d", "--dataset", required=True)
+    p_zip.add_argument("--lake", required=True)
+    p_zip.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+
+    from ftm_datalake_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"ftm-datalake-{args.cmd}", master=args.master
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return _dispatch(spark, args)
+    finally:
+        spark.stop()
+
+
+def _dispatch(spark, args) -> int:
+    from ftm_datalake_spark.pipelines.ingest import (
+        crawl,
+        make,
+        make_index_stats,
+        read_documents,
+    )
+
+    if args.cmd == "crawl":
+        counters = crawl(
+            spark, args.source, args.dataset, args.lake,
+            include=args.include, exclude=args.exclude,
+        )
+        print(json.dumps(counters))
+    elif args.cmd == "make":
+        actions = make(spark, args.source, args.dataset, args.lake)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["action"]: r["n"]
+            for r in actions.groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps(counts))
+    elif args.cmd == "stats":
+        print(json.dumps(make_index_stats(spark, args.lake, args.dataset)))
+    elif args.cmd == "ls":
+        docs = read_documents(spark, args.lake, args.dataset).orderBy("key")
+        if args.checksums:
+            for row in docs.select("content_hash").collect():
+                print(row["content_hash"])
+        elif args.keys:
+            for row in docs.select("key").collect():
+                print(row["key"])
+        else:
+            for row in docs.collect():
+                print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "export-zip":
+        import os
+
+        from ftm_datalake_spark.sources.sinks import (
+            export_dataset_zip,
+            write_documents_csv,
+        )
+
+        staging = os.path.join(args.lake, "exports", args.dataset)
+        write_documents_csv(
+            read_documents(spark, args.lake, args.dataset), staging, snapshot=False
+        )
+        export_dataset_zip(staging, args.out)
+        print(args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

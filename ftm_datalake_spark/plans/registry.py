@@ -54,6 +54,7 @@ def get_registry() -> dict[str, QuerySpec]:
         extra_ops,
         parity_ops,
         reference_ops,
+        scale_ops,
         similarity_ops,
         text_ops,
     )

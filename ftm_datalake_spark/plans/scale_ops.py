@@ -1,0 +1,85 @@
+"""Scale-stress variants: the flagship statement aggregation driven from
+the largest test table (lineitem → ~4 statements/row), so bench exercises
+A6 at millions of fragments rather than the small events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+
+# Long-format statements from lineitem: canonical_id = order, one
+# statement per (prop, value) of interest. At sf0.1 this is ~2.4M
+# statements over 150k entities — the RFC's "sort a terabyte" shape in
+# miniature, executed as one hash-agg shuffle.
+@register(
+    "statement_aggregation_wide",
+    oracle="""
+    WITH s AS (
+      SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS canonical_id, 'part' AS prop,
+             CAST(l_partkey AS VARCHAR) AS value FROM lineitem
+      UNION ALL
+      SELECT 'o' || CAST(l_orderkey AS VARCHAR), 'supplier',
+             CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'o' || CAST(l_orderkey AS VARCHAR), 'flag',
+             l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'o' || CAST(l_orderkey AS VARCHAR), 'qty',
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) FROM lineitem
+    ),
+    per_prop AS (
+      SELECT canonical_id, prop,
+             array_to_string(list_sort(list(DISTINCT value)), ',') AS vals
+      FROM s GROUP BY canonical_id, prop
+    )
+    SELECT canonical_id,
+           array_to_string(list_sort(list(prop || '=' || vals)), '|') AS properties,
+           COUNT(*) AS n_props
+    FROM per_prop
+    GROUP BY canonical_id
+    ORDER BY canonical_id
+    """,
+    tags=("agg", "flagship", "scale", "bench"),
+    bench=True,
+)
+def statement_aggregation_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cid = F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+        "canonical_id"
+    )
+    stmts = (
+        li.select(cid, F.lit("part").alias("prop"), F.col("l_partkey").cast("string").alias("value"))
+        .unionByName(
+            li.select(cid, F.lit("supplier").alias("prop"), F.col("l_suppkey").cast("string").alias("value"))
+        )
+        .unionByName(
+            li.select(cid, F.lit("flag").alias("prop"), F.col("l_returnflag").alias("value"))
+        )
+        .unionByName(
+            li.select(
+                cid,
+                F.lit("qty").alias("prop"),
+                F.col("l_quantity").cast("decimal(12,2)").cast("string").alias("value"),
+            )
+        )
+    )
+    per_prop = stmts.groupBy("canonical_id", "prop").agg(
+        F.array_join(F.sort_array(F.collect_set("value")), ",").alias("vals")
+    )
+    return (
+        per_prop.groupBy("canonical_id")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.concat(F.col("prop"), F.lit("="), F.col("vals")))
+                ),
+                "|",
+            ).alias("properties"),
+            F.count("*").alias("n_props"),
+        )
+        .orderBy("canonical_id")
+    )
