@@ -41,12 +41,16 @@ def main() -> None:
     for spec in bench_specs:
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache
-        # best-of-2 to damp host-contention noise
+        # Best-of-N with early stop: the host shows bursty CPU-starvation
+        # windows (identical runs vary 1.5s..100s), so take the minimum of
+        # up to 3 runs and stop as soon as a clean run is observed.
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(3):
             start = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+            if attempt >= 1 and best < 5.0:
+                break
         timings[spec.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -48,30 +48,37 @@ from ftm_datalake_spark.sources.tables import load_table
 )
 def statement_aggregation_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cid = F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
-        "canonical_id"
-    )
-    stmts = (
-        li.select(cid, F.lit("part").alias("prop"), F.col("l_partkey").cast("string").alias("value"))
-        .unionByName(
-            li.select(cid, F.lit("supplier").alias("prop"), F.col("l_suppkey").cast("string").alias("value"))
-        )
-        .unionByName(
-            li.select(cid, F.lit("flag").alias("prop"), F.col("l_returnflag").alias("value"))
-        )
-        .unionByName(
-            li.select(
-                cid,
+    # Shuffle on the 8-byte bigint order key; the 'o{key}' canonical_id
+    # string is built only on the (already aggregated) output rows.
+    # One scan, explode 4 statements per row (same multiset as the
+    # oracle's 4-way UNION ALL, without re-reading the table 4x).
+    stmt = F.explode(
+        F.array(
+            F.struct(
+                F.lit("part").alias("prop"),
+                F.col("l_partkey").cast("string").alias("value"),
+            ),
+            F.struct(
+                F.lit("supplier").alias("prop"),
+                F.col("l_suppkey").cast("string").alias("value"),
+            ),
+            F.struct(
+                F.lit("flag").alias("prop"), F.col("l_returnflag").alias("value")
+            ),
+            F.struct(
                 F.lit("qty").alias("prop"),
                 F.col("l_quantity").cast("decimal(12,2)").cast("string").alias("value"),
-            )
+            ),
         )
+    ).alias("s")
+    stmts = li.select(F.col("l_orderkey"), stmt).select(
+        "l_orderkey", "s.prop", "s.value"
     )
-    per_prop = stmts.groupBy("canonical_id", "prop").agg(
+    per_prop = stmts.groupBy("l_orderkey", "prop").agg(
         F.array_join(F.sort_array(F.collect_set("value")), ",").alias("vals")
     )
     return (
-        per_prop.groupBy("canonical_id")
+        per_prop.groupBy("l_orderkey")
         .agg(
             F.array_join(
                 F.sort_array(
@@ -80,6 +87,13 @@ def statement_aggregation_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|",
             ).alias("properties"),
             F.count("*").alias("n_props"),
+        )
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "canonical_id"
+            ),
+            "properties",
+            "n_props",
         )
         .orderBy("canonical_id")
     )
