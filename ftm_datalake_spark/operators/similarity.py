@@ -167,6 +167,103 @@ def near_dup_pairs(
     ).select("vec_a", "vec_b", "cosine")
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    cluster_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: one integer centroid per cluster.
+
+    Centroid components are round(sum/n) of the quantized vectors —
+    integers, so centroid assignment (max integer-dot cosine) is exactly
+    reproducible on any engine. The cluster column stands in for an
+    externally trained k-means assignment (label = cluster in testdata);
+    re-training would only change this frame, not the probe plan."""
+    q = quantize(F.col(emb_col))
+    dims = embeddings.select(F.size(q).alias("d")).first()["d"]
+    sums = (
+        embeddings.select(F.col(cluster_col).alias("cluster"), q.alias("q"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                for i in range(dims)
+            ],
+        )
+    )
+    centroid = F.array(
+        *[
+            F.round(F.col(f"s{i}") / F.col("n")).cast("long")
+            for i in range(dims)
+        ]
+    )
+    return sums.select("cluster", centroid.alias("cq"), "n")
+
+
+def _assign_to_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector by integer-quantized cosine
+    (tie-break: lowest cluster id)."""
+    cent = centroids.withColumn("cn", int_norm2(F.col("cq")))
+    scored = vectors.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos",
+        cosine(int_dot(F.col("q"), F.col("cq")), F.col("norm2"), F.col("cn")),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cluster"))
+    return (
+        scored.withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") == 1)
+        .drop("crn", "ccos", "cq", "cn")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF probe: assign corpus + query to nearest centroid, search only
+    the query's inverted list (nprobe=1).
+
+    At 100 TB the corpus assignment is a one-off write partitioned by
+    cluster; each query then scans a single partition — the same
+    partition-pruning story as the reference's dataset prefixes."""
+    cents = ivf_centroids(embeddings, cluster_col, emb_col)
+    corpus = _with_quantized(embeddings, emb_col).select(
+        F.col(id_col).alias("vid"), "q", "norm2"
+    )
+    corpus_assigned = _assign_to_centroid(corpus, cents).select(
+        F.col("vid").alias("nid"),
+        F.col("q").alias("nq"),
+        F.col("norm2").alias("nn"),
+        F.col("cluster"),
+    )
+    qs = _with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("vid"), "q", "norm2"
+    )
+    qs_assigned = _assign_to_centroid(qs, cents).select(
+        F.col("vid").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qn"),
+        F.col("cluster"),
+    )
+    scored = (
+        corpus_assigned.join(F.broadcast(qs_assigned), "cluster")
+        .where(F.col("nid") != F.col("qid"))
+        .withColumn("dot", int_dot(F.col("qq"), F.col("nq")))
+        .withColumn("cosine", cosine(F.col("dot"), F.col("qn"), F.col("nn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     dims: int = 4,

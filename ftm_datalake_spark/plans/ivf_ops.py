@@ -1,0 +1,86 @@
+"""IVF (inverted-file) similarity search — the coarse-quantizer scale
+path: assign every vector to its nearest integer centroid, probe only the
+query's inverted list. Fully oracle-checkable thanks to integer centroids
+(round(sum/n)) and integer-quantized cosines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators import similarity as S
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+_QUANT = "CAST(round(CAST({x} AS DOUBLE) * 1000) AS BIGINT)"
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM qv
+    ),
+    cent AS (
+      SELECT cluster, list(s ORDER BY i) AS cq FROM (
+        SELECT label AS cluster, g.i AS i,
+               CAST(round(CAST(SUM(q[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS s
+        FROM qv, generate_series(1, 64) g(i)
+        GROUP BY label, g.i
+      ) GROUP BY cluster
+    ),
+    cent_n AS (
+      SELECT cluster, cq,
+             CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
+      FROM cent
+    ),
+    assign AS (
+      SELECT vec_id, q, n2, cluster FROM (
+        SELECT v.vec_id, v.q, v.n2, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(d.dot AS DOUBLE)
+                          / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
+                          c.cluster) AS rn
+        FROM norms v CROSS JOIN cent_n c, LATERAL (
+          SELECT CAST(SUM(v.q[i] * c.cq[i]) AS BIGINT) AS dot
+          FROM generate_series(1, 64) g(i)
+        ) d
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+             CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(qa.n2 AS DOUBLE) * CAST(ca.n2 AS DOUBLE)) AS cosine
+      FROM assign qa
+      JOIN assign ca ON qa.cluster = ca.cluster AND ca.vec_id <> qa.vec_id,
+      LATERAL (
+        SELECT CAST(SUM(qa.q[i] * ca.q[i]) AS BIGINT) AS dot
+        FROM generate_series(1, 64) g(i)
+      ) d
+      WHERE qa.vec_id < 10
+    ),
+    ranked AS (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    tags=("similarity",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, queries, k=3)
+    return out.select(
+        "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
+    ).orderBy("qid", "rank")

@@ -52,6 +52,7 @@ def get_registry() -> dict[str, QuerySpec]:
         core,
         curation,
         extra_ops,
+        ivf_ops,
         parity_ops,
         reference_ops,
         scale_ops,
