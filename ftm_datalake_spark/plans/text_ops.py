@@ -49,6 +49,31 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish subword-boundary token count: words, digit runs and isolated
+# punctuation each count as tokens (the pre-tokenization regex most BPE
+# vocabularies apply before merges).
+@register(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pattern)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 @register(
     "text_quality",
     oracle="""
