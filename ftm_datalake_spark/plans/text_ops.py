@@ -240,3 +240,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     return D.simhash(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Dedup families: connected components over the MinHash candidate pairs
+# (min-id canonical label per family) — oracle via recursive CTE closure.
+_MINHASH_PAIRS_SQL = f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    hs AS (
+      SELECT doc_id, s.seed,
+             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band_id,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_val
+      FROM hs GROUP BY doc_id, CAST(seed // 3 AS INT)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_families",
+    oracle=_MINHASH_PAIRS_SQL.replace("WITH docs_aug", "WITH RECURSIVE docs_aug", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS n, a AS r FROM edges
+      UNION
+      SELECT reach.n, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+    )
+    SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS family
+    FROM reach GROUP BY n ORDER BY doc_id
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.components import dedup_families as families
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs)
+    return families(pairs).orderBy("doc_id")

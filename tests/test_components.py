@@ -1,0 +1,27 @@
+from __future__ import annotations
+
+
+def test_connected_components_known_graph(spark):
+    from ftm_datalake_spark.operators.components import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle+tail)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_components_long_chain_converges(spark):
+    from ftm_datalake_spark.operators.components import connected_components
+
+    n = 40  # diameter 40 chain: exercises multi-round convergence
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = connected_components(edges, max_iterations=50).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == n + 1
