@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def quantize(emb: Column, scale: int = 1000) -> Column:
@@ -74,6 +75,78 @@ def brute_force_topk(
         corpus.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
         .withColumn("dot", int_dot(F.col("qq"), F.col("nq")))
         .withColumn("cosine", cosine(F.col("dot"), F.col("qn"), F.col("nn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def vectorized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-vectorized brute-force top-k: numpy matmul inside mapInPandas.
+
+    Same integer-quantization math as brute_force_topk (int64 matmul is
+    exact, so cosines are bit-identical to the Column-expression path),
+    but each Arrow batch does ONE (batch × dims) @ (dims × n_queries)
+    multiply instead of per-row fold evaluation — the fast path when the
+    query set fits in memory and dims are wide."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, emb_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    def _quant(mat: "np.ndarray") -> "np.ndarray":
+        # round half AWAY from zero, matching Spark/DuckDB round()
+        # (np.rint rounds half to even)
+        scaled = mat * 1000
+        return np.where(
+            scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+        ).astype(np.int64)
+
+    q_mat = _quant(np.array([r[emb_col] for r in q_rows], dtype=np.float64))
+    q_norm2 = (q_mat * q_mat).sum(axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scaled = np.array(list(pdf[emb_col]), dtype=np.float64) * 1000
+            n_mat = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_norm2 = (n_mat * n_mat).sum(axis=1)
+            dots = n_mat @ q_mat.T  # exact int64
+            cos = dots / np.sqrt(
+                n_norm2[:, None].astype(np.float64) * q_norm2[None, :]
+            )
+            rows = {
+                "qid": np.repeat(q_ids[None, :], len(n_ids), 0).ravel(),
+                "nid": np.repeat(n_ids[:, None], len(q_ids), 1).ravel(),
+                "cosine": cos.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = (
+        embeddings.select(id_col, emb_col)
+        .mapInPandas(score, out_schema)
+        .where(F.col("nid") != F.col("qid"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (

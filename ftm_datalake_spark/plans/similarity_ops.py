@@ -18,9 +18,7 @@ _QUANT = "CAST(round(CAST({x} AS DOUBLE) * 1000) AS BIGINT)"
 
 
 # --------------------------------------------------------------------------
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_BRUTE_FORCE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                WHERE vec_id < 10),
     pairs AS (
@@ -50,7 +48,12 @@ _QUANT = "CAST(round(CAST({x} AS DOUBLE) * 1000) AS BIGINT)"
     )
     SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cosine
     FROM ranked WHERE rank <= 5 ORDER BY qid, rank
-    """,
+    """
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_BRUTE_FORCE_ORACLE,
     tags=("similarity", "bench"),
     bench=True,
 )
@@ -58,6 +61,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     out = S.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
+    ).orderBy("qid", "rank")
+
+
+# Same semantics + oracle, Arrow-vectorized numpy path (exactness proven
+# by sharing the oracle with the Column-expression implementation).
+@register(
+    "ann_cosine_topk_vectorized",
+    oracle=_BRUTE_FORCE_ORACLE,
+    tags=("similarity", "vectorized"),
+)
+def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.vectorized_topk(emb, queries, k=5)
     return out.select(
         "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
     ).orderBy("qid", "rank")

@@ -146,6 +146,59 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TF-IDF-style term salience: per-doc top-3 tokens by tf/df ratio
+# (log-free so the score is an exact int-ratio double on both engines).
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+    FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, score DESC, token
+    """,
+    tags=("text", "agg"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+        .orderBy("doc_id", F.col("score").desc(), "token")
+    )
+
+
+# --------------------------------------------------------------------------
 @register(
     "dedup_exact",
     oracle=f"""
