@@ -172,7 +172,161 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Window: per-customer running order total (SURVEY §2.5 W2 analogue).
+# q12 shape: conditional (CASE) aggregation by group.
+@register(
+    "q12_priority_shipmode",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("join", "agg"),
+)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 shape: ratio of two exact decimal sums (promo revenue share).
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                    ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      AS promo_share,
+      COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(25,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.sum(promo_rev).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_share"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 shape: HAVING over an aggregated join (large-volume customers).
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200.0
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+    tags=("join", "agg", "having"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    total = F.sum(_dec("l_quantity"))
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(total.alias("__total"))
+        .where(F.col("__total") > 200.0)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("__total").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 shape: disjunctive multi-range predicates (OR of conjunction groups).
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5.0)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15.0)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25.0)
+    """,
+    tags=("join", "filter"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 5.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 15.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (F.col("l_quantity") >= 25.0)
+        )
+    )
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    return joined.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n")
+    )
+
 @register(
     "window_running_total",
     oracle="""
