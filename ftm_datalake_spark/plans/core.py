@@ -408,14 +408,19 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_unsold_parts",
     oracle="""
     SELECT p_partkey, p_name FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_partkey = p_partkey
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
     ORDER BY p_partkey
     """,
     tags=("join", "anti"),
 )
 def anti_join_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
     return (
         part.join(li, part.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")

@@ -43,7 +43,7 @@ def docs_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cur AS (SELECT * FROM events WHERE event_id % 2 = 0),
          adds AS (SELECT * FROM events WHERE event_id % 2 = 1),
          dels AS (SELECT DISTINCT user_id FROM events
-                  WHERE event_type = 'signup' AND value < 50.0),
+                  WHERE event_type = 'signup' AND value < 2.0),
          unioned AS (SELECT * FROM cur UNION ALL SELECT * FROM adds),
          kept AS (SELECT * FROM unioned
                   WHERE user_id NOT IN (SELECT user_id FROM dels))
@@ -61,7 +61,7 @@ def docs_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     current = events.where(F.col("event_id") % 2 == 0)
     adds = events.where(F.col("event_id") % 2 == 1)
     deleted = (
-        events.where((F.col("event_type") == "signup") & (F.col("value") < 50.0))
+        events.where((F.col("event_type") == "signup") & (F.col("value") < 2.0))
         .select("user_id")
         .distinct()
     )
