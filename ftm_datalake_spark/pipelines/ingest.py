@@ -51,6 +51,13 @@ def crawl_scan(
         F.col("length").alias("size"),
         F.col("modificationTime").alias("updated_at"),
     )
+    # Spark's binaryFile source produces no splits for zero-length files,
+    # silently dropping them — but empty files are real corpus members
+    # (the reference archives them with the empty-content sha1). Recover
+    # them from a listing pass.
+    empties = _empty_files(spark, source_uri)
+    if empties is not None:
+        df = df.unionByName(empties)
     if include:
         df = df.where(F.col("key").rlike(_glob_to_regex(include)))
     if exclude:
@@ -63,6 +70,43 @@ def crawl_scan(
         F.col("updated_at").alias("created_at"),
         "updated_at",
         F.lit(dataset).alias("dataset"),
+    )
+
+
+EMPTY_SHA1 = "da39a3ee5e6b4b0d3255bfef95601890afd80709"
+
+
+def _empty_files(spark: SparkSession, source_uri: str) -> DataFrame | None:
+    """Zero-length files under a local source dir as document rows.
+
+    Local-FS listing; for object stores, plug the store's inventory
+    listing into the same row shape."""
+    import datetime as dt
+
+    root = source_uri
+    if root.startswith("file:"):
+        root = root[len("file:") :]
+    if "://" in root or not os.path.isdir(root):
+        return None
+    rows = []
+    for walk_root, _dirs, names in os.walk(root):
+        for name in names:
+            full = os.path.join(walk_root, name)
+            if os.path.getsize(full) == 0:
+                rows.append(
+                    (
+                        os.path.relpath(full, root),
+                        EMPTY_SHA1,
+                        0,
+                        dt.datetime.fromtimestamp(
+                            os.path.getmtime(full), dt.timezone.utc
+                        ).replace(tzinfo=None),
+                    )
+                )
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        rows, "key string, content_hash string, size long, updated_at timestamp"
     )
 
 
@@ -102,16 +146,23 @@ def crawl(
     incoming = crawl_scan(spark, source_uri, dataset, include, exclude)
     current = read_documents(spark, lake_dir, dataset)
 
-    # J4 skip-existing: a key with unchanged hash is not re-ingested
+    # files_total counts the listing only — column pruning drops the
+    # content/checksum columns, so no blob bytes are read for this.
+    n_total = incoming.select("key").count()
+
+    # J4 skip-existing: a key with unchanged hash is not re-ingested.
+    # Persist the (small) delta so the checksum scan runs ONCE — without
+    # this, counting and merging would each re-read and re-hash every blob.
     unchanged = current.select("key", "content_hash")
     new_or_changed = incoming.join(
         F.broadcast(unchanged), ["key", "content_hash"], "left_anti"
-    )
-    n_total = incoming.count()
-    n_new = new_or_changed.count()
-
-    merged = merge_documents(current, new_or_changed)
-    write_documents(merged, lake_dir)
+    ).persist()
+    try:
+        n_new = new_or_changed.count()
+        merged = merge_documents(current, new_or_changed)
+        write_documents(merged, lake_dir)
+    finally:
+        new_or_changed.unpersist()
     return {"files_total": n_total, "added_or_updated": n_new}
 
 

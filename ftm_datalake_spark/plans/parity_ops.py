@@ -114,6 +114,27 @@ def coverage_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# P7 full shape: FTM entity proxies with MAP<STRING,ARRAY<STRING>>
+# properties (rows-only: map columns don't hash portably across engines;
+# the scalar projection of the same recipe is oracle-checked as
+# `entity_projection`).
+@register("entities_full", oracle=None, tags=("projection", "reference"))
+def entities_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.pipelines.ingest import project_entities
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias(
+            "key"
+        ),
+        F.md5("text").alias("content_hash"),
+        F.col("n_chars").alias("size"),
+        F.lit("text/plain").alias("mimetype"),
+        F.lit("docs").alias("dataset"),
+    )
+    return project_entities(docs).orderBy("id")
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL) — the 100 TB variant of entity counting.
 # No cross-engine oracle: sketch implementations differ; rows-only check.
 @register("approx_distinct_users", oracle=None, tags=("agg", "approx"))

@@ -18,6 +18,7 @@ def _make_corpus(base: str) -> dict[str, bytes]:
         "mail/message.eml": b"From: x@y.z\n\nhello",
         "notes.txt": b"some plain text notes",
         "img/photo.jpg": b"\xff\xd8\xff fakejpeg",
+        "placeholder.txt": b"",  # zero-length: binaryFile drops these
     }
     for rel, content in files.items():
         full = os.path.join(base, rel)
@@ -42,7 +43,7 @@ def test_crawl_make_lifecycle(spark, tmp_path):
 
     # first crawl: everything added
     counters = crawl(spark, src, "ds1", lake)
-    assert counters == {"files_total": 5, "added_or_updated": 5}
+    assert counters == {"files_total": 6, "added_or_updated": 6}
 
     docs = read_documents(spark, lake, "ds1")
     got = {r["key"]: r for r in docs.collect()}
@@ -54,14 +55,14 @@ def test_crawl_make_lifecycle(spark, tmp_path):
 
     # stats (A1-A3 golden-aggregate shape)
     stats = make_index_stats(spark, lake, "ds1")
-    assert stats["entity_count"] == 5
+    assert stats["entity_count"] == 6
     assert stats["total_file_size"] == sum(len(c) for c in files.values())
     facet = {x["name"]: x["count"] for x in stats["things"]["schemata"]}
-    assert facet == {"Pages": 1, "Table": 1, "Email": 1, "PlainText": 1, "Image": 1}
+    assert facet == {"Pages": 1, "Table": 1, "Email": 1, "PlainText": 2, "Image": 1}
 
     # re-crawl: nothing new (skip-existing J4)
     counters2 = crawl(spark, src, "ds1", lake)
-    assert counters2 == {"files_total": 5, "added_or_updated": 0}
+    assert counters2 == {"files_total": 6, "added_or_updated": 0}
 
     # make on a clean lake: everything ok
     actions = {r["key"]: r["action"] for r in make(spark, src, "ds1", lake).collect()}
