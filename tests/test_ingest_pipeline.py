@@ -84,6 +84,27 @@ def test_crawl_make_lifecycle(spark, tmp_path):
     assert repaired["data.csv"]["content_hash"] == hashlib.sha1(b"corrupted!").hexdigest()
 
 
+def test_crawl_unicode_and_space_keys(spark, tmp_path):
+    """The reference corpus includes unicode + space filenames
+    ('Îș unî©ođ€.txt', FIXTURES.md §1) — keys must survive the
+    path→key projection byte-exactly."""
+    from ftm_datalake_spark.pipelines.ingest import crawl, read_documents
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    names = ["Îș unî©ođ€.txt", "with space.pdf", "질문.csv"]
+    for name in names:
+        with open(os.path.join(src, name), "wb") as fh:
+            fh.write(name.encode("utf-8"))
+    lake = str(tmp_path / "lake")
+    counters = crawl(spark, src, "uni", lake)
+    assert counters["files_total"] == 3
+    got = {r["key"]: r for r in read_documents(spark, lake, "uni").collect()}
+    assert set(got) == set(names)
+    for name in names:
+        assert got[name]["content_hash"] == hashlib.sha1(name.encode()).hexdigest()
+
+
 def test_crawl_glob_filters(spark, tmp_path):
     from ftm_datalake_spark.pipelines.ingest import crawl_scan
 
