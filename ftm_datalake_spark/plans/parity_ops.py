@@ -114,6 +114,33 @@ def coverage_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact median per group (sort-based percentile; both engines interpolate
+# a + (b-a)*0.5 over the sorted values, so doubles agree bit-for-bit).
+@register(
+    "median_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "stats"),
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("median_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # P7 full shape: FTM entity proxies with MAP<STRING,ARRAY<STRING>>
 # properties (rows-only: map columns don't hash portably across engines;
 # the scalar projection of the same recipe is oracle-checked as
