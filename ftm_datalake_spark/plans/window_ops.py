@@ -1,0 +1,130 @@
+"""Window/pivot/grouping-set breadth: mode-per-group with deterministic
+tiebreaks, PIVOT-style conditional aggregation, CUBE, and lag-based
+inter-arrival analysis (exact integer microsecond math)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Mode per group: most frequent event_type per user (ties → alphabetical).
+@register(
+    "mode_event_type",
+    oracle="""
+    SELECT user_id, event_type AS top_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) t WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("window", "agg"),
+)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: per-user counts by event type as wide columns.
+@register(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent combos; normalize to 0 like the CASE sums
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# CUBE: all grouping combinations of (status, priority) in one pass.
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Lag window: per-user inter-arrival stats in exact integer microseconds.
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "agg"),
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gaps = events.select(
+        "user_id", (micros - F.lag(micros).over(w)).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
