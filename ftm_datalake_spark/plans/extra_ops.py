@@ -236,6 +236,69 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fixed-width histogram via integer bucketing (exact, no float bins).
+@register(
+    "histogram_order_value",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("agg", "stats"),
+)
+def histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17-style correlated comparison: parts priced above their type's average
+# (exact decimal avg via sum/count, broadcast back).
+@register(
+    "above_type_average_parts",
+    oracle="""
+    WITH avg_by_type AS (
+      SELECT p_type,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM part GROUP BY p_type
+    )
+    SELECT p.p_partkey, p.p_type, p.p_retailprice
+    FROM part p JOIN avg_by_type a ON p.p_type = a.p_type
+    WHERE p.p_retailprice > a.avg_price
+    ORDER BY p.p_partkey
+    """,
+    tags=("join", "agg", "correlated"),
+)
+def above_type_average_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    avg_by_type = part.groupBy("p_type").agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price")
+    )
+    return (
+        part.join(F.broadcast(avg_by_type), "p_type")
+        .where(F.col("p_retailprice") > F.col("avg_price"))
+        .select("p_partkey", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Global token vocabulary (training-pipeline staple): token → frequency.
 @register(
     "token_vocabulary",

@@ -52,6 +52,49 @@ def run_stage_to_parquet(
     )
 
 
+def crawl_stream(
+    spark: SparkSession,
+    source_uri: str,
+    dataset: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming crawl: the binaryFile source as a stream — new files in
+    the source prefix become document rows (key, sha1, size, mimetype)
+    incrementally; the checkpoint replaces the crawl task-ledger.
+
+    Continuous form of pipelines.ingest.crawl_scan (I3 + S1/S2 + F1/F9);
+    note the zero-length-file caveat of the batch path applies here too."""
+    from ftm_datalake_spark.functions.checksum import content_checksum
+    from ftm_datalake_spark.functions.mime import guess_mimetype
+
+    from pyspark.sql import types as T
+
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.option("recursiveFileLookup", "true").load(source_uri)
+
+    prefix = source_uri.rstrip("/") + "/"
+    key = F.regexp_replace(F.col("path"), r"^file:", "")
+    key = F.regexp_replace(key, "^" + prefix.replace("\\", "\\\\"), "")
+    return files.select(
+        key.alias("key"),
+        content_checksum(F.col("content")).alias("content_hash"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("updated_at"),
+    ).withColumn("mimetype", guess_mimetype(F.col("key"))).withColumn(
+        "dataset", F.lit(dataset)
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",
