@@ -323,6 +323,43 @@ def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Inverted index export: token → sorted posting list (the reference's
+# exports/inverted.idx artifact, docs/rfc.md exports section).
+@register(
+    "inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tok GROUP BY token ORDER BY token
+    """,
+    tags=("text", "agg", "reference"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
 # Top trigram table (n-gram language-model counts).
 @register(
     "trigram_freq_top100",

@@ -58,6 +58,30 @@ def write_documents_csv(
     return target
 
 
+def write_documents_diff(
+    added: DataFrame, deleted: DataFrame, target: str
+) -> str:
+    """Unified-diff-style text artifact between two documents snapshots
+    (reference: documents.csv.{ts}.diff, archive/documents.py:96-117).
+
+    Diffs are *computed* relationally (snapshot_diff); this sink renders
+    them as sorted '-'/'+' CSV lines for interchange parity. Per-dataset
+    metadata scale → a driver-side write over collected rows."""
+    def _lines(df: DataFrame, sign: str) -> list[str]:
+        cols = df.columns
+        rows = df.orderBy(*cols).collect()
+        out = []
+        for row in rows:
+            rendered = ",".join("" if row[c] is None else str(row[c]) for c in cols)
+            out.append(f"{sign}{rendered}")
+        return out
+
+    os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+    with open(target, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(_lines(deleted, "-") + _lines(added, "+")) + "\n")
+    return target
+
+
 def write_index_json(index_row: dict, out_dir: str) -> str:
     """S12: per-dataset index.json from a collected stats row."""
     target = os.path.join(out_dir, "index.json")

@@ -71,6 +71,17 @@ def test_entities_jsonl(spark, tmp_path):
     assert lines[0]["properties"]["name"] == ["Alice"]
 
 
+def test_documents_diff_text(spark, tmp_path):
+    from ftm_datalake_spark.operators.documents import snapshot_diff
+    from ftm_datalake_spark.sources.sinks import write_documents_diff
+
+    v1 = spark.createDataFrame([("a", "h1"), ("b", "h2")], "key string, ch string")
+    v2 = spark.createDataFrame([("a", "h1"), ("c", "h3")], "key string, ch string")
+    added, deleted = snapshot_diff(v1, v2)
+    target = write_documents_diff(added, deleted, str(tmp_path / "documents.csv.diff"))
+    assert open(target).read() == "-b,h2\n+c,h3\n"
+
+
 def test_zip_export_roundtrip(spark, tmp_path):
     from ftm_datalake_spark.sources.sinks import (
         export_dataset_zip,
