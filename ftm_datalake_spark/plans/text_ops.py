@@ -296,6 +296,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Composed discovery → verification: MinHash-LSH proposes candidate
+# pairs, exact shingle-Jaccard verifies them (integer threshold 4/5).
+# This is the 100 TB dedup shape: the quadratic verifier only ever runs
+# on the (tiny) candidate set.
+@register(
+    "dedup_verified_pairs",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    hs AS (
+      SELECT doc_id, s.seed,
+             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band_id,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_val
+      FROM hs GROUP BY doc_id, CAST(seed // 3 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, m.common,
+           CAST(ca.n_sh + cb.n_sh - m.common AS BIGINT) AS uni
+    FROM common m
+    JOIN cnt ca ON ca.doc_id = m.doc_a
+    JOIN cnt cb ON cb.doc_id = m.doc_b
+    WHERE m.common * 5 >= (ca.n_sh + cb.n_sh - m.common) * 4
+    ORDER BY m.doc_a, m.doc_b
+    """,
+    tags=("dedup", "composed"),
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    cand = D.minhash_lsh_pairs(docs)
+    sh = D.shingle_postings(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    uni = F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("common")
+    return (
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .where(F.col("common") * 5 >= uni * 4)
+        .select("doc_a", "doc_b", "common", uni.alias("uni"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup families: connected components over the MinHash candidate pairs
 # (min-id canonical label per family) — oracle via recursive CTE closure.
 _MINHASH_PAIRS_SQL = f"""

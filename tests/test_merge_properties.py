@@ -54,3 +54,55 @@ def test_latest_wins_matches_model(rows, partitions):
         ).collect()
     }
     assert got == _expected_latest(rows)
+
+
+stmt_strategy = st.tuples(
+    st.sampled_from(["e1", "e2", "e3"]),  # canonical_id
+    st.sampled_from(["name", "country", "date"]),  # prop
+    st.sampled_from(["v1", "v2", "v3", "v4"]),  # value
+    st.sampled_from(["ds1", "ds2"]),  # dataset
+)
+
+
+def _expected_entities(rows):
+    props: dict[str, dict[str, set]] = {}
+    datasets: dict[str, set] = {}
+    for cid, prop, value, ds in rows:
+        props.setdefault(cid, {}).setdefault(prop, set()).add(value)
+        datasets.setdefault(cid, set()).add(ds)
+    return {
+        cid: (
+            {p: sorted(vs) for p, vs in sorted(by_prop.items())},
+            sorted(datasets[cid]),
+        )
+        for cid, by_prop in props.items()
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(stmt_strategy, min_size=1, max_size=40), st.integers(1, 4))
+def test_statement_aggregation_matches_model(rows, partitions):
+    """A6 must be input-order and partitioning invariant: value arrays
+    sorted, datasets merged, independent of physical layout."""
+    from pyspark.sql import SparkSession
+
+    from ftm_datalake_spark.operators.statements import aggregate_statements
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [
+            (f"s{i}", cid, cid, "Thing", prop, value, ds, "ingest", None, None)
+            for i, (cid, prop, value, ds) in enumerate(rows)
+        ],
+        "id string, canonical_id string, entity_id string, schema string, "
+        "prop string, value string, dataset string, origin string, "
+        "first_seen timestamp, last_seen timestamp",
+    ).repartition(partitions)
+    got = {
+        r["id"]: (
+            {p: list(v) for p, v in sorted(r["properties"].items())},
+            list(r["datasets"]),
+        )
+        for r in aggregate_statements(df).collect()
+    }
+    assert got == _expected_entities(rows)
