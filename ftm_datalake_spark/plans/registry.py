@@ -73,6 +73,22 @@ class _LazyRegistry(dict):
         self._load()
         return super().__getitem__(k)
 
+    def __contains__(self, k):
+        self._load()
+        return super().__contains__(k)
+
+    def __iter__(self):
+        self._load()
+        return super().__iter__()
+
+    def __len__(self):
+        self._load()
+        return super().__len__()
+
+    def get(self, k, default=None):
+        self._load()
+        return super().get(k, default)
+
     def items(self):
         self._load()
         return super().items()

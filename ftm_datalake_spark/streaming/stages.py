@@ -82,9 +82,11 @@ def crawl_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     files = reader.option("recursiveFileLookup", "true").load(source_uri)
 
+    import re
+
     prefix = source_uri.rstrip("/") + "/"
     key = F.regexp_replace(F.col("path"), r"^file:", "")
-    key = F.regexp_replace(key, "^" + prefix.replace("\\", "\\\\"), "")
+    key = F.regexp_replace(key, "^" + re.escape(prefix), "")
     return files.select(
         key.alias("key"),
         content_checksum(F.col("content")).alias("content_hash"),
