@@ -39,6 +39,19 @@ def ancestor_paths(key: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def path_to_key(path: Column, source_uri: str) -> Column:
+    """Archive key from a scanned file path: strip the file: scheme and
+    the source prefix (regex-escaped — paths may contain metacharacters).
+
+    Shared by the batch and streaming crawl scans so key derivation can
+    never diverge between them."""
+    import re
+
+    prefix = source_uri.rstrip("/") + "/"
+    no_scheme = F.regexp_replace(path, r"^file:", "")
+    return F.regexp_replace(no_scheme, "^" + re.escape(prefix), "")
+
+
 def url_to_key(url: Column) -> Column:
     """F4: derive an archive key from a crawled URL.
 

@@ -41,12 +41,10 @@ def crawl_scan(
 
     Returns file-metadata rows in DOCUMENTS_SCHEMA shape. Reference:
     CrawlWorker (ftm_datalake/crawl.py:55-106)."""
-    import re
+    from ftm_datalake_spark.functions.paths import path_to_key
 
     files = scan_binary_files(spark, source_uri)
-    prefix = source_uri.rstrip("/") + "/"
-    key = F.regexp_replace(F.col("path"), r"^file:", "")
-    key = F.regexp_replace(key, "^" + re.escape(prefix), "")
+    key = path_to_key(F.col("path"), source_uri)
     df = files.select(
         key.alias("key"),
         content_checksum(F.col("content")).alias("content_hash"),

@@ -66,7 +66,9 @@ def get_registry() -> dict[str, QuerySpec]:
 
 class _LazyRegistry(dict):
     def _load(self) -> None:
-        if not self:
+        # dict.__len__ directly: `not self` would dispatch through the
+        # overridden __len__ and recurse back into _load.
+        if dict.__len__(self) == 0:
             self.update(get_registry())
 
     def __getitem__(self, k):  # pragma: no cover - thin wrapper

@@ -82,11 +82,9 @@ def crawl_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     files = reader.option("recursiveFileLookup", "true").load(source_uri)
 
-    import re
+    from ftm_datalake_spark.functions.paths import path_to_key
 
-    prefix = source_uri.rstrip("/") + "/"
-    key = F.regexp_replace(F.col("path"), r"^file:", "")
-    key = F.regexp_replace(key, "^" + re.escape(prefix), "")
+    key = path_to_key(F.col("path"), source_uri)
     return files.select(
         key.alias("key"),
         content_checksum(F.col("content")).alias("content_hash"),
