@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     group.add_argument("--keys", action="store_true")
     group.add_argument("--checksums", action="store_true")
 
+    p_query = sub.add_parser("query")
+    p_query.add_argument("name", nargs="?", help="registry query name (omit to list)")
+    p_query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_query.add_argument("--limit", type=int, default=20)
+
     p_zip = sub.add_parser("export-zip")
     p_zip.add_argument("-d", "--dataset", required=True)
     p_zip.add_argument("--lake", required=True)
@@ -100,6 +105,17 @@ def _dispatch(spark, args) -> int:
         else:
             for row in docs.collect():
                 print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "query":
+        from ftm_datalake_spark.plans import REGISTRY
+
+        if not args.name:
+            for name, spec in sorted(REGISTRY.items()):
+                oracle = "oracle" if spec.oracle else "rows-only"
+                print(f"{name}\t{oracle}\t{','.join(spec.tags)}")
+        else:
+            df = REGISTRY[args.name].builder(spark, args.sf_dir)
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(recursive=True), default=str))
     elif args.cmd == "export-zip":
         import os
 
