@@ -1,0 +1,80 @@
+"""As-of join — an operator Spark's DataFrame API lacks natively.
+
+Semantics: for every left row, attach the latest right row with the same
+key and right_ts <= left_ts (inclusive). Implemented as the union-marker
+pattern, which is the scale-correct formulation:
+
+    union(left-tagged, right-tagged)
+      -> single shuffle on key
+      -> sort within partition by (ts, tag)   [right sorts before left at ties]
+      -> last(right_cols, ignoreNulls) over the running window
+      -> keep left rows
+
+One shuffle + one window; no range-explosion, no per-row probes. The same
+shape handles point-in-time feature lookup (the training-pipeline "join
+features as of example timestamp" step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Left rows + latest right row per key with right_ts <= left_ts.
+
+    how='inner' drops left rows with no prior right row (DuckDB ASOF JOIN
+    default); how='left' keeps them with nulls."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right rows order BEFORE left rows at equal ts → inclusive <= semantics
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+    ).where(F.col("__is_left") == 1)
+
+    out = carried.select(
+        F.col("__left.*"),
+        *[F.col(f"__c_{c}").alias(f"{on}_asof_{c}") for c in right_cols],
+        F.col("__c_ts").alias(f"{on}_asof_{right_ts}"),
+    )
+    if how == "inner":
+        out = out.where(F.col(f"{on}_asof_{right_ts}").isNotNull())
+    return out

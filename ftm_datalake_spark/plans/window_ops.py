@@ -92,6 +92,45 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of join: for each click, the user's latest purchase at-or-before it.
+# Oracle uses DuckDB's native ASOF JOIN; Spark uses the union-marker
+# operator (operators/asof.py) — an operator the DataFrame API lacks.
+@register(
+    "asof_last_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, value, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.event_id, c.ts,
+           p.purchase_id AS user_id_asof_purchase_id,
+           p.value AS user_id_asof_value,
+           p.ts AS user_id_asof_ts
+    FROM clicks c
+    ASOF JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+    tags=("join", "asof"),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "value", "ts"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
 # Lag window: per-user inter-arrival stats in exact integer microseconds.
 @register(
     "events_interarrival",

@@ -1,0 +1,42 @@
+"""As-of join unit tests: inclusive-at-tie semantics, left mode, no
+prior-row cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    from ftm_datalake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "l1"),
+            (1, _ts("2024-01-01T12:00:00"), "l2"),
+            (2, _ts("2024-01-01T09:00:00"), "l3"),  # no prior right row
+        ],
+        "key long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 10.0),
+            (1, _ts("2024-01-01T12:00:00"), 20.0),  # exact tie with l2 → inclusive
+            (2, _ts("2024-01-01T11:00:00"), 30.0),  # after l3
+        ],
+        "key long, ts timestamp, value double",
+    )
+    inner = {
+        r["tag"]: r["key_asof_value"]
+        for r in asof_join(left, right, "key", "ts", "ts").collect()
+    }
+    assert inner == {"l1": 10.0, "l2": 20.0}  # l3 dropped (no prior)
+
+    left_mode = {
+        r["tag"]: r["key_asof_value"]
+        for r in asof_join(left, right, "key", "ts", "ts", how="left").collect()
+    }
+    assert left_mode == {"l1": 10.0, "l2": 20.0, "l3": None}
