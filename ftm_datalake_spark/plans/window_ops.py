@@ -131,6 +131,67 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Range join: error events matched into the user's session intervals
+# (sessions derived exactly as in events_sessionize). Spark uses the
+# bucketized equi-join operator; the oracle is a plain inequality join.
+@register(
+    "range_join_session_errors",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id,
+             ts
+      FROM marked
+    ),
+    intervals AS (
+      SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    errors AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT i.user_id, i.session_id, COUNT(e.event_id) AS n_errors
+    FROM intervals i
+    JOIN errors e ON e.user_id = i.user_id
+                 AND e.ts >= i.session_start AND e.ts <= i.session_end
+    GROUP BY i.user_id, i.session_id
+    ORDER BY i.user_id, i.session_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rangejoin import range_join
+    from ftm_datalake_spark.plans.reference_ops import events_sessionize
+
+    intervals = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    matched = range_join(
+        errors, intervals, on="user_id", point_ts="ts",
+        start_ts="session_start", end_ts="session_end",
+    )
+    return (
+        matched.groupBy("user_id", "session_id")
+        .agg(F.count("event_id").alias("n_errors"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Lag window: per-user inter-arrival stats in exact integer microseconds.
 @register(
     "events_interarrival",
