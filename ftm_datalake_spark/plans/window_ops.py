@@ -12,6 +12,41 @@ from ftm_datalake_spark.sources.tables import load_table
 
 
 # --------------------------------------------------------------------------
+# Hypertable rollup: DAILY stats derived from HOURLY partials (continuous
+# aggregate composition) — the oracle aggregates raw rows directly,
+# proving the two-level composition is exact.
+@register(
+    "hypertable_daily_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+    tags=("agg", "hypertable", "streaming"),
+)
+def hypertable_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.hypertable import rollup_coarser, rollup_level
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = rollup_level(events, "hour", ["event_type"])
+    daily = rollup_coarser(hourly, "day", ["event_type"])
+    return daily.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        "vmin",
+        "vmax",
+    ).orderBy("bucket", "event_type")
+
+
+# --------------------------------------------------------------------------
 # Mode per group: most frequent event_type per user (ties → alphabetical).
 @register(
     "mode_event_type",
