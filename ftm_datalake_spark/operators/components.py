@@ -35,6 +35,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(labels, both.b == labels.node)
@@ -58,7 +59,14 @@ def connected_components(
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter too large) — raise max_iterations; "
+            "returning partial labels would silently split components"
+        )
     return labels
 
 

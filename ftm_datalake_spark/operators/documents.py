@@ -53,7 +53,23 @@ def merge_documents(
     merged = current if added is None else current.unionByName(added)
     if deleted_keys is not None:
         merged = merged.join(F.broadcast(deleted_keys), on=keys, how="left_anti")
-    return latest_wins(merged, keys, "updated_at", tiebreak_cols=["content_hash"])
+    latest = latest_wins(merged, keys, "updated_at", tiebreak_cols=["content_hash"])
+    if "created_at" in latest.columns:
+        # created_at is first-archived time: latest-wins must not let a
+        # re-crawled row advance it (reference keeps the original
+        # timestamp, model.py:106-114)
+        first_seen = merged.groupBy(*keys).agg(
+            F.min("created_at").alias("__first_created")
+        )
+        latest = (
+            latest.join(first_seen, keys, "left")
+            .withColumn(
+                "created_at",
+                F.coalesce(F.col("__first_created"), F.col("created_at")),
+            )
+            .drop("__first_created")
+        )
+    return latest
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame]:

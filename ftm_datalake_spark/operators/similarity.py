@@ -101,8 +101,9 @@ def vectorized_topk(
     import numpy as np
     import pandas as pd
 
+    id_type = embeddings.schema[id_col].dataType
     q_rows = queries.select(id_col, emb_col).collect()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=object)
     def _quant(mat: "np.ndarray") -> "np.ndarray":
         # round half AWAY from zero, matching Spark/DuckDB round()
         # (np.rint rounds half to even)
@@ -114,10 +115,11 @@ def vectorized_topk(
     q_mat = _quant(np.array([r[emb_col] for r in q_rows], dtype=np.float64))
     q_norm2 = (q_mat * q_mat).sum(axis=1)
 
+    # id columns keep the corpus id type (bigint vec_ids, string doc ids…)
     out_schema = T.StructType(
         [
-            T.StructField("qid", T.LongType()),
-            T.StructField("nid", T.LongType()),
+            T.StructField("qid", id_type),
+            T.StructField("nid", id_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
@@ -130,7 +132,7 @@ def vectorized_topk(
             n_mat = np.where(
                 scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
             ).astype(np.int64)
-            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_ids = pdf[id_col].to_numpy(dtype=object)
             n_norm2 = (n_mat * n_mat).sum(axis=1)
             dots = n_mat @ q_mat.T  # exact int64
             cos = dots / np.sqrt(

@@ -27,7 +27,10 @@ from ftm_datalake_spark.sources.tables import scan_binary_files
 
 
 def _glob_to_regex(glob: str) -> str:
-    return fnmatch.translate(glob)
+    # rlike uses substring-find semantics and fnmatch.translate only
+    # end-anchors; anchor the start too so 'tmp/*' does not also match
+    # 'backup/tmp/...' (the reference's fnmatch is start-anchored).
+    return r"\A" + fnmatch.translate(glob)
 
 
 def crawl_scan(
@@ -98,9 +101,11 @@ def _empty_files(spark: SparkSession, source_uri: str) -> DataFrame | None:
                         os.path.relpath(full, root),
                         EMPTY_SHA1,
                         0,
+                        # keep tz-aware: Spark converts naive datetimes via
+                        # the HOST zone, which would shift mtimes off-UTC hosts
                         dt.datetime.fromtimestamp(
                             os.path.getmtime(full), dt.timezone.utc
-                        ).replace(tzinfo=None),
+                        ),
                     )
                 )
     if not rows:
@@ -235,11 +240,19 @@ def repair(
 ) -> dict:
     """Apply `make` actions: re-add missing, drop orphaned, fix corrupted —
     by rebuilding the table from the reconciled source scan (idempotent)."""
-    actions = make(spark, source_uri, dataset, lake_dir)
-    counters = {
-        r["action"]: r["n"]
-        for r in actions.groupBy("action").agg(F.count("*").alias("n")).collect()
-    }
-    source = crawl_scan(spark, source_uri, dataset)
-    write_documents(source, lake_dir)
+    from ftm_datalake_spark.operators.documents import reconcile
+
+    # one source scan (sha1 of every blob) serves both the action counts
+    # and the rewrite
+    source = crawl_scan(spark, source_uri, dataset).persist()
+    try:
+        current = read_documents(spark, lake_dir, dataset)
+        actions = reconcile(source, current)
+        counters = {
+            r["action"]: r["n"]
+            for r in actions.groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
+        write_documents(source, lake_dir)
+    finally:
+        source.unpersist()
     return counters

@@ -43,6 +43,8 @@ def archive_blobs(
     base = os.path.join(archive_root, dataset, "archive")
 
     def copy_partition(rows: Iterator) -> None:
+        import uuid
+
         for row in rows:
             src = row[path_col]
             if src.startswith("file:"):
@@ -51,7 +53,15 @@ def archive_blobs(
             if os.path.exists(target):
                 continue
             os.makedirs(os.path.dirname(target), exist_ok=True)
-            shutil.copyfile(src, target)
+            # copy via temp + atomic rename: a task killed mid-copy must
+            # not leave a truncated blob that future runs skip as done
+            tmp = f"{target}.__tmp__{uuid.uuid4().hex}"
+            try:
+                shutil.copyfile(src, tmp)
+                os.rename(tmp, target)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
     files.select(path_col, hash_col).foreachPartition(copy_partition)
 

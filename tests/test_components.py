@@ -15,6 +15,18 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_components_raises_when_not_converged(spark):
+    import pytest
+
+    from ftm_datalake_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+
+
 def test_components_long_chain_converges(spark):
     from ftm_datalake_spark.operators.components import connected_components
 

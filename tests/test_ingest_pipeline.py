@@ -116,6 +116,48 @@ def test_crawl_glob_filters(spark, tmp_path):
     assert "mail/message.eml" not in {r["key"] for r in no_mail.collect()}
 
 
+def test_glob_filters_are_start_anchored(spark, tmp_path):
+    """fnmatch semantics: 'tmp/*' must NOT match 'backup/tmp/...'."""
+    from ftm_datalake_spark.pipelines.ingest import crawl_scan
+
+    src = str(tmp_path / "src")
+    for rel in ("tmp/a.txt", "backup/tmp/b.txt"):
+        full = os.path.join(src, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as fh:
+            fh.write(b"x")
+    kept = {r["key"] for r in crawl_scan(spark, src, "ds", exclude="tmp/*").collect()}
+    assert kept == {"backup/tmp/b.txt"}
+    included = {r["key"] for r in crawl_scan(spark, src, "ds", include="tmp/*").collect()}
+    assert included == {"tmp/a.txt"}
+
+
+def test_recrawl_preserves_created_at(spark, tmp_path):
+    """Updating a file must advance updated_at but keep the original
+    created_at (first-archived time)."""
+    import time
+
+    from ftm_datalake_spark.pipelines.ingest import crawl, read_documents
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    path = os.path.join(src, "doc.txt")
+    with open(path, "wb") as fh:
+        fh.write(b"v1")
+    lake = str(tmp_path / "lake")
+    crawl(spark, src, "ds1", lake)
+    first = read_documents(spark, lake, "ds1").first()
+
+    time.sleep(1.1)
+    with open(path, "wb") as fh:
+        fh.write(b"v2-changed")
+    crawl(spark, src, "ds1", lake)
+    second = read_documents(spark, lake, "ds1").first()
+    assert second["content_hash"] != first["content_hash"]
+    assert second["updated_at"] > first["updated_at"]
+    assert second["created_at"] == first["created_at"]  # preserved
+
+
 def test_entity_projection_shape(spark, tmp_path):
     from ftm_datalake_spark.pipelines.ingest import crawl, project_entities, read_documents
 
