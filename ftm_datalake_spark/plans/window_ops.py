@@ -227,6 +227,33 @@ def range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Arbitrary GROUPING SETS: (status), (priority), and grand total — but
+# not the (status, priority) cross — in a single pass.
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__orders_gs"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Lag window: per-user inter-arrival stats in exact integer microseconds.
 @register(
     "events_interarrival",

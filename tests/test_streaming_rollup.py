@@ -45,6 +45,67 @@ def test_hourly_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Rows older than the watermark must be dropped once the watermark
+    has advanced past their window (bounded state at 100 TB)."""
+    import json
+    import os
+
+    from ftm_datalake_spark.streaming.stages import hourly_rollup_stream
+
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+
+    def write(name, rows):
+        with open(os.path.join(stage, name), "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def drain():
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).json(stage)
+        q = (
+            hourly_rollup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+
+    # batch 1: events at 10:00; watermark (2h) advances to ~08:00
+    write("b1.json", [{"ts": "2024-01-05 10:00:00", "event_type": "click", "value": 1.0}])
+    drain()
+    # batch 2: push watermark far ahead (20:00 -> watermark 18:00),
+    # then batch 3 delivers a VERY late row for the 10:00 window
+    write("b2.json", [{"ts": "2024-01-05 20:00:00", "event_type": "click", "value": 1.0}])
+    drain()
+    write("b3.json", [{"ts": "2024-01-05 10:30:00", "event_type": "click", "value": 99.0}])
+    write("b3b.json", [{"ts": "2024-01-05 21:30:00", "event_type": "click", "value": 1.0}])
+    drain()
+    # close remaining windows so appends flush
+    write("b4.json", [{"ts": "2024-01-06 23:00:00", "event_type": "click", "value": 1.0}])
+    drain()
+
+    rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window contains ONLY the on-time row — the 10:30 late row
+    # (behind the 18:00 watermark) was dropped
+    assert rows[("2024-01-05 10:00:00", "click")] == (1, 1.0)
+
+
 def test_documents_table_partition_pruning(spark, tmp_path):
     """Reading one dataset must prune to that partition at scan time."""
     import os
