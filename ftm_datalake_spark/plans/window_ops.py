@@ -227,6 +227,68 @@ def range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ntile quartiles: distribution bucketing with a deterministic total order.
+@register(
+    "ntile_customer_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT CAST(quartile AS INT) AS quartile,
+           COUNT(*) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM t GROUP BY quartile ORDER BY quartile
+    """,
+    tags=("window", "stats"),
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    t = cust.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return (
+        t.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Key slugification: the normalize-to-identifier string pipeline.
+@register(
+    "slugify_keys",
+    oracle="""
+    SELECT doc_id,
+           trim(BOTH '-' FROM regexp_replace(
+             lower(source || '-' || lang || '-doc-' || CAST(doc_id AS VARCHAR)),
+             '[^a-z0-9]+', '-', 'g')) AS slug
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("projection", "text"),
+)
+def slugify_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.lower(
+        F.concat_ws(
+            "-",
+            "source",
+            "lang",
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
+        )
+    )
+    slug = F.regexp_replace(
+        F.regexp_replace(raw, "[^a-z0-9]+", "-"), "^-+|-+$", ""
+    )
+    return docs.select("doc_id", slug.alias("slug")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Arbitrary GROUPING SETS: (status), (priority), and grand total — but
 # not the (status, priority) cross — in a single pass.
 @register(
