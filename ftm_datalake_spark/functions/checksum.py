@@ -22,11 +22,21 @@ def content_checksum(content: Column) -> Column:
 def data_checksum(*parts: Column) -> Column:
     """F2: deterministic checksum of a tuple of values.
 
-    The reference hashes the python repr of the tuple; we define the engine's
-    canonical recipe as sha1 of the '|'-joined utf-8 strings. Documented so
-    IDs are reproducible across runs and engines.
+    The reference hashes the python repr of the tuple
+    (ftm_datalake/model.py:49-52); this engine defines its own canonical,
+    cross-engine recipe: each part becomes a fixed token — ``md5(part)``,
+    or the literal ``N`` for NULL — the tokens are concatenated, and the
+    concatenation is md5'd. The token stream is uniquely parseable ('N' is
+    outside the hex alphabet; every other token is exactly 32 hex chars),
+    so the encoding is delimiter-unambiguous — ('a|b','c') and ('a','b|c')
+    hash differently — and NULL is distinct from the empty string.
+    DuckDB mirror: ``md5(md5(a) || md5(b))``.
     """
-    return F.sha1(F.concat_ws("|", *parts).cast("binary"))
+    tokens = [
+        F.when(p.isNull(), F.lit("N")).otherwise(F.md5(p.cast("string")))
+        for p in parts
+    ]
+    return F.md5(F.concat(*tokens))
 
 
 def entity_id(dataset: Column, key: Column, content_hash: Column) -> Column:

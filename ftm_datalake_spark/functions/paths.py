@@ -53,14 +53,27 @@ def path_to_key(path: Column, source_uri: str) -> Column:
 
 
 def url_to_key(url: Column) -> Column:
-    """F4: derive an archive key from a crawled URL.
+    """F4: derive an archive key from a crawled URL — the unquoted URL
+    *path* with leading/trailing slashes stripped (scheme, host, query and
+    fragment dropped), matching the reference's ``get_file_key``
+    (ftm_datalake/sync/memorious.py:125-126,
+    ``unquote(urlparse(url).path).strip('/')``).
 
-    host/path with percent-decoding, query string dropped.
-    Reference: ftm_datalake/sync/memorious.py:125-131.
+    Decoding is lenient: a malformed percent-escape keeps the raw path
+    (``try_url_decode`` → NULL → coalesce) instead of aborting the whole
+    sync job, like urllib's forgiving ``unquote``. A URL without a scheme
+    is treated entirely as a path, mirroring ``urlparse``.
     """
-    no_scheme = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", "")
-    no_query = F.regexp_replace(no_scheme, r"[?#].*$", "")
-    return F.url_decode(no_query)
+    has_scheme = url.rlike(r"^[a-z][a-z0-9+.-]*://")
+    path = F.when(
+        has_scheme, F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    ).otherwise(url)
+    no_query = F.regexp_replace(path, r"[?#].*$", "")
+    trimmed = F.regexp_replace(F.regexp_replace(no_query, "^/+", ""), "/+$", "")
+    # java URLDecoder treats '+' as space; urllib's unquote does not —
+    # protect literal '+' before decoding to keep reference-identical keys.
+    plus_safe = F.regexp_replace(trimmed, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(plus_safe), trimmed)
 
 
 def strip_prefix(key: Column, prefix: str) -> Column:

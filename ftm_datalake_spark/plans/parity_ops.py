@@ -141,11 +141,28 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# P7 full shape: FTM entity proxies with MAP<STRING,ARRAY<STRING>>
-# properties (rows-only: map columns don't hash portably across engines;
-# the scalar projection of the same recipe is oracle-checked as
-# `entity_projection`).
-@register("entities_full", oracle=None, tags=("projection", "reference"))
+# P7 full shape: FTM entity proxies. The internal operator
+# (`project_entities`) carries MAP<STRING,ARRAY<STRING>> properties; the
+# *declared* registry output serializes the map to its canonical JSON
+# string (fixed key order from map construction) so the result is
+# hashable/portable across engines — the oracle rebuilds the identical
+# JSON literal in SQL.
+@register(
+    "entities_full",
+    oracle="""
+    SELECT 'docs-file-'
+             || md5(md5(source || '/' || CAST(doc_id AS VARCHAR))
+                    || md5(md5(text))) AS id,
+           'PlainText' AS schema,
+           '{"contentHash":["' || md5(text)
+             || '"],"fileName":["' || CAST(doc_id AS VARCHAR)
+             || '"],"fileSize":["' || CAST(n_chars AS VARCHAR)
+             || '"],"mimeType":["text/plain"]}' AS properties,
+           'docs' AS dataset
+    FROM documents ORDER BY id
+    """,
+    tags=("projection", "reference"),
+)
 def entities_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.pipelines.ingest import project_entities
 
@@ -158,7 +175,13 @@ def entities_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("mimetype"),
         F.lit("docs").alias("dataset"),
     )
-    return project_entities(docs).orderBy("id")
+    entities = project_entities(docs)
+    return entities.select(
+        "id",
+        "schema",
+        F.to_json("properties").alias("properties"),
+        "dataset",
+    ).orderBy("id")
 
 
 # --------------------------------------------------------------------------

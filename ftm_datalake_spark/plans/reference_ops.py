@@ -290,7 +290,7 @@ def schema_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "entity_projection",
     oracle="""
-    SELECT 'docs-file-' || md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS id,
+    SELECT 'docs-file-' || md5(md5(CAST(doc_id AS VARCHAR)) || md5(md5(text))) AS id,
            CASE lang
              WHEN 'en' THEN 'PlainText'
              WHEN 'de' THEN 'Pages'
@@ -305,12 +305,11 @@ def schema_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("projection", "reference"),
 )
 def entity_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.functions.checksum import entity_id
+
     docs = load_table(spark, sf_dir, "documents")
     content_hash = F.md5(F.col("text"))
-    ent_id = F.concat(
-        F.lit("docs-file-"),
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), content_hash)),
-    )
+    ent_id = entity_id(F.lit("docs"), F.col("doc_id").cast("string"), content_hash)
     expr = None
     for lang, schema in _LANG_SCHEMA_CASES:
         expr = (

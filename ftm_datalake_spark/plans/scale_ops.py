@@ -74,26 +74,37 @@ def statement_aggregation_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     stmts = li.select(F.col("l_orderkey"), stmt).select(
         "l_orderkey", "s.prop", "s.value"
     )
-    per_prop = stmts.groupBy("l_orderkey", "prop").agg(
-        F.array_join(F.sort_array(F.collect_set("value")), ",").alias("vals")
+    # ONE shuffle: collect the distinct (prop, value) pairs per entity
+    # (map-side partial collect_set dedups before the exchange), then
+    # assemble the per-prop groups with higher-order functions on the
+    # aggregated rows — replaces the former two-shuffle
+    # (groupBy(id, prop) → groupBy(id)) plan, which spent a second
+    # exchange + sort-agg pass on 2.4M intermediate rows.
+    pv = F.array_sort(F.collect_set(F.struct("prop", "value")))
+    props = F.array_distinct(F.transform(F.col("pv"), lambda x: x["prop"]))
+    prop_strs = F.transform(
+        props,
+        lambda p: F.concat(
+            p,
+            F.lit("="),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("pv"), lambda x: x["prop"] == p),
+                    lambda x: x["value"],
+                ),
+                ",",
+            ),
+        ),
     )
     return (
-        per_prop.groupBy("l_orderkey")
-        .agg(
-            F.array_join(
-                F.sort_array(
-                    F.collect_list(F.concat(F.col("prop"), F.lit("="), F.col("vals")))
-                ),
-                "|",
-            ).alias("properties"),
-            F.count("*").alias("n_props"),
-        )
+        stmts.groupBy("l_orderkey")
+        .agg(pv.alias("pv"))
         .select(
             F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
                 "canonical_id"
             ),
-            "properties",
-            "n_props",
+            F.array_join(prop_strs, "|").alias("properties"),
+            F.size(props).cast("long").alias("n_props"),
         )
         .orderBy("canonical_id")
     )

@@ -26,9 +26,32 @@ def test_entity_id_recipe(spark):
         entity_id(F.col("dataset"), F.col("key"), F.col("ch")).alias("id"),
         data_checksum(F.col("key"), F.col("ch")).alias("dc"),
     ).first()
-    expect_dc = hashlib.sha1(b"a/b.txt|abc123").hexdigest()
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expect_dc = md5(md5("a/b.txt") + md5("abc123"))
     assert row["dc"] == expect_dc
     assert row["id"] == f"ds1-file-{expect_dc}"
+
+
+def test_data_checksum_unambiguous(spark):
+    """Delimiter and NULL/empty ambiguities must not collide (the reference
+    hashes a python tuple repr, which is likewise unambiguous)."""
+    from ftm_datalake_spark.functions.checksum import data_checksum
+
+    df = spark.createDataFrame(
+        [("a|b", "c", None, "")], "p1 string, p2 string, pn string, pe string"
+    )
+    row = df.select(
+        data_checksum(F.col("p1"), F.col("p2")).alias("joined_left"),
+        data_checksum(F.lit("a"), F.lit("b|c")).alias("joined_right"),
+        data_checksum(F.col("pn")).alias("null_part"),
+        data_checksum(F.col("pe")).alias("empty_part"),
+    ).first()
+    assert row["joined_left"] != row["joined_right"]
+    assert row["null_part"] != row["empty_part"]
+    assert row["null_part"] == hashlib.md5(b"N").hexdigest()
 
 
 def test_shard_path(spark):
@@ -95,7 +118,32 @@ def test_paths(spark):
     assert row["name"] == "c.txt"
     assert row["parent"] == "a/b"
     assert row["anc"] == ["a", "a/b"]
-    assert row["ukey"] == "ex.com/docs/f ile.pdf"
+    # reference key scheme: unquote(urlparse(url).path).strip('/')
+    assert row["ukey"] == "docs/f ile.pdf"
+
+
+def test_url_to_key_matches_reference_scheme(spark):
+    """url_to_key mirrors get_file_key (ftm_datalake/sync/memorious.py:
+    125-126) including lenient decoding of malformed percent-escapes —
+    one dirty URL must not abort the sync job."""
+    from urllib.parse import unquote, urlparse
+
+    from ftm_datalake_spark.functions.paths import url_to_key
+
+    urls = [
+        "https://ex.com/docs/f%20ile.pdf?x=1",
+        "https://ex.com/100%.txt",  # malformed escape: keep raw
+        "http://host.org/a/b/c/",
+        "https://ex.com/",
+        "ex.com/no/scheme.txt",  # urlparse: all path
+        "https://ex.com/enc%C3%B6ded/p%C3%A4th.bin#frag",
+        "https://ex.com/a+b.txt",  # '+' is literal in paths, not space
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["k"] for r in df.select(url_to_key(F.col("url")).alias("k")).collect()]
+    for url, k in zip(urls, got):
+        expect = unquote(urlparse(url).path).strip("/")
+        assert k == expect, f"{url}: {k!r} != {expect!r}"
 
 
 def test_rolling_fingerprint_deterministic(spark):

@@ -43,18 +43,19 @@ def test_memorious_import_default_key(spark):
     from ftm_datalake_spark.pipelines.sync import memorious_import
 
     out = {r["key"]: r for r in memorious_import(_meta(spark)).collect()}
-    # not_found row skipped; url-decoded keys without query string
-    assert set(out) == {"ex.com/docs/f ile.pdf", "ex.com/docs/other.csv"}
-    assert out["ex.com/docs/f ile.pdf"]["size"] == 123
-    assert out["ex.com/docs/other.csv"]["size"] is None
-    assert out["ex.com/docs/other.csv"]["mimetype"] == "text/csv"
+    # not_found row skipped; reference key scheme (memorious.get_file_key):
+    # url-decoded PATH, host and query dropped, slashes stripped
+    assert set(out) == {"docs/f ile.pdf", "docs/other.csv"}
+    assert out["docs/f ile.pdf"]["size"] == 123
+    assert out["docs/other.csv"]["size"] is None
+    assert out["docs/other.csv"]["mimetype"] == "text/csv"
 
 
 def test_memorious_import_strip_prefix_key(spark):
     from ftm_datalake_spark.pipelines.sync import key_strip_prefix, memorious_import
 
     out = memorious_import(
-        _meta(spark), key_func=lambda df: key_strip_prefix(F.col("url"), "ex.com/docs/")
+        _meta(spark), key_func=lambda df: key_strip_prefix(F.col("url"), "docs/")
     )
     assert {r["key"] for r in out.collect()} == {"f ile.pdf", "other.csv"}
 
