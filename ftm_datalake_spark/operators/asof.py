@@ -54,10 +54,16 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # right rows order BEFORE left rows at equal ts → inclusive <= semantics
+    # Right rows order BEFORE left rows at equal ts → inclusive <=
+    # semantics. Among right rows tied on (key, ts), the tuple of carried
+    # columns is the final tiebreak, so WHICH right row wins is defined
+    # (the greatest tuple) — not partition-order-dependent, identical
+    # across runs and engines (latest_wins defines explicit tiebreaks the
+    # same way).
+    r_tiebreak = F.struct(*[F.col(f"__r_{c}") for c in right_cols])
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", r_tiebreak.asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

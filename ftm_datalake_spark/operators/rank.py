@@ -1,0 +1,79 @@
+"""Exact global rank over a total order — without a single-partition sort.
+
+A naive ``row_number() OVER (ORDER BY ...)`` funnels the whole table
+through ONE task (Spark plans a single-partition Exchange), which is a
+scale-killer: correct at sf0.1, dead at 100x. The scale-correct scheme is
+the one ``RDD.zipWithIndex`` uses, expressed DataFrame-native:
+
+    range-repartition on the order columns      (distributed sort shuffle)
+      -> per-partition row_number               (parallel windows)
+      -> + cumulative row offset of the partition (driver-side, P integers)
+
+The shuffled frame is materialized once (persist) so the offset pass and
+the ranked output observe the SAME range bounds — bounds are sampled, so
+two independent evaluations of the Exchange could disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Attach a 1-based exact global rank by ``order_cols``; returns
+    (ranked_df, total_row_count).
+
+    The order must be total (include a unique tiebreak column) for the
+    rank to be deterministic. The per-partition counts collected to the
+    driver are P integers — metadata, not data. The input is persisted
+    for the lifetime of the returned plan; callers running inside a
+    service should ``spark.catalog.clearCache()`` or unpersist when done.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in parted.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_expr = F.create_map(
+        *[x for pid in range(p) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = parted.withColumn(
+        rank_col,
+        F.row_number().over(w).cast("long") + off_expr[F.col("__pid")],
+    ).drop("__pid")
+    return ranked, acc
+
+
+def ntile_by_rank(rank: F.Column, n_rows: int, n_buckets: int) -> F.Column:
+    """SQL NTILE(n) bucket from an exact 1-based rank: the first
+    ``n_rows % n_buckets`` buckets get ``ceil(n_rows / n_buckets)`` rows,
+    the rest get the floor — identical to the window-function definition,
+    but computed by arithmetic on the distributed rank instead of a
+    global window."""
+    base, rem = divmod(n_rows, n_buckets)
+    if base == 0:
+        return rank.cast("int")
+    cut = rem * (base + 1)
+    return (
+        F.when(rank <= cut, F.floor((rank - 1) / (base + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rank - 1 - cut) / base) + 1)
+        .cast("int")
+    )

@@ -33,39 +33,17 @@ def _glob_to_regex(glob: str) -> str:
     return r"\A" + fnmatch.translate(glob)
 
 
-def crawl_scan(
-    spark: SparkSession,
-    source_uri: str,
-    dataset: str,
-    include: str | None = None,
-    exclude: str | None = None,
-) -> DataFrame:
-    """S1/S2 + P2/P3 + F1/F9: list files, filter by glob, checksum, type.
-
-    Returns file-metadata rows in DOCUMENTS_SCHEMA shape. Reference:
-    CrawlWorker (ftm_datalake/crawl.py:55-106)."""
+def _document_rows(files: DataFrame, source_uri: str, dataset: str) -> DataFrame:
+    """binaryFile rows → DOCUMENTS_SCHEMA-shaped rows (key, sha1, mime)."""
     from ftm_datalake_spark.functions.paths import path_to_key
 
-    files = scan_binary_files(spark, source_uri)
     key = path_to_key(F.col("path"), source_uri)
-    df = files.select(
+    return files.select(
         key.alias("key"),
         content_checksum(F.col("content")).alias("content_hash"),
         F.col("length").alias("size"),
         F.col("modificationTime").alias("updated_at"),
-    )
-    # Spark's binaryFile source produces no splits for zero-length files,
-    # silently dropping them — but empty files are real corpus members
-    # (the reference archives them with the empty-content sha1). Recover
-    # them from a listing pass.
-    empties = _empty_files(spark, source_uri)
-    if empties is not None:
-        df = df.unionByName(empties)
-    if include:
-        df = df.where(F.col("key").rlike(_glob_to_regex(include)))
-    if exclude:
-        df = df.where(~F.col("key").rlike(_glob_to_regex(exclude)))
-    return df.select(
+    ).select(
         "key",
         "content_hash",
         "size",
@@ -76,11 +54,87 @@ def crawl_scan(
     )
 
 
+def crawl_scan(
+    spark: SparkSession,
+    source_uri: str,
+    dataset: str,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> DataFrame:
+    """S1/S2 + P2/P3 + F1/F9: list files, filter by glob, checksum, type.
+
+    Reads and hashes EVERY blob — the integrity-check scan (`make`/
+    `repair` need checksums of everything). Incremental crawls must not
+    use this; `crawl()` skips unchanged files on metadata alone.
+    Returns file-metadata rows in DOCUMENTS_SCHEMA shape. Reference:
+    CrawlWorker (ftm_datalake/crawl.py:55-106)."""
+    files = scan_binary_files(spark, source_uri)
+    df = _document_rows(files, source_uri, dataset)
+    # Spark's binaryFile source produces no splits for zero-length files,
+    # silently dropping them — but empty files are real corpus members
+    # (the reference archives them with the empty-content sha1). Recover
+    # them from a listing pass.
+    empties = _empty_files(spark, source_uri)
+    if empties is not None:
+        df = df.unionByName(
+            empties.select(
+                "key",
+                F.lit(EMPTY_SHA1).alias("content_hash"),
+                "size",
+                guess_mimetype(F.col("key")).alias("mimetype"),
+                F.col("updated_at").alias("created_at"),
+                "updated_at",
+                F.lit(dataset).alias("dataset"),
+            )
+        )
+    if include:
+        df = df.where(F.col("key").rlike(_glob_to_regex(include)))
+    if exclude:
+        df = df.where(~F.col("key").rlike(_glob_to_regex(exclude)))
+    return df
+
+
+def crawl_listing(
+    spark: SparkSession,
+    source_uri: str,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> DataFrame:
+    """Metadata-only crawl listing: (path, key, size, updated_at).
+
+    The binaryFile ``content`` column is never projected, so column
+    pruning keeps blob bytes out of the scan entirely (ReadSchema shows
+    path/length/modificationTime only). This is the skip-existing input:
+    the reference likewise iterates keys and skips *before* fetching
+    (ftm_datalake/crawl.py:55-71)."""
+    from ftm_datalake_spark.functions.paths import path_to_key
+
+    files = scan_binary_files(spark, source_uri).select(
+        "path", "length", "modificationTime"
+    )
+    df = files.select(
+        "path",
+        path_to_key(F.col("path"), source_uri).alias("key"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("updated_at"),
+    )
+    empties = _empty_files(spark, source_uri)
+    if empties is not None:
+        df = df.unionByName(empties.select("path", "key", "size", "updated_at"))
+    if include:
+        df = df.where(F.col("key").rlike(_glob_to_regex(include)))
+    if exclude:
+        df = df.where(~F.col("key").rlike(_glob_to_regex(exclude)))
+    return df
+
+
 EMPTY_SHA1 = "da39a3ee5e6b4b0d3255bfef95601890afd80709"
 
 
 def _empty_files(spark: SparkSession, source_uri: str) -> DataFrame | None:
-    """Zero-length files under a local source dir as document rows.
+    """Zero-length files under a local source dir as listing rows
+    (path, key, size, updated_at) — their sha1 is the constant
+    ``EMPTY_SHA1``, no read needed.
 
     Local-FS listing; for object stores, plug the store's inventory
     listing into the same row shape."""
@@ -98,8 +152,8 @@ def _empty_files(spark: SparkSession, source_uri: str) -> DataFrame | None:
             if os.path.getsize(full) == 0:
                 rows.append(
                     (
+                        "file:" + full,
                         os.path.relpath(full, root),
-                        EMPTY_SHA1,
                         0,
                         # keep tz-aware: Spark converts naive datetimes via
                         # the HOST zone, which would shift mtimes off-UTC hosts
@@ -111,7 +165,7 @@ def _empty_files(spark: SparkSession, source_uri: str) -> DataFrame | None:
     if not rows:
         return None
     return spark.createDataFrame(
-        rows, "key string, content_hash string, size long, updated_at timestamp"
+        rows, "path string, key string, size long, updated_at timestamp"
     )
 
 
@@ -148,27 +202,81 @@ def crawl(
 
     Returns the counter dict the reference tracks (A4:
     files_total/added/updated, ftm_datalake/crawl.py:29-30)."""
-    incoming = crawl_scan(spark, source_uri, dataset, include, exclude)
+    listing = crawl_listing(spark, source_uri, include, exclude).persist()
     current = read_documents(spark, lake_dir, dataset)
-
-    # files_total counts the listing only — column pruning drops the
-    # content/checksum columns, so no blob bytes are read for this.
-    n_total = incoming.select("key").count()
-
-    # J4 skip-existing: a key with unchanged hash is not re-ingested.
-    # Persist the (small) delta so the checksum scan runs ONCE — without
-    # this, counting and merging would each re-read and re-hash every blob.
-    unchanged = current.select("key", "content_hash")
-    new_or_changed = incoming.join(
-        F.broadcast(unchanged), ["key", "content_hash"], "left_anti"
-    ).persist()
+    changed = None
     try:
-        n_new = new_or_changed.count()
+        n_total = listing.count()
+
+        # J4 skip-existing on METADATA ALONE: a key whose (size, mtime)
+        # matches the table is never read or hashed — an unchanged 100 TB
+        # corpus re-crawls with zero content bytes touched. (Round 1
+        # anti-joined on content_hash, which forced sha1 over every blob
+        # each crawl; the reference likewise skips *before* fetching,
+        # ftm_datalake/crawl.py:67-71.) Metadata-vs-metadata join: both
+        # sides are narrow listing rows, no broadcast assumption — the
+        # current table's key set is NOT small at scale.
+        current_meta = current.select("key", "size", "updated_at")
+        changed = listing.join(
+            current_meta, ["key", "size", "updated_at"], "left_anti"
+        ).persist()
+        n_changed = changed.count()
+
+        if n_changed == 0:
+            from ftm_datalake_spark.schemas import DOCUMENTS_SCHEMA
+
+            new_or_changed = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+        elif n_changed >= max(n_total // 2, 1_000_000):
+            # Initial / bulk crawl: most blobs must be read anyway — one
+            # full content scan beats driver-side path bookkeeping. The
+            # semi-join keeps only the changed rows (metadata key), so the
+            # merge shuffle never carries unchanged keys.
+            new_or_changed = crawl_scan(
+                spark, source_uri, dataset, include, exclude
+            ).join(
+                changed.select("key", "size", "updated_at"),
+                ["key", "size", "updated_at"],
+                "left_semi",
+            )
+        else:
+            # Incremental crawl: read ONLY the changed delta via an
+            # explicit path list. The delta path list is driver-side
+            # metadata of bounded size (≤ the threshold above) — the same
+            # set the reference materializes as its task queue.
+            paths = [
+                r["path"]
+                for r in changed.where(F.col("size") > 0).select("path").collect()
+            ]
+            parts = []
+            if paths:
+                parts.append(
+                    _document_rows(
+                        spark.read.format("binaryFile").load(paths),
+                        source_uri,
+                        dataset,
+                    )
+                )
+            empt = changed.where(F.col("size") == 0).select(
+                "key",
+                F.lit(EMPTY_SHA1).alias("content_hash"),
+                "size",
+                guess_mimetype(F.col("key")).alias("mimetype"),
+                F.col("updated_at").alias("created_at"),
+                "updated_at",
+                F.lit(dataset).alias("dataset"),
+            )
+            parts.append(empt)
+            new_or_changed = parts[0]
+            for p in parts[1:]:
+                new_or_changed = new_or_changed.unionByName(p)
+
         merged = merge_documents(current, new_or_changed)
         write_documents(merged, lake_dir)
     finally:
-        new_or_changed.unpersist()
-    return {"files_total": n_total, "added_or_updated": n_new}
+        listing.unpersist()
+        if changed is not None:
+            changed.unpersist()
+    return {"files_total": n_total, "added_or_updated": n_changed}
 
 
 def make_index_stats(spark: SparkSession, lake_dir: str, dataset: str) -> dict:
@@ -252,7 +360,18 @@ def repair(
             r["action"]: r["n"]
             for r in actions.groupBy("action").agg(F.count("*").alias("n")).collect()
         }
-        write_documents(source, lake_dir)
+        # The scan's created_at is file mtime; keys already in the table
+        # must keep their first-archived created_at (the invariant
+        # merge_documents preserves — F.least skips nulls).
+        existing = current.select("key", F.col("created_at").alias("__cur_created"))
+        repaired = (
+            source.join(existing, "key", "left")
+            .withColumn(
+                "created_at", F.least(F.col("created_at"), F.col("__cur_created"))
+            )
+            .drop("__cur_created")
+        )
+        write_documents(repaired, lake_dir)
     finally:
         source.unpersist()
     return counters

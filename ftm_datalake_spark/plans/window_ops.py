@@ -245,9 +245,18 @@ def range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "stats"),
 )
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    t = cust.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    # NOT `ntile(4) OVER (ORDER BY ...)`: a global unpartitioned window is
+    # a single-partition Exchange — the whole table through one task.
+    # Scale-safe plan: exact distributed rank (range repartition +
+    # partition-offset arithmetic, operators/rank.py) then the NTILE
+    # bucket by arithmetic. Same result as the oracle's window ntile.
+    from ftm_datalake_spark.operators.rank import ntile_by_rank, with_global_rank
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n_rows = with_global_rank(cust, ["c_acctbal", "c_custkey"])
+    t = ranked.select(
+        "c_acctbal", ntile_by_rank(F.col("rank"), n_rows, 4).alias("quartile")
+    )
     return (
         t.groupBy("quartile")
         .agg(

@@ -40,3 +40,26 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "key", "ts", "ts", how="left").collect()
     }
     assert left_mode == {"l1": 10.0, "l2": 20.0, "l3": None}
+
+
+def test_asof_join_right_tie_deterministic(spark):
+    """Multiple right rows on the SAME (key, ts): the greatest carried
+    tuple wins, identically across runs/partitionings — never
+    partition-order-dependent."""
+    from ftm_datalake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "l1")], "key long, ts timestamp, tag string"
+    )
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 5.0),
+        (1, _ts("2024-01-01T10:00:00"), 99.0),  # tied ts: greatest tuple wins
+        (1, _ts("2024-01-01T10:00:00"), 42.0),
+    ]
+    for attempt in range(3):
+        # vary input partitioning/order to smoke out order-dependence
+        right = spark.createDataFrame(
+            rows[attempt:] + rows[:attempt], "key long, ts timestamp, value double"
+        ).repartition(4)
+        got = asof_join(left, right, "key", "ts", "ts").collect()
+        assert [r["key_asof_value"] for r in got] == [99.0]

@@ -158,6 +158,71 @@ def test_recrawl_preserves_created_at(spark, tmp_path):
     assert second["created_at"] == first["created_at"]  # preserved
 
 
+def test_recrawl_unchanged_reads_no_content(spark, tmp_path):
+    """Skip-existing must decide on metadata alone: an unchanged corpus
+    re-crawls with zero content bytes read or hashed (reference skips
+    before fetching, ftm_datalake/crawl.py:67-71).
+
+    Proof is behavioral: swap one file's BYTES while keeping its size and
+    mtime — if the crawl read or hashed content, the stored hash would
+    move; it must not."""
+    from ftm_datalake_spark.pipelines.ingest import (
+        crawl,
+        crawl_listing,
+        read_documents,
+    )
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _make_corpus(src)
+    crawl(spark, src, "ds1", lake)
+    before = {r["key"]: r for r in read_documents(spark, lake, "ds1").collect()}
+
+    # same size, same mtime, different bytes
+    path = os.path.join(src, "notes.txt")
+    st = os.stat(path)
+    with open(path, "wb") as fh:
+        fh.write(b"SOME PLAIN TEXT NOTES")  # same 21-byte length
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+    counters = crawl(spark, src, "ds1", lake)
+    assert counters == {"files_total": 6, "added_or_updated": 0}
+    after = {r["key"]: r for r in read_documents(spark, lake, "ds1").collect()}
+    # hash unchanged == content never re-read (sha1 of new bytes differs)
+    assert after["notes.txt"]["content_hash"] == before["notes.txt"]["content_hash"]
+    assert after["notes.txt"]["content_hash"] == hashlib.sha1(
+        b"some plain text notes"
+    ).hexdigest()
+
+    # and the listing plan itself never projects the content column
+    listing = crawl_listing(spark, src)
+    assert "content" not in listing.columns
+    plan = listing._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+
+
+def test_recrawl_picks_up_touched_file(spark, tmp_path):
+    """A bumped mtime (even with identical bytes) re-ingests that one file
+    through the explicit-path delta branch — not a full rescan."""
+    import time
+
+    from ftm_datalake_spark.pipelines.ingest import crawl, read_documents
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _make_corpus(src)
+    crawl(spark, src, "ds1", lake)
+
+    time.sleep(1.1)
+    path = os.path.join(src, "data.csv")
+    with open(path, "wb") as fh:
+        fh.write(b"a,b\n9,9\n")
+    counters = crawl(spark, src, "ds1", lake)
+    assert counters == {"files_total": 6, "added_or_updated": 1}
+    got = {r["key"]: r for r in read_documents(spark, lake, "ds1").collect()}
+    assert got["data.csv"]["content_hash"] == hashlib.sha1(b"a,b\n9,9\n").hexdigest()
+
+
 def test_entity_projection_shape(spark, tmp_path):
     from ftm_datalake_spark.pipelines.ingest import crawl, project_entities, read_documents
 
