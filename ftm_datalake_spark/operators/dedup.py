@@ -109,20 +109,48 @@ def ngram_jaccard_pairs(
     )
 
 
+# Universal-hash family over the 32-bit shingle-hash domain:
+# mh_s = (A_s*h + B_s) mod P, P prime just above 2^32 so the mod genuinely
+# permutes the order (A*h alone is monotone in h — every seed would pick
+# the same argmin shingle). A < 2^30 keeps A*h < 2^62: no 64-bit overflow
+# in Spark OR the oracle engine (DuckDB errors on BIGINT overflow).
+MINHASH_PRIME = 4294967311
+MINHASH_COEFFS = [
+    (983810711, 678216591), (332749021, 1831197988), (373613295, 1003945583),
+    (933176341, 925509015), (804751169, 3730499887), (306746047, 1402071083),
+    (443125681, 2614634003), (208837063, 3424255177), (667739677, 703730459),
+    (537226443, 2514627151), (74950799, 2029196623), (991508929, 1314968747),
+]
+
+
+def shingle_hash(shingle: F.Column) -> F.Column:
+    """One md5 per shingle → 32-bit integer (first 8 hex chars).
+
+    Portable: DuckDB mirror is CAST('0x' || substr(md5(x),1,8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(postings: DataFrame, num_hashes: int = 12) -> DataFrame:
     """Wide-form minhash signatures: ONE hash-aggregate on doc_id computes
     all `num_hashes` mins as parallel aggregate columns (mh0..mhN).
 
-    md5('{seed}:{shingle}') keeps signatures portable across engines/runs
-    (no JVM hashCode). Wide-form beats the (doc, shingle) × seeds
-    cross-join + (doc_id, seed) groupBy by a full shuffle multiple: the
-    postings shuffle once, keyed by doc_id, with map-side partial mins."""
-    return postings.groupBy("doc_id").agg(
+    Each shingle is hashed ONCE (md5 hex prefix → 32-bit int); the
+    per-seed values come from the (A*h+B) mod P universal family — pure
+    integer mixing instead of one md5 per (shingle, seed), which was the
+    dominant cost of the whole LSH pipeline. Signatures stay portable
+    across engines/runs (no JVM hashCode). Wide-form beats the
+    (doc, shingle) × seeds cross-join + (doc_id, seed) groupBy by a full
+    shuffle multiple: the postings shuffle once, keyed by doc_id, with
+    map-side partial mins."""
+    hashed = postings.select(
+        "doc_id", shingle_hash(F.col("shingle")).alias("h")
+    )
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
             ).alias(f"mh{seed}")
-            for seed in range(num_hashes)
+            for seed, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
         ]
     )
 
@@ -131,17 +159,17 @@ def lsh_bands(
     signatures: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
 ) -> DataFrame:
     """Band wide-form signatures: (doc_id, band_id, band_val) — a pure
-    projection (posexplode over per-band md5s), no extra shuffle."""
+    projection (posexplode over per-band value strings), no extra shuffle.
+    The band value is the plain ','-joined integer triple — equality is
+    all the bucket join needs, no hashing required."""
     band_vals = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(num_hashes // rows_per_band)
         ]

@@ -212,15 +212,24 @@ def near_dup_pairs(
     block_col: str = "label",
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    n_bits: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicates within blocks (e.g. same label/cluster).
 
-    The threshold test is cos >= num/den evaluated as
-    dot*den >= num*sqrt(na*nb)... kept in doubles derived from exact ints,
-    so it is still engine-deterministic."""
+    Blocking key is COMPOUND: (block, sign-LSH bucket). A primary block
+    alone is unbounded — one dominant label makes the within-block
+    all-pairs join quadratic; the sign bucket splits every block into
+    ≤2^n_bits cells by construction, so block size is bounded regardless
+    of the label distribution. Near-identical vectors (cos ≥ 0.999)
+    share their leading sign pattern except at hard-zero boundaries, so
+    recall loss is negligible at dedup thresholds.
+
+    The threshold test is cos >= num/den evaluated in doubles derived
+    from exact ints, so it is still engine-deterministic."""
     q = _with_quantized(embeddings, emb_col).select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("block"),
+        sign_lsh_bucket(F.col("q"), n_bits).alias("bucket"),
         "q",
         "norm2",
     )
@@ -228,7 +237,9 @@ def near_dup_pairs(
     b = q.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")),
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vid") < F.col("b.vid")),
     ).select(
         F.col("a.vid").alias("vec_a"),
         F.col("b.vid").alias("vec_b"),

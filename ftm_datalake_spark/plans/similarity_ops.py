@@ -150,9 +150,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
       FROM base
     ),
+    qb AS (
+      SELECT vec_id, label, q,
+             array_to_string(list_transform(q[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM qv
+    ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.q AS qa, b.q AS qb
-      FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM qb a JOIN qb b
+        ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     comp AS (
       SELECT vec_a, vec_b,

@@ -256,22 +256,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Oracle mirror of operators/dedup.py minhash: one 32-bit shingle hash,
+# (A*h+B) mod P per-seed mins, ','-joined integer band values. Generated
+# from the SAME coefficient table so Spark and SQL cannot drift.
+def _minhash_bands_sql() -> str:
+    from ftm_datalake_spark.operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {band} AS band_id, {val} AS band_val FROM hs".format(
+            band=band,
+            val=" || ',' || ".join(
+                f"CAST(mh{band * 3 + r} AS VARCHAR)" for r in range(3)
+            ),
+        )
+        for band in range(4)
+    )
+    return f"""
+    hs AS (
+      SELECT doc_id,
+             {mins}
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+            FROM sh)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    )"""
+
+
+_BANDS_SQL = _minhash_bands_sql()
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLES_SQL}),
-    hs AS (
-      SELECT doc_id, s.seed,
-             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
-      FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) s
-      GROUP BY doc_id, s.seed
-    ),
-    bands AS (
-      SELECT doc_id, CAST(seed // 3 AS INT) AS band_id,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS band_val
-      FROM hs GROUP BY doc_id, CAST(seed // 3 AS INT)
-    )
+    {_BANDS_SQL}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -287,9 +313,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash signatures — engine-internal bit packing; rows-only check
-# (no portable SQL oracle for the 60-bit hex fold).
-@register("dedup_simhash", oracle=None, tags=("dedup",))
+# SimHash signatures. Fully oracle-paired: the 60-bit token hash is the
+# md5 hex prefix (castable in both engines), bit votes are SUM(±1) per
+# bit, and the packed signature is integer arithmetic — all portable.
+def _simhash_sql() -> str:
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(32)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM docs_aug
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+             {sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash
+    FROM votes ORDER BY doc_id"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    {_simhash_sql()}
+    """,
+    tags=("dedup",),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     return D.simhash(docs).orderBy("doc_id")
@@ -305,17 +368,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLES_SQL}),
-    hs AS (
-      SELECT doc_id, s.seed,
-             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
-      FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) s
-      GROUP BY doc_id, s.seed
-    ),
-    bands AS (
-      SELECT doc_id, CAST(seed // 3 AS INT) AS band_id,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS band_val
-      FROM hs GROUP BY doc_id, CAST(seed // 3 AS INT)
-    ),
+    {_BANDS_SQL},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
@@ -375,17 +428,7 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIRS_SQL = f"""
     WITH docs_aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLES_SQL}),
-    hs AS (
-      SELECT doc_id, s.seed,
-             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
-      FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) s
-      GROUP BY doc_id, s.seed
-    ),
-    bands AS (
-      SELECT doc_id, CAST(seed // 3 AS INT) AS band_id,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS band_val
-      FROM hs GROUP BY doc_id, CAST(seed // 3 AS INT)
-    ),
+    {_BANDS_SQL},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
