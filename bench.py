@@ -38,20 +38,29 @@ def main() -> None:
 
     bench_specs = [s for s in REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for spec in bench_specs:
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache
         # Best-of-N with early stop: the host shows bursty CPU-starvation
         # windows (identical runs vary 1.5s..100s), so take the minimum of
-        # up to 3 runs and stop as soon as a clean run is observed.
-        best = float("inf")
+        # up to 3 runs and stop as soon as a clean run is observed. The
+        # per-run samples are reported too, so a regression is
+        # attributable (real slowdown shows in EVERY sample; host noise
+        # shows as spread).
+        samples: list[float] = []
         for attempt in range(3):
             start = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-            if attempt >= 1 and best < 5.0:
+            samples.append(round(time.perf_counter() - start, 3))
+            if attempt >= 1 and min(samples) < 5.0:
                 break
-        timings[spec.name] = round(best, 3)
+        timings[spec.name] = min(samples)
+        spreads[spec.name] = {
+            "min": min(samples),
+            "max": max(samples),
+            "n": len(samples),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,6 +70,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

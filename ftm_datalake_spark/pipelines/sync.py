@@ -93,6 +93,86 @@ def memorious_import(
     )
 
 
+def aleph_folder_ids(
+    documents: DataFrame,
+    make_folder: Callable[[str, str | None], str],
+    key_col: str = "key",
+) -> DataFrame:
+    """Create-once folder dimension: every distinct ancestor path of every
+    key, created parents-first through ``make_folder(path, parent_id)``,
+    returned as a (folder, folder_id) frame.
+
+    Mirrors the reference's memoized get_parent/make_folders recursion
+    (ftm_datalake/sync/aleph.py:95-107) — but the memo is relational: the
+    DISTINCT ancestor explode guarantees each folder is created exactly
+    once, and the folder dimension (not the file table!) is collected:
+    folders are smaller than files by orders of magnitude, and folder
+    creation is an external sequential API call in the reference too."""
+    from ftm_datalake_spark.functions.paths import ancestor_paths
+
+    spark = documents.sparkSession
+    folders = [
+        r["folder"]
+        for r in documents.select(
+            F.explode(ancestor_paths(F.col(key_col))).alias("folder")
+        )
+        .distinct()
+        .orderBy(F.length("folder"), F.col("folder"))  # parents before children
+        .collect()
+    ]
+    ids: dict[str, str] = {}
+    for path in folders:
+        parent = path.rsplit("/", 1)[0] if "/" in path else None
+        ids[path] = make_folder(path, ids.get(parent))
+    if not ids:
+        return spark.createDataFrame([], "folder string, folder_id string")
+    return spark.createDataFrame(list(ids.items()), "folder string, folder_id string")
+
+
+def aleph_upload_rows(
+    documents: DataFrame,
+    folder_ids: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """File rows decorated with upload metadata: file_name, foreign_id and
+    the RESOLVED parent folder id — the per-task metadata dict of the
+    reference's handle_task (ftm_datalake/sync/aleph.py:109-127), built as
+    one broadcast join against the folder dimension instead of a memoized
+    per-file RPC."""
+    from ftm_datalake_spark.functions.paths import file_name, parent_path
+
+    decorated = documents.withColumn("__parent", parent_path(F.col(key_col)))
+    return (
+        decorated.join(
+            F.broadcast(folder_ids),
+            decorated["__parent"] == folder_ids["folder"],
+            "left",
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            "content_hash",
+            file_name(F.col(key_col)).alias("file_name"),
+            F.col(key_col).alias("foreign_id"),
+            F.col("folder_id").alias("parent_id"),
+        )
+    )
+
+
+def sync_to_aleph(
+    documents: DataFrame,
+    make_folder: Callable[[str, str | None], str],
+    send: Callable[[list[dict]], None],
+    batch_size: int = 1000,
+    max_concurrency: int = 10,
+) -> None:
+    """End-to-end Aleph upload: folders created once (parents first), file
+    rows joined to their folder ids, pushed in capped batches
+    (reference flow: sync/aleph.py:95-141 + connectors/aleph.py:120)."""
+    folder_ids = aleph_folder_ids(documents, make_folder)
+    rows = aleph_upload_rows(documents, folder_ids)
+    push_in_batches(rows, send, batch_size=batch_size, max_concurrency=max_concurrency)
+
+
 def push_in_batches(
     df: DataFrame,
     send: Callable[[list[dict]], None],

@@ -5,7 +5,9 @@ streaming the blob (ftm_datalake/api/main.py:77-94, api/util.py:19-77).
 Engine-side, serving parity means: keep the documents table fresh and
 answer point lookups from it. A real deployment would front this with
 FastAPI + a cached collected dict or an external KV projection; the JWT
-auth layer (api/auth.py:43-68) is an API concern, out of engine scope.
+auth layer (reference api/auth.py:43-68) is implemented as the pure-Python
+helper ``ftm_datalake_spark.auth`` (Q3: token-scoped lookup, expiry,
+404-hiding).
 
 The lookup predicate hits the `dataset` partition column first, so the
 scan prunes to one partition before the key filter."""

@@ -71,6 +71,53 @@ def test_memorious_import_template_key(spark):
     assert {r["key"] for r in out.collect()} == {"r1/aa11", "r2/bb22"}
 
 
+def test_sync_to_aleph_end_to_end(spark, tmp_path):
+    """Folders dim → create-once folder ids → upload rows carry resolved
+    parent ids → batched push (reference sync/aleph.py:95-141)."""
+    import uuid
+
+    from ftm_datalake_spark.pipelines.sync import sync_to_aleph
+
+    docs = spark.createDataFrame(
+        [
+            ("a/b/one.txt", "h1"),
+            ("a/b/two.txt", "h2"),
+            ("a/three.txt", "h3"),
+            ("top.txt", "h4"),
+        ],
+        "key string, content_hash string",
+    )
+
+    created: list[tuple[str, str | None]] = []
+
+    def make_folder(path: str, parent_id: str | None) -> str:
+        # runs driver-side (folder creation is sequential in the reference)
+        created.append((path, parent_id))
+        return f"fid:{path}"
+
+    outdir = str(tmp_path / "aleph")
+    os.makedirs(outdir, exist_ok=True)
+
+    def send(batch: list[dict]) -> None:
+        # runs on executors: collect through disk, like a real HTTP sink
+        with open(os.path.join(outdir, f"{uuid.uuid4().hex}.json"), "w") as fh:
+            json.dump(batch, fh)
+
+    sync_to_aleph(docs, make_folder, send, batch_size=10)
+    sent = [json.load(open(os.path.join(outdir, p))) for p in os.listdir(outdir)]
+
+    # create-once, parents before children, with resolved parent ids
+    assert created == [("a", None), ("a/b", "fid:a")]
+
+    rows = {r["key"]: r for b in sent for r in b}
+    assert rows["a/b/one.txt"]["parent_id"] == "fid:a/b"
+    assert rows["a/b/one.txt"]["file_name"] == "one.txt"
+    assert rows["a/b/one.txt"]["foreign_id"] == "a/b/one.txt"
+    assert rows["a/three.txt"]["parent_id"] == "fid:a"
+    assert rows["top.txt"]["parent_id"] is None
+    assert len(rows) == 4
+
+
 def test_push_in_batches(spark, tmp_path):
     from ftm_datalake_spark.pipelines.sync import push_in_batches
 
