@@ -62,6 +62,51 @@ def with_global_rank(
     return ranked, acc
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_end",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach an exact global running sum of ``value_col`` over the total
+    order ``order_cols`` — the same two-phase scheme as
+    :func:`with_global_rank` (range shuffle → per-partition window → P
+    driver-side partial-sum offsets), so no single-partition Exchange
+    appears in the plan. ``out_col`` is the INCLUSIVE running sum (the
+    value of the current row is included)."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in parted.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += sums.get(pid) or 0
+    off_expr = F.create_map(
+        *[x for pid in range(p) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return parted.withColumn(
+        out_col,
+        F.sum(F.col(value_col)).over(w).cast("long") + off_expr[F.col("__pid")],
+    ).drop("__pid")
+
+
 def ntile_by_rank(rank: F.Column, n_rows: int, n_buckets: int) -> F.Column:
     """SQL NTILE(n) bucket from an exact 1-based rank: the first
     ``n_rows % n_buckets`` buckets get ``ceil(n_rows / n_buckets)`` rows,

@@ -1,0 +1,233 @@
+"""Training-data pipeline operators beyond the reference surface:
+benchmark decontamination, quota/stratified sampling, sequence packing,
+PII redaction, incremental (new-vs-old) dedup, int8 embedding
+quantization.
+
+These are the passes a pretraining-corpus build runs after crawl +
+curation (the reference stops at analyzers, docs/rfc.md:131-140); each is
+expressed as built-in Column expressions over one scan so the shapes hold
+at 100 TB:
+
+- decontamination: the benchmark n-gram set is small by construction
+  (eval suites are MBs, not TBs) → broadcast hash join against the
+  exploded train postings; the train side never shuffles for the join,
+  only the per-doc count aggregation shuffles (keyed by doc_id, uniform).
+- quota sampling: one window per source partition — the only skew risk is
+  a mega-source, which AQE skew-split handles since rows within a source
+  are never needed on one task beyond the top-K prefix.
+- stratified sampling: pure projection + filter on an md5-derived bucket;
+  zero shuffle, deterministic across engines/runs (no RNG state).
+- sequence packing: the concat-and-chunk scheme (docs laid on one global
+  token stream, chunk = token index div B) — the global running sum uses
+  the two-phase range-partitioned cumsum (operators/rank.py), so there is
+  NO single-partition window at any scale.
+- PII redaction: regexp projections, zero shuffle.
+- incremental dedup: only NEW docs' MinHash signatures are computed;
+  matching is a band-bucket equi-join against the (stored) old signature
+  table — the 100 TB shape where re-signaturing the whole lake per
+  increment would be the naive quadratic-cost mistake.
+- int8 quantization: per-vector projection (abs-max scale), zero shuffle;
+  integer checksums keep the output exactly comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.dedup import lsh_bands, minhash_signatures, shingle_postings
+from ftm_datalake_spark.operators.rank import with_global_cumsum
+from ftm_datalake_spark.operators.textops import token_count
+
+# Word-level n-gram size for decontamination overlap (5-grams: the usual
+# 8-13-gram eval-overlap window scaled down to the test corpus' short docs).
+DECONTAM_NGRAM = 5
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_NGRAM,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Train docs sharing >= min_hits distinct word k-grams with the
+    benchmark corpus: (doc_id, n_hits). The benchmark gram set is
+    broadcast — the train postings are never shuffled for the join."""
+    train_grams = shingle_postings(train, text_col, id_col, k)
+    bench_grams = (
+        shingle_postings(benchmark, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))  # postings are distinct per doc
+        .where(F.col("n_hits") >= min_hits)
+    )
+
+
+def sample_per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    cap: int,
+) -> DataFrame:
+    """Keep at most `cap` rows per group, by the given total order — the
+    per-domain quota pass of a corpus build (caps crawl-heavy domains)."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+    )
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic engine-portable sampling bucket: first 8 hex chars of
+    md5(value) as an int, mod `buckets`. No RNG: re-runs and other engines
+    assign identical buckets, so samples are reproducible by construction."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, rates_pct: dict[str, int],
+    default_pct: int, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its hash bucket
+    falls under its stratum's percentage quota."""
+    rate = F.lit(default_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    bucket = hash_bucket(F.col(id_col))
+    return df.withColumn("bucket", bucket).where(F.col("bucket") < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end on
+    one global token stream (ordered by id) and the stream is cut every
+    `budget` tokens; a doc belongs to every chunk its token span overlaps
+    — (doc_id, n_tokens, chunk_id), one row per (doc, chunk).
+
+    This is the packing most pretraining loaders use (no padding waste,
+    docs may straddle chunk boundaries). The global token offsets come
+    from the two-phase cumsum, so the plan has no single-partition stage."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", out_col="cum_end")
+    first_chunk = F.expr(f"(cum_end - n_tokens) div {budget}")
+    last_chunk = F.expr(f"(cum_end - 1) div {budget}")
+    return (
+        cum.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails/phones with tagged placeholders and count the hits.
+    Pure regexp projection — the patterns are RE2-and-Java-safe so the
+    redaction is reproducible on any engine."""
+    text = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+            "n_phones": F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
+            out_col: F.regexp_replace(
+                F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            ),
+        }
+    )
+
+
+def incremental_dedup(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """New-vs-old MinHash-LSH dedup: (new_doc, dup_of) for every new doc
+    sharing >= 1 LSH band with an existing doc; dup_of is the minimum
+    matching old id (the canonical keeper).
+
+    Incremental shape: in production the old side is the *stored*
+    signature table — only the new increment is shingled and hashed, and
+    the match is a band-bucket equi-join, never a rescan of the lake."""
+    old_bands = lsh_bands(
+        minhash_signatures(
+            shingle_postings(old_docs, text_col, id_col, k), num_hashes
+        ),
+        num_hashes,
+        rows_per_band,
+    )
+    new_bands = lsh_bands(
+        minhash_signatures(
+            shingle_postings(new_docs, text_col, id_col, k), num_hashes
+        ),
+        num_hashes,
+        rows_per_band,
+    )
+    n = new_bands.alias("n")
+    o = old_bands.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc"))
+        .agg(F.min(F.col("o.doc_id")).alias("dup_of"))
+    )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Abs-max int8 quantization per vector, summarized with exact-integer
+    checksums: (vec_id, n_dims, scale, q_sum, q_min, q_max).
+
+    q_i = floor((x_i / scale) * 127 + 0.5) — explicit round-half-up so the
+    arithmetic is the same IEEE double sequence on every engine; integer
+    outputs (sum/min/max) are order-independent and exactly comparable.
+    Zero vectors quantize to all-zero (scale 0 guard)."""
+    emb = F.col(vec_col)
+    absmax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        emb,
+        lambda x: F.when(absmax == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((x.cast("double") / absmax) * 127 + 0.5).cast("long")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(emb).alias("n_dims"),
+        absmax.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )

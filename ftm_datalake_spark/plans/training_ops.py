@@ -1,0 +1,248 @@
+"""Training-corpus pipeline queries: decontamination, quota + stratified
+sampling, sequence packing, PII redaction, incremental dedup, int8
+embedding quantization — each oracle-paired.
+
+These extend the reference's analyzer/export surface (docs/rfc.md:131-140)
+with the passes a pretraining-data build runs between crawl and export.
+Benchmark split / PII synthesis / old-new split are expressed identically
+in both engines so the comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators import training as TR
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.plans.text_ops import _AUG_SQL, _BANDS_SQL, _SHINGLES_SQL, _augmented_docs
+from ftm_datalake_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: every 10th doc plays the eval set; train docs
+# sharing >= 1 distinct word 5-gram with it are flagged. The benchmark gram
+# set is broadcast (eval suites are MB-scale); only the per-doc hit count
+# shuffles.
+_GRAMS5_SQL = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 4),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4]
+           ))) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents)
+"""
+
+
+@register(
+    "decontaminate_benchmark",
+    oracle=f"""
+    WITH grams AS ({_GRAMS5_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 10 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM grams g JOIN bench USING (shingle)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("training", "dedup"),
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return TR.decontaminate(train, bench, k=5, min_hits=1).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "sample_per_source_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 15
+    ORDER BY source, rn
+    """,
+    tags=("training", "sampling"),
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    capped = TR.sample_per_group_cap(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], cap=15
+    )
+    return capped.select(
+        "doc_id", "source", "n_chars", F.col("rn").cast("long").alias("rn")
+    ).orderBy("source", "rn")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: downsample dominant 'en' to 10%, keep
+# half of 'de', a quarter of 'zh', all of the rest — the language-balance
+# pass of a corpus build, with md5 buckets instead of RNG so any engine
+# reproduces the exact sample.
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
+                             WHEN 'zh' THEN 25 ELSE 100 END
+    ORDER BY doc_id
+    """,
+    tags=("training", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return TR.stratified_sample(
+        docs, "lang", {"en": 10, "de": 50, "zh": 25}, default_pct=100
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_end
+      FROM t)
+    SELECT doc_id, n_tokens, CAST(u.chunk AS BIGINT) AS chunk_id
+    FROM c, UNNEST(range((cum_end - n_tokens) // 2048,
+                         (cum_end - 1) // 2048 + 1)) AS u(chunk)
+    WHERE n_tokens > 0
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("training",),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TR.pack_sequences(docs, budget=2048).orderBy("doc_id", "chunk_id")
+
+
+# --------------------------------------------------------------------------
+# PII redaction: the corpus has no natural PII, so each row synthesizes a
+# deterministic contact line (same expression in both engines) and the
+# redactor must scrub exactly it.
+_PII_RAW_SQL = """
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com or call +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+               AS text
+      FROM documents
+"""
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH raw AS ({_PII_RAW_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{{4}}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+             '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g') AS redacted
+    FROM raw ORDER BY doc_id
+    """,
+    tags=("training", "text"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return (
+        TR.redact_pii(raw)
+        .select("doc_id", "n_emails", "n_phones", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: the re-keyed copies (doc_id >= 1000000 in the
+# augmented corpus) play the NEW increment; originals are the stored lake.
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    {_BANDS_SQL}
+    SELECT n.doc_id AS new_doc, MIN(o.doc_id) AS dup_of
+    FROM bands n
+    JOIN bands o ON n.band_id = o.band_id AND n.band_val = o.band_val
+    WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000
+    GROUP BY n.doc_id
+    ORDER BY new_doc
+    """,
+    tags=("training", "dedup"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    old = aug.where(F.col("doc_id") < 1000000)
+    new = aug.where(F.col("doc_id") >= 1000000)
+    return TR.incremental_dedup(old, new).orderBy("new_doc")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, len(embedding) AS n_dims,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, n_dims, scale,
+             list_transform(embedding,
+               x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((CAST(x AS DOUBLE) / scale) * 127 + 0.5)
+                              AS BIGINT) END) AS qv
+      FROM s)
+    SELECT vec_id, CAST(n_dims AS INT) AS n_dims, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q ORDER BY vec_id
+    """,
+    tags=("training", "similarity"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return TR.quantize_embeddings_int8(emb).orderBy("vec_id")
