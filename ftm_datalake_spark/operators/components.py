@@ -70,8 +70,105 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """(node, component) via alternating large-star / small-star rounds —
+    the two-phase MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Each round halves long chains instead of advancing the min label one
+    hop, so convergence is O(log diameter) rounds vs O(diameter) for plain
+    min-label propagation — a 64-node chain converges in ~6 rounds instead
+    of 63. Every phase is one groupBy(node) + one equi-join, both keyed by
+    node id (AQE-skew-safe); per-round driver sync is a 2-value aggregate
+    (count + checksum) for the convergence test."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent and overflow-free (edge sets are
+        # distinct, so xor-cancellation of duplicates cannot occur)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
+        ).first()
+        return row["n"], row["chk"]
+
+    sig = _signature(e)
+    rounds = 0
+    for _ in range(max_iterations):
+        # Large-star: every node links its LARGER neighbors to the min of
+        # its neighborhood (incl. itself). Output edges stay (larger,
+        # smaller) by construction: w > u >= m.
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr_min = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            bidir.join(nbr_min, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mn"), F.col("u")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: every node links its smaller-or-equal neighborhood
+        # (and itself) to that neighborhood's min.
+        m2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .unionByName(m2.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.greatest(F.col("a"), F.col("b")).alias("u"),
+                F.least(F.col("a"), F.col("b")).alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        new_sig = _signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — raise max_iterations"
+        )
+    labels = nodes.join(e, nodes.node == e.u, "left").select(
+        "node", F.coalesce(F.col("v"), F.col("node")).alias("component")
+    )
+    return (labels, rounds) if return_rounds else labels
+
+
 def dedup_families(pairs: DataFrame) -> DataFrame:
-    """Candidate pairs → (doc_id, family) with min-id canonical labels."""
-    return connected_components(pairs).select(
+    """Candidate pairs → (doc_id, family) with min-id canonical labels.
+
+    Uses the large-star/small-star algorithm (log-round convergence); the
+    plain propagation variant stays available as `connected_components`."""
+    return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("family")
     )

@@ -158,11 +158,22 @@ def vectorized_topk(
     )
 
 
-def sign_lsh_bucket(q: Column, n_bits: int = 8) -> Column:
-    """Bucket key from the sign pattern of the leading quantized dims."""
+def sign_lsh_bucket(q: Column, n_bits: int = 8, stride: int = 1) -> Column:
+    """Bucket key from the sign pattern of `n_bits` quantized dims.
+
+    Sizing rule: pick n_bits ≈ log2(corpus_size / target_bucket_rows) —
+    2^8 buckets suit the test corpus (~500 vectors); a 1e9-vector corpus
+    wanting ~1e4-row buckets needs n_bits ≈ 17. `stride > 1` spreads the
+    sampled dims across the vector (dims i, i+stride, ...) so the bits
+    decorrelate when leading dimensions dominate (e.g. PCA-rotated
+    embeddings); the random-hyperplane generalization is the same
+    expression over pre-rotated vectors."""
+    idx = F.sequence(F.lit(0), F.lit((n_bits - 1) * stride), F.lit(stride))
+    # F.get is 0-based and NULL-safe out of bounds (ANSI-mode friendly for
+    # vectors shorter than the sampled index range; NULL folds to "0").
     bits = F.transform(
-        F.slice(q, 1, n_bits),
-        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        idx,
+        lambda i: F.when(F.get(q, i) >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
     return F.array_join(bits, "")
 

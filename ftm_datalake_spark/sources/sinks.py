@@ -111,11 +111,12 @@ def export_dataset_zip(dataset_dir: str, zip_path: str) -> str:
 
 
 def read_zip_store(spark: SparkSession, zip_path: str, staging_dir: str) -> DataFrame:
-    """S8: read a zipped dataset as a binaryFile DataFrame.
+    """S8: read a zipped dataset as a binaryFile DataFrame (staging
+    variant: driver-side extract, then a distributed binaryFile scan).
 
-    Spark has no zip-directory reader; extract to a staging dir (driver)
-    then scan distributed. For object-store scale, extraction would be a
-    foreachPartition job over the zip's central directory."""
+    Kept for compatibility with local workflows; the scale path is
+    :func:`read_zip_store_distributed`, which never materializes the
+    archive on the driver."""
     os.makedirs(staging_dir, exist_ok=True)
     with zipfile.ZipFile(zip_path) as zf:
         zf.extractall(staging_dir)
@@ -124,3 +125,66 @@ def read_zip_store(spark: SparkSession, zip_path: str, staging_dir: str) -> Data
         .option("recursiveFileLookup", "true")
         .load(staging_dir)
     )
+
+
+def read_zip_store_distributed(
+    spark: SparkSession, zip_path: str, num_partitions: int | None = None
+) -> DataFrame:
+    """S8 at scale: read a zip store as a binaryFile-shaped DataFrame
+    WITHOUT extracting on the driver (reference reads zip stores natively,
+    ftm_datalake/archive/base.py:25-29).
+
+    The driver reads only the zip *central directory* (entry names, sizes,
+    mtimes — metadata, a few bytes per member, no decompression); entry
+    names are parallelized and each task opens the archive itself and
+    decompresses just its own members. The archive must be task-readable
+    (shared FS locally; an object store via a mounted/ranged reader on a
+    real cluster) — the bytes of the members never pass through the
+    driver. Output schema matches `spark.read.format("binaryFile")`:
+    (path, modificationTime, length, content)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    with zipfile.ZipFile(zip_path) as zf:
+        entries = [
+            (i.filename, i.file_size, dt.datetime(*i.date_time))
+            for i in zf.infolist()
+            if not i.is_dir()
+        ]
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    meta = spark.createDataFrame(
+        entries, "name string, size long, mtime timestamp"
+    ).repartition(min(p, max(1, len(entries))), "name")
+
+    out_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def extract(batches):
+        # One archive handle per task, reused across Arrow batches: the
+        # central directory is parsed once, then each member is a ranged
+        # read + inflate of only that member.
+        with zipfile.ZipFile(zip_path) as zf:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": [f"zip://{zip_path}!/{n}" for n in pdf["name"]],
+                        "modificationTime": pdf["mtime"],
+                        "length": pdf["size"].astype("int64"),
+                        "content": [zf.read(n) for n in pdf["name"]],
+                    }
+                )
+
+    return meta.mapInPandas(extract, out_schema)

@@ -37,3 +37,60 @@ def test_components_long_chain_converges(spark):
     got = connected_components(edges, max_iterations=50).collect()
     assert {r["component"] for r in got} == {0}
     assert len(got) == n + 1
+
+
+def test_star_components_known_graph(spark):
+    from ftm_datalake_spark.operators.components import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_components_log_round_convergence(spark):
+    """A 64-node chain (diameter 64) converges in O(log n) rounds — the
+    property plain min-label propagation lacks (it needs ~63)."""
+    from ftm_datalake_spark.operators.components import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components_star(
+        edges, max_iterations=25, return_rounds=True
+    )
+    got = labels.collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 65
+    assert rounds <= 12, f"expected log-round convergence, took {rounds}"
+
+
+def test_star_components_matches_propagation_random(spark):
+    """Star and propagation algorithms agree on a seeded random graph."""
+    import random
+
+    from ftm_datalake_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    pairs = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iterations=60).collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert star == prop

@@ -98,3 +98,32 @@ def test_zip_export_roundtrip(spark, tmp_path):
     staged = read_zip_store(spark, zip_path, str(tmp_path / "staging"))
     assert staged.count() == 1
     assert staged.first()["path"].endswith("documents.csv")
+
+def test_zip_store_distributed_read(spark, tmp_path):
+    """Entry-parallel zip read: driver touches only the central directory;
+    every member's bytes and metadata match a direct zipfile read."""
+    import hashlib
+
+    from ftm_datalake_spark.sources.sinks import read_zip_store_distributed
+
+    zip_path = str(tmp_path / "blobs.zip")
+    blobs = {f"blob/{i:03d}.bin": bytes([i]) * (100 + i) for i in range(40)}
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in blobs.items():
+            zf.writestr(name, content)
+
+    df = read_zip_store_distributed(spark, zip_path, num_partitions=8)
+    assert df.schema.simpleString() == (
+        "struct<path:string,modificationTime:timestamp,length:bigint,content:binary>"
+    )
+    rows = df.collect()
+    assert len(rows) == 40
+    got = {r["path"].split("!/")[1]: bytes(r["content"]) for r in rows}
+    assert got == blobs
+    for r in rows:
+        assert r["length"] == len(blobs[r["path"].split("!/")[1]])
+        assert hashlib.sha1(bytes(r["content"])).hexdigest() == hashlib.sha1(
+            blobs[r["path"].split("!/")[1]]
+        ).hexdigest()
+    # the extraction really is distributed over >1 partition
+    assert df.rdd.getNumPartitions() == 8
