@@ -1,12 +1,15 @@
 """Multimodal column handling: images/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches via mapInPandas.
 
-The Spark-side plumbing (schemas, batch iteration, partition-size control)
-is real and tested; the actual media decode is STUBBED behind
-`NotImplementedError` / a deterministic fake, because media libraries are
-not available in this container. Swapping `_decode_image_stub` for a real
-PIL/ffmpeg call changes nothing structurally: same UDF signature, same
-batch shape, same output schema.
+Decode status (container has no PIL/opencv/ffmpeg — decoders below are
+pure numpy/struct implementations of the container formats themselves):
+- images: REAL decode for uncompressed formats — PPM (P6) and 24-bit BMP —
+  plus a real nearest-neighbor resize + PPM re-encode. Compressed formats
+  (JPEG/PNG) fall back to a clearly-marked deterministic stub; swapping in
+  PIL changes one function, nothing structural.
+- audio: REAL decode for WAV/RIFF PCM16 (rate, channels, duration, RMS).
+- video: honest stub (no container parser without ffmpeg); the frame-
+  sampling plumbing (stride selection, per-batch row explosion) is real.
 
 Scale notes:
 - mapInPandas streams Arrow record batches; `spark.sql.execution.arrow.
@@ -17,8 +20,10 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -41,6 +46,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|stub
     ]
 )
 
@@ -52,12 +58,102 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------- decoders
+def decode_ppm(content: bytes) -> np.ndarray | None:
+    """P6 (binary) PPM → HxWx3 uint8 array, or None if not P6."""
+    if not content or not content.startswith(b"P6"):
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(content):
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(content) and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        return None
+    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_bmp(content: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) → HxWx3 uint8 RGB."""
+    if not content or not content.startswith(b"BM") or len(content) < 54:
+        return None
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size = struct.unpack_from("<I", content, 14)[0]
+    if header_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_stride * h, offset=data_offset
+    ).reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 RGB → 24-bit bottom-up BMP."""
+    h, w, _ = pixels.shape
+    row_stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_stride), dtype=np.uint8)
+    raster[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+    body = raster.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
+    """Dispatch on magic bytes; None when no pure-python decoder applies."""
+    px = decode_ppm(content)
+    if px is not None:
+        return ("ppm", px)
+    px = decode_bmp(content)
+    if px is not None:
+        return ("bmp", px)
+    return None
+
 
 def _decode_image_stub(content: bytes) -> tuple[int, int, float]:
-    """STUB decode: deterministic fake dims/luma from the byte content.
-
-    Real implementation: PIL.Image.open(io.BytesIO(content)) — not
-    available in this container."""
+    """STUB for compressed formats (JPEG/PNG need PIL): deterministic fake
+    dims/luma from the byte content, so pipelines stay testable."""
     if content is None:
         return (0, 0, 0.0)
     n = len(content)
@@ -67,23 +163,80 @@ def _decode_image_stub(content: bytes) -> tuple[int, int, float]:
     return (width, height, luma)
 
 
+def mean_luma(pixels: np.ndarray) -> float:
+    """Rec.601 luma mean over the image, exact float64."""
+    px = pixels.astype(np.float64)
+    return float(
+        (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+    )
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (the half-pixel-center grid most
+    libraries use)."""
+    h, w, _ = pixels.shape
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return pixels[ys][:, xs]
+
+
+def decode_wav(content: bytes) -> tuple[int, int, np.ndarray] | None:
+    """WAV/RIFF PCM16 → (sample_rate, n_channels, samples int16 array)."""
+    if not content or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = None
+    samples = None
+    while i + 8 <= len(content):
+        chunk_id = content[i : i + 4]
+        size = struct.unpack_from("<I", content, i + 4)[0]
+        if chunk_id == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", content, i + 8)
+            bits = struct.unpack_from("<H", content, i + 22)[0]
+            if fmt != 1 or bits != 16:  # PCM16 only
+                return None
+        elif chunk_id == b"data":
+            samples = np.frombuffer(content, dtype="<i2", count=size // 2, offset=i + 8)
+        i += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        return None
+    return (rate, channels, samples)
+
+
+# ---------------------------------------------------------------- operators
 def image_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract images in Arrow batches (mapInPandas)."""
+    """Decode + feature-extract images in Arrow batches (mapInPandas).
+
+    PPM/BMP payloads get REAL dims + Rec.601 mean luma; other formats get
+    the deterministic stub (decoder column says which path ran)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                width, height, luma = _decode_image_stub(content)
-                rows.append(
-                    {
+                content = bytes(content) if content is not None else None
+                decoded = decode_image(content) if content else None
+                if decoded is not None:
+                    codec, px = decoded
+                    row = {
+                        "media_id": media_id,
+                        "n_bytes": len(content),
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                        "mean_luma": mean_luma(px),
+                        "decoder": codec,
+                    }
+                else:
+                    width, height, luma = _decode_image_stub(content)
+                    row = {
                         "media_id": media_id,
                         "n_bytes": len(content) if content is not None else 0,
                         "width": width,
                         "height": height,
                         "mean_luma": luma,
+                        "decoder": "stub",
                     }
-                )
+                rows.append(row)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
@@ -96,17 +249,97 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real implementation needs an image library."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv; not available in this container. "
-        "Plumbing: mapInPandas over (media_id, content) -> (media_id, content) "
-        "with MEDIA_SCHEMA output, identical to image_features."
+    """REAL resize for PPM/BMP payloads: decode → nearest-neighbor resample
+    → re-encode in the source codec. Undecodable payloads pass through
+    with meta.resized='false' (a real pipeline would route them to a
+    PIL-equipped stage); output schema is MEDIA_SCHEMA."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                decoded = decode_image(content) if content else None
+                if decoded is not None:
+                    codec, px = decoded
+                    out = resize_nearest(px, width, height)
+                    payload = encode_ppm(out) if codec == "ppm" else encode_bmp(out)
+                    meta = {
+                        "resized": "true",
+                        "codec": codec,
+                        "width": str(width),
+                        "height": str(height),
+                    }
+                else:
+                    payload, meta = content, {"resized": "false"}
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "modality": "image",
+                        "content": payload,
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return (
+        media.where(F.col("modality") == "image")
+        .select("media_id", "content")
+        .mapInPandas(resize, MEDIA_SCHEMA)
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV PCM16 decode: rate/channels/duration and exact RMS."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                decoded = decode_wav(content) if content else None
+                if decoded is None:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "rms": None,
+                        }
+                    )
+                    continue
+                rate, channels, samples = decoded
+                n_frames = len(samples) // max(1, channels)
+                rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean())) if len(samples) else 0.0
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": rate,
+                        "n_channels": channels,
+                        "n_samples": int(n_frames),
+                        "duration_ms": 1000.0 * n_frames / rate,
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        media.where(F.col("modality") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
     )
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
     """Frame-sample videos: deterministic fake frames (byte slices) with
-    real batch plumbing. Real implementation: ffmpeg/pyav per batch."""
+    real batch plumbing. Real implementation: ffmpeg/pyav per batch —
+    video containers have no pure-python decode path."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,12 +1,20 @@
-"""Multimodal plumbing tests: Arrow-batch UDF shapes over binary columns
-(decode itself is stubbed — see operators/multimodal.py)."""
+"""Multimodal tests: REAL pure-numpy decode for PPM/BMP images and WAV
+PCM16 audio (exact dims/luma/RMS), real nearest-neighbor resize, plus the
+Arrow-batch plumbing shapes; compressed formats fall back to the stub."""
 
 from __future__ import annotations
 
-import pytest
+import struct
+
+import numpy as np
 
 from ftm_datalake_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    audio_features,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
     image_features,
     pseudo_embed,
     resize_images,
@@ -14,23 +22,87 @@ from ftm_datalake_spark.operators.multimodal import (
 )
 
 
+def _gradient_pixels(h: int, w: int) -> np.ndarray:
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 5
+    px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 7
+    px[:, :, 2] = 9
+    return px
+
+
+def _wav_bytes(rate: int, samples: np.ndarray) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def _media(spark):
+    px = _gradient_pixels(12, 10)
+    wav = _wav_bytes(8000, np.array([0, 100, -100, 300], dtype=np.int16))
     rows = [
-        ("img1", "image", b"\x89PNG" + bytes(range(200)), {"src": "camera"}),
-        ("img2", "image", b"\xff\xd8\xff" + bytes(100), {}),
+        ("ppm1", "image", encode_ppm(px), {"src": "camera"}),
+        ("bmp1", "image", encode_bmp(px), {}),
+        ("png1", "image", b"\x89PNG" + bytes(range(200)), {}),
         ("vid1", "video", bytes(range(256)) * 4, {"fps": "30"}),
-        ("aud1", "audio", bytes(64), {}),
+        ("aud1", "audio", wav, {}),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_image_features_shapes(spark):
+def test_ppm_bmp_roundtrip():
+    px = _gradient_pixels(7, 5)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_image_features_real_decode(spark):
     feats = image_features(_media(spark))
     rows = {r["media_id"]: r for r in feats.collect()}
-    assert set(rows) == {"img1", "img2"}  # only images
-    assert rows["img1"]["n_bytes"] == 204
-    assert rows["img1"]["width"] >= 16 and rows["img1"]["height"] >= 16
-    assert isinstance(rows["img1"]["mean_luma"], float)
+    assert set(rows) == {"ppm1", "bmp1", "png1"}
+    px = _gradient_pixels(12, 10).astype(np.float64)
+    expect_luma = float(
+        (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+    )
+    for mid in ("ppm1", "bmp1"):
+        assert rows[mid]["width"] == 10 and rows[mid]["height"] == 12
+        assert abs(rows[mid]["mean_luma"] - expect_luma) < 1e-9
+    assert rows["ppm1"]["decoder"] == "ppm"
+    assert rows["bmp1"]["decoder"] == "bmp"
+    assert rows["png1"]["decoder"] == "stub"  # compressed → stub fallback
+
+
+def test_resize_real(spark):
+    out = {r["media_id"]: r for r in resize_images(_media(spark), 4, 6).collect()}
+    assert out["ppm1"]["meta"]["resized"] == "true"
+    resized = decode_ppm(bytes(out["ppm1"]["content"]))
+    assert resized.shape == (6, 4, 3)
+    # nearest-neighbor must only produce colors present in the source
+    src_colors = {tuple(c) for c in _gradient_pixels(12, 10).reshape(-1, 3)}
+    assert {tuple(c) for c in resized.reshape(-1, 3)} <= src_colors
+    bmp_resized = decode_bmp(bytes(out["bmp1"]["content"]))
+    assert bmp_resized.shape == (6, 4, 3)
+    assert out["png1"]["meta"]["resized"] == "false"  # passthrough
+
+
+def test_audio_features_real_decode(spark):
+    rows = {r["media_id"]: r for r in audio_features(_media(spark)).collect()}
+    assert set(rows) == {"aud1"}
+    r = rows["aud1"]
+    assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+    assert r["n_samples"] == 4
+    assert abs(r["duration_ms"] - 0.5) < 1e-12
+    expect_rms = float(np.sqrt(np.mean(np.array([0, 100, -100, 300]) ** 2)))
+    assert abs(r["rms"] - expect_rms) < 1e-9
 
 
 def test_frame_sampling(spark):
@@ -47,10 +119,5 @@ def test_pseudo_embed_deterministic(spark):
     emb1 = {r["media_id"]: r["embedding"] for r in pseudo_embed(_media(spark)).collect()}
     emb2 = {r["media_id"]: r["embedding"] for r in pseudo_embed(_media(spark)).collect()}
     assert emb1 == emb2
-    assert len(emb1["img1"]) == 8
-    assert all(-1.0 <= v <= 1.0 for v in emb1["img1"])
-
-
-def test_resize_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        resize_images(_media(spark), 64, 64)
+    assert len(emb1["ppm1"]) == 8
+    assert all(-1.0 <= v <= 1.0 for v in emb1["ppm1"])
