@@ -246,3 +246,167 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return TR.quantize_embeddings_int8(emb).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Repetition ratio: share of repeated word bigrams — the cheap generation-
+# loop / boilerplate detector quality filters use. Exact int/int double.
+@register(
+    "text_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1]) AS bigrams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents))
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+           CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+             / len(bigrams) AS rep_ratio
+    FROM g WHERE len(bigrams) > 0
+    ORDER BY doc_id
+    """,
+    tags=("training", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("t")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    g = toked.select("doc_id", bigrams.alias("bigrams"))
+    n = F.size(F.col("bigrams")).cast("long")
+    nd = F.size(F.array_distinct(F.col("bigrams"))).cast("long")
+    return (
+        g.where(F.size(F.col("bigrams")) > 0)
+        .select(
+            "doc_id",
+            n.alias("n_bigrams"),
+            nd.alias("n_distinct"),
+            ((n - nd).cast("double") / n).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token commonness: average document frequency of a doc's tokens — the
+# integer-exact stand-in for unigram-LM perplexity scoring (low avg_df =
+# rare vocabulary). The df table is vocabulary-sized → broadcast; the
+# token postings never shuffle for the join.
+@register(
+    "doc_commonness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(df.df) AS BIGINT) AS df_sum,
+           CAST(SUM(df.df) AS DOUBLE) / COUNT(*) AS avg_df
+    FROM tok JOIN df USING (token)
+    GROUP BY tok.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("training", "text"),
+)
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        tok.join(F.broadcast(df), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("df").cast("long").alias("df_sum"),
+            (F.sum("df").cast("double") / F.count("*")).alias("avg_df"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship v2: the full pretraining-corpus build as ONE declarative plan —
+# quality filter → exact dedup → benchmark decontamination → per-source
+# quota. Every stage is a projection, one uniform-key shuffle, or a
+# broadcast membership join; nothing holistic, nothing single-partition.
+@register(
+    "corpus_curation_v2",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, text, lang, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|in)\\b')) AS BIGINT) AS n_stop
+      FROM documents WHERE doc_id % 10 <> 0),
+    quality AS (
+      SELECT doc_id, text, lang, source, n_tokens
+      FROM feat
+      WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.30),
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rn
+      FROM quality),
+    grams AS ({_GRAMS5_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 10 = 0),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (shingle)
+      WHERE g.doc_id % 10 <> 0),
+    clean AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_tokens
+      FROM deduped d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+      WHERE d.dup_rn = 1 AND c.doc_id IS NULL),
+    capped AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM clean)
+    SELECT doc_id, lang, source, n_tokens
+    FROM capped WHERE rn <= 15
+    ORDER BY doc_id
+    """,
+    tags=("training", "flagship"),
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ftm_datalake_spark.operators.textops import STOPWORD_PATTERN, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+
+    text = F.col("text")
+    n_tokens = token_count(text).cast("long")
+    n_stop = F.regexp_count(text, F.lit(STOPWORD_PATTERN)).cast("long")
+    quality = (
+        train.select("doc_id", "text", "lang", "source", n_tokens.alias("n_tokens"),
+                     n_stop.alias("n_stop"))
+        .where(
+            (F.col("n_tokens") >= 20)
+            & ((F.col("n_stop").cast("double") / F.col("n_tokens")) < 0.30)
+        )
+    )
+    dup_w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = quality.withColumn("dup_rn", F.row_number().over(dup_w)).where(
+        F.col("dup_rn") == 1
+    )
+    contaminated = TR.decontaminate(
+        train.select("doc_id", "text"), bench, k=5, min_hits=1
+    ).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    capped = TR.sample_per_group_cap(
+        clean.select("doc_id", "lang", "source", "n_tokens"),
+        "source",
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        cap=15,
+    )
+    return capped.select("doc_id", "lang", "source", "n_tokens").orderBy("doc_id")
