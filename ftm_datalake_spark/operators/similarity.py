@@ -298,9 +298,13 @@ def ivf_centroids(
     return sums.select("cluster", centroid.alias("cq"), "n")
 
 
-def _assign_to_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector by integer-quantized cosine
-    (tie-break: lowest cluster id)."""
+def _assign_to_centroid(
+    vectors: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """`nprobe` nearest centroids per vector by integer-quantized cosine
+    (tie-break: lowest cluster id). nprobe=1 = hard assignment (corpus
+    side); nprobe>1 = multi-probe (query side) — recall recovery for
+    vectors near a Voronoi boundary."""
     cent = centroids.withColumn("cn", int_norm2(F.col("cq")))
     scored = vectors.crossJoin(F.broadcast(cent)).withColumn(
         "ccos",
@@ -309,7 +313,7 @@ def _assign_to_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cluster"))
     return (
         scored.withColumn("crn", F.row_number().over(w))
-        .where(F.col("crn") == 1)
+        .where(F.col("crn") <= nprobe)
         .drop("crn", "ccos", "cq", "cn")
     )
 
@@ -321,13 +325,16 @@ def ivf_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe: assign corpus + query to nearest centroid, search only
-    the query's inverted list (nprobe=1).
+    """IVF probe: assign corpus to its nearest centroid, queries to their
+    `nprobe` nearest, search only the probed inverted lists.
 
     At 100 TB the corpus assignment is a one-off write partitioned by
-    cluster; each query then scans a single partition — the same
-    partition-pruning story as the reference's dataset prefixes."""
+    cluster; each query then scans `nprobe` partitions — the same
+    partition-pruning story as the reference's dataset prefixes. Corpus
+    lists are disjoint (hard assignment), so multi-probe results need no
+    dedup: a (query, neighbor) pair can only arise from one list."""
     cents = ivf_centroids(embeddings, cluster_col, emb_col)
     corpus = _with_quantized(embeddings, emb_col).select(
         F.col(id_col).alias("vid"), "q", "norm2"
@@ -341,7 +348,7 @@ def ivf_topk(
     qs = _with_quantized(queries, emb_col).select(
         F.col(id_col).alias("vid"), "q", "norm2"
     )
-    qs_assigned = _assign_to_centroid(qs, cents).select(
+    qs_assigned = _assign_to_centroid(qs, cents, nprobe=nprobe).select(
         F.col("vid").alias("qid"),
         F.col("q").alias("qq"),
         F.col("norm2").alias("qn"),

@@ -84,3 +84,78 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
     ).orderBy("qid", "rank")
+
+
+@register(
+    "ann_ivf_topk_nprobe2",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM qv
+    ),
+    cent AS (
+      SELECT cluster, list(s ORDER BY i) AS cq FROM (
+        SELECT label AS cluster, g.i AS i,
+               CAST(round(CAST(SUM(q[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS s
+        FROM qv, generate_series(1, 64) g(i)
+        GROUP BY label, g.i
+      ) GROUP BY cluster
+    ),
+    cent_n AS (
+      SELECT cluster, cq,
+             CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
+      FROM cent
+    ),
+    assign AS (
+      SELECT vec_id, q, n2, cluster, rn FROM (
+        SELECT v.vec_id, v.q, v.n2, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(d.dot AS DOUBLE)
+                          / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
+                          c.cluster) AS rn
+        FROM norms v CROSS JOIN cent_n c, LATERAL (
+          SELECT CAST(SUM(v.q[i] * c.cq[i]) AS BIGINT) AS dot
+          FROM generate_series(1, 64) g(i)
+        ) d
+      )
+    ),
+    scored AS (
+      SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+             CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(qa.n2 AS DOUBLE) * CAST(ca.n2 AS DOUBLE)) AS cosine
+      FROM assign qa
+      JOIN assign ca ON qa.cluster = ca.cluster AND ca.vec_id <> qa.vec_id
+                    AND ca.rn = 1,
+      LATERAL (
+        SELECT CAST(SUM(qa.q[i] * ca.q[i]) AS BIGINT) AS dot
+        FROM generate_series(1, 64) g(i)
+      ) d
+      WHERE qa.vec_id < 10 AND qa.rn <= 2
+    ),
+    ranked AS (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    tags=("similarity",),
+)
+def ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: queries probe their 2 nearest inverted lists —
+    recall recovery for boundary vectors at the cost of one extra
+    list scan per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, queries, k=3, nprobe=2)
+    return out.select(
+        "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
+    ).orderBy("qid", "rank")
