@@ -410,3 +410,29 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap=15,
     )
     return capped.select("doc_id", "lang", "source", "n_tokens").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic "reservoir" sample: uniform K-of-N by global md5 order —
+# the reproducible replacement for RNG reservoir sampling. TakeOrdered
+# (top-k by hash) — no global sort materialization, identical sample on
+# any engine or cluster size.
+@register(
+    "sample_reservoir_k",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT 100
+    """,
+    tags=("training", "sampling"),
+)
+def sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )

@@ -188,3 +188,21 @@ def read_zip_store_distributed(
                 )
 
     return meta.mapInPandas(extract, out_schema)
+
+
+def compact_table(
+    df: DataFrame, out_dir: str, max_records_per_file: int, partitions: int
+) -> int:
+    """Small-file compaction for lake maintenance: rewrite a table with a
+    bounded file count AND a bounded per-file row count — the two knobs
+    that keep a 100 TB table's file census sane (too many small files =
+    driver/list pressure; too-large files = no scan parallelism).
+
+    Returns the number of parquet part-files written."""
+    (
+        df.repartition(partitions)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(out_dir)
+    )
+    return len(glob.glob(os.path.join(out_dir, "part-*.parquet")))

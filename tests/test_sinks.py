@@ -127,3 +127,18 @@ def test_zip_store_distributed_read(spark, tmp_path):
         ).hexdigest()
     # the extraction really is distributed over >1 partition
     assert df.rdd.getNumPartitions() == 8
+
+
+def test_compact_table_bounds_files_and_rows(spark, tmp_path):
+    from ftm_datalake_spark.sources.sinks import compact_table
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "compacted")
+    n_files = compact_table(df, out, max_records_per_file=2_000, partitions=2)
+    # 2 partitions x 5 row-capped splits each = <= 10, >= ceil(10000/2000)
+    assert 5 <= n_files <= 10
+    assert spark.read.parquet(out).count() == 10_000
+    import pyarrow.parquet as pq
+    import glob as g
+    for f in g.glob(out + "/part-*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 2_000
