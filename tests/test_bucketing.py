@@ -56,3 +56,63 @@ def test_bucketed_join_no_shuffle(smj_conf, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_stmts")
         spark.sql("DROP TABLE IF EXISTS b_ents")
+
+
+def test_zorder_key_interleave(spark):
+    from ftm_datalake_spark.operators.bucketing import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 5)], "a long, b long")
+    # a=0b011, b=0b101 -> interleave (b_i a_i): 1_0 0_1 1_1 -> 0b100111 = 39
+    got = df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).first()["z"]
+    assert got == 39
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files cover compact (a,b) rectangles: footer min/max
+    stats prune scans on EITHER dimension — a linear sort only prunes its
+    leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ftm_datalake_spark.operators.bucketing import write_zordered
+
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = str(tmp_path / "z")
+    write_zordered(df, out, "a", "b", num_files=16, bits=6)
+
+    def files_overlapping(col, lo, hi):
+        n = 0
+        for f in glob.glob(out + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            fmin = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                n += 1
+        return n
+
+    total = len(glob.glob(out + "/part-*.parquet"))
+    assert total >= 8
+    # a narrow predicate on each dimension touches a strict subset of files
+    assert files_overlapping("a", 0, 15) < total
+    assert files_overlapping("b", 0, 15) < total
+    assert spark.read.parquet(out).count() == 64 * 64
+
+
+def test_documents_orc_roundtrip(spark, tmp_path):
+    """Format breadth: the documents table round-trips through ORC with
+    schema and values intact (Spark-native columnar alternative)."""
+    from ftm_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
