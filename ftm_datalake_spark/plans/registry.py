@@ -58,6 +58,7 @@ def get_registry() -> dict[str, QuerySpec]:
         scale_ops,
         similarity_ops,
         text_ops,
+        tpch_ops,
         training_ops,
         window_ops,
     )
