@@ -1,0 +1,122 @@
+"""Entity-resolution registry queries: rare-token blocking, bounded
+candidate generation, and Jaccard-verified cross-source matches over the
+documents table (operators/blocking.py).
+
+Cross-engine determinism: tokenization is regexp_split on \\s+ with empty
+tokens dropped in both engines; the per-doc rare-token ranking orders by
+(document_frequency, token) which is a total order over a doc's distinct
+tokens; the match threshold is integer arithmetic; the jaccard double is
+exact IEEE division of integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.blocking import (
+    candidate_pairs,
+    distinct_token_postings,
+    entity_match,
+    rare_token_block_keys,
+)
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+# Shared oracle CTEs mirroring distinct_token_postings +
+# rare_token_block_keys (k=2) + the max-block-size purge.
+_ORACLE_BLOCK_CTES = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source, t.token
+      FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    ranked AS (
+      SELECT tok.doc_id, tok.source, tok.token,
+             ROW_NUMBER() OVER (
+               PARTITION BY tok.doc_id ORDER BY dfreq.df, tok.token) AS rn
+      FROM tok JOIN dfreq USING (token)
+    ),
+    blockkey AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             STRING_AGG(token, '|' ORDER BY rn) AS block_key
+      FROM ranked WHERE rn <= 2 GROUP BY doc_id
+    ),
+    okblocks AS (
+      SELECT block_key FROM blockkey GROUP BY block_key HAVING COUNT(*) <= 100
+    ),
+    b AS (SELECT blockkey.* FROM blockkey JOIN okblocks USING (block_key))
+"""
+
+
+@register(
+    "er_block_stats",
+    oracle=_ORACLE_BLOCK_CTES
+    + """
+    SELECT block_key, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM b GROUP BY block_key
+    ORDER BY n_docs DESC, block_key
+    """,
+    tags=("er", "blocking", "agg"),
+)
+def er_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving-block profile: size and source spread per block key."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = distinct_token_postings(docs)
+    keys = rare_token_block_keys(postings, k=2)
+    ok = (
+        keys.groupBy("block_key")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= 100)
+        .select("block_key")
+    )
+    return (
+        keys.join(ok, "block_key")
+        .groupBy("block_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy(F.col("n_docs").desc(), "block_key")
+    )
+
+
+@register(
+    "er_blocked_matches",
+    oracle=_ORACLE_BLOCK_CTES
+    + """,
+    cand AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.source AS source_a, b2.source AS source_b
+      FROM b a JOIN b b2 ON a.block_key = b2.block_key
+           AND a.doc_id < b2.doc_id AND a.source <> b2.source
+    ),
+    tsize AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, cand.source_a, cand.source_b,
+             COUNT(*) AS n_inter
+      FROM cand
+      JOIN tok ta ON ta.doc_id = cand.doc_a
+      JOIN tok tb ON tb.doc_id = cand.doc_b AND tb.token = ta.token
+      GROUP BY cand.doc_a, cand.doc_b, cand.source_a, cand.source_b
+    )
+    SELECT doc_a, doc_b, source_a, source_b, n_inter,
+           sa.n_tok + sb.n_tok - n_inter AS n_union,
+           CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jaccard
+    FROM inter
+    JOIN tsize sa ON sa.doc_id = doc_a
+    JOIN tsize sb ON sb.doc_id = doc_b
+    WHERE n_inter * 100 >= (sa.n_tok + sb.n_tok - n_inter) * 80
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("er", "blocking", "join"),
+)
+def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source matches: rare-token blocks → bounded candidates →
+    integer-exact Jaccard ≥ 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return entity_match(
+        docs, k=2, max_block_size=100, threshold_pct=80
+    ).orderBy("doc_a", "doc_b")
