@@ -231,3 +231,50 @@ def quantize_embeddings_int8(
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )
+
+
+def seeded_shuffle_key(seed: str, id_col: Column) -> Column:
+    """Engine-portable pseudo-random permutation key: md5(seed || '|' || id).
+
+    No RNG state: the permutation is a pure function of (seed, id), so it
+    is identical across runs, engines, and partitionings — unlike
+    F.rand(seed), whose output depends on row-to-partition placement."""
+    return F.md5(F.concat_ws("|", F.lit(seed), id_col.cast("string")))
+
+
+def seeded_shuffle(
+    df: DataFrame, seed: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic seeded global shuffle of a training corpus.
+
+    Sorting by the md5 key is Spark's range-partitioned global sort
+    (sampled boundaries, parallel per-range sorts — never one reducer);
+    md5 keys are uniform, so ranges are balanced by construction. One seed
+    per epoch gives independent reproducible permutations."""
+    return df.withColumn(
+        "shuffle_key", seeded_shuffle_key(seed, F.col(id_col))
+    ).orderBy("shuffle_key", id_col)
+
+
+def epoch_shards(
+    df: DataFrame, seed: str, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shard assignment + in-shard position for one training epoch.
+
+    shard = integer fold of the shuffle key's first 8 hex chars (uniform
+    over shards); pos = row_number within the shard ordered by the key.
+    The position window partitions by shard, so it parallelizes across
+    shards and each task holds corpus/n_shards rows — pick n_shards ≥
+    cluster parallelism at the target scale (a writer would
+    repartition("shard") on exactly the same column)."""
+    key = seeded_shuffle_key(seed, F.col(id_col))
+    shard = (
+        F.conv(F.substring(F.col("shuffle_key"), 1, 8), 16, 10).cast("long")
+        % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+    )

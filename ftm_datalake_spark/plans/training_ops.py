@@ -436,3 +436,35 @@ def sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Seeded epoch shuffle: the permutation is a pure function of (seed, id) —
+# identical across runs/engines/partitionings, one seed per epoch. The
+# in-shard position makes the *order* itself oracle-checkable (a plain
+# shuffled table would be canonicalized away by the row-sorting compare).
+@register(
+    "corpus_epoch_shards",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents),
+    s AS (
+      SELECT doc_id, shuffle_key,
+             CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % 8 AS shard
+      FROM k)
+    SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INTEGER)
+             AS pos
+    FROM s
+    ORDER BY shard, pos
+    """,
+    tags=("training", "shuffle"),
+)
+def corpus_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return TR.epoch_shards(docs, seed="epoch0", n_shards=8).select(
+        "doc_id", "shuffle_key", "shard", "pos"
+    ).orderBy("shard", "pos")
