@@ -1,0 +1,140 @@
+"""Event-sequence analytics over the events table: ordered-funnel
+conversion and weekly cohort retention.
+
+These extend the sessionization family (plans/reference_ops.py,
+streaming/stages.py) with the two other staple event-analytics shapes.
+Both are pure join+agg pipelines keyed by user_id — uniform keys, no
+window over anything larger than a user's history, so they scale
+linearly.
+
+Cross-engine determinism: step ordering uses strict ts comparisons on
+microsecond-truncated timestamps (identical in both engines per
+sources/tables.load_table); week arithmetic is date_trunc('week') (Monday
+start in both Spark and DuckDB) with day-difference // 7 — exact integers
+since both sides are week-aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _first_after(
+    events: DataFrame, prev: DataFrame, event_type: str, t_prev: str, t_out: str
+) -> DataFrame:
+    """First `event_type` per user strictly after that user's `t_prev`.
+
+    One equi-join on user_id (prev shrinks monotonically down the funnel)
+    + one hash-agg — never a per-user window over the full event stream.
+    """
+    return (
+        events.where(F.col("event_type") == event_type)
+        .join(prev, "user_id")
+        .where(F.col("ts") > F.col(t_prev))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias(t_out))
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'click' AND ts > t2 GROUP BY e.user_id),
+    s4 AS (
+      SELECT e.user_id, MIN(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t3 GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'signup' AS event_type, COUNT(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
+    ORDER BY step
+    """,
+    tags=("events", "funnel", "join"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching each step via strictly-increasing
+    first-occurrence timestamps (signup → view → click → purchase)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = _first_after(events, s1, "view", "t1", "t2")
+    s3 = _first_after(events, s2, "click", "t2", "t3")
+    s4 = _first_after(events, s3, "purchase", "t3", "t4")
+    parts = [
+        stage.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+        for i, (name, stage) in enumerate(zip(FUNNEL_STEPS, [s1, s2, s3, s4]))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("step")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first f USING (user_id))
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "cohort", "agg"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    per week-offset of later activity."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

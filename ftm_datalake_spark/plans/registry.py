@@ -52,6 +52,7 @@ def get_registry() -> dict[str, QuerySpec]:
         core,
         curation,
         er_ops,
+        events_ops,
         extra_ops,
         ivf_ops,
         parity_ops,
