@@ -143,3 +143,29 @@ def test_simhash_similarity_property(spark):
         return bin(a ^ b).count("1")
 
     assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+def test_dq_rule_summary_counts(spark):
+    from ftm_datalake_spark.operators.quality import (
+        dq_duplicate_key_count,
+        dq_orphan_count,
+        dq_rule_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -1), (3, 0), (3, 7)], "id long, v long"
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in dq_rule_summary(
+            df, {"v_positive": ~(F.col("v") > 0), "v_under_6": F.col("v") > 6}
+        ).collect()
+    }
+    assert got == {"v_positive": (4, 2), "v_under_6": (4, 1)}
+
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    orph = dq_orphan_count(df, "id", parent, "pid", "fk").collect()[0]
+    assert (orph.n_rows, orph.n_violations) == (4, 2)  # the two id=3 rows
+
+    dup = dq_duplicate_key_count(df, ["id"], "uniq").collect()[0]
+    assert (dup.n_rows, dup.n_violations) == (4, 1)
