@@ -136,3 +136,31 @@ def hourly_rollup_stream(
             "total_value",
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "view_ts",
+    right_ts: str = "click_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: right events joined to a
+    same-key left event they follow within `max_delay`.
+
+    Both sides carry a watermark and the join condition bounds right_ts
+    to [left_ts, left_ts + max_delay], so Spark can expire buffered state
+    once the watermark passes the bound — state is O(events within the
+    watermark horizon), not unbounded. This is the streaming twin of the
+    events_funnel step join (plans/events_ops.py)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.select(
+        F.col(key_col).alias("__rk"), F.col(right_ts)
+    ).withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{key_col} = __rk AND {right_ts} >= {left_ts} "
+        f"AND {right_ts} <= {left_ts} + interval {max_delay}"
+    )
+    return lw.join(rw, cond).select(key_col, left_ts, right_ts)

@@ -121,3 +121,64 @@ def test_task_ledger_pending_work(spark, tmp_path):
     ledger = read_ledger(spark, ledger_path)
     pend = pending_work(incoming, ledger)
     assert pend.count() == 1
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (view→click within 10 min per user)
+    drains to exactly the batch join's row multiset."""
+    from ftm_datalake_spark.sources.tables import load_table
+    from ftm_datalake_spark.streaming.stages import interval_join_stream
+
+    events = load_table(spark, sf_dir, "events")
+    stage = str(tmp_path / "ev_json")
+    # default JSON timestampFormat is millisecond-precision; keep micros
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    events.select("user_id", "ts", "event_type").coalesce(1).write.option(
+        "timestampFormat", ts_fmt
+    ).json(stage)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("timestampFormat", ts_fmt)
+        .json(stage)
+    )
+    views = src.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    clicks = src.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = interval_join_stream(views, clicks)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ij_test")
+
+    b_views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    b_clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    expected = b_views.join(
+        b_clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("interval 10 minutes")),
+    ).select("user_id", "view_ts", "click_ts")
+
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
