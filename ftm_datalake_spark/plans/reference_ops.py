@@ -465,3 +465,85 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest (A6 + I2 composed): the first half of the event
+# stream is aggregated to entities, then the second half is merged in as
+# a statement increment via merge_entity_increment — old statements are
+# NEVER rescanned. The oracle aggregates everything in one pass, so a
+# green row proves merge(aggregate(A), B) == aggregate(A ∪ B) on real
+# data, not just the property test's synthetic rows.
+@register(
+    "statement_incremental_merge",
+    oracle="""
+    WITH s AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS canonical_id,
+             event_type AS prop,
+             CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+             'src' || CAST(user_id % 3 AS VARCHAR) AS dataset
+      FROM events
+    ),
+    per_prop AS (
+      SELECT canonical_id, prop,
+             array_to_string(list_sort(list(DISTINCT value)), ',') AS vals
+      FROM s GROUP BY canonical_id, prop
+    ),
+    props AS (
+      SELECT canonical_id,
+             array_to_string(list_sort(list(prop || '=' || vals)), '|')
+               AS properties,
+             COUNT(*) AS n_props
+      FROM per_prop GROUP BY canonical_id
+    ),
+    ds AS (
+      SELECT canonical_id,
+             array_to_string(list_sort(list(DISTINCT dataset)), ',') AS datasets
+      FROM s GROUP BY canonical_id
+    )
+    SELECT canonical_id AS id, properties, n_props, datasets
+    FROM props JOIN ds USING (canonical_id)
+    ORDER BY id
+    """,
+    tags=("agg", "reference", "incremental"),
+)
+def statement_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.statements import (
+        aggregate_statements,
+        merge_entity_increment,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+
+    def stmts(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "canonical_id"
+            ),
+            F.col("event_type").alias("prop"),
+            F.col("value").cast("decimal(18,2)").cast("string").alias("value"),
+            F.concat(F.lit("src"), (F.col("user_id") % 3).cast("string")).alias(
+                "dataset"
+            ),
+            F.lit("Event").alias("schema"),
+        )
+
+    old = aggregate_statements(stmts(events.where(F.col("event_id") % 2 == 0)))
+    merged = merge_entity_increment(
+        old, stmts(events.where(F.col("event_id") % 2 == 1))
+    )
+    props_str = F.array_join(
+        F.transform(
+            F.sort_array(F.map_entries(F.col("properties"))),
+            lambda e: F.concat(
+                e["key"], F.lit("="), F.array_join(e["value"], ",")
+            ),
+        ),
+        "|",
+    )
+    return merged.select(
+        "id",
+        props_str.alias("properties"),
+        F.size("properties").cast("long").alias("n_props"),
+        F.array_join("datasets", ",").alias("datasets"),
+    ).orderBy("id")

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 KEYS = ["a", "b", "c"]
@@ -106,3 +107,58 @@ def test_statement_aggregation_matches_model(rows, partitions):
         for r in aggregate_statements(df).collect()
     }
     assert got == _expected_entities(rows)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(stmt_strategy, min_size=1, max_size=40),
+    st.integers(0, 40),
+)
+def test_incremental_merge_equals_full_aggregation(rows, split_at):
+    """merge(aggregate(A), B) == aggregate(A ∪ B): the incremental path
+    must be indistinguishable from a full re-aggregation."""
+    from pyspark.sql import SparkSession
+
+    from ftm_datalake_spark.operators.statements import (
+        aggregate_statements,
+        merge_entity_increment,
+    )
+
+    spark = SparkSession.getActiveSession()
+
+    def mk(rs, offset):
+        return spark.createDataFrame(
+            [
+                (f"s{offset + i}", cid, cid, "Thing", prop, value, ds,
+                 "ingest", None, None)
+                for i, (cid, prop, value, ds) in enumerate(rs)
+            ],
+            "id string, canonical_id string, entity_id string, schema string, "
+            "prop string, value string, dataset string, origin string, "
+            "first_seen timestamp, last_seen timestamp",
+        )
+
+    k = min(split_at, len(rows))
+    old, new = rows[:k], rows[k:]
+    full = aggregate_statements(mk(rows, 0))
+    if not old:
+        merged = aggregate_statements(mk(new, 0))
+    elif not new:
+        merged = aggregate_statements(mk(old, 0))
+    else:
+        merged = merge_entity_increment(
+            aggregate_statements(mk(old, 0)), mk(new, 1000)
+        )
+
+    def canon(df):
+        return {
+            r["id"]: (
+                r["schema"],
+                {p: list(v) for p, v in sorted(r["properties"].items())},
+                list(r["datasets"]),
+            )
+            for r in df.collect()
+        }
+
+    assert canon(merged) == canon(full)
