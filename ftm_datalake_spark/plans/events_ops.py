@@ -138,3 +138,76 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hour_value
+      FROM events GROUP BY user_id, hour
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, u.h AS hour
+      FROM bounds, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS u(h)
+    )
+    SELECT g.user_id, g.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           LAST_VALUE(h.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    ORDER BY g.user_id, g.hour
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid per user (sequence +
+    explode, bounded by each user's observed span) left-joined to the
+    hourly rollup, gaps forward-filled with last-non-null. The fill
+    window partitions by user — state bounded by one user's span; the
+    grid explode is data-proportional (spans × users), never a global
+    cross product."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+            "hour_value"
+        ),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "hour")
+    )
