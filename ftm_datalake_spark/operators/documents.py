@@ -110,3 +110,46 @@ def reconcile(
         .otherwise(F.lit("ok"))
         .alias("action"),
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a sequenced change feed (op ∈ I/U/D) onto a snapshot — the
+    lakehouse MERGE pattern, generalized from merge_documents (J1-J3).
+
+    Per key only the highest-seq change matters: one window over the
+    (small) change feed, never over the snapshot. The snapshot side then
+    full-outer joins the winning changes on the key — a single shuffle of
+    each side keyed by the (uniform) key. D drops the row; I/U replace
+    it; unchanged snapshot rows pass through. Deterministic given unique
+    seq per key (enforce upstream; ties broken by op desc for stability).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+    data_cols = [c for c in snapshot.columns if c not in key_cols]
+    s = snapshot.alias("s")
+    c = latest.alias("c")
+    joined = s.join(c, key_cols, "full_outer")
+    kept = joined.where(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    )
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(
+                F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{col}")
+            ).otherwise(F.col(f"s.{col}")).alias(col)
+            for col in data_cols
+        ],
+    )

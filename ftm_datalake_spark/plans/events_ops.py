@@ -211,3 +211,39 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "sequence", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts of consecutive event-type
+    bigrams per user (lead window bounded by one user's history)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_type", "to_type")
+    )

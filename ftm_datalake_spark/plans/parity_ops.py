@@ -195,3 +195,76 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply (operators/documents.apply_cdc): a deterministic synthetic
+# change feed over the documents snapshot — deletes (doc_id%10=0), two
+# conflicting updates where the higher seq must win (doc_id%10=1), and
+# inserts of brand-new keys (doc_id%10=2, shifted by 1e6). The oracle
+# replays the same feed in SQL.
+@register(
+    "cdc_apply_documents",
+    oracle="""
+    WITH snap AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    changes AS (
+      SELECT doc_id, 1 AS seq, 'D' AS op,
+             lang AS c_lang, source AS c_source, n_chars AS c_n_chars
+      FROM snap WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, 1, 'U', 'yy', source, n_chars
+      FROM snap WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id, 2, 'U', 'xx', source, n_chars
+      FROM snap WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, 1, 'I', 'new', 'srcX', CAST(0 AS BIGINT)
+      FROM snap WHERE doc_id % 10 = 2
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn
+        FROM changes) WHERE rn = 1
+    )
+    SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
+           CASE WHEN l.op IS NOT NULL THEN l.c_lang ELSE s.lang END AS lang,
+           CASE WHEN l.op IS NOT NULL THEN l.c_source ELSE s.source END
+             AS source,
+           CASE WHEN l.op IS NOT NULL THEN l.c_n_chars ELSE s.n_chars END
+             AS n_chars
+    FROM snap s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY doc_id
+    """,
+    tags=("cdc", "merge", "reference"),
+)
+def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.documents import apply_cdc
+
+    snap = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    m = F.col("doc_id") % 10
+    deletes = snap.where(m == 0).select(
+        "doc_id", F.lit(1).alias("seq"), F.lit("D").alias("op"),
+        "lang", "source", "n_chars",
+    )
+    upd_lo = snap.where(m == 1).select(
+        "doc_id", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.lit("yy").alias("lang"), "source", "n_chars",
+    )
+    upd_hi = snap.where(m == 1).select(
+        "doc_id", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.lit("xx").alias("lang"), "source", "n_chars",
+    )
+    inserts = snap.where(m == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.lit("new").alias("lang"), F.lit("srcX").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    changes = deletes.unionByName(upd_lo).unionByName(upd_hi).unionByName(
+        inserts
+    )
+    return apply_cdc(snap, changes, ["doc_id"]).orderBy("doc_id")
