@@ -111,7 +111,8 @@ def er_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_inter * 100 >= (sa.n_tok + sb.n_tok - n_inter) * 80
     ORDER BY doc_a, doc_b
     """,
-    tags=("er", "blocking", "join"),
+    tags=("er", "blocking", "join", "bench"),
+    bench=True,
 )
 def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source matches: rare-token blocks → bounded candidates →

@@ -373,7 +373,8 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM capped WHERE rn <= 15
     ORDER BY doc_id
     """,
-    tags=("training", "flagship"),
+    tags=("training", "flagship", "bench"),
+    bench=True,
 )
 def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
