@@ -1,0 +1,62 @@
+"""Fixed-iteration PageRank in integer fixed-point arithmetic.
+
+Iterative-algorithm family member next to connected components
+(operators/components.py). The usual obstacle to cross-engine
+verification of PageRank is float summation order; here ranks live in
+BIGINT fixed-point (SCALE = 1e9) and every step is integer arithmetic —
+floor division for contributions and damping — so K iterations produce
+bit-identical ranks on any engine and any partitioning, and the DuckDB
+oracle can replay the exact recurrence:
+
+    base        = (SCALE * 15 // 100) // N
+    contrib(u)  = pr_k(u) // outdeg(u)
+    pr_{k+1}(v) = base + (85 * sum_{(u,v) in E} contrib(u)) // 100
+
+Scale shape per iteration: edges ⋈ ranks on src (shuffle keyed by node,
+uniform), hash-agg on dst — the canonical distributed PageRank step. The
+driver loop is K fixed Spark jobs; at real scale persist ranks each
+round and localCheckpoint every few rounds to truncate lineage (same
+policy as components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """PageRank over directed edges (src, dst) for `iterations` rounds.
+
+    Every node must have outdegree ≥ 1 (feed a symmetrized edge set for
+    graphs with sinks — dangling-mass redistribution is deliberately out
+    of scope to keep the recurrence engine-exact).
+    Returns (node, pr) with pr in SCALE fixed-point.
+    """
+    edges = edges.select("src", "dst").distinct().persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    base = (SCALE * 15 // 100) // n
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                "dst", F.expr("pr div outdeg").cast("long").alias("contrib")
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr("85 * sum(contrib) div 100").cast("long")
+                ).alias("pr")
+            )
+        )
+    return ranks

@@ -55,6 +55,7 @@ def get_registry() -> dict[str, QuerySpec]:
         er_ops,
         events_ops,
         extra_ops,
+        graph_ops,
         ivf_ops,
         parity_ops,
         reference_ops,

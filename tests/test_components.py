@@ -94,3 +94,31 @@ def test_star_components_matches_propagation_random(spark):
         for r in connected_components_star(edges).collect()
     }
     assert star == prop
+
+
+def test_pagerank_fixed_symmetry_and_centrality(spark):
+    from ftm_datalake_spark.operators.pagerank import SCALE, pagerank_fixed
+
+    # symmetric pair: identical ranks by symmetry
+    pair = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: r.pr for r in pagerank_fixed(pair, 5).collect()}
+    assert got["a"] == got["b"] > 0
+
+    # symmetrized star: the hub out-ranks every leaf
+    leaves = [f"l{i}" for i in range(4)]
+    star = spark.createDataFrame(
+        [("hub", l) for l in leaves] + [(l, "hub") for l in leaves],
+        "src string, dst string",
+    )
+    ranks = {r.node: r.pr for r in pagerank_fixed(star, 5).collect()}
+    assert all(ranks["hub"] > ranks[l] for l in leaves)
+    # ranks stay in sane fixed-point range (positive, below total mass)
+    assert all(0 < v < SCALE for v in ranks.values())
+
+    # determinism under repartitioning
+    ranks2 = {
+        r.node: r.pr for r in pagerank_fixed(star.repartition(5), 5).collect()
+    }
+    assert ranks == ranks2
