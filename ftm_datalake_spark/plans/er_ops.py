@@ -121,3 +121,50 @@ def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_match(
         docs, k=2, max_block_size=100, threshold_pct=80
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "er_fuzzy_part_names",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_name <> b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+    tags=("er", "fuzzy", "join"),
+)
+def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification within brand blocks: candidate pairs
+    come from the brand equi-join (bounded block size), the quadratic
+    levenshtein only runs inside a block — the same block→verify shape
+    as er_blocked_matches, with an integer-exact distance metric."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a = part.select(
+        F.col("p_brand").alias("b"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("b"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "b")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+        )
+        .where(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("key_a", "key_b")
+    )
