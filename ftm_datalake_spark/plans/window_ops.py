@@ -361,3 +361,51 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Range-interval rolling window: 7-day rolling revenue per order
+# priority. The window input is the per-(priority, day) daily rollup —
+# already aggregated small — and partitions by priority, so no global
+# single-partition window at any scale. RANGE frames are in days
+# (date-ordinal) to keep frame boundaries integer-exact in both engines.
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS day_rev
+      FROM orders GROUP BY priority, day
+    )
+    SELECT priority, day,
+           CAST(day_rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(day_rev) OVER (
+             PARTITION BY priority
+             ORDER BY CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_7d
+    FROM daily
+    ORDER BY priority, day
+    """,
+    tags=("window", "timeseries"),
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("day_rev"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(
+            F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
+        )
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "day",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("rolling_7d"),
+    ).orderBy("priority", "day")
