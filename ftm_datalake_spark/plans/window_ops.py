@@ -409,3 +409,49 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_rev").cast("double").alias("day_revenue"),
         F.sum("day_rev").over(w).cast("double").alias("rolling_7d"),
     ).orderBy("priority", "day")
+
+
+# --------------------------------------------------------------------------
+# Skew-resilient aggregation under driver verification: events has only 5
+# event types, so a plain groupBy funnels everything through 5 reducers;
+# salted_agg (operators/skew.py) spreads each hot key over 16 salt
+# buckets and merges the partials. The oracle is the PLAIN group-by —
+# a green row proves the salted two-phase plan is semantically invisible.
+@register(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(14,2)")
+    )
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n": ("event_id", "count"),
+            "total_value_dec": ("value_dec", "sum"),
+            "min_event": ("event_id", "min"),
+            "max_event": ("event_id", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "min_event",
+        "max_event",
+    ).orderBy("event_type")
