@@ -1,0 +1,43 @@
+"""Physical-plan regression tests: lock in the scale claims made in
+ARCHITECTURE.md's plan audit for the round-2 operator families."""
+
+from __future__ import annotations
+
+import pytest
+
+PLAN_QUERIES = [
+    "er_blocked_matches",
+    "er_fuzzy_part_names",
+    "cdc_apply_documents",
+    "corpus_epoch_shards",
+    "events_gapfill_hourly",
+    "pagerank_trade_graph",
+    "salted_hot_key_agg",
+    "rolling_7day_revenue",
+]
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    from ftm_datalake_spark.plans import REGISTRY
+
+    df = REGISTRY[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", PLAN_QUERIES)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_matches_no_nested_loop(spark, sf_dir):
+    # the ER pipeline must never degrade to a nested-loop join: all
+    # joins are equi-joins on block/doc/token keys
+    plan = _plan(spark, sf_dir, "er_blocked_matches")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epoch_shards_no_single_partition_exchange(spark, sf_dir):
+    # the shard-position window partitions by shard, never globally
+    plan = _plan(spark, sf_dir, "corpus_epoch_shards")
+    assert "Exchange SinglePartition" not in plan
