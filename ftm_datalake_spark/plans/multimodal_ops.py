@@ -115,3 +115,84 @@ def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
         "decoder",
     ).orderBy("media_id")
+
+
+def _le16(x) -> F.Column:
+    h = F.lpad(F.hex(x), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def _le32(x) -> F.Column:
+    h = F.lpad(F.hex(x), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 4 AS n,
+             8000 + (doc_id % 4) * 1000 AS rate,
+             CAST(doc_id % 1000 AS DOUBLE) AS v
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           1 AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(ROUND((1000.0 * n / rate) * 1000) AS BIGINT) AS duration_us,
+           CAST(ROUND(v * 1000) AS BIGINT) AS rms_x1000
+    FROM d
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV PCM16 decode under driver verification: each row synthesizes
+    a minimal mono RIFF/WAVE payload in-engine (little-endian fields via
+    byte-swapped hex, constant int16 samples), so rate/frames/duration
+    come back through the real decoder and RMS of |v|-constant samples
+    is exactly v (n·v² ≤ 8e6 < 2⁵³: all sums exact, sqrt of a perfect
+    square is correctly rounded)."""
+    from ftm_datalake_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = (F.lit(4) + F.col("doc_id") % 4).cast("int")
+    rate = (F.lit(8000) + (F.col("doc_id") % 4) * 1000).cast("int")
+    v = (F.col("doc_id") % 1000).cast("int")
+    hex_payload = F.concat(
+        F.lit("52494646"),               # "RIFF"
+        _le32(F.lit(36) + n * 2),        # riff size
+        F.lit("57415645"),               # "WAVE"
+        F.lit("666d7420"),               # "fmt "
+        _le32(F.lit(16)),                # fmt chunk size
+        _le16(F.lit(1)),                 # PCM
+        _le16(F.lit(1)),                 # mono
+        _le32(rate),
+        _le32(rate * 2),                 # byte rate
+        _le16(F.lit(2)),                 # block align
+        _le16(F.lit(16)),                # bits/sample
+        F.lit("64617461"),               # "data"
+        _le32(n * 2),                    # data size
+        F.repeat(_le16(v), n),           # constant samples
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(hex_payload).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round(F.col("duration_ms") * 1000).cast("long").alias("duration_us"),
+        F.round(F.col("rms") * 1000).cast("long").alias("rms_x1000"),
+    ).orderBy("media_id")
