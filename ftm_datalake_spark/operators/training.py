@@ -278,3 +278,18 @@ def epoch_shards(
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def importance_sample(
+    df: DataFrame, rate_pct: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted (importance) sampling without RNG state: keep a row iff
+    its md5 hash bucket falls under the row's own acceptance percentage
+    (a Column, e.g. derived from a quality score). Pure projection +
+    filter — zero shuffle, reproducible on any engine/partitioning, and
+    upweights exactly the rows the rate expression favors."""
+    return (
+        df.withColumn("rate_pct", rate_pct.cast("long"))
+        .withColumn("bucket", hash_bucket(F.col(id_col)))
+        .where(F.col("bucket") < F.col("rate_pct"))
+    )

@@ -196,3 +196,72 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("duration_ms") * 1000).cast("long").alias("duration_us"),
         F.round(F.col("rms") * 1000).cast("long").alias("rms_x1000"),
     ).orderBy("media_id")
+
+
+@register(
+    "multimodal_bmp_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS w,
+             2 + doc_id % 2 AS h,
+             CAST(doc_id % 256 AS DOUBLE) AS v
+      FROM documents),
+    s AS (SELECT *, ((w * 3 + 3) // 4) * 4 AS stride FROM d)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(54 + stride * h AS BIGINT) AS n_bytes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ROUND((0.299 * v + 0.587 * v + 0.114 * v) * 1000)
+                AS BIGINT) AS luma_x1000,
+           'bmp' AS decoder
+    FROM s
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit BMP decode under driver verification: in-engine synthesized
+    BITMAPINFOHEADER payloads with 4-byte row padding (w ∈ 2..4 hits pad
+    widths 2, 3, and 0), constant BGR pixels so the channel flip and
+    bottom-up flip are luma-invariant and the oracle stays pure SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    h = (F.lit(2) + F.col("doc_id") % 2).cast("int")
+    v = (F.col("doc_id") % 256).cast("int")
+    stride = ((w * 3 + F.lit(3)) / 4).cast("int") * 4
+    pad = stride - w * 3
+    row_hex = F.concat(
+        F.repeat(F.lpad(F.hex(v), 2, "0"), w * 3), F.repeat(F.lit("00"), pad)
+    )
+    hex_payload = F.concat(
+        F.lit("424d"),                   # "BM"
+        _le32(F.lit(54) + stride * h),   # file size
+        _le32(F.lit(0)),                 # reserved
+        _le32(F.lit(54)),                # data offset
+        _le32(F.lit(40)),                # BITMAPINFOHEADER size
+        _le32(w),
+        _le32(h),                        # positive: bottom-up
+        _le16(F.lit(1)),                 # planes
+        _le16(F.lit(24)),                # bpp
+        _le32(F.lit(0)),                 # BI_RGB
+        _le32(stride * h),               # image size
+        _le32(F.lit(0)), _le32(F.lit(0)),  # resolutions
+        _le32(F.lit(0)), _le32(F.lit(0)),  # palette counts
+        F.repeat(row_hex, h),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(hex_payload).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+        "decoder",
+    ).orderBy("media_id")

@@ -469,3 +469,34 @@ def corpus_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.epoch_shards(docs, seed="epoch0", n_shards=8).select(
         "doc_id", "shuffle_key", "shard", "pos"
     ).orderBy("shard", "pos")
+
+
+# --------------------------------------------------------------------------
+# Importance sampling: acceptance rate proportional to document length
+# (a stand-in for any quality score) — longer docs are kept more often,
+# deterministically, with no RNG state anywhere.
+@register(
+    "sample_importance_weighted",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             LEAST(100, GREATEST(1, n_chars // 5)) AS rate_pct,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, n_chars, rate_pct, bucket
+    FROM r WHERE bucket < rate_pct
+    ORDER BY doc_id
+    """,
+    tags=("training", "sampling"),
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    rate = F.least(
+        F.lit(100), F.greatest(F.lit(1), (F.col("n_chars") / 5).cast("long"))
+    )
+    return TR.importance_sample(docs, rate).select(
+        "doc_id", "lang", "n_chars", "rate_pct", "bucket"
+    ).orderBy("doc_id")
