@@ -1,0 +1,128 @@
+"""Deterministic distributed k-means (Lloyd) over embedding columns.
+
+Part of the LLM-pipeline extension surface (the reference engine has no
+clustering operator; this complements the ANN family in
+operators/similarity.py and underpins SemDeDup-style semantic
+deduplication: cluster first, then near-dup only within clusters).
+
+Scale design:
+- Per-iteration *assignment* is a zero-shuffle map: the k centroids are
+  collected to the driver (k rows — bounded, the classic MLlib
+  broadcast pattern) and inlined as a literal array expression, so the
+  corpus is scanned once per iteration with no join.
+- The only shuffle per iteration is ONE k-group aggregation of
+  per-dimension integer sums (map-side partial aggregation applies:
+  each task emits at most k rows).
+- At 100 TB the cost is iters × (scan + k-row shuffle) — the optimal
+  shape for Lloyd's algorithm on a cluster.
+
+Cross-engine determinism (so a SQL oracle reproduces bit-for-bit):
+- embeddings quantized to BIGINT (round(x*1000), see
+  operators/similarity.py);
+- distances are exact integer sums of squared differences;
+- argmin tie-breaks to the smallest cluster id (struct ordering);
+- centroid update is exact integer floor-division
+  (sum - pmod(sum, cnt)) / cnt — no float rounding anywhere;
+- seeding picks the k vectors with the smallest
+  (md5(CAST(id AS STRING)), id) — reproducible in any engine with md5,
+  independent of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.similarity import quantize
+
+
+def _assign(q_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Add a `cluster` column: nearest centroid by exact integer L2^2.
+
+    Centroids are inlined as a literal array-of-structs; `array_min`
+    over struct(dist, cluster) gives (min dist, then min cluster id).
+    Zero shuffle.
+    """
+    cent = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("cv"),
+                F.lit(cid).cast("long").alias("cluster"),
+            )
+            for cid, vec in enumerate(centroids)
+        ]
+    )
+    dist = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("q"), s["cv"], lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = F.transform(
+        cent, lambda s: F.struct(dist(s).alias("dist"), s["cluster"].alias("cluster"))
+    )
+    return q_df.withColumn("cluster", F.array_min(scored)["cluster"])
+
+
+def _floordiv(s: int, c: int) -> int:
+    # Python // IS floor division — spelled out to mirror the oracle's
+    # (s - ((s % c + c) % c)) / c integer identity.
+    return s // c
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd k-means; returns (assignments, final centroids).
+
+    Assignments: (vec_id, q, cluster) using the centroids AFTER `iters`
+    updates. Driver-side state is exactly k vectors per iteration.
+    """
+    q_df = emb.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
+    )
+    seeds = (
+        q_df.withColumn("__ord", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__ord", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["q"]) for r in seeds]
+
+    for _ in range(iters):
+        assigned = _assign(q_df, centroids)
+        stats = assigned.groupBy("cluster").agg(
+            F.count("*").alias("cnt"),
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dims)],
+        )
+        rows = {r["cluster"]: r for r in stats.collect()}
+        centroids = [
+            [_floordiv(rows[c][f"s{i}"], rows[c]["cnt"]) for i in range(dims)]
+            if c in rows
+            else centroids[c]  # empty cluster keeps its previous centroid
+            for c in range(k)
+        ]
+
+    return _assign(q_df, centroids), centroids
+
+
+def cluster_profile(assigned: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Per-cluster summary: size, id-sum checksum, leading centroid dims."""
+    spark = assigned.sparkSession
+    cent_rows = [
+        (cid, int(vec[0]), int(vec[1]), int(vec[2]), int(vec[3]))
+        for cid, vec in enumerate(centroids)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster long, c0 long, c1 long, c2 long, c3 long"
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n"), F.sum("vec_id").alias("id_sum")
+    )
+    return sizes.join(F.broadcast(cent_df), "cluster", "left").select(
+        "cluster", "n", "id_sum", "c0", "c1", "c2", "c3"
+    )

@@ -1,0 +1,186 @@
+"""Clustering + semantic-dedup queries over the `embeddings` table.
+
+`embedding_kmeans` runs the deterministic Lloyd k-means from
+operators/clustering.py; `semantic_dedup_pairs` is SemDeDup-shaped:
+cluster first, then exact cosine near-dup ONLY within clusters — the
+blocking step that turns an O(n^2) all-pairs scan into per-cluster
+work, which is the 100 TB-sane shape.
+
+The DuckDB oracle unrolls the same iterations (same md5 seeding, same
+integer floor-div centroid update, same argmin tie-breaks) so every
+intermediate — and therefore the final output — matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators import clustering as C
+from ftm_datalake_spark.operators.similarity import cosine, int_dot
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+_K = 4
+_ITERS = 2
+_DIMS = 64
+
+_QUANT = "CAST(round(CAST({x} AS DOUBLE) * 1000) AS BIGINT)"
+
+
+def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS) -> str:
+    """CTE chain replaying kmeans(): qv, c0 (seeds), a1/c1 ... a{iters}/c{iters},
+    and `afinal` = assignment under the final centroids.
+
+    `base` is any SQL producing (vec_id, embedding).
+    """
+    parts = [
+        f"""qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
+      FROM ({base})
+    )""",
+        f"""c0 AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
+               AS cluster,
+             q AS cv
+      FROM (SELECT vec_id, q FROM qv
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+    )""",
+    ]
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, q, cluster FROM (
+        SELECT p.vec_id, p.q, s.cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY d.dist, s.cluster) AS rn
+        FROM qv p, {cents} s,
+             LATERAL (SELECT SUM((p.q[i]-s.cv[i])*(p.q[i]-s.cv[i])) AS dist
+                      FROM generate_series(1,{dims}) g(i)) d
+      ) WHERE rn = 1
+    )"""
+
+    for t in range(1, iters + 1):
+        parts.append(assign(f"a{t}", f"c{t-1}"))
+        # exact integer floor division: (s - pmod(s, cnt)) / cnt
+        parts.append(
+            f"""u{t} AS (
+      SELECT a.cluster, t.i, SUM(t.v) AS s
+      FROM a{t} a, LATERAL (SELECT i, a.q[i] AS v
+                            FROM generate_series(1,{dims}) g(i)) t
+      GROUP BY a.cluster, t.i
+    )"""
+        )
+        parts.append(
+            f"""n{t} AS (SELECT cluster, COUNT(*) AS cnt FROM a{t} GROUP BY cluster)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+      SELECT p.cluster, COALESCE(nv.cv, p.cv) AS cv
+      FROM c{t-1} p LEFT JOIN (
+        SELECT u.cluster,
+               list(CAST((u.s - ((u.s % n.cnt + n.cnt) % n.cnt)) / n.cnt AS BIGINT)
+                    ORDER BY u.i) AS cv
+        FROM u{t} u JOIN n{t} n USING (cluster)
+        GROUP BY u.cluster
+      ) nv ON nv.cluster = p.cluster
+    )"""
+        )
+    parts.append(assign("afinal", f"c{iters}"))
+    return ",\n    ".join(parts)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {_kmeans_ctes("SELECT vec_id, embedding FROM embeddings")}
+    SELECT a.cluster, COUNT(*) AS n, SUM(a.vec_id) AS id_sum,
+           MIN(c.cv[1]) AS c0, MIN(c.cv[2]) AS c1,
+           MIN(c.cv[3]) AS c2, MIN(c.cv[4]) AS c3
+    FROM afinal a JOIN c{_ITERS} c USING (cluster)
+    GROUP BY a.cluster
+    ORDER BY a.cluster
+    """,
+    tags=("clustering", "similarity"),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = C.kmeans(emb, k=_K, iters=_ITERS, dims=_DIMS)
+    return C.cluster_profile(assigned, centroids).orderBy("cluster")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: the corpus plus injected exact duplicates (vec_id % 50 == 0,
+# re-keyed +1000000) so the near-dup set is non-trivial; pairs are only
+# compared within their final k-means cluster.
+_SEM_BASE = """SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 50 = 0"""
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=f"""
+    WITH {_kmeans_ctes(_SEM_BASE)},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+             a.q AS qa, b.q AS qb
+      FROM afinal a JOIN afinal b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    comp AS (
+      SELECT vec_a, vec_b, cluster,
+             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
+             CAST(SUM(t.x * t.x) AS BIGINT) AS na,
+             CAST(SUM(t.y * t.y) AS BIGINT) AS nb
+      FROM pairs, LATERAL (
+        SELECT qa[i] AS x, qb[i] AS y FROM generate_series(1, {_DIMS}) g(i)
+      ) t
+      GROUP BY vec_a, vec_b, cluster
+    )
+    SELECT vec_a, vec_b, cluster,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             AS cosine
+    FROM comp
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+            >= 0.999
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("clustering", "dedup", "similarity"),
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    assigned, _ = C.kmeans(base, k=_K, iters=_ITERS, dims=_DIMS)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("cluster"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("cluster"),
+    )
+    from ftm_datalake_spark.operators.similarity import int_norm2
+
+    pairs = (
+        a.join(b, ["cluster"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", int_dot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "cosine",
+            cosine(F.col("dot"), int_norm2(F.col("qa")), int_norm2(F.col("qb"))),
+        )
+        .where(F.col("cosine") >= 0.999)
+    )
+    return pairs.select("vec_a", "vec_b", "cluster", "cosine").orderBy(
+        "vec_a", "vec_b"
+    )
