@@ -92,3 +92,112 @@ def rolling_fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) 
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + c) % mod,
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_len: int = 8,
+    max_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style common-segment removal (Wenzek et al. 2020 dedup by
+    paragraph hash, adapted to fixed `seg_len`-word segments because the
+    synthetic corpus has no line breaks).
+
+    Pipeline: tokenize → zero-shuffle segmentation via sequence+slice →
+    global segment-frequency count (groupBy on md5(seg), a fixed-width
+    key, ONE shuffle) → drop segments occurring more than `max_freq`
+    times → order-preserving reassembly (ONE shuffle back to doc_id).
+    At 100 TB the frequency table is the classic boilerplate-removal
+    shape: map-side partial counts, then an equi-join on the 16-byte
+    hash — never on raw segment text.
+
+    Output per doc: (doc_id, n_segs, n_dropped, clean_sig, clean_len).
+    """
+    tk = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    n_segs = F.ceil(F.size("tk") / F.lit(float(seg_len))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(F.col("tk"), i * seg_len + 1, seg_len), " "),
+    )
+    segs = base.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    ).withColumn("seg_key", F.md5("seg"))
+    freq = segs.groupBy("seg_key").agg(F.count("*").alias("n"))
+    joined = segs.join(freq, "seg_key")
+    keep = F.col("n") <= max_freq
+    kept_struct = F.when(keep, F.struct(F.col("seg_idx"), F.col("seg")))
+    clean = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]
+        ),
+        " ",
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
+            clean.alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_dropped",
+            F.md5("clean_text").alias("clean_sig"),
+            F.length("clean_text").cast("long").alias("clean_len"),
+        )
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality gates (Rae et al. 2021 §A1.1),
+    re-expressed as exact integer predicates so any engine agrees:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_len, max_mean_len], compared by
+      integer cross-multiplication (min*n <= total_chars <= max*n) — no
+      float division;
+    - at least `min_stopwords` stopword tokens;
+    - symbol-to-char ratio <= 10% (symbols*10 <= total_chars).
+
+    One zero-shuffle projection over the scan.
+    """
+    tk = tokens(F.col(text_col))
+    n_words = F.size(tk).cast("long")
+    total_chars = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(tk, lambda w: w.isin("the", "a", "of"))
+    ).cast("long")
+    symbols = F.length(
+        F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")
+    ).cast("long")
+    wordcount_ok = (n_words >= min_words) & (n_words <= max_words)
+    meanlen_ok = (total_chars >= min_mean_len * n_words) & (
+        total_chars <= max_mean_len * n_words
+    )
+    stopword_ok = stop_hits >= min_stopwords
+    symbol_ok = symbols * 10 <= total_chars
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        total_chars.alias("total_chars"),
+        stop_hits.alias("stop_hits"),
+        symbols.alias("symbols"),
+        wordcount_ok.alias("wordcount_ok"),
+        meanlen_ok.alias("meanlen_ok"),
+        stopword_ok.alias("stopword_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (wordcount_ok & meanlen_ok & stopword_ok & symbol_ok).alias("passes"),
+    )

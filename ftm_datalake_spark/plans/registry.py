@@ -51,6 +51,7 @@ def get_registry() -> dict[str, QuerySpec]:
     from ftm_datalake_spark.plans import (  # noqa: F401
         clustering_ops,
         core,
+        corpus_ops,
         curation,
         dq_ops,
         er_ops,

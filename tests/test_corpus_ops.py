@@ -1,0 +1,67 @@
+"""Unit tests for CCNet-style segment dedup and Gopher quality gates."""
+
+from __future__ import annotations
+
+from ftm_datalake_spark.operators import textops as X
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_dedup_drops_shared_segments_keeps_order(spark):
+    boiler = "one two three four"  # a full 4-word segment shared by both docs
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in X.segment_dedup(docs, seg_len=4, max_freq=1).collect()
+    }
+    assert out[1]["n_segs"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["n_segs"] == 2 and out[2]["n_dropped"] == 1
+    # the surviving text is exactly the unique tail segment
+    assert out[1]["clean_len"] == len("alpha beta gamma delta")
+    assert out[1]["clean_sig"] != out[2]["clean_sig"]
+
+
+def test_segment_dedup_all_dropped_yields_empty_signature(spark):
+    docs = _docs(spark, [(1, "x y"), (2, "x y")])
+    out = X.segment_dedup(docs, seg_len=4, max_freq=1).collect()
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in out:
+        assert r["n_dropped"] == 1 and r["clean_len"] == 0
+        assert r["clean_sig"] == empty_md5
+
+
+def test_segment_dedup_partitioning_independent(spark, sf_dir):
+    from ftm_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = X.segment_dedup(docs).orderBy("doc_id").collect()
+    b = X.segment_dedup(docs.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_gopher_rules_flags(spark):
+    docs = _docs(
+        spark,
+        [
+            # 4 words → fails wordcount; has 2 stopwords
+            (1, "the a cat sat"),
+            # 35 words incl. stopwords, normal lengths → passes
+            (2, " ".join(["the", "a", "of"] + ["word"] * 32)),
+            # long words → fails mean length
+            (3, " ".join(["the", "a"] + ["extraordinarily"] * 33)),
+        ],
+    )
+    out = {r["doc_id"]: r for r in X.gopher_rules(docs).collect()}
+    assert not out[1]["wordcount_ok"] and out[1]["stopword_ok"]
+    assert out[2]["passes"]
+    assert not out[3]["meanlen_ok"] and not out[3]["passes"]
