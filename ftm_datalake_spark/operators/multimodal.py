@@ -71,13 +71,14 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 # ---------------------------------------------------------------- decoders
-def decode_ppm(content: bytes) -> np.ndarray | None:
-    """P6 (binary) PPM → HxWx3 uint8 array, or None if not P6."""
-    if not content or not content.startswith(b"P6"):
+def _ppm_header(content: bytes, start: int) -> tuple[int, int, int, int] | None:
+    """Parse a P6 header at `start` → (width, height, maxval, raster_offset),
+    or None when malformed."""
+    if content[start : start + 2] != b"P6":
         return None
     # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
     fields: list[int] = []
-    i = 2
+    i = start + 2
     while len(fields) < 3 and i < len(content):
         while i < len(content) and content[i : i + 1].isspace():
             i += 1
@@ -88,14 +89,53 @@ def decode_ppm(content: bytes) -> np.ndarray | None:
         j = i
         while j < len(content) and not content[j : j + 1].isspace():
             j += 1
+        if j == i:
+            return None
         fields.append(int(content[i:j]))
         i = j
+    if len(fields) < 3:
+        return None
     i += 1  # the single whitespace after maxval
     w, h, maxval = fields
+    return (w, h, maxval, i)
+
+
+def decode_ppm(content: bytes) -> np.ndarray | None:
+    """P6 (binary) PPM → HxWx3 uint8 array, or None if not P6."""
+    if not content or not content.startswith(b"P6"):
+        return None
+    parsed = _ppm_header(content, 0)
+    if parsed is None:
+        return None
+    w, h, maxval, i = parsed
     if maxval != 255:
         return None
     raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3)
+
+
+def split_ppm_stream(content: bytes) -> list[bytes] | None:
+    """Concatenated-P6 'video' stream (an MJPEG-shaped container with a
+    pure-python parse path) → list of single-frame P6 payloads.
+
+    Each frame's extent comes from its own header (raster length =
+    w*h*3), so the splitter walks the stream without any index — the
+    same parse a real demuxer does per GOP."""
+    if not content or not content.startswith(b"P6"):
+        return None
+    frames: list[bytes] = []
+    i = 0
+    while i < len(content):
+        parsed = _ppm_header(content, i)
+        if parsed is None:
+            return None
+        w, h, _maxval, data_start = parsed
+        end = data_start + w * h * 3
+        if end > len(content):
+            return None
+        frames.append(content[i:end])
+        i = end
+    return frames
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
@@ -333,6 +373,64 @@ def audio_features(media: DataFrame) -> DataFrame:
         media.where(F.col("modality") == "audio")
         .select("media_id", "content")
         .mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+    )
+
+
+VIDEO_FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over concatenated-P6 video streams: split the
+    stream with the frame-walking parser, decode only every `every_n`-th
+    frame, and emit per-frame dims + Rec.601 luma.
+
+    Arrow-batched mapInPandas; undecodable payloads are skipped (a real
+    pipeline routes them to an ffmpeg-equipped stage). Only sampled
+    frames are decoded — at 100 TB the decode cost scales with the
+    sample rate, not the corpus."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                frames = split_ppm_stream(content) if content else None
+                if frames is None:
+                    continue
+                n = len(frames)
+                for idx in range(0, n, max(1, every_n)):
+                    px = decode_ppm(frames[idx])
+                    if px is None:
+                        continue
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "n_frames": n,
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "mean_luma": mean_luma(px),
+                            "decoder": "ppm-stream",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        media.where(F.col("modality") == "video")
+        .select("media_id", "content")
+        .mapInPandas(extract, VIDEO_FRAME_FEATURES_SCHEMA)
     )
 
 

@@ -265,3 +265,70 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
         "decoder",
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+    ),
+    f AS (
+      SELECT doc_id, nf, s.i AS frame_idx,
+             CAST((doc_id * 7 + s.i * 31) % 256 AS DOUBLE) AS v
+      FROM d, LATERAL (SELECT i FROM generate_series(0, 7) g(i)) s
+      WHERE s.i < nf AND s.i % 2 = 0
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(2 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(ROUND((0.299 * v + 0.587 * v + 0.114 * v) * 1000)
+                AS BIGINT) AS luma_x1000,
+           'ppm-stream' AS decoder
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("multimodal", "mapInPandas", "video"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling under REAL driver verification: each documents
+    row synthesizes a concatenated-P6 stream (2..5 frames, 2x2 constant
+    rasters, per-frame value (doc_id*7 + idx*31) % 256) inside the
+    engine; operators/multimodal.video_frame_features walks the stream
+    with the frame parser and decodes every 2nd frame. The oracle
+    recomputes the sampled frames' dims/luma by pure arithmetic."""
+    from ftm_datalake_spark.operators.multimodal import video_frame_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_frames = (F.lit(2) + F.col("doc_id") % 4).cast("int")
+
+    def frame(idx: F.Column) -> F.Column:
+        v = ((F.col("doc_id") * 7 + idx * 31) % 256).cast("int")
+        return F.concat(
+            F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
+            F.unhex(F.repeat(F.lpad(F.hex(v), 2, "0"), 12)),
+        )
+
+    payload = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n_frames - 1), frame),
+        F.lit(b""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("modality"),
+        payload.alias("content"),
+    )
+    feats = video_frame_features(media, every_n=2)
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+        "decoder",
+    ).orderBy("media_id", "frame_idx")

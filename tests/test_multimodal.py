@@ -121,3 +121,57 @@ def test_pseudo_embed_deterministic(spark):
     assert emb1 == emb2
     assert len(emb1["ppm1"]) == 8
     assert all(-1.0 <= v <= 1.0 for v in emb1["ppm1"])
+
+
+# ------------------------------------------------------------ video stream
+def test_split_ppm_stream_walks_mixed_size_frames():
+    from ftm_datalake_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        split_ppm_stream,
+    )
+    import numpy as np
+
+    f1 = encode_ppm(np.full((2, 3, 3), 10, dtype=np.uint8))
+    f2 = encode_ppm(np.full((4, 1, 3), 200, dtype=np.uint8))
+    frames = split_ppm_stream(f1 + f2)
+    assert frames is not None and len(frames) == 2
+    assert decode_ppm(frames[0]).shape == (2, 3, 3)
+    assert decode_ppm(frames[1]).shape == (4, 1, 3)
+
+
+def test_split_ppm_stream_rejects_truncated_and_garbage():
+    from ftm_datalake_spark.operators.multimodal import (
+        encode_ppm,
+        split_ppm_stream,
+    )
+    import numpy as np
+
+    good = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert split_ppm_stream(good[:-1]) is None  # truncated raster
+    assert split_ppm_stream(good + b"JUNK") is None  # trailing garbage
+    assert split_ppm_stream(b"RIFFxxxx") is None  # wrong magic
+    assert split_ppm_stream(b"") is None
+
+
+def test_video_frame_features_samples_every_second_frame(spark):
+    from ftm_datalake_spark.operators.multimodal import (
+        encode_ppm,
+        video_frame_features,
+    )
+    import numpy as np
+
+    stream = b"".join(
+        encode_ppm(np.full((2, 2, 3), 50 * i, dtype=np.uint8)) for i in range(5)
+    )
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(stream))],
+        "media_id string, modality string, content binary",
+    )
+    rows = sorted(
+        video_frame_features(media, every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert all(r["n_frames"] == 5 for r in rows)
+    assert [round(r["mean_luma"]) for r in rows] == [0, 100, 200]
