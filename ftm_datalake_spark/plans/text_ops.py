@@ -463,3 +463,62 @@ def dedup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(docs)
     return families(pairs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Canonical dedup APPLY: the end product of the dedup pipeline — pairs →
+# families → one representative per family (min doc_id) → the surviving
+# corpus with per-representative family stats. At 100 TB each stage is
+# the same bounded-shuffle shape as its standalone query; the final
+# filter is a zero-shuffle predicate on the family label.
+@register(
+    "dedup_canonical_corpus",
+    oracle=_MINHASH_PAIRS_SQL.replace("WITH docs_aug", "WITH RECURSIVE docs_aug", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS n, a AS r FROM edges
+      UNION
+      SELECT reach.n, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    fam AS (SELECT n AS doc_id, MIN(r) AS family FROM reach GROUP BY n),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+      FROM docs_aug d LEFT JOIN fam f ON f.doc_id = d.doc_id
+    ),
+    sizes AS (SELECT family, COUNT(*) AS family_size FROM labeled GROUP BY family)
+    SELECT l.doc_id,
+           CAST(s.family_size AS BIGINT) AS family_size,
+           CAST(s.family_size - 1 AS BIGINT) AS n_dropped
+    FROM labeled l JOIN sizes s USING (family)
+    WHERE l.doc_id = l.family
+    ORDER BY l.doc_id
+    """,
+    tags=("dedup", "composed", "graph"),
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.components import dedup_families as families
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs)
+    fam = families(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(fam.withColumnRenamed("family", "__fam"), "doc_id", "left")
+        .withColumn("family", F.coalesce(F.col("__fam"), F.col("doc_id")))
+    )
+    sizes = labeled.groupBy("family").agg(F.count("*").alias("family_size"))
+    return (
+        labeled.where(F.col("doc_id") == F.col("family"))
+        .join(sizes, "family")
+        .select(
+            "doc_id",
+            F.col("family_size").cast("long").alias("family_size"),
+            (F.col("family_size") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
