@@ -46,3 +46,52 @@ def range_join(
     # a point lands in exactly one bucket, so no duplicate candidates to
     # dedup — each (point, interval) pair meets in the point's bucket only
     return joined.drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_micros: int = MICROS_PER_HOUR,
+) -> DataFrame:
+    """Interval × interval overlap join (half-open semantics:
+    l.start < r.end AND r.start < l.end), same key.
+
+    Both sides explode into the fixed-width buckets they span, the join
+    is an equi-join on (key, bucket), the exact overlap predicate
+    refines, and duplicates (pairs meeting in several shared buckets)
+    collapse via distinct on the pair identity — so the plan is a hash
+    join at any scale, never a nested loop. Callers must pass inputs
+    with disjoint column names apart from `on`.
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(left_start)) / bucket_micros).cast("long"),
+                F.floor(F.unix_micros(F.col(left_end)) / bucket_micros).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(right_start)) / bucket_micros).cast("long"),
+                F.floor(F.unix_micros(F.col(right_end)) / bucket_micros).cast("long"),
+            )
+        ),
+    )
+    joined = (
+        lb.join(rb, [on, "__bucket"])
+        .where(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .drop("__bucket")
+    )
+    return joined.distinct()

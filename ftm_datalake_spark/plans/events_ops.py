@@ -247,3 +247,76 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval × interval overlap join: 30-min-gap sessions overlapped with
+# ±1h windows around each purchase (same user). The scale story lives in
+# operators/rangejoin.interval_overlap_join — both interval sets explode
+# into shared hour buckets and the join is a hash equi-join on
+# (user_id, bucket), never a nested loop.
+_SESSIONS_CTE = """
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "sessions_overlap_purchases",
+    oracle=f"""
+    WITH {_SESSIONS_CTE},
+    p AS (
+      SELECT user_id, ts AS purchase_ts,
+             ts - INTERVAL 1 HOUR AS win_start,
+             ts + INTERVAL 1 HOUR AS win_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT DISTINCT s.user_id, s.session_start, s.session_end, p.purchase_ts
+    FROM sess s JOIN p ON p.user_id = s.user_id
+      AND s.session_start < p.win_end AND p.win_start < s.session_end
+    ORDER BY s.user_id, s.session_start, p.purchase_ts
+    """,
+    tags=("join", "interval", "events"),
+)
+def sessions_overlap_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rangejoin import interval_overlap_join
+    from ftm_datalake_spark.plans.reference_ops import events_sessionize
+
+    sessions = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end"
+    )
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    out = interval_overlap_join(
+        sessions,
+        purchases,
+        on="user_id",
+        left_start="session_start",
+        left_end="session_end",
+        right_start="win_start",
+        right_end="win_end",
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "purchase_ts"
+    ).distinct().orderBy("user_id", "session_start", "purchase_ts")
