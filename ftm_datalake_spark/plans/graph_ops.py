@@ -69,3 +69,71 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank_fixed(edges, _ITERS).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Triangle enumeration on the nation-level trade graph: an undirected
+# edge links two nations when any customer of one bought from any
+# supplier of the other. operators/triangles.py orients edges by
+# (degree, id) — compact-forward — so wedge work is bounded under skew.
+_NATION_EDGES_SQL = """
+    e0 AS (
+      SELECT DISTINCT
+             LEAST(c.c_nationkey, s.s_nationkey) AS u,
+             GREATEST(c.c_nationkey, s.s_nationkey) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    )
+"""
+
+
+@register(
+    "graph_triangles_trade",
+    oracle=f"""
+    WITH {_NATION_EDGES_SQL},
+    deg AS (
+      SELECT n, COUNT(*) AS d
+      FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS src,
+             CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS dst
+      FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1
+      JOIN o e2 ON e2.src = e1.dst
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT CAST(LEAST(a, b, c) AS BIGINT) AS n1,
+           CAST(a + b + c - LEAST(a, b, c) - GREATEST(a, b, c) AS BIGINT) AS n2,
+           CAST(GREATEST(a, b, c) AS BIGINT) AS n3
+    FROM tri
+    ORDER BY n1, n2, n3
+    """,
+    tags=("graph",),
+)
+def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.triangles import triangles
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").cast("long").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    return triangles(pairs).orderBy("n1", "n2", "n3")
