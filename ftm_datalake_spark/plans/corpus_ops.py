@@ -85,3 +85,57 @@ def dedup_common_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.gopher_rules(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search: per-token position lists + shifted-list
+# intersection — the inverted-positional-index shape (term postings with
+# positions, adjacency by offset join) executed as zero-shuffle array
+# expressions per document. At index scale the same intersection runs on
+# posting lists instead of per-row arrays; the operator shape is
+# identical.
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id,
+             list_transform(list_filter(
+               list_zip(tk, generate_series(1, len(tk))),
+               p -> p[1] = 'fast'), p -> p[2]) AS p1,
+             list_transform(list_filter(
+               list_zip(tk, generate_series(1, len(tk))),
+               p -> p[1] = 'table'), p -> p[2]) AS p2
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(list_transform(p1, x -> x + 1), p2))
+                AS BIGINT) AS n_occurrences
+    FROM pos
+    WHERE len(list_intersect(list_transform(p1, x -> x + 1), p2)) >= 1
+    ORDER BY doc_id
+    """,
+    tags=("text", "search"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+
+    def positions(word: str):
+        indexed = F.transform(
+            tk, lambda w, i: F.struct(i.alias("i"), w.alias("w"))
+        )
+        hits = F.filter(indexed, lambda s: s["w"] == F.lit(word))
+        return F.transform(hits, lambda s: s["i"])
+
+    occ = F.size(
+        F.array_intersect(
+            F.transform(positions("fast"), lambda x: x + 1), positions("table")
+        )
+    )
+    return (
+        docs.select(F.col("doc_id"), occ.cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= 1)
+        .orderBy("doc_id")
+    )

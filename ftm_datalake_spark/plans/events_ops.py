@@ -320,3 +320,59 @@ def sessions_overlap_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start", "session_end", "purchase_ts"
     ).distinct().orderBy("user_id", "session_start", "purchase_ts")
+
+
+# --------------------------------------------------------------------------
+# SCD2 history build: per-user event-type change log → validity
+# intervals [valid_from, valid_to) with consecutive duplicates
+# collapsed — the slowly-changing-dimension shape every lakehouse
+# pipeline maintains. One window shuffle on the dimension key.
+@register(
+    "scd2_event_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, event_id
+    """,
+    tags=("window", "scd", "events"),
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")

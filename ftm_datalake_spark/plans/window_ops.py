@@ -455,3 +455,60 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_event",
         "max_event",
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Exact group median by order statistics — no percentile interpolation
+# ambiguity across engines: rank rows per group, pick the two middle
+# positions ((n+1)//2 and (n+2)//2, equal when n is odd), and report
+# their DECIMAL sum (median*2) cast to double at the edge. One window
+# shuffle per group key; no global sort.
+@register(
+    "median_price_by_priority",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN price ELSE 0 END)
+                + SUM(CASE WHEN rn = (n + 2) // 2 THEN price ELSE 0 END)
+                AS DOUBLE) AS median_x2
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("window", "agg"),
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(price, F.col("o_orderkey"))
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        price.alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            (
+                F.sum(F.when(F.col("rn") == lo, F.col("price")).otherwise(F.lit(0)))
+                + F.sum(F.when(F.col("rn") == hi, F.col("price")).otherwise(F.lit(0)))
+            )
+            .cast("double")
+            .alias("median_x2"),
+        )
+        .orderBy("o_orderpriority")
+    )
