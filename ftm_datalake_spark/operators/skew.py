@@ -61,3 +61,31 @@ def top_frequent_keys(df: DataFrame, key: Column, top_n: int = 10) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(top_n)
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the (skewed) fact side, replicate
+    the dim side across all `salt_buckets` salts, join on (key, salt).
+
+    A hot fact key's rows spread over `salt_buckets` reducers instead of
+    funneling into one; the dim side grows ×salt_buckets, which is the
+    deliberate trade — use when the dim is small-ish but too big (or the
+    fact side too skewed) for a plain broadcast. This is the manual form
+    of AQE's skew-join splitting, usable when AQE can't see the skew
+    (e.g. the first shuffle of a freshly-scanned fact table) or in
+    non-adaptive engines.
+    """
+    salted_facts = facts.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    return salted_facts.join(replicated_dim, [on, "__salt"], how).drop("__salt")

@@ -137,3 +137,51 @@ def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangles(pairs).orderBy("n1", "n2", "n3")
+
+
+# --------------------------------------------------------------------------
+# Bounded-depth BFS from nation 0 over the symmetrized trade graph —
+# the frontier-expansion iterative shape (operators/bfs.py), oracled by
+# a recursive CTE whose (node, d) UNION-dedup guarantees termination.
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE {_NATION_EDGES_SQL},
+    edges AS (
+      SELECT u AS src, v AS dst FROM e0
+      UNION SELECT v AS src, u AS dst FROM e0
+    ),
+    walk AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+      UNION
+      SELECT e.dst, walk.d + 1
+      FROM walk JOIN edges e ON e.src = walk.node
+      WHERE walk.d < 4
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.bfs import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").cast("long").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    return bfs_distances(edges, seed=0, max_depth=4).orderBy("node")

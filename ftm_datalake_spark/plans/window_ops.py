@@ -512,3 +512,53 @@ def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-resilient JOIN under driver verification: the fact side (events,
+# 5 hot keys) is salted, the 5-row dim is replicated across the 16
+# salts, and the join becomes (key, salt) — a hot key's rows spread
+# over 16 reducers instead of one. Oracle is the PLAIN join+agg: a
+# green row proves salting is semantically invisible.
+@register(
+    "salted_hot_key_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CAST(length(event_type) AS BIGINT) AS w
+      FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(14,2)) * d.w) AS DOUBLE)
+             AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("join", "skew"),
+)
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(14,2)")
+    )
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type", F.length("event_type").cast("long").alias("w")
+        )
+    )
+    joined = salted_join(events, dim, on="event_type", salt_buckets=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value_dec") * F.col("w"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -34,3 +34,25 @@ def test_skewed_hub_graph_counts_match_naive(spark):
     out = sorted(tuple(r) for r in triangles(_edges(spark, pairs)).collect())
     expected = sorted(tuple(sorted((0, u, v))) for u, v in ring)
     assert out == expected
+
+
+# ------------------------------------------------------------------- BFS
+def test_bfs_chain_respects_depth_bound(spark):
+    from ftm_datalake_spark.operators.bfs import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in bfs_distances(chain, 0, max_depth=4).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # nodes beyond depth 4 absent
+
+
+def test_bfs_takes_shortest_of_two_paths(spark):
+    from ftm_datalake_spark.operators.bfs import bfs_distances
+
+    # 0→1→2→3 and shortcut 0→3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, 0, max_depth=4).collect()}
+    assert out[3] == 1
