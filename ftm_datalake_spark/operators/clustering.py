@@ -85,6 +85,10 @@ def kmeans(
     q_df = emb.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
     )
+    # Lloyd re-reads the corpus every round: cache the quantized input
+    # once (MEMORY_AND_DISK default — the MLlib pattern) so iterations
+    # and the final assignment don't rescan/requantize the source.
+    q_df = q_df.persist()
     seeds = (
         q_df.withColumn("__ord", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__ord", "vec_id")

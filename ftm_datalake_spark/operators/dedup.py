@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ftm_datalake_spark.operators.textops import tokens
@@ -239,3 +239,67 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         sig = bit if sig is None else sig + bit
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs token-set Jaccard >= t_num/t_den via prefix filtering
+    (PPJoin family — Vernica/Carey/Li's MapReduce set-similarity join).
+
+    Unlike MinHash-LSH this has NO false negatives: order every doc's
+    token set by ascending global frequency (rarest first); two sets
+    with Jaccard >= t MUST share a token within each one's first
+    m - ceil(t*m) + 1 tokens, so the candidate join only touches those
+    prefixes — and prefixes are dominated by RARE tokens, keeping the
+    per-token candidate lists short by construction. Verification is an
+    exact integer Jaccard on the candidates only.
+
+    All thresholds are integer cross-multiplications; the global order
+    (frequency, token) is total, so any engine reproduces the exact
+    pair set.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .distinct()
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    tf = tok.join(freq, "token")
+    sizes = tf.groupBy("doc_id").agg(F.count("*").alias("m"))
+    w = Window.partitionBy("doc_id").orderBy("f", "token")
+    ordered = tf.withColumn("rn", F.row_number().over(w))
+    # prefix length: m - ceil(t*m) + 1, ceil as exact integer arithmetic
+    plen = F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1
+    pref = ordered.join(sizes, "doc_id").where(F.col("rn") <= plen)
+    a = pref.select(F.col("doc_id").alias("doc_a"), "token")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "token")
+    cand = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    y = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    common = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ma = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    mb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    uni = F.col("ma") + F.col("mb") - F.col("common")
+    return (
+        common.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .where(t_den * F.col("common") >= t_num * uni)
+        .select("doc_a", "doc_b", "common", uni.cast("long").alias("uni"))
+    )

@@ -103,7 +103,8 @@ def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS)
     GROUP BY a.cluster
     ORDER BY a.cluster
     """,
-    tags=("clustering", "similarity"),
+    tags=("clustering", "similarity", "bench"),
+    bench=True,
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -47,7 +47,8 @@ from ftm_datalake_spark.sources.tables import load_table
     GROUP BY doc_id
     ORDER BY doc_id
     """,
-    tags=("dedup", "text"),
+    tags=("dedup", "text", "bench"),
+    bench=True,
 )
 def dedup_common_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

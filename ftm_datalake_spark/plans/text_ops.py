@@ -522,3 +522,55 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PPJoin-style prefix-filter similarity join: exact all-pairs Jaccard
+# >= 4/5 with NO false negatives (unlike LSH), candidates bounded by
+# rarest-token prefixes. See operators/dedup.prefix_filter_pairs.
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM docs_aug)
+    ),
+    freq AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
+    tf AS (SELECT t.doc_id, t.token, f.f FROM tok t JOIN freq f USING (token)),
+    sizes AS (SELECT doc_id, COUNT(*) AS m FROM tf GROUP BY doc_id),
+    ordered AS (
+      SELECT doc_id, token,
+             row_number() OVER (PARTITION BY doc_id ORDER BY f, token) AS rn
+      FROM tf
+    ),
+    pref AS (
+      SELECT o.doc_id, o.token
+      FROM ordered o JOIN sizes s USING (doc_id)
+      WHERE o.rn <= s.m - ((4 * s.m + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cand c
+      JOIN tok x ON x.doc_id = c.doc_a
+      JOIN tok y ON y.doc_id = c.doc_b AND y.token = x.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, c.common,
+           CAST(ma.m + mb.m - c.common AS BIGINT) AS uni
+    FROM common c
+    JOIN sizes ma ON ma.doc_id = c.doc_a
+    JOIN sizes mb ON mb.doc_id = c.doc_b
+    WHERE 5 * c.common >= 4 * (ma.m + mb.m - c.common)
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    return D.prefix_filter_pairs(docs, t_num=4, t_den=5).orderBy("doc_a", "doc_b")

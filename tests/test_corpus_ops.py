@@ -65,3 +65,44 @@ def test_gopher_rules_flags(spark):
     assert not out[1]["wordcount_ok"] and out[1]["stopword_ok"]
     assert out[2]["passes"]
     assert not out[3]["meanlen_ok"] and not out[3]["passes"]
+
+
+# ----------------------------------------------------- prefix-filter join
+def test_prefix_filter_finds_exact_and_near_duplicates(spark):
+    from ftm_datalake_spark.operators.dedup import prefix_filter_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical → Jaccard 1
+            (3, "alpha beta gamma delta zeta"),  # 4/6 = 0.67 < 0.8 → out
+            (4, "totally different words here now"),
+        ],
+    )
+    out = {(r["doc_a"], r["doc_b"]) for r in prefix_filter_pairs(docs).collect()}
+    assert out == {(1, 2)}
+
+
+def test_prefix_filter_matches_bruteforce_on_small_corpus(spark, sf_dir):
+    """No-false-negative guarantee: prefix-filter output == brute-force
+    all-pairs Jaccard >= 4/5 on a small real corpus."""
+    from ftm_datalake_spark.operators.dedup import prefix_filter_pairs
+    from ftm_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    sets = {r["doc_id"]: set(r["text"].split()) for r in rows}
+    ids = sorted(sets)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 5 * inter >= 4 * union:
+                expected.add((a, b))
+    assert got == expected
