@@ -14,6 +14,13 @@ PLAN_QUERIES = [
     "pagerank_trade_graph",
     "salted_hot_key_agg",
     "rolling_7day_revenue",
+    # round-2 late additions
+    "sessions_overlap_purchases",
+    "graph_triangles_trade",
+    "dedup_prefix_filter_pairs",
+    "dedup_common_segments",
+    "salted_hot_key_join",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -41,3 +48,28 @@ def test_epoch_shards_no_single_partition_exchange(spark, sf_dir):
     # the shard-position window partitions by shard, never globally
     plan = _plan(spark, sf_dir, "corpus_epoch_shards")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_interval_overlap_join_is_hash_join(spark, sf_dir):
+    # the bucketized interval join must plan as a hash equi-join on
+    # (key, bucket) — never a nested loop over interval predicates
+    plan = _plan(spark, sf_dir, "sessions_overlap_purchases")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_all_joins_are_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_triangles_trade")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_no_global_window(spark, sf_dir):
+    # reassembly groups by doc_id; nothing may funnel through one task
+    plan = _plan(spark, sf_dir, "dedup_common_segments")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_phrase_search_is_pure_projection(spark, sf_dir):
+    # positional phrase search is a scan + filter: no shuffle at all
+    plan = _plan(spark, sf_dir, "text_phrase_search")
+    assert "Exchange hashpartitioning" not in plan
