@@ -140,3 +140,138 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_occurrences") >= 1)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust-statistics outlier gate: exact quartiles derived from the
+# VALUE HISTOGRAM (group-by n_chars → cumulative counts), not a global
+# row_number — so the only window runs over the tiny distinct-value
+# table and the corpus never funnels through one task. Quartile
+# positions use the two-middle-ranks convention (value_at((n+3)//4) +
+# value_at((n+6)//4) = Q1×2); IQR fence comparisons stay in integer
+# arithmetic (×8 clears every denominator).
+@register(
+    "quality_iqr_outliers",
+    oracle="""
+    WITH vals AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars, c,
+             SUM(c) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS n
+      FROM vals
+    ),
+    q AS (
+      SELECT
+        MIN(CASE WHEN cum >= (n + 3) // 4 THEN n_chars END)
+          + MIN(CASE WHEN cum >= (n + 6) // 4 THEN n_chars END) AS q1_x2,
+        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN n_chars END)
+          + MIN(CASE WHEN cum >= (3 * n + 6) // 4 THEN n_chars END) AS q3_x2
+      FROM cum
+    )
+    SELECT d.doc_id, d.n_chars,
+           (8 * d.n_chars < 4 * q.q1_x2 - 3 * (q.q3_x2 - q.q1_x2)) AS low_outlier,
+           (8 * d.n_chars > 4 * q.q3_x2 + 3 * (q.q3_x2 - q.q1_x2)) AS high_outlier
+    FROM documents d CROSS JOIN q
+    WHERE 8 * d.n_chars < 4 * q.q1_x2 - 3 * (q.q3_x2 - q.q1_x2)
+       OR 8 * d.n_chars > 4 * q.q3_x2 + 3 * (q.q3_x2 - q.q1_x2)
+    ORDER BY d.doc_id
+    """,
+    tags=("quality", "stats"),
+)
+def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "n_chars",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+
+    def val_at(pos):
+        return F.min(F.when(F.col("cum") >= pos, F.col("n_chars")))
+
+    q = cum.agg(
+        (val_at(F.floor((F.col("n") + 3) / 4))
+         + val_at(F.floor((F.col("n") + 6) / 4))).alias("q1_x2"),
+        (val_at(F.floor((3 * F.col("n") + 3) / 4))
+         + val_at(F.floor((3 * F.col("n") + 6) / 4))).alias("q3_x2"),
+    )
+    iqr_x2 = F.col("q3_x2") - F.col("q1_x2")
+    low = 8 * F.col("n_chars") < 4 * F.col("q1_x2") - 3 * iqr_x2
+    high = 8 * F.col("n_chars") > 4 * F.col("q3_x2") + 3 * iqr_x2
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .where(low | high)
+        .select(
+            "doc_id",
+            "n_chars",
+            low.alias("low_outlier"),
+            high.alias("high_outlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters under driver verification: the sketch
+# is groupBy(seed, bucket) over the ×depth-exploded token stream
+# (operators/sketches.py — map-side partials ARE the sketch merge), and
+# each distinct token's estimate is min over its d cells. Output pairs
+# every estimate with the exact count: est >= exact always (CMS
+# guarantee), and the oracle reproduces the entire sketch bit-for-bit.
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    probe AS (
+      SELECT token, s.seed,
+             CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || token),
+                                  1, 8)) AS BIGINT) % 64 AS bucket
+      FROM tok, LATERAL (SELECT seed FROM generate_series(0, 2) g(seed)) s
+    ),
+    cells AS (
+      SELECT seed, bucket, COUNT(*) AS c FROM probe GROUP BY seed, bucket
+    ),
+    keys AS (SELECT DISTINCT token FROM tok),
+    kprobe AS (
+      SELECT token, s.seed,
+             CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || token),
+                                  1, 8)) AS BIGINT) % 64 AS bucket
+      FROM keys, LATERAL (SELECT seed FROM generate_series(0, 2) g(seed)) s
+    ),
+    est AS (
+      SELECT k.token, MIN(COALESCE(c.c, 0)) AS est
+      FROM kprobe k LEFT JOIN cells c USING (seed, bucket)
+      GROUP BY k.token
+    ),
+    exact AS (SELECT token, COUNT(*) AS exact FROM tok GROUP BY token)
+    SELECT e.token, e.est, x.exact
+    FROM est e JOIN exact x USING (token)
+    ORDER BY e.token
+    """,
+    tags=("sketch", "text"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import cms_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    keys = tok.distinct()
+    est = cms_estimates(tok, keys, depth=3, width=64)
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact"))
+    return est.join(exact, "token").select("token", "est", "exact").orderBy("token")

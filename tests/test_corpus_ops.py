@@ -106,3 +106,39 @@ def test_prefix_filter_matches_bruteforce_on_small_corpus(spark, sf_dir):
             if 5 * inter >= 4 * union:
                 expected.add((a, b))
     assert got == expected
+
+
+# --------------------------------------------------------------- sketches
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from ftm_datalake_spark.operators.sketches import cms_estimates
+
+    rows = [("a",)] * 10 + [("b",)] * 5 + [("c",)] * 1
+    tok = spark.createDataFrame(rows, "token string")
+    keys = tok.distinct()
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimates(tok, keys, depth=3, width=1024).collect()
+    }
+    exact = {"a": 10, "b": 5, "c": 1}
+    for t, x in exact.items():
+        assert est[t] >= x  # CMS guarantee
+    # width 1024 with 3 keys → no collisions → exact
+    assert est == exact
+
+
+def test_cms_partitioning_independent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import cms_estimates
+    from ftm_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    keys = tok.distinct()
+    a = sorted(tuple(r) for r in cms_estimates(tok, keys).collect())
+    b = sorted(
+        tuple(r) for r in cms_estimates(tok.repartition(13), keys).collect()
+    )
+    assert a == b  # the sketch merge is associative/commutative
