@@ -62,3 +62,75 @@ def cms_estimates(
         .select("token", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
     return joined.groupBy("token").agg(F.min("c").alias("est"))
+
+
+# ----------------------------------------------------------------- HLL
+def hll_registers(
+    keys: DataFrame, m: int = 64, key_col: str = "key"
+) -> DataFrame:
+    """HyperLogLog registers as a relational aggregate: hash each key to
+    (bucket, rho) where rho = 1 + leading zeros of the remaining hash
+    bits, and keep max(rho) per bucket — groupBy/max IS the register
+    merge, so the sketch shuffles ≤ m rows per task at any scale.
+
+    Hash = first 8 md5 hex chars (32 bits): bucket = h mod m, the
+    remaining w = h div m (26 value bits for m=64), rho via exact
+    integer comparisons — every engine reproduces the registers
+    bit-for-bit."""
+    h = shingle_hash(F.col(key_col).cast("string"))
+    w_bits = 32 - (m.bit_length() - 1)  # value bits left after bucketing
+    w = F.floor(h / m).cast("long")
+    # rho = (w_bits - bit_length(w)) + 1, via comparison chain (exact)
+    rho = F.lit(w_bits + 1)  # w == 0 → all zeros → max rho
+    for b in range(1, w_bits + 1):
+        # bit_length(w) == b  ⇔  2^(b-1) <= w < 2^b
+        rho = F.when(
+            (F.lit(2 ** (b - 1)) <= w) & (w < F.lit(2**b)),
+            F.lit(w_bits - b + 1),
+        ).otherwise(rho)
+    probe = keys.select((h % m).alias("bucket"), rho.alias("rho"))
+    return probe.groupBy("bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
+    """Raw HLL estimate alpha_m * m^2 / sum(2^-r) over all m buckets
+    (absent buckets contribute 2^0 = 1). All summands are dyadic
+    rationals within a 53-bit mantissa span, so the double sum is EXACT
+    and order-independent — the estimate is engine-reproducible despite
+    being floating-point."""
+    alpha = 0.709  # the standard constant for m = 64
+    present = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    return present.select(
+        (
+            F.lit(alpha * m * m)
+            / (F.col("s") + (F.lit(m) - F.col("nb")) * F.lit(1.0))
+        ).alias("estimate"),
+        F.col("nb").alias("buckets_used"),
+    )
+
+
+# --------------------------------------------------------------- Bloom
+def bloom_bits(keys: DataFrame, depth: int = 3, width: int = 1024) -> DataFrame:
+    """Bloom filter as a relation: the set of set bits (seed, bucket).
+    distinct() is the bit-OR merge; ≤ depth×width rows total."""
+    return _probe(keys, depth, width).select("seed", "bucket").distinct()
+
+
+def bloom_probe(
+    candidates: DataFrame, bits: DataFrame, depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Membership test: a candidate is 'maybe present' iff ALL depth bits
+    are set (count of matched bits == depth). No false negatives."""
+    probes = _probe(candidates, depth, width)
+    hits = (
+        probes.join(F.broadcast(bits), ["seed", "bucket"], "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("bits_set"))
+    )
+    return candidates.join(hits, "token", "left").select(
+        "token",
+        (F.coalesce(F.col("bits_set"), F.lit(0)) == depth).alias("maybe_present"),
+    )

@@ -275,3 +275,130 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimates(tok, keys, depth=3, width=64)
     exact = tok.groupBy("token").agg(F.count("*").alias("exact"))
     return est.join(exact, "token").select("token", "est", "exact").orderBy("token")
+
+
+# --------------------------------------------------------------------------
+# Relational HyperLogLog under driver verification. Registers are
+# groupBy(bucket).max(rho) — the register merge is the aggregate itself —
+# and the raw estimate's double sum is provably exact (dyadic rationals
+# within a 53-bit span), so even the floating-point estimate is
+# reproduced bit-for-bit by the oracle. Upgrade path for the rows-only
+# approx_distinct_users: same capability, fully verified.
+def _hll_rho_sql(w_bits: int = 26) -> str:
+    cases = " ".join(
+        f"WHEN w >= {2 ** (b - 1)} AND w < {2 ** b} THEN {w_bits - b + 1}"
+        for b in range(1, w_bits + 1)
+    )
+    return f"CASE {cases} ELSE {w_bits + 1} END"
+
+
+@register(
+    "sketch_hll_distinct_users",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    probe AS (
+      SELECT h % 64 AS bucket, {_hll_rho_sql()} AS rho
+      FROM (SELECT h, CAST(floor(h / 64) AS BIGINT) AS w FROM hashed)
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS r FROM probe GROUP BY bucket),
+    est AS (
+      SELECT 0.709 * 64 * 64 / (SUM(pow(2.0, -r)) + (64 - COUNT(*)) * 1.0)
+               AS estimate,
+             COUNT(*) AS buckets_used
+      FROM regs
+    )
+    SELECT e.estimate, CAST(e.buckets_used AS BIGINT) AS buckets_used,
+           x.exact_distinct
+    FROM est e CROSS JOIN (
+      SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events) x
+    """,
+    tags=("sketch", "agg"),
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import hll_estimate, hll_registers
+
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers(events.select(F.col("user_id").alias("key")), m=64)
+    est = hll_estimate(regs, m=64)
+    exact = events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.select(
+        "estimate", F.col("buckets_used").cast("long").alias("buckets_used")
+    ).crossJoin(exact)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination probe: bits built from the "benchmark"
+# token set (docs with doc_id % 97 == 0), every distinct corpus token
+# probed. maybe_present vs actually_present quantifies the false-positive
+# rate; no false negatives by construction (bloom_probe requires ALL
+# depth bits). At 100 TB the bits relation (≤ depth×width rows)
+# broadcasts — the train-side scan never shuffles.
+@register(
+    "sketch_bloom_decontaminate",
+    oracle="""
+    WITH bench_tok AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT s.seed,
+             CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || token),
+                                  1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM bench_tok, LATERAL (SELECT seed FROM generate_series(0, 2) g(seed)) s
+    ),
+    all_tok AS (
+      SELECT DISTINCT token FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    ),
+    probe AS (
+      SELECT token, s.seed,
+             CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || token),
+                                  1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM all_tok, LATERAL (SELECT seed FROM generate_series(0, 2) g(seed)) s
+    ),
+    hits AS (
+      SELECT p.token, COUNT(*) AS bits_set
+      FROM probe p JOIN bits b USING (seed, bucket)
+      GROUP BY p.token
+    )
+    SELECT t.token,
+           (COALESCE(h.bits_set, 0) = 3) AS maybe_present,
+           (t.token IN (SELECT token FROM bench_tok)) AS actually_present
+    FROM all_tok t LEFT JOIN hits h USING (token)
+    ORDER BY t.token
+    """,
+    tags=("sketch", "dedup"),
+)
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import bloom_bits, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_of = lambda df: df.select(  # noqa: E731
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).distinct()
+    bench = tok_of(docs.where(F.col("doc_id") % 97 == 0))
+    corpus = tok_of(docs)
+    bits = bloom_bits(bench, depth=3, width=1024)
+    probed = bloom_probe(corpus, bits, depth=3, width=1024)
+    actual = bench.select("token").withColumn("actually_present", F.lit(True))
+    return (
+        probed.join(actual, "token", "left")
+        .select(
+            "token",
+            "maybe_present",
+            F.coalesce(F.col("actually_present"), F.lit(False)).alias(
+                "actually_present"
+            ),
+        )
+        .orderBy("token")
+    )

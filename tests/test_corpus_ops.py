@@ -142,3 +142,36 @@ def test_cms_partitioning_independent(spark, sf_dir):
         tuple(r) for r in cms_estimates(tok.repartition(13), keys).collect()
     )
     assert a == b  # the sketch merge is associative/commutative
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import hll_estimate, hll_registers
+
+    n = 5000
+    keys = spark.range(n).select(F.col("id").cast("string").alias("key"))
+    est = hll_estimate(hll_registers(keys, m=64), m=64).first()["estimate"]
+    # standard error for m=64 is ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(est - n) / n < 0.40
+
+
+def test_hll_insensitive_to_duplicates_and_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import hll_estimate, hll_registers
+
+    base = spark.range(1000).select(F.col("id").cast("string").alias("key"))
+    dup = base.unionAll(base).unionAll(base).repartition(17)
+    e1 = hll_estimate(hll_registers(base, m=64), m=64).first()["estimate"]
+    e2 = hll_estimate(hll_registers(dup, m=64), m=64).first()["estimate"]
+    assert e1 == e2
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    from ftm_datalake_spark.plans import REGISTRY
+
+    rows = REGISTRY["sketch_bloom_decontaminate"].builder(spark, sf_dir).collect()
+    for r in rows:
+        if r["actually_present"]:
+            assert r["maybe_present"]
