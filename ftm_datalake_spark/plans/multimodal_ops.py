@@ -332,3 +332,61 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
         "decoder",
     ).orderBy("media_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# Multimodal dedup composition: REAL decode → content signature →
+# duplicate families. Payloads are synthesized with only 16 distinct
+# pixel values (doc_id % 16 scaled ×16) so collisions are guaranteed;
+# the signature is the decoded mean luma quantized ×1000 — identical
+# images (after decode) land in the same family no matter how their
+# bytes were produced. The oracle recomputes the signature arithmetic
+# from doc_id. At scale this is the 'perceptual-hash groupBy' shape:
+# decode in mapInPandas, then ONE shuffle on the fixed-width signature.
+@register(
+    "multimodal_image_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST((doc_id % 16) * 16 AS DOUBLE) AS v
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(ROUND((0.299 * v + 0.587 * v + 0.114 * v) * 1000)
+                  AS BIGINT) AS luma_sig
+      FROM d
+    )
+    SELECT luma_sig,
+           COUNT(*) AS n_images,
+           MIN(CAST(doc_id AS VARCHAR)) AS representative
+    FROM sig
+    GROUP BY luma_sig
+    ORDER BY luma_sig
+    """,
+    tags=("multimodal", "dedup", "mapInPandas"),
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    v = ((F.col("doc_id") % 16) * 16).cast("int")
+    header = F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8")
+    raster = F.unhex(F.repeat(F.lpad(F.hex(v), 2, "0"), 12))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.concat(header, raster).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = image_features(media)
+    return (
+        feats.select(
+            "media_id",
+            F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_sig"),
+        )
+        .groupBy("luma_sig")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_id").alias("representative"),
+        )
+        .orderBy("luma_sig")
+    )

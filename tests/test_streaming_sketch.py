@@ -1,0 +1,75 @@
+"""Streaming count-min sketch: the cells relation maintained across
+micro-batches via foreachBatch merge — proving the sketch's mergeability
+is exactly what makes it streaming-compatible (each batch's partial
+cells ADD into the store, and the result equals the batch sketch over
+the full stream)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType([T.StructField("token", T.StringType())])
+
+
+def _write(stage: str, name: str, tokens: list[str]) -> None:
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, name), "w") as fh:
+        for t in tokens:
+            fh.write(json.dumps({"token": t}) + "\n")
+
+
+def test_streaming_cms_equals_batch_cms(spark, tmp_path):
+    from ftm_datalake_spark.operators.sketches import cms_cells
+
+    stage = str(tmp_path / "stage")
+    store = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+
+    def merge_batch(batch_df, _batch_id):
+        new_cells = cms_cells(batch_df, depth=3, width=64)
+        if os.path.exists(store):
+            old = batch_df.sparkSession.read.parquet(store)
+            merged = (
+                old.unionByName(new_cells)
+                .groupBy("seed", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = new_cells
+        # atomic-enough for the test: rewrite the snapshot
+        merged.write.mode("overwrite").parquet(store + ".tmp")
+        batch_df.sparkSession.read.parquet(store + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).json(stage)
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(stage, "b1.json", ["a"] * 5 + ["b"] * 2)
+    drain()
+    _write(stage, "b2.json", ["a"] * 3 + ["c"] * 7)
+    drain()
+
+    streamed = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(store).collect()
+    }
+    full = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] * 2 + [("c",)] * 7, "token string"
+    )
+    batch = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in cms_cells(full, depth=3, width=64).collect()
+    }
+    assert streamed == batch
