@@ -393,3 +393,101 @@ def label_centroids(
             for i in range(dims)
         ],
     )
+
+
+def pq_encode_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    codebook_size: int = 4,
+    dims: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC).
+
+    The corpus compresses to n_subspaces × log2(codebook_size) bits per
+    vector (here 4×2 = ONE BYTE instead of 64 floats): each 16-dim
+    subvector is replaced by the id of its nearest codebook entry.
+    Queries stay full-precision; distance is the ADC sum of per-subspace
+    lookup-table entries — the IVF-PQ building block every large-scale
+    vector index uses.
+
+    Codebooks here are md5-order seed vectors (no Lloyd refinement):
+    the encode/ADC mechanics are identical to a trained PQ, and the
+    whole pipeline stays exactly integer-replayable by a SQL oracle
+    (quantized ints, argmin with id tiebreak, exact integer sums).
+    Scale shape: codebooks are literals (driver-held, k×dims ints);
+    encoding is a zero-shuffle map; the query×corpus scoring broadcasts
+    the (tiny) query ADC tables.
+    """
+    sub = dims // n_subspaces
+    q_df = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
+    )
+    seeds = (
+        q_df.withColumn("__ord", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__ord", "vec_id")
+        .limit(codebook_size)
+        .collect()
+    )
+    # codebook[c][s] = the c-th seed's s-th subvector (python ints)
+    codebook = [
+        [list(r["q"])[s * sub : (s + 1) * sub] for s in range(n_subspaces)]
+        for r in seeds
+    ]
+
+    def subdist(vec_col: F.Column, s: int, c: int) -> F.Column:
+        ref = F.array(*[F.lit(int(v)).cast("long") for v in codebook[c][s]])
+        sl = F.slice(vec_col, s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(sl, ref, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def code_for(s: int) -> F.Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    subdist(F.col("q"), s, c).alias("d"),
+                    F.lit(c).cast("int").alias("c"),
+                )
+                for c in range(codebook_size)
+            ]
+        )
+        return F.array_min(scored)["c"]
+
+    encoded = q_df.select(
+        F.col("vec_id").alias("nid"),
+        *[code_for(s).alias(f"code{s}") for s in range(n_subspaces)],
+    )
+
+    qs = queries.select(
+        F.col(id_col).alias("qid"), quantize(F.col(emb_col)).alias("q")
+    )
+    # per-query ADC lookup tables: dtab{s} = [d(q_s, codebook[0][s]), ...]
+    qtabs = qs.select(
+        "qid",
+        *[
+            F.array(
+                *[subdist(F.col("q"), s, c) for c in range(codebook_size)]
+            ).alias(f"dtab{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    adist = sum(
+        F.element_at(F.col(f"dtab{s}"), F.col(f"code{s}") + 1)
+        for s in range(n_subspaces)
+    )
+    scored = (
+        encoded.join(F.broadcast(qtabs), F.col("nid") != F.col("qid"))
+        .withColumn("adist", adist.cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adist")
+    )

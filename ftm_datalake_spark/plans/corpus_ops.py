@@ -402,3 +402,76 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25-lite ranked search with QUANTIZED idf so ranking is exact
+# integer arithmetic end-to-end (true BM25's log-idf floats don't
+# reproduce across engines; integer-scaled (N-df)*S//df preserves the
+# rarity ordering). Score = sum over query terms of tf * idf_q —
+# inverted-index shape: postings filtered to the query terms (broadcast
+# semi-join in spirit), one groupBy doc.
+@register(
+    "text_ranked_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token IN ('merge', 'vector', 'stream')
+      GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    idf AS (
+      SELECT token, (((SELECT n FROM n) - df) * 1000) // df AS idf_q FROM df
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ('merge', 'vector', 'stream')
+      GROUP BY doc_id, token
+    ),
+    scored AS (
+      SELECT t.doc_id, SUM(t.tf * i.idf_q) AS score
+      FROM tf t JOIN idf i USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    ORDER BY rank
+    """,
+    tags=("text", "search"),
+)
+def text_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    terms = ["merge", "vector", "stream"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token").isin(terms))
+    n = docs.count()  # driver-side scalar (a count, not data)
+    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_t.select(
+        "token",
+        F.floor(((F.lit(n) - F.col("df")) * 1000) / F.col("df")).alias("idf_q"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_q")).alias("score"))
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — no global sort);
+    # the ranking window then runs over k rows only
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", F.col("score").cast("long").alias("score"), "rank")
+        .orderBy("rank")
+    )

@@ -376,3 +376,63 @@ def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Per-group p90 WITHOUT a global (or even per-group row-level) sort:
+# the same value-histogram order-statistics trick as
+# quality_iqr_outliers, per group — cumulative counts over the distinct
+# (event_type, value) table, pick the smallest value whose cumulative
+# count reaches ceil(0.9 * n). Values go through DECIMAL(12,2) so the
+# histogram keys are exact.
+@register(
+    "events_p90_value_by_type",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, COUNT(*) AS c
+      FROM events GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, v, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS DOUBLE) AS p90
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "stats", "window"),
+)
+def events_p90_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    vals = events.groupBy(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    ).agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("v")))
+            .cast("double")
+            .alias("p90"),
+        )
+        .orderBy("event_type")
+    )

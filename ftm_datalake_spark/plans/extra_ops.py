@@ -402,3 +402,66 @@ def trigram_freq_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "trigram")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item co-occurrence (co-purchase) with per-item top-k: the
+# recommender-system staple. The self-join explodes per order — bounded
+# by order size (≤7 lineitems in TPC-H), so the pair stream is
+# O(orders × size²) with uniform keys; top-k is a per-item window over
+# the (much smaller) aggregated pair counts.
+@register(
+    "part_copurchase_topk",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    counts AS (
+      SELECT part_a, part_b, COUNT(*) AS n FROM pairs
+      GROUP BY part_a, part_b
+    ),
+    sym AS (
+      SELECT part_a AS part, part_b AS other, n FROM counts
+      UNION ALL
+      SELECT part_b AS part, part_a AS other, n FROM counts
+    ),
+    ranked AS (
+      SELECT part, other, n,
+             row_number() OVER (
+               PARTITION BY part ORDER BY n DESC, other) AS rank
+      FROM sym
+    )
+    SELECT part, other, n, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY part, rank
+    """,
+    tags=("join", "recsys"),
+)
+def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    counts = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n"))
+    )
+    sym = counts.select(
+        F.col("part_a").alias("part"), F.col("part_b").alias("other"), "n"
+    ).unionByName(
+        counts.select(
+            F.col("part_b").alias("part"), F.col("part_a").alias("other"), "n"
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.col("n").desc(), F.col("other"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("part", "other", "n", "rank")
+        .orderBy("part", "rank")
+    )

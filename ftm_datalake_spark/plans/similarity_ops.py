@@ -207,3 +207,65 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.label_centroids(emb, dims=4).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Product quantization + asymmetric distance (the IVF-PQ building
+# block): corpus compressed to 4×2-bit codes (one byte per 64-float
+# vector), queries scored via per-subspace lookup tables. md5-order
+# codebooks keep the whole pipeline integer-replayable — see
+# operators/similarity.pq_encode_topk.
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                - 1) AS c,
+             q AS cv
+      FROM (SELECT vec_id, q FROM qv
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)
+    ),
+    sd AS (
+      SELECT v.vec_id, sub.s, sc.c,
+             SUM((v.q[sub.s*16 + t.i] - sc.cv[sub.s*16 + t.i])
+                 * (v.q[sub.s*16 + t.i] - sc.cv[sub.s*16 + t.i])) AS d
+      FROM qv v,
+           LATERAL (SELECT s FROM generate_series(0, 3) g(s)) sub,
+           seeds sc,
+           LATERAL (SELECT i FROM generate_series(1, 16) g(i)) t
+      GROUP BY v.vec_id, sub.s, sc.c
+    ),
+    codes AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM sd) WHERE rn = 1
+    ),
+    qsd AS (SELECT vec_id AS qid, s, c, d FROM sd WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, n.vec_id AS nid, SUM(q.d) AS adist
+      FROM codes n
+      JOIN qsd q ON q.s = n.s AND q.c = n.code
+      WHERE n.vec_id <> q.qid
+      GROUP BY q.qid, n.vec_id
+    ),
+    ranked AS (
+      SELECT qid, nid, adist,
+             row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+      FROM pairs
+    )
+    SELECT qid, nid, CAST(rank AS BIGINT) AS rank, CAST(adist AS BIGINT) AS adist
+    FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.pq_encode_topk(emb, queries, k=5)
+    return out.orderBy("qid", "rank")
