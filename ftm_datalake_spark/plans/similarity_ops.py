@@ -269,3 +269,106 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     out = S.pq_encode_topk(emb, queries, k=5)
     return out.orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# ANN quality measurement: recall@3 of the sign-LSH index against exact
+# brute-force ground truth, per query — the metric a real vector-index
+# deployment tracks. Both pipelines run inside the query; recall is an
+# exact integer (hits * 1000 // k) so the comparison is engine-stable.
+_GT_CTES = f"""
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id < 10),
+    gt_comp AS (
+      SELECT qs.qid, c.vec_id AS nid,
+             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
+             CAST(SUM(t.x * t.x) AS BIGINT) AS qn,
+             CAST(SUM(t.y * t.y) AS BIGINT) AS nn
+      FROM qs, qv c,
+           LATERAL (SELECT qs.qq[i] AS x, c.q[i] AS y
+                    FROM generate_series(1, 64) g(i)) t
+      WHERE c.vec_id <> qs.qid
+      GROUP BY qs.qid, c.vec_id
+    ),
+    gt AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) DESC,
+                          nid) AS rank
+        FROM gt_comp) WHERE rank <= 3
+    ),
+    b AS (
+      SELECT vec_id, q,
+             array_to_string(list_transform(q[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM qv
+    ),
+    lsh_cand AS (
+      SELECT s.vec_id AS qid, c.vec_id AS nid, s.q AS qq, c.q AS nq
+      FROM b s JOIN b c USING (bucket)
+      WHERE s.vec_id < 10 AND c.vec_id <> s.vec_id
+    ),
+    lsh_comp AS (
+      SELECT qid, nid,
+             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
+             CAST(SUM(t.x * t.x) AS BIGINT) AS qn,
+             CAST(SUM(t.y * t.y) AS BIGINT) AS nn
+      FROM lsh_cand, LATERAL (
+        SELECT qq[i] AS x, nq[i] AS y FROM generate_series(1, 64) g(i)) t
+      GROUP BY qid, nid
+    ),
+    lsh AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE)
+                          / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) DESC,
+                          nid) AS rank
+        FROM lsh_comp) WHERE rank <= 3
+    )
+"""
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH {_GT_CTES}
+    SELECT g.qid,
+           CAST(COUNT(l.nid) AS BIGINT) AS hits,
+           CAST(COUNT(l.nid) * 1000 // 3 AS BIGINT) AS recall_x1000
+    FROM gt g LEFT JOIN lsh l ON l.qid = g.qid AND l.nid = g.nid
+    GROUP BY g.qid
+    ORDER BY g.qid
+    """,
+    tags=("similarity", "ann", "measurement"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    gt = S.brute_force_topk(emb, queries, k=3).select("qid", "nid")
+    lsh = S.lsh_topk(emb, queries, k=3, n_bits=8).select(
+        F.col("qid").alias("l_qid"), F.col("nid").alias("l_nid")
+    )
+    joined = gt.join(
+        lsh,
+        (F.col("qid") == F.col("l_qid")) & (F.col("nid") == F.col("l_nid")),
+        "left",
+    )
+    return (
+        joined.groupBy("qid")
+        .agg(F.count("l_nid").alias("hits"))
+        .select(
+            "qid",
+            F.col("hits").cast("long").alias("hits"),
+            F.floor(F.col("hits") * 1000 / 3).cast("long").alias("recall_x1000"),
+        )
+        .orderBy("qid")
+    )
