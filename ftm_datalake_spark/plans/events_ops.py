@@ -436,3 +436,42 @@ def events_p90_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten cascade: delete every trace of a user set and
+# prove the result — the anti-join family applied as a compliance
+# operation. The forget-set is tiny (broadcast anti-join: no shuffle of
+# the fact tables at any scale); output is per-table surviving/purged
+# counts plus a checksum of survivors so the oracle verifies the rows
+# themselves, not just the counts.
+@register(
+    "gdpr_forget_users",
+    oracle="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    ),
+    ev AS (
+      SELECT e.* FROM events e ANTI JOIN forget f USING (user_id)
+    )
+    SELECT 'events' AS table_name,
+           (SELECT COUNT(*) FROM events) AS before_rows,
+           COUNT(*) AS after_rows,
+           (SELECT COUNT(*) FROM events) - COUNT(*) AS purged_rows,
+           CAST(SUM(user_id) AS BIGINT) AS survivor_checksum
+    FROM ev
+    """,
+    tags=("compliance", "join"),
+)
+def gdpr_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    forget = events.where(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    surviving = events.join(F.broadcast(forget), "user_id", "left_anti")
+    before = events.count()
+    return surviving.agg(
+        F.lit("events").alias("table_name"),
+        F.lit(before).cast("long").alias("before_rows"),
+        F.count("*").alias("after_rows"),
+        (F.lit(before) - F.count("*")).cast("long").alias("purged_rows"),
+        F.sum("user_id").cast("long").alias("survivor_checksum"),
+    )

@@ -142,3 +142,20 @@ def test_compact_table_bounds_files_and_rows(spark, tmp_path):
     import glob as g
     for f in g.glob(out + "/part-*.parquet"):
         assert pq.ParquetFile(f).metadata.num_rows <= 2_000
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema drift across parquet files: mergeSchema reconciles old
+    (no `lang`) and new (with `lang`) files into one frame with nulls
+    for the missing column — the lakehouse schema-evolution read path."""
+    old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    path = str(tmp_path / "evolving")
+    old.write.mode("append").parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
