@@ -562,3 +562,39 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# percent_rank / cume_dist coverage, windowed per nation (the partition
+# key keeps every window bounded — no global single-partition exchange).
+# The custkey tiebreak removes ties so both ratios are deterministic
+# double divisions of identical integers.
+@register(
+    "window_rank_functions",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey)
+    QUALIFY c_custkey % 10 = 0
+    ORDER BY c_nationkey, c_custkey
+    """,
+    tags=("window",),
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").cast("decimal(12,2)"), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .where(F.col("c_custkey") % 10 == 0)
+        .orderBy("c_nationkey", "c_custkey")
+    )
