@@ -500,3 +500,126 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.importance_sample(docs, rate).select(
         "doc_id", "lang", "n_chars", "rate_pct", "bucket"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Data mixing: materialize a training mix with per-source quotas (the
+# Pile/Dolma recipe step). Quota_i = weight_i% of that source's docs;
+# selection is the md5-rank prefix within each source — deterministic,
+# partitioning-independent, and one bounded per-source window (same
+# shape as sample_per_group_cap). Output proves the realized mix.
+@register(
+    "corpus_source_mixing",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2') THEN 80
+                  WHEN source IN ('src3','src4','src5') THEN 50
+                  ELSE 20 END AS pct,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS source_docs,
+           COUNT(*) AS selected,
+           CAST(SUM(doc_id) AS BIGINT) AS selected_checksum
+    FROM weighted
+    WHERE rn * 100 <= pct * n
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("training", "sampling"),
+)
+def corpus_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(80))
+        .when(F.col("source").isin("src3", "src4", "src5"), F.lit(50))
+        .otherwise(F.lit(20))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        pct.alias("pct"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    return (
+        weighted.where(F.col("rn") * 100 <= F.col("pct") * F.col("n"))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("source_docs"),
+            F.count("*").alias("selected"),
+            F.sum("doc_id").cast("long").alias("selected_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking with overlap: split every doc into
+# 32-token windows at stride 24 (8-token overlap) — the context-length
+# prep step distinct from packing (packing concatenates, chunking
+# splits). sequence+slice construction: zero shuffle; chunk count per
+# doc = 1 + max(0, ceil((n-32)/24)).
+@register(
+    "corpus_sliding_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, s.i AS chunk_idx,
+             tk[(s.i*24+1):(s.i*24+32)] AS chunk
+      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
+      WHERE s.i <= greatest(0, CAST(ceil((len(tk) - 32) / 24.0) AS BIGINT))
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_sig
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("training", "text"),
+)
+def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    size, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    # chunk i exists when i == 0 or its window reaches fresh tokens:
+    # i*stride + 1 <= n - (size - stride - 1)
+    n = F.size("tk")
+    max_i = F.greatest(
+        F.lit(0),
+        F.ceil((n - size) / F.lit(float(stride))).cast("int"),
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), max_i),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(F.col("tk"), i * stride + 1, size).alias("chunk"),
+        ),
+    )
+    exploded = base.select(
+        "doc_id", F.explode(chunk_arr).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_sig"),
+    ).orderBy("doc_id", "chunk_idx")
