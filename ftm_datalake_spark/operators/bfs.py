@@ -29,6 +29,9 @@ def bfs_distances(
     """(node, dist) for every node reachable from `seed` within
     `max_depth` hops; dist is the exact hop-count minimum."""
     spark = edges.sparkSession
+    # materialize the edge list once — every round joins against it, and
+    # re-deriving it per round would rescan/rejoin the source tables
+    edges = edges.localCheckpoint()
     dist = spark.createDataFrame([(seed, 0)], "node long, dist long")
     for _ in range(max_depth):
         step = (

@@ -36,8 +36,13 @@ def orient_edges(edges: DataFrame) -> DataFrame:
 
 def triangles(edges: DataFrame) -> DataFrame:
     """All triangles in an undirected graph, one row each, vertex keys
-    returned in ascending numeric order (n1 < n2 < n3)."""
-    o = orient_edges(edges)
+    returned in ascending numeric order (n1 < n2 < n3).
+
+    The oriented edge list is materialized (localCheckpoint) before the
+    three-way self-join: Spark does not share common subtrees across
+    self-join branches, so without it the whole upstream edge
+    construction would execute once per branch."""
+    o = orient_edges(edges).localCheckpoint()
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
