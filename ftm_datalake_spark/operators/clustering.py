@@ -96,6 +96,8 @@ def kmeans(
         .collect()
     )
     centroids = [list(r["q"]) for r in seeds]
+    # fewer vectors than k: every vector seeds its own cluster
+    k = min(k, len(centroids))
 
     for _ in range(iters):
         assigned = _assign(q_df, centroids)

@@ -437,6 +437,8 @@ def pq_encode_topk(
         [list(r["q"])[s * sub : (s + 1) * sub] for s in range(n_subspaces)]
         for r in seeds
     ]
+    # fewer vectors than codebook entries: shrink the codebook
+    codebook_size = min(codebook_size, len(codebook))
 
     def subdist(vec_col: F.Column, s: int, c: int) -> F.Column:
         ref = F.array(*[F.lit(int(v)).cast("long") for v in codebook[c][s]])

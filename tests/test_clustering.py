@@ -74,3 +74,23 @@ def test_semantic_dedup_finds_injected_duplicates(spark, sf_dir):
     for r in out:
         if (r["vec_a"], r["vec_b"]) in {(v, v + 1000000) for v in injected}:
             assert r["cosine"] == 1.0
+
+
+def test_kmeans_with_fewer_vectors_than_k(spark):
+    tiny = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]), (2, [float(i + 9) for i in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = C.kmeans(tiny, k=4, iters=2)
+    rows = assigned.collect()
+    assert len(rows) == 2
+    assert len(cents) == 2  # every vector seeds its own cluster
+    assert {r["cluster"] for r in rows} == {0, 1}
+
+
+def test_kmeans_single_vector(spark):
+    one = spark.createDataFrame(
+        [(7, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    assigned, cents = C.kmeans(one, k=4, iters=1)
+    assert assigned.count() == 1 and len(cents) == 1
