@@ -493,3 +493,108 @@ def pq_encode_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank", "adist")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_subspaces: int = 4,
+    codebook_size: int = 4,
+    dims: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """The composed IVF-PQ index — the architecture every production
+    vector store uses: IVF coarse lists bound the search (each query
+    probes ONE inverted list) and PQ codes compress the candidates
+    (approximate distance via per-subspace lookup tables, no
+    full-precision vectors touched at query time).
+
+    Storage story at scale: the index is (cluster, nid, code0..3) —
+    one byte of codes per vector, partitioned by cluster; queries
+    broadcast their (cluster, ADC tables); scoring is an equi-join on
+    cluster + four array lookups. Exact integers end-to-end, so the
+    SQL oracle replays the whole index build and probe."""
+    sub = dims // n_subspaces
+    cents = ivf_centroids(embeddings, cluster_col, emb_col)
+    corpus = _with_quantized(embeddings, emb_col).select(
+        F.col(id_col).alias("vid"), "q", "norm2"
+    )
+    corpus_assigned = _assign_to_centroid(corpus, cents).select(
+        F.col("vid").alias("nid"), F.col("q").alias("q"), F.col("cluster")
+    )
+
+    seeds = (
+        _with_quantized(embeddings, emb_col)
+        .select(F.col(id_col).alias("vec_id"), "q")
+        .withColumn("__ord", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__ord", "vec_id")
+        .limit(codebook_size)
+        .collect()
+    )
+    codebook = [
+        [list(r["q"])[s * sub : (s + 1) * sub] for s in range(n_subspaces)]
+        for r in seeds
+    ]
+    codebook_size = min(codebook_size, len(codebook))
+
+    def subdist(vec_col: F.Column, s: int, c: int) -> F.Column:
+        ref = F.array(*[F.lit(int(v)).cast("long") for v in codebook[c][s]])
+        sl = F.slice(vec_col, s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(sl, ref, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def code_for(s: int) -> F.Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    subdist(F.col("q"), s, c).alias("d"),
+                    F.lit(c).cast("int").alias("c"),
+                )
+                for c in range(codebook_size)
+            ]
+        )
+        return F.array_min(scored)["c"]
+
+    index = corpus_assigned.select(
+        "nid",
+        "cluster",
+        *[code_for(s).alias(f"code{s}") for s in range(n_subspaces)],
+    )
+
+    qs = _with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("vid"), "q", "norm2"
+    )
+    q_assigned = _assign_to_centroid(qs, cents).select(
+        F.col("vid").alias("qid"), F.col("q").alias("q"), F.col("cluster")
+    )
+    qtabs = q_assigned.select(
+        "qid",
+        "cluster",
+        *[
+            F.array(
+                *[subdist(F.col("q"), s, c) for c in range(codebook_size)]
+            ).alias(f"dtab{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    adist = sum(
+        F.element_at(F.col(f"dtab{s}"), F.col(f"code{s}") + 1)
+        for s in range(n_subspaces)
+    )
+    scored = (
+        index.join(F.broadcast(qtabs), "cluster")
+        .where(F.col("nid") != F.col("qid"))
+        .withColumn("adist", adist.cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adist")
+    )
