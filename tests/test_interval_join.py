@@ -61,3 +61,51 @@ def test_zero_length_interval_matches_containing_window(spark):
         left, right, "k", "l_start", "l_end", "r_start", "r_end"
     ).collect()
     assert len(out) == 1
+
+
+# ------------------------------------------------------------ property
+def test_overlap_join_equals_naive_predicate_on_random_intervals(spark):
+    """Property: the bucketized plan produces exactly the rows the naive
+    O(n^2) overlap predicate produces, for arbitrary interval layouts
+    (including spans far longer than the bucket width)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    iv = st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 200_000),  # start offset seconds
+        st.integers(0, 100_000),  # duration seconds
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(iv, min_size=1, max_size=8), st.lists(iv, min_size=1, max_size=8))
+    def run(lrows, rrows):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        mk = lambda rows, a, b: [  # noqa: E731
+            (k, i, base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+            for i, (k, s, d) in enumerate(rows)
+        ]
+        left = spark.createDataFrame(
+            mk(lrows, "l_start", "l_end"),
+            "k long, l_id long, l_start timestamp, l_end timestamp",
+        )
+        right = spark.createDataFrame(
+            mk(rrows, "r_start", "r_end"),
+            "k long, r_id long, r_start timestamp, r_end timestamp",
+        )
+        got = {
+            (r["k"], r["l_id"], r["r_id"])
+            for r in interval_overlap_join(
+                left, right, "k", "l_start", "l_end", "r_start", "r_end"
+            ).collect()
+        }
+        expected = set()
+        for li, (lk, ls, ld) in enumerate(lrows):
+            for ri, (rk, rs, rd) in enumerate(rrows):
+                if lk == rk and ls < rs + rd and rs < ls + ld:
+                    expected.add((lk, li, ri))
+        assert got == expected
+
+    run()
