@@ -73,3 +73,46 @@ def test_phrase_search_is_pure_projection(spark, sf_dir):
     # positional phrase search is a scan + filter: no shuffle at all
     plan = _plan(spark, sf_dir, "text_phrase_search")
     assert "Exchange hashpartitioning" not in plan
+
+
+# --------------------------------------------------------------- global
+# Queries whose single-partition exchanges are legitimate: global SCALAR
+# aggregates (one-row totals, sketch register folds, quartile scalars) —
+# tiny data by construction at the point of exchange.
+GLOBAL_SCALAR_OK = {
+    "dq_validation_suite",
+    "events_funnel",
+    "gdpr_forget_users",
+    "q11_important_parts",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    "q6_forecast_revenue",
+    "quality_iqr_outliers",
+    "set_equality_check",
+    "sketch_hll_distinct_users",
+}
+
+
+def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
+    """Sweeping guarantee: NO registry query may degrade to a cartesian
+    product, and single-partition exchanges are only allowed for the
+    documented global-scalar aggregates."""
+    from ftm_datalake_spark.plans import REGISTRY
+
+    offenders, rogue_single = [], []
+    for name, spec in sorted(REGISTRY.items()):
+        plan = (
+            spec.builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        if "Exchange SinglePartition" in plan and name not in GLOBAL_SCALAR_OK:
+            rogue_single.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+    assert not rogue_single, f"undocumented single-partition exchange in: {rogue_single}"
