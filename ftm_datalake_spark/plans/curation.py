@@ -67,3 +67,120 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "stop_ratio")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# The WHOLE preprocessing pipeline as one declarative plan: Gopher
+# gates → CCNet segment dedup → exact canonical dedup on the cleaned
+# signature → per-source mixing quotas → realized-mix stats. Catalyst
+# sees a single DAG (filters push into the scan, the only shuffles are
+# the segment-frequency agg, the signature dedup window, and the
+# per-source quota window). The oracle chains the same four verified
+# fragments, so the END-TO-END composition is hash-checked, not just
+# its pieces.
+@register(
+    "corpus_pipeline_e2e",
+    oracle="""
+    WITH gates AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ('the', 'a', 'of'))) AS BIGINT)
+                 AS stop_hits,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+                 AS symbols
+        FROM documents)
+      WHERE n_words >= 30 AND n_words <= 100000
+        AND total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+        AND stop_hits >= 2 AND symbols * 10 <= total_chars
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM gates),
+    segs AS (
+      SELECT doc_id, s.i AS seg_idx,
+             array_to_string(tk[(s.i*8+1):(s.i*8+8)], ' ') AS seg
+      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
+      WHERE s.i < ceil(len(tk) / 8.0)
+    ),
+    freq AS (SELECT md5(seg) AS seg_key, COUNT(*) AS n
+             FROM segs GROUP BY md5(seg)),
+    clean AS (
+      SELECT s.doc_id,
+             md5(COALESCE(string_agg(CASE WHEN f.n <= 1 THEN s.seg END, ' '
+                                     ORDER BY s.seg_idx), '')) AS clean_sig
+      FROM segs s JOIN freq f ON f.seg_key = md5(s.seg)
+      GROUP BY s.doc_id
+    ),
+    canon AS (
+      SELECT doc_id, clean_sig FROM (
+        SELECT doc_id, clean_sig,
+               row_number() OVER (PARTITION BY clean_sig ORDER BY doc_id) AS rn
+        FROM clean) WHERE rn = 1
+    ),
+    mixable AS (
+      SELECT g.source, c.doc_id,
+             CASE WHEN g.source IN ('src0','src1','src2') THEN 80
+                  WHEN g.source IN ('src3','src4','src5') THEN 50
+                  ELSE 20 END AS pct,
+             row_number() OVER (
+               PARTITION BY g.source
+               ORDER BY md5(CAST(c.doc_id AS VARCHAR)), c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY g.source) AS n
+      FROM canon c JOIN gates g USING (doc_id)
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS deduped_docs,
+           COUNT(*) AS selected,
+           CAST(SUM(doc_id) AS BIGINT) AS selected_checksum
+    FROM mixable
+    WHERE rn * 100 <= pct * n
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("composed", "training", "dedup", "quality", "bench"),
+    bench=True,
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ftm_datalake_spark.operators.textops import gopher_rules, segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    passes = gopher_rules(docs).where(F.col("passes")).select("doc_id")
+    gated = docs.join(passes, "doc_id")
+    cleaned = segment_dedup(gated).select("doc_id", "clean_sig")
+    w_dedup = Window.partitionBy("clean_sig").orderBy("doc_id")
+    canon = (
+        cleaned.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    pct = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(80))
+        .when(F.col("source").isin("src3", "src4", "src5"), F.lit(50))
+        .otherwise(F.lit(20))
+    )
+    w_mix = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    mixable = (
+        canon.join(gated.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            pct.alias("pct"),
+            F.row_number().over(w_mix).alias("rn"),
+            F.count("*").over(Window.partitionBy("source")).alias("n"),
+        )
+    )
+    return (
+        mixable.where(F.col("rn") * 100 <= F.col("pct") * F.col("n"))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("deduped_docs"),
+            F.count("*").alias("selected"),
+            F.sum("doc_id").cast("long").alias("selected_checksum"),
+        )
+        .orderBy("source")
+    )
