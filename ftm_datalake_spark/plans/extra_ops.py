@@ -465,3 +465,80 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part", "other", "n", "rank")
         .orderBy("part", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic correlation + least-squares regression per group:
+# built-in corr() accumulates floats in partition order (not
+# reproducible); here every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an
+# EXACT decimal sum — algebraic, map-side combinable — and the final
+# r/slope/intercept are single IEEE expressions over those exact
+# inputs, so any engine computes identical doubles. The statistics
+# shuffle is k group rows of 6 numbers, nothing else.
+@register(
+    "stats_qty_price_regression",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / sqrt((n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                    * (n * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS r,
+           (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS slope,
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+            - ((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+               / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+              * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n AS intercept
+    FROM m ORDER BY flag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_qty_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    # decimal → string → double: decimal-to-string is exact and
+    # string-to-double is correctly rounded in both engines, so sums
+    # beyond 2^53 convert identically (a direct decimal→double cast
+    # rounds differently in DuckDB vs the JVM at the last ulp)
+    sx = F.col("sx").cast("string").cast("double")
+    sy = F.col("sy").cast("string").cast("double")
+    sxy = F.col("sxy").cast("string").cast("double")
+    sxx = F.col("sxx").cast("string").cast("double")
+    syy = F.col("syy").cast("string").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "flag",
+        n.cast("long").alias("n"),
+        (cov_n / F.sqrt(var_x * var_y)).alias("r"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("flag")
