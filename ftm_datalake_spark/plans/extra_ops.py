@@ -542,3 +542,58 @@ def stats_qty_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("flag")
+
+
+# --------------------------------------------------------------------------
+# NULL-semantics conformance: nulls manufactured by an outer join
+# (customers without orders), then the aggregate/predicate behaviors
+# that differ between count(*) and count(col), null-safe equality, and
+# null-aware conditional sums — locked cross-engine.
+@register(
+    "null_semantics_check",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_custkey, c.c_nationkey, o.o_orderkey, o.o_totalprice
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_orders,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS n_orderless,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           SUM(CASE WHEN o_orderkey IS NOT NULL
+                    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) IS NULL
+             AS all_null_sum_is_null
+    FROM joined
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("join", "nulls"),
+)
+def null_semantics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders, orders.o_custkey == cust.c_custkey, "left"
+    ).select("c_custkey", "c_nationkey", "o_orderkey", "o_totalprice")
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_orderless"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum(
+                F.when(
+                    F.col("o_orderkey").isNotNull(),
+                    F.col("o_totalprice").cast("decimal(12,2)"),
+                )
+            )
+            .isNull()
+            .alias("all_null_sum_is_null"),
+        )
+        .orderBy("c_nationkey")
+    )
