@@ -598,3 +598,48 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_custkey") % 10 == 0)
         .orderBy("c_nationkey", "c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt) — the inverse of pivot_user_event_counts: wide
+# per-type count columns back to (key, event_type, n) long form via
+# Spark's native unpivot; zero shuffle beyond the pivot it consumes.
+@register(
+    "unpivot_event_matrix",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id % 10 AS cohort,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+      FROM events GROUP BY cohort
+    )
+    SELECT cohort, event_type, CAST(n AS BIGINT) AS n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (click, error, purchase))
+    ORDER BY cohort, event_type
+    """,
+    tags=("pivot", "agg"),
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+                for t in ("click", "error", "purchase")
+            ]
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["cohort"],
+            values=["click", "error", "purchase"],
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .select("cohort", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("cohort", "event_type")
+    )
