@@ -89,7 +89,7 @@ def _ppm_header(content: bytes, start: int) -> tuple[int, int, int, int] | None:
         j = i
         while j < len(content) and not content[j : j + 1].isspace():
             j += 1
-        if j == i:
+        if j == i or not content[i:j].isdigit():
             return None
         fields.append(int(content[i:j]))
         i = j
@@ -108,7 +108,9 @@ def decode_ppm(content: bytes) -> np.ndarray | None:
     if parsed is None:
         return None
     w, h, maxval, i = parsed
-    if maxval != 255:
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    if i + w * h * 3 > len(content):  # truncated raster
         return None
     raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3)
@@ -159,6 +161,8 @@ def decode_bmp(content: bytes) -> np.ndarray | None:
     bottom_up = h > 0
     h = abs(h)
     row_stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if w <= 0 or h == 0 or data_offset + row_stride * h > len(content):
+        return None  # nonsense dims or truncated raster
     rows = np.frombuffer(
         content, dtype=np.uint8, count=row_stride * h, offset=data_offset
     ).reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
@@ -231,11 +235,15 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray] | None:
         chunk_id = content[i : i + 4]
         size = struct.unpack_from("<I", content, i + 4)[0]
         if chunk_id == b"fmt ":
+            if i + 24 > len(content):  # truncated fmt chunk
+                return None
             fmt, channels, rate = struct.unpack_from("<HHI", content, i + 8)
             bits = struct.unpack_from("<H", content, i + 22)[0]
             if fmt != 1 or bits != 16:  # PCM16 only
                 return None
         elif chunk_id == b"data":
+            if i + 8 + size > len(content):  # truncated data chunk
+                return None
             samples = np.frombuffer(content, dtype="<i2", count=size // 2, offset=i + 8)
         i += 8 + size + (size & 1)
     if rate is None or samples is None:

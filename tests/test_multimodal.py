@@ -175,3 +175,59 @@ def test_video_frame_features_samples_every_second_frame(spark):
     assert [r["frame_idx"] for r in rows] == [0, 2, 4]
     assert all(r["n_frames"] == 5 for r in rows)
     assert [round(r["mean_luma"]) for r in rows] == [0, 100, 200]
+
+
+# ----------------------------------------------------------- fuzz safety
+def test_decoders_never_crash_on_arbitrary_bytes():
+    """Decoders must return None (not raise) for any malformed payload —
+    a corrupt blob in a 100 TB crawl cannot be allowed to kill a stage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ftm_datalake_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        split_ppm_stream,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def run(payload):
+        for fn in (decode_ppm, decode_bmp, decode_wav, split_ppm_stream):
+            try:
+                fn(payload)
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(f"{fn.__name__} raised on fuzz input: {e}")
+
+    run()
+
+
+def test_decoders_never_crash_on_truncated_valid_prefixes():
+    import numpy as np
+
+    from ftm_datalake_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        split_ppm_stream,
+    )
+
+    ppm = encode_ppm(np.full((3, 3, 3), 7, dtype=np.uint8))
+    bmp = encode_bmp(np.full((3, 3, 3), 7, dtype=np.uint8))
+    for payload in (ppm, bmp):
+        for cut in range(len(payload)):
+            decode_ppm(payload[:cut])
+            decode_bmp(payload[:cut])
+            split_ppm_stream(payload[:cut])
+
+
+def test_decoders_reject_hostile_headers():
+    from ftm_datalake_spark.operators.multimodal import decode_ppm, decode_wav
+
+    assert decode_ppm(b"P6\n-3 2\n255\n" + b"\x00" * 18) is None  # negative dim
+    assert decode_ppm(b"P6\n2 2\n255\n\x00") is None  # truncated raster
+    assert decode_ppm(b"P6\n2x 2\n255\n" + b"\x00" * 12) is None  # non-numeric
+    # RIFF/WAVE magic with a truncated fmt chunk must not raise
+    assert decode_wav(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01") is None
