@@ -9,9 +9,12 @@ the one ``RDD.zipWithIndex`` uses, expressed DataFrame-native:
       -> per-partition row_number               (parallel windows)
       -> + cumulative row offset of the partition (driver-side, P integers)
 
-The shuffled frame is materialized once (persist) so the offset pass and
-the ranked output observe the SAME range bounds — bounds are sampled, so
-two independent evaluations of the Exchange could disagree.
+The shuffled frame is materialized once (localCheckpoint, which cuts the
+lineage) so the offset pass and the ranked output observe the SAME range
+bounds — bounds are sampled, so two independent evaluations of the
+Exchange could disagree. A bare persist() is not enough: evicted or
+executor-lost blocks would be silently RECOMPUTED with fresh bounds,
+corrupting ranks; with a checkpoint, lost blocks fail loudly instead.
 """
 
 from __future__ import annotations
@@ -31,16 +34,17 @@ def with_global_rank(
 
     The order must be total (include a unique tiebreak column) for the
     rank to be deterministic. The per-partition counts collected to the
-    driver are P integers — metadata, not data. The input is persisted
-    for the lifetime of the returned plan; callers running inside a
-    service should ``spark.catalog.clearCache()`` or unpersist when done.
+    driver are P integers — metadata, not data. The shuffled input is
+    localCheckpoint-ed (lineage cut) so it can never be recomputed under
+    different sampled range bounds; the blocks are freed when the
+    returned plan is garbage-collected.
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     parted = (
         df.repartitionByRange(p, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     counts = {
         r["__pid"]: r["n"]
@@ -80,7 +84,7 @@ def with_global_cumsum(
     parted = (
         df.repartitionByRange(p, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     sums = {
         r["__pid"]: r["s"]

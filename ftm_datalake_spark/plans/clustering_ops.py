@@ -96,7 +96,8 @@ def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS)
     "embedding_kmeans",
     oracle=f"""
     WITH {_kmeans_ctes("SELECT vec_id, embedding FROM embeddings")}
-    SELECT a.cluster, COUNT(*) AS n, SUM(a.vec_id) AS id_sum,
+    SELECT a.cluster, COUNT(*) AS n,
+           CAST(SUM(a.vec_id) AS BIGINT) AS id_sum,
            MIN(c.cv[1]) AS c0, MIN(c.cv[2]) AS c1,
            MIN(c.cv[3]) AS c2, MIN(c.cv[4]) AS c3
     FROM afinal a JOIN c{_ITERS} c USING (cluster)

@@ -37,7 +37,8 @@ from ftm_datalake_spark.sources.tables import load_table
     )
     SELECT doc_id,
            COUNT(*) AS n_segs,
-           SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dropped,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
            md5(COALESCE(string_agg(CASE WHEN n <= 1 THEN seg END, ' '
                                    ORDER BY seg_idx), '')) AS clean_sig,
            CAST(length(COALESCE(string_agg(CASE WHEN n <= 1 THEN seg END, ' '

@@ -37,8 +37,9 @@ from ftm_datalake_spark.sources.tables import load_table
       UNION ALL
       SELECT 'orders.unique_orderkey',
              (SELECT COUNT(*) FROM o),
-             (SELECT COALESCE(SUM(c - 1), 0) FROM (
+             CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
                 SELECT COUNT(*) AS c FROM o GROUP BY o_orderkey))
+              AS BIGINT)
       UNION ALL
       SELECT 'lineitem.discount_range',
              (SELECT COUNT(*) FROM l),

@@ -559,8 +559,8 @@ def stats_qty_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            COUNT(*) AS n_rows,
            COUNT(o_orderkey) AS n_orders,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-             AS n_orderless,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orderless,
            COUNT(DISTINCT c_custkey) AS n_customers,
            SUM(CASE WHEN o_orderkey IS NOT NULL
                     THEN CAST(o_totalprice AS DECIMAL(12,2)) END) IS NULL

@@ -101,8 +101,9 @@ def write_entities_jsonl(entities: DataFrame, out_dir: str) -> str:
 
 def export_dataset_zip(dataset_dir: str, zip_path: str) -> str:
     """S14: zip export of a dataset directory (driver-side; the reference
-    is also single-threaded here, export.py:13-36)."""
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    is also single-threaded here, export.py:13-36, and writes LZMA
+    members — ftm_datalake/export.py:17 — matched here)."""
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_LZMA) as zf:
         for root, _dirs, files in os.walk(dataset_dir):
             for name in sorted(files):
                 full = os.path.join(root, name)
@@ -152,16 +153,20 @@ def read_zip_store_distributed(
         TimestampType,
     )
 
+    # Carry the central-directory INDEX, not just the name: duplicate
+    # entry names are legal in zip, and name-based zf.read(name) would
+    # return the first member's bytes for every duplicate. infolist()
+    # order is the central-directory order, stable across opens.
     with zipfile.ZipFile(zip_path) as zf:
         entries = [
-            (i.filename, i.file_size, dt.datetime(*i.date_time))
-            for i in zf.infolist()
+            (idx, i.filename, i.file_size, dt.datetime(*i.date_time))
+            for idx, i in enumerate(zf.infolist())
             if not i.is_dir()
         ]
     p = num_partitions or spark.sparkContext.defaultParallelism
     meta = spark.createDataFrame(
-        entries, "name string, size long, mtime timestamp"
-    ).repartition(min(p, max(1, len(entries))), "name")
+        entries, "idx long, name string, size long, mtime timestamp"
+    ).repartition(min(p, max(1, len(entries))), "idx")
 
     out_schema = StructType(
         [
@@ -177,13 +182,14 @@ def read_zip_store_distributed(
         # central directory is parsed once, then each member is a ranged
         # read + inflate of only that member.
         with zipfile.ZipFile(zip_path) as zf:
+            infos = zf.infolist()
             for pdf in batches:
                 yield pd.DataFrame(
                     {
                         "path": [f"zip://{zip_path}!/{n}" for n in pdf["name"]],
                         "modificationTime": pdf["mtime"],
                         "length": pdf["size"].astype("int64"),
-                        "content": [zf.read(n) for n in pdf["name"]],
+                        "content": [zf.read(infos[i]) for i in pdf["idx"]],
                     }
                 )
 

@@ -39,15 +39,25 @@ def run_cdc_upsert_stream(
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         spark: SparkSession = batch.sparkSession
+        target = snapshot_dir.rstrip("/")
+        old = target + ".old"
+        # Crash recovery: a prior run that died between the two renames
+        # below leaves the live snapshot stranded at .old — restore it.
+        if not os.path.exists(target) and os.path.exists(old):
+            os.rename(old, target)
         snap = spark.read.parquet(snapshot_dir)
         data_cols = [c for c in snap.columns]
         merged = apply_cdc(snap, batch, key_cols).select(*data_cols)
-        tmp = tempfile.mkdtemp(prefix="cdc-snap-")
+        # Stage the new snapshot NEXT TO the target (not the system temp)
+        # so both renames are same-filesystem — os.rename across devices
+        # raises EXDEV and a copy would not be atomic at all.
+        tmp = tempfile.mkdtemp(
+            prefix=".cdc-snap-", dir=os.path.dirname(os.path.abspath(target))
+        )
         merged.write.mode("overwrite").parquet(tmp)
-        old = snapshot_dir.rstrip("/") + ".old"
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(snapshot_dir, old)
-        os.rename(tmp, snapshot_dir)
+        os.rename(target, old)
+        os.rename(tmp, target)
         shutil.rmtree(old, ignore_errors=True)
 
     return (

@@ -53,4 +53,14 @@ def compare_query(spark, sf_dir: str, name: str) -> None:
         f"{name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}"
     )
     assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
+    # Dtype-kind strictness: the external driver hashes values dtype-
+    # sensitively, so an int64 Spark column meeting a float64 oracle column
+    # (the DuckDB HUGEINT-SUM trap) must fail HERE, not at the driver.
+    for c in s.columns:
+        sk, ok = s[c].dtype.kind, o[c].dtype.kind
+        assert sk == ok, (
+            f"{name}: dtype-kind mismatch on '{c}': spark={s[c].dtype} "
+            f"oracle={o[c].dtype} — if the oracle column is a DuckDB "
+            f"integer SUM, wrap it in CAST(... AS BIGINT)"
+        )
     pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)

@@ -98,6 +98,39 @@ def test_zip_export_roundtrip(spark, tmp_path):
     staged = read_zip_store(spark, zip_path, str(tmp_path / "staging"))
     assert staged.count() == 1
     assert staged.first()["path"].endswith("documents.csv")
+    # Parity with the reference exporter (export.py:17): members are LZMA
+    # and read back byte-exact through the stdlib decompressor.
+    with zipfile.ZipFile(zip_path) as zf:
+        info = zf.infolist()[0]
+        assert info.compress_type == zipfile.ZIP_LZMA
+        member = zf.read(info)
+    with open(str(tmp_path / "ds" / "documents.csv"), "rb") as fh:
+        assert member == fh.read()
+
+
+def test_zip_store_distributed_duplicate_names(spark, tmp_path):
+    """Duplicate entry names are legal in zip; the distributed reader must
+    return each member's OWN bytes (index-based access), not the first
+    member's bytes repeated."""
+    from ftm_datalake_spark.sources.sinks import read_zip_store_distributed
+
+    zip_path = str(tmp_path / "dup.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("same/name.bin", b"first-payload")
+        zf.writestr("same/name.bin", b"second-payload-longer")
+        zf.writestr("other.bin", b"other")
+
+    rows = read_zip_store_distributed(spark, zip_path, num_partitions=4).collect()
+    assert len(rows) == 3
+    dup_contents = sorted(
+        bytes(r["content"])
+        for r in rows
+        if r["path"].endswith("same/name.bin")
+    )
+    assert dup_contents == [b"first-payload", b"second-payload-longer"]
+    for r in rows:
+        assert r["length"] == len(bytes(r["content"]))
+
 
 def test_zip_store_distributed_read(spark, tmp_path):
     """Entry-parallel zip read: driver touches only the central directory;
