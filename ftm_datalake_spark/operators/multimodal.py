@@ -2,11 +2,14 @@
 with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decode status (container has no PIL/opencv/ffmpeg — decoders below are
-pure numpy/struct implementations of the container formats themselves):
-- images: REAL decode for uncompressed formats — PPM (P6) and 24-bit BMP —
-  plus a real nearest-neighbor resize + PPM re-encode. Compressed formats
-  (JPEG/PNG) fall back to a clearly-marked deterministic stub; swapping in
-  PIL changes one function, nothing structural.
+pure numpy/struct/zlib implementations of the container formats
+themselves):
+- images: REAL decode for PPM (P6), 24-bit BMP, and PNG (stdlib zlib
+  inflate + per-scanline unfilter in numpy; 8-bit gray/RGB/palette/alpha,
+  non-interlaced) — plus a real nearest-neighbor resize + re-encode.
+  JPEG falls back to a clearly-marked deterministic stub (entropy decode
+  legitimately needs a library); swapping in PIL changes one function,
+  nothing structural.
 - audio: REAL decode for WAV/RIFF PCM16 (rate, channels, duration, RMS).
 - video: honest stub (no container parser without ffmpeg); the frame-
   sampling plumbing (stride selection, per-batch row explosion) is real.
@@ -21,6 +24,7 @@ Scale notes:
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,7 +50,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
-        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|stub
+        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|png|stub
     ]
 )
 
