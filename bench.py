@@ -39,22 +39,29 @@ def main() -> None:
     bench_specs = [s for s in REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for spec in bench_specs:
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache
-        # Best-of-N with early stop: the host shows bursty CPU-starvation
-        # windows (identical runs vary 1.5s..100s), so take the minimum of
-        # up to 3 runs and stop as soon as a clean run is observed. The
-        # per-run samples are reported too, so a regression is
-        # attributable (real slowdown shows in EVERY sample; host noise
-        # shows as spread).
-        samples: list[float] = []
-        for attempt in range(3):
-            start = time.perf_counter()
-            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - start, 3))
-            if attempt >= 1 and min(samples) < 5.0:
-                break
+        # Fault isolation: one broken builder must not lose the whole
+        # artifact — record its error and keep timing the rest.
+        try:
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache
+            # Best-of-N with early stop: the host shows bursty CPU-starvation
+            # windows (identical runs vary 1.5s..100s), so take the minimum of
+            # up to 3 runs and stop as soon as a clean run is observed. The
+            # per-run samples are reported too, so a regression is
+            # attributable (real slowdown shows in EVERY sample; host noise
+            # shows as spread).
+            samples: list[float] = []
+            for attempt in range(3):
+                start = time.perf_counter()
+                spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - start, 3))
+                if attempt >= 1 and min(samples) < 5.0:
+                    break
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[spec.name] = min(samples)
         spreads[spec.name] = {
             "min": min(samples),
@@ -63,18 +70,17 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -4,12 +4,13 @@ with typed metadata, processed in Arrow batches via mapInPandas.
 Decode status (container has no PIL/opencv/ffmpeg — decoders below are
 pure numpy/struct/zlib implementations of the container formats
 themselves):
-- images: REAL decode for PPM (P6), 24-bit BMP, and PNG (stdlib zlib
+- images: REAL decode for PPM (P6), 24-bit BMP, PNG (stdlib zlib
   inflate + per-scanline unfilter in numpy; 8-bit gray/RGB/palette/alpha,
-  non-interlaced) — plus a real nearest-neighbor resize + re-encode.
-  JPEG falls back to a clearly-marked deterministic stub (entropy decode
-  legitimately needs a library); swapping in PIL changes one function,
-  nothing structural.
+  non-interlaced), and baseline JPEG (SOF0: canonical Huffman entropy
+  decode, dequant, orthonormal numpy IDCT, chroma upsampling, JFIF
+  YCbCr→RGB; restart markers supported) — plus a real nearest-neighbor
+  resize + re-encode. Progressive JPEG / interlaced PNG fall back to a
+  clearly-marked deterministic stub.
 - audio: REAL decode for WAV/RIFF PCM16 (rate, channels, duration, RMS).
 - video: honest stub (no container parser without ffmpeg); the frame-
   sampling plumbing (stride selection, per-batch row explosion) is real.
@@ -188,6 +189,393 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + body
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(
+    raw: np.ndarray, height: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Undo per-scanline PNG filters (types 0-4) → (height, stride) bytes.
+
+    Up (2) vectorizes across the row; Sub (1) is a per-lane cumulative sum
+    mod 256; Average (3) and Paeth (4) have a true left-dependency so they
+    run a per-pixel loop over the row (vectorized across the bpp lanes)."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int64)
+        pos += 1 + stride
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ftype == 0:
+            recon = row
+        elif ftype == 1:  # Sub: cumsum per lane mod 256
+            lanes = row.reshape(-1, bpp)
+            recon = np.cumsum(lanes, axis=0).reshape(-1) % 256
+        elif ftype == 2:  # Up
+            recon = (row + prior) % 256
+        elif ftype in (3, 4):
+            recon = np.zeros(stride, np.int64)
+            for x in range(0, stride, bpp):
+                left = recon[x - bpp : x] if x else np.zeros(bpp, np.int64)
+                up = prior[x : x + bpp]
+                if ftype == 3:  # Average
+                    pred = (left + up) // 2
+                else:  # Paeth
+                    ul = prior[x - bpp : x] if x else np.zeros(bpp, np.int64)
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                recon[x : x + bpp] = (row[x : x + bpp] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray | None:
+    """REAL PNG decode (stdlib zlib + numpy unfilter) → HxWx3 uint8 RGB.
+
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped (features
+    read color, not compositing); interlaced/16-bit → None (stub path)."""
+    if not content or not content.startswith(_PNG_MAGIC):
+        return None
+    i = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette: np.ndarray | None = None
+    idat = bytearray()
+    try:
+        while i + 8 <= len(content):
+            (length,) = struct.unpack_from(">I", content, i)
+            ctype = content[i + 4 : i + 8]
+            data = content[i + 8 : i + 8 + length]
+            if len(data) < length:
+                return None  # truncated
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            elif ctype == b"PLTE":
+                palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            i += 12 + length  # length + type + data + crc
+        if not width or not height or bit_depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            return None
+        px = _png_unfilter(raw, height, stride, channels).reshape(
+            height, width, channels
+        )
+    except Exception:
+        return None
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 3:
+        return palette[px[:, :, 0]] if palette is not None else None
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA → RGB
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """HxWx3 RGB → minimal valid PNG (8-bit truecolor, filter 0)."""
+    h, w, _ = pixels.shape
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------------------- JPEG decode
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# Orthonormal 8-point DCT-II basis: spatial = A.T @ coeffs @ A
+_IDCT_A = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded bytes with 0xFF00
+    unstuffing; a bare marker raises _JpegMarker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise _JpegMarker(0xD9)  # treat EOF as EOI
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt != 0x00:
+                raise _JpegMarker(nxt)
+            self.pos = p + 2
+        else:
+            self.pos = p + 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read_bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        val = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return val
+
+    def align_restart(self) -> None:
+        """Drop partial bits and consume an RSTn marker."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+
+
+def _build_huffman(bits: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read_bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(content: bytes) -> np.ndarray | None:
+    """REAL baseline JPEG decode (pure python/numpy) → HxWx3 uint8 RGB.
+
+    Supports SOF0 (baseline sequential Huffman): JFIF/EXIF wrappers, 8-bit
+    quant tables (and 16-bit), grayscale and YCbCr with any integer
+    sampling-factor grid (4:4:4, 4:2:0, 4:2:2, ...), restart markers.
+    Progressive (SOF2) / arithmetic coding → None (caller's stub path).
+    IDCT is the orthonormal DCT-III as an 8x8 numpy matrix product;
+    chroma upsampling is sample replication; YCbCr→RGB per JFIF."""
+    if not content or not content.startswith(b"\xff\xd8"):
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        frame = None  # (h, w, comps) comps: (cid, hs, vs, tq)
+        scan_comps = None  # (cid, dc_id, ac_id)
+        restart_interval = 0
+        scan_start = None
+        i = 2
+        while i + 4 <= len(content) and scan_start is None:
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            i += 2
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                continue
+            (seg_len,) = struct.unpack_from(">H", content, i)
+            seg = content[i + 2 : i + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if pq:
+                        vals = np.frombuffer(seg[j : j + 128], ">u2").astype(np.int64)
+                        j += 128
+                    else:
+                        vals = np.frombuffer(seg[j : j + 64], np.uint8).astype(np.int64)
+                        j += 64
+                    qt[tq] = vals
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    bits_counts = list(seg[j + 1 : j + 17])
+                    n = sum(bits_counts)
+                    symbols = seg[j + 17 : j + 17 + n]
+                    huff[(tc, th)] = _build_huffman(bits_counts, symbols)
+                    j += 17 + n
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: Huffman sequential
+                precision = seg[0]
+                if precision != 8:
+                    return None
+                h, w = struct.unpack_from(">HH", seg, 1)
+                ncomp = seg[5]
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 15, tq_id))
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan_comps = []
+                for c in range(ns):
+                    cid, tables = seg[1 + 2 * c : 3 + 2 * c]
+                    scan_comps.append((cid, tables >> 4, tables & 15))
+                scan_start = i + seg_len
+            i += seg_len
+        if frame is None or scan_comps is None:
+            return None
+
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        planes = {
+            cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+            for cid, hs, vs, _tq in comps
+        }
+        comp_info = {cid: (hs, vs, tq_id) for cid, hs, vs, tq_id in comps}
+
+        bits = _JpegBits(content, scan_start)
+        pred = {cid: 0 for cid, _, _ in scan_comps}
+        mcu_count = 0
+        done = False
+        for my in range(mcus_y):
+            if done:
+                break
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    bits.align_restart()
+                    pred = {cid: 0 for cid, _, _ in scan_comps}
+                try:
+                    for cid, dc_id, ac_id in scan_comps:
+                        hs, vs, tq_id = comp_info[cid]
+                        dq = qt[tq_id]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                zz = np.zeros(64, np.int64)
+                                t = _huff_decode(bits, huff[(0, dc_id)])
+                                diff = _extend(bits.read_bits(t), t) if t else 0
+                                pred[cid] += diff
+                                zz[0] = pred[cid]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_decode(bits, huff[(1, ac_id)])
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        break
+                                    zz[k] = _extend(bits.read_bits(s), s)
+                                    k += 1
+                                block = np.zeros(64, np.float64)
+                                block[_ZIGZAG] = (zz * dq).astype(np.float64)
+                                block = block.reshape(8, 8)
+                                spatial = _IDCT_A.T @ block @ _IDCT_A + 128.0
+                                y0 = (my * vs + by) * 8
+                                x0 = (mx * hs + bx) * 8
+                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                except _JpegMarker as m:
+                    if m.marker == 0xD9:  # premature EOI: keep what we have
+                        done = True
+                        break
+                    raise
+                mcu_count += 1
+
+        # upsample to full grid, crop to (h, w)
+        full = []
+        for cid, hs, vs, _tq in comps:
+            plane = planes[cid]
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+            full.append(plane[:h, :w])
+        if len(full) == 1:
+            rgb = np.repeat(full[0][:, :, None], 3, axis=2)
+        else:
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            rgb = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=2,
+            )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    except Exception:
+        return None
+
+
 def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
     """Dispatch on magic bytes; None when no pure-python decoder applies."""
     px = decode_ppm(content)
@@ -196,12 +584,19 @@ def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
     px = decode_bmp(content)
     if px is not None:
         return ("bmp", px)
+    px = decode_png(content)
+    if px is not None:
+        return ("png", px)
+    px = decode_jpeg(content)
+    if px is not None:
+        return ("jpeg", px)
     return None
 
 
 def _decode_image_stub(content: bytes) -> tuple[int, int, float]:
-    """STUB for compressed formats (JPEG/PNG need PIL): deterministic fake
-    dims/luma from the byte content, so pipelines stay testable."""
+    """STUB for formats with no pure-python decode path (progressive JPEG,
+    interlaced/16-bit PNG, webp/heic/...): deterministic fake dims/luma
+    from the byte content, so pipelines stay testable."""
     if content is None:
         return (0, 0, 0.0)
     n = len(content)
@@ -315,7 +710,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 if decoded is not None:
                     codec, px = decoded
                     out = resize_nearest(px, width, height)
-                    payload = encode_ppm(out) if codec == "ppm" else encode_bmp(out)
+                    # jpeg re-encode would be lossy — emit the decoded
+                    # raster as PPM; meta.codec records the source format
+                    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+                    payload = encoders.get(codec, encode_ppm)(out)
                     meta = {
                         "resized": "true",
                         "codec": codec,

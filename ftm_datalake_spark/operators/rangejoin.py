@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ftm_datalake_spark.functions.timeutil import ts_micros
+
 MICROS_PER_HOUR = 3_600_000_000
 
 
@@ -31,9 +33,9 @@ def range_join(
     interval.start <= point.ts <= interval.end (same key).
 
     Output: all point columns + all interval columns."""
-    p_bucket = F.floor(F.unix_micros(F.col(point_ts)) / bucket_micros)
-    i_start = F.floor(F.unix_micros(F.col(start_ts)) / bucket_micros)
-    i_end = F.floor(F.unix_micros(F.col(end_ts)) / bucket_micros)
+    p_bucket = F.floor(ts_micros(F.col(point_ts)) / bucket_micros)
+    i_start = F.floor(ts_micros(F.col(start_ts)) / bucket_micros)
+    i_end = F.floor(ts_micros(F.col(end_ts)) / bucket_micros)
 
     p = points.withColumn("__bucket", p_bucket.cast("long"))
     i = intervals.withColumn(
@@ -72,8 +74,8 @@ def interval_overlap_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(left_start)) / bucket_micros).cast("long"),
-                F.floor(F.unix_micros(F.col(left_end)) / bucket_micros).cast("long"),
+                F.floor(ts_micros(F.col(left_start)) / bucket_micros).cast("long"),
+                F.floor(ts_micros(F.col(left_end)) / bucket_micros).cast("long"),
             )
         ),
     )
@@ -81,8 +83,8 @@ def interval_overlap_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(right_start)) / bucket_micros).cast("long"),
-                F.floor(F.unix_micros(F.col(right_end)) / bucket_micros).cast("long"),
+                F.floor(ts_micros(F.col(right_start)) / bucket_micros).cast("long"),
+                F.floor(ts_micros(F.col(right_end)) / bucket_micros).cast("long"),
             )
         ),
     )

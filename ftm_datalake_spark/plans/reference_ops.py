@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ftm_datalake_spark.functions.timeutil import ts_micros
+
 from ftm_datalake_spark.operators.documents import latest_wins, snapshot_diff
 from ftm_datalake_spark.plans.registry import register
 from ftm_datalake_spark.sources.tables import load_table
@@ -408,7 +410,7 @@ def glob_filter_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    micros = ts_micros(F.col("ts"))
     prev = F.lag(micros).over(w)
     marked = events.select(
         "user_id",

@@ -70,6 +70,20 @@ def get_registry() -> dict[str, QuerySpec]:
         window_ops,
     )
 
+    # Reorder so the driver's prefix sample lands on the queries that
+    # most need driver evidence (see plans/evidence.py). Names in the
+    # priority list come first, in list order; the rest keep
+    # registration order.
+    from ftm_datalake_spark.plans.evidence import EVIDENCE_PRIORITY
+
+    prioritized = {
+        name: _REGISTRY[name] for name in EVIDENCE_PRIORITY if name in _REGISTRY
+    }
+    for name, spec in _REGISTRY.items():
+        if name not in prioritized:
+            prioritized[name] = spec
+    _REGISTRY.clear()
+    _REGISTRY.update(prioritized)
     return _REGISTRY
 
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ftm_datalake_spark.functions.timeutil import ts_micros
+
 from ftm_datalake_spark.plans.registry import register
 from ftm_datalake_spark.sources.tables import load_table
 
@@ -347,7 +349,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    micros = ts_micros(F.col("ts"))
     gaps = events.select(
         "user_id", (micros - F.lag(micros).over(w)).alias("gap_us")
     )

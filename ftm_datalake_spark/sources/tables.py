@@ -21,10 +21,13 @@ from ftm_datalake_spark.schemas import DOCUMENTS_SCHEMA, FILE_INFO_SCHEMA, TEST_
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table (TESTDATA.md).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as nanos-long (legacy conf) and truncate to
-    microseconds — exactly what DuckDB does on read, so both engines see
-    identical values.
+    ``events.ts`` has drifted across driver data generations:
+    TIMESTAMP(NANOS) (rejected by Spark's reader — read as nanos-long via
+    the legacy conf and truncate to micros), and plain ``timestamp[us]``
+    with no timezone, which Spark ≥3.4 reads as TIMESTAMP_NTZ. Normalize
+    both to session-tz TIMESTAMP: the session timezone is pinned UTC
+    (session.py), so the NTZ→TIMESTAMP cast is value-preserving and
+    matches DuckDB's naive-timestamp ``epoch_us`` semantics.
     """
     from pyspark.sql import functions as F
 
@@ -32,8 +35,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -1,0 +1,330 @@
+"""PNG and baseline-JPEG decoder tests.
+
+The JPEG fixtures are synthesized by a minimal test-side baseline
+encoder (forward DCT + quantize + standard Annex K Huffman tables), so
+expected pixels are computed independently: expected = clip(round(
+IDCT(quantize_roundtripped coefficients))) — no circular dependency on
+the decoder under test."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ftm_datalake_spark.operators.multimodal import (
+    _IDCT_A,
+    _ZIGZAG,
+    decode_image,
+    decode_jpeg,
+    decode_png,
+    encode_png,
+)
+
+# ------------------------------------------------------------ PNG fixtures
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _make_png(pixels: np.ndarray, color_type: int, filters: list[int]) -> bytes:
+    """Encode with explicit per-row filter types (exercises the unfilter)."""
+    import struct
+
+    h, w = pixels.shape[:2]
+    channels = pixels.shape[2] if pixels.ndim == 3 else 1
+    flat = pixels.reshape(h, w * channels).astype(np.int64)
+    raw = bytearray()
+    prior = np.zeros(w * channels, np.int64)
+    for y in range(h):
+        ftype = filters[y % len(filters)]
+        row = flat[y]
+        bpp = channels
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            enc = (row - left) % 256
+        elif ftype == 2:  # Up
+            enc = (row - prior) % 256
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            enc = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+            enc = (row - pred) % 256
+        raw.append(ftype)
+        raw += enc.astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _gradient_rgb(h: int, w: int) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7 + y) % 256, (y * 5) % 256, (x * 3 + y * 11) % 256], axis=2
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_rgb_all_filter_types(filters):
+    px = _gradient_rgb(13, 9)
+    out = decode_png(_make_png(px, color_type=2, filters=filters))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_png_grayscale():
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)[:, :, None]
+    out = decode_png(_make_png(g, color_type=0, filters=[2]))
+    np.testing.assert_array_equal(out, np.repeat(g, 3, axis=2))
+
+
+def test_png_rgba_drops_alpha():
+    rgb = _gradient_rgb(6, 5)
+    rgba = np.concatenate(
+        [rgb, np.full((6, 5, 1), 77, np.uint8)], axis=2
+    )
+    out = decode_png(_make_png(rgba, color_type=6, filters=[1, 4]))
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_png_encode_decode_roundtrip():
+    px = _gradient_rgb(11, 17)
+    np.testing.assert_array_equal(decode_png(encode_png(px)), px)
+    codec, decoded = decode_image(encode_png(px))
+    assert codec == "png"
+    np.testing.assert_array_equal(decoded, px)
+
+
+def test_png_rejects_garbage_and_truncation():
+    assert decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
+    valid = encode_png(_gradient_rgb(4, 4))
+    assert decode_png(valid[: len(valid) // 2]) is None
+    assert decode_png(b"") is None
+    assert decode_png(None) is None
+
+
+# ----------------------------------------------------- JPEG test-side encoder
+
+# Annex K Huffman specs: (bits[16], symbols)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+)
+_AC_LUMA = (_AC_LUMA_BITS, _AC_LUMA_VALS)
+
+
+def _enc_codes(bits: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _magnitude_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Grayscale HxW (multiple of 8) → (jpeg bytes, expected decoded HxW).
+
+    Expected pixels are the independent forward computation:
+    clip(round(IDCT(round(DCT(px-128)/q) * q)) + 128)."""
+    import struct
+
+    h, w = pixels.shape
+    assert h % 8 == 0 and w % 8 == 0
+    dc_codes = _enc_codes(*_DC_LUMA)
+    ac_codes = _enc_codes(*_AC_LUMA)
+    qz = quant.astype(np.int64)  # zigzag order, 64
+
+    writer = _BitWriter()
+    pred = 0
+    expected = np.zeros_like(pixels, dtype=np.float64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
+            coeffs = _IDCT_A @ block @ _IDCT_A.T  # forward orthonormal DCT
+            zz = np.round(coeffs.reshape(-1)[_ZIGZAG] / qz).astype(np.int64)
+            # independent expected reconstruction
+            deq = np.zeros(64, np.float64)
+            deq[_ZIGZAG] = (zz * qz).astype(np.float64)
+            expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _IDCT_A.T @ deq.reshape(8, 8) @ _IDCT_A + 128.0
+            )
+            # entropy-encode
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = _category(diff)
+            writer.write(*dc_codes[t])
+            if t:
+                writer.write(t, _magnitude_bits(diff, t))
+            run = 0
+            last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    if run == 16:
+                        writer.write(*ac_codes[0xF0])  # ZRL
+                        run = 0
+                    continue
+                s = _category(int(zz[k]))
+                writer.write(*ac_codes[(run << 4) | s])
+                writer.write(s, _magnitude_bits(int(zz[k]), s))
+                run = 0
+            if last_nz < 63:
+                writer.write(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qz))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + _DC_LUMA[1]) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + _AC_LUMA[1]
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + sos + writer.flush() + b"\xff\xd9"
+    )
+    return payload, np.clip(np.round(expected), 0, 255).astype(np.uint8)
+
+
+_Q_ONES = np.ones(64, np.int64)
+_Q_STD = np.array(  # Annex K luminance table, zigzag order
+    [
+        16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+        26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+        56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+        95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+        103, 99,
+    ],
+    np.int64,
+)
+
+
+def test_jpeg_solid_gray_exact():
+    px = np.full((8, 8), 130, np.uint8)
+    data, expected = _encode_baseline_jpeg(px, _Q_ONES)
+    out = decode_jpeg(data)
+    assert out is not None and out.shape == (8, 8, 3)
+    np.testing.assert_array_equal(out[:, :, 0], expected)
+    np.testing.assert_array_equal(out[:, :, 0], px)  # DC-only: lossless
+
+
+def test_jpeg_gradient_multiblock_exact():
+    y, x = np.mgrid[0:24, 0:16]
+    px = (110 + 2 * x + 3 * y).astype(np.uint8)  # low amplitude, cats in range
+    data, expected = _encode_baseline_jpeg(px, _Q_ONES)
+    out = decode_jpeg(data)
+    assert out is not None and out.shape == (24, 16, 3)
+    np.testing.assert_array_equal(out[:, :, 0], expected)
+    # q=1 quantization error ≤ rounding: decoded within 1 of source
+    assert np.abs(out[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+
+
+def test_jpeg_std_quant_table_exact():
+    rng = np.random.default_rng(7)
+    px = rng.integers(60, 200, size=(16, 16), dtype=np.int64).astype(np.uint8)
+    data, expected = _encode_baseline_jpeg(px, _Q_STD)
+    out = decode_jpeg(data)
+    assert out is not None
+    np.testing.assert_array_equal(out[:, :, 0], expected)
+
+
+def test_jpeg_dispatch_and_magic():
+    px = np.full((8, 8), 99, np.uint8)
+    data, _ = _encode_baseline_jpeg(px, _Q_ONES)
+    codec, decoded = decode_image(data)
+    assert codec == "jpeg"
+    assert decoded[0, 0, 0] == 99
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    px = np.full((8, 8), 99, np.uint8)
+    data, _ = _encode_baseline_jpeg(px, _Q_ONES)
+    progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(progressive) is None
+    assert decode_jpeg(b"\xff\xd8\xff\xe0junk") is None
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(None) is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_jpeg_png_never_crash_on_fuzz(data):
+    decode_jpeg(b"\xff\xd8" + data)
+    decode_png(b"\x89PNG\r\n\x1a\n" + data)
