@@ -36,6 +36,26 @@ def main() -> None:
 
     from ftm_datalake_spark.plans import REGISTRY
 
+    # Host-speed canary: a fixed, data-independent workload (hash-agg over
+    # a generated range — one shuffle, no I/O). Cross-round query times on
+    # this shared host vary with tenancy; the canary measures the host, so
+    # a round-over-round comparison can separate "plan got slower" from
+    # "machine got slower". Best-of-2 after a warmup.
+    from pyspark.sql import functions as F
+
+    def canary() -> float:
+        start = time.perf_counter()
+        (
+            spark.range(0, 100_000_000, 1, 32)
+            .groupBy((F.col("id") % 4096).alias("k"))
+            .agg(F.sum(F.hash("id").cast("long")).alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return round(time.perf_counter() - start, 3)
+
+    canary()  # warm
+    canary_sec = min(canary(), canary())
+
     bench_specs = [s for s in REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
@@ -76,6 +96,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "canary_sec": canary_sec,
         "sf": sf,
     }
     if errors:

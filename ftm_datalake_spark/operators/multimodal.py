@@ -576,6 +576,131 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
         return None
 
 
+# Annex K table specs for the encoder: (bits[16], symbols)
+_ENC_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_ENC_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes(
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+            0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+            0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+            0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+            0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+            0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ]
+    ),
+)
+
+
+def _enc_huff_codes(bits: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Grayscale HxW (dims multiples of 8) → baseline JPEG bytes.
+
+    Standard Annex K Huffman tables; `quant` is a 64-entry zigzag-order
+    table (default all-ones → quantization error is pure DCT rounding, so
+    a solid-gray image round-trips losslessly — the property the
+    multimodal_jpeg_features oracle exploits)."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("dims must be multiples of 8")
+    qz = (quant if quant is not None else np.ones(64)).astype(np.int64)
+    dc_codes = _enc_huff_codes(*_ENC_DC_LUMA)
+    ac_codes = _enc_huff_codes(*_ENC_AC_LUMA)
+    writer = _JpegBitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = (
+                pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+                - 128.0
+            )
+            coeffs = _IDCT_A @ block @ _IDCT_A.T  # forward orthonormal DCT
+            zz = np.round(coeffs.reshape(-1)[_ZIGZAG] / qz).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = int(abs(diff)).bit_length()
+            writer.write(*dc_codes[t])
+            if t:
+                writer.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+            run = 0
+            last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        writer.write(*ac_codes[0xF0])  # ZRL
+                        run = 0
+                    continue
+                s = abs(v).bit_length()
+                writer.write(*ac_codes[(run << 4) | s])
+                writer.write(s, v if v >= 0 else v + (1 << s) - 1)
+                run = 0
+            if last_nz < 63:
+                writer.write(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qz))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_LUMA[0]) + _ENC_DC_LUMA[1])
+        + seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_LUMA[0]) + _ENC_AC_LUMA[1])
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + writer.flush()
+        + b"\xff\xd9"
+    )
+
+
 def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
     """Dispatch on magic bytes; None when no pure-python decoder applies."""
     px = decode_ppm(content)

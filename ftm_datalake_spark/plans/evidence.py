@@ -58,6 +58,9 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "multimodal_bmp_features",
     "multimodal_video_frames",
     "multimodal_image_dedup",
+    # new this round: compressed-codec decode paths (PNG, baseline JPEG)
+    "multimodal_png_features",
+    "multimodal_jpeg_features",
     # never-sampled: ANN quantization family
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",

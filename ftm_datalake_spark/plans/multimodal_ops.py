@@ -390,3 +390,144 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("luma_sig")
     )
+
+
+# --------------------------------------------------------------------------
+# Compressed-codec decode paths (PNG inflate+unfilter, JPEG Huffman+IDCT)
+# under driver verification. zlib/DCT can't be expressed in SQL
+# expressions, so payload synthesis runs in a mapInPandas stage (still
+# in-engine, deterministic from doc_id); the oracle recomputes the
+# expected features by pure arithmetic. Constant-pixel rasters make PNG
+# trivially exact; solid-gray JPEG with an all-ones quant table is
+# DC-only and hence lossless through quantization (see
+# operators/multimodal.encode_jpeg_gray).
+def _synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ftm_datalake_spark.operators.multimodal import MEDIA_SCHEMA, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 2 + doc_id % 3
+                h = 2 + doc_id % 2
+                v = doc_id % 256
+                px = np.empty((h, w, 3), np.uint8)
+                px[:, :, 0] = v
+                px[:, :, 1] = (v * 7) % 256
+                px[:, :, 2] = (v * 13) % 256
+                rows.append(
+                    {
+                        "media_id": str(doc_id),
+                        "modality": "image",
+                        "content": encode_png(px),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_png_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS w,
+             2 + doc_id % 2 AS h,
+             CAST(doc_id % 256 AS DOUBLE) AS v
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ROUND((0.299 * v
+                       + 0.587 * (CAST(v * 7 AS BIGINT) % 256)
+                       + 0.114 * (CAST(v * 13 AS BIGINT) % 256)) * 1000)
+                AS BIGINT) AS luma_x1000,
+           'png' AS decoder
+    FROM d
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "png"),
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = image_features(_synth_png_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+        "decoder",
+    ).orderBy("media_id")
+
+
+@register(
+    "multimodal_jpeg_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 3) AS w,
+             8 * (1 + doc_id % 2) AS h,
+             CAST(doc_id % 256 AS DOUBLE) AS v
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ROUND(v * 1000) AS BIGINT) AS luma_x1000,
+           'jpeg' AS decoder
+    FROM d
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "jpeg"),
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG through the full entropy-decode + IDCT path: solid
+    gray v at 8x8-multiple dims, all-ones quant → DC-only blocks decode
+    back to exactly v, so decoded luma == v and the oracle is pure
+    arithmetic."""
+    import pandas as pd
+
+    from ftm_datalake_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_jpeg_gray,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 * (1 + doc_id % 3)
+                h = 8 * (1 + doc_id % 2)
+                v = doc_id % 256
+                px = np.full((h, w), v, np.uint8)
+                rows.append(
+                    {
+                        "media_id": str(doc_id),
+                        "modality": "image",
+                        "content": encode_jpeg_gray(px),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+        "decoder",
+    ).orderBy("media_id")
