@@ -69,6 +69,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # never-sampled: temporal joins
     "asof_last_purchase",
     "range_join_session_errors",
+    "interval_overlap_sessions",  # new this round: overlap-join operator
     "events_interarrival",
     # never-sampled: dedup family
     "dedup_exact",

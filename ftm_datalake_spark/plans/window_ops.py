@@ -645,3 +645,77 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort", "event_type", F.col("n").cast("long").alias("n"))
         .orderBy("cohort", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join: session intervals × error "incident windows"
+# (±15 min around each error event), same user. Spark uses the bucketized
+# interval_overlap_join operator (operators/rangejoin.py — both sides
+# explode into fixed-width time buckets, equi-join on (key, bucket),
+# exact half-open predicate refines, distinct collapses multi-bucket
+# pairs); the oracle is a plain inequality join. At 100 TB the plan is a
+# hash join on (user_id, bucket), never a nested loop.
+@register(
+    "interval_overlap_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id,
+             ts
+      FROM marked
+    ),
+    intervals AS (
+      SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    incidents AS (
+      SELECT user_id, event_id,
+             ts - INTERVAL '15 minutes' AS win_start,
+             ts + INTERVAL '15 minutes' AS win_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT i.user_id, i.session_id,
+           COUNT(DISTINCT n.event_id) AS n_incidents
+    FROM intervals i
+    JOIN incidents n ON n.user_id = i.user_id
+                    AND i.session_start < n.win_end
+                    AND n.win_start < i.session_end
+    GROUP BY i.user_id, i.session_id
+    ORDER BY i.user_id, i.session_id
+    """,
+    tags=("join", "interval", "overlap"),
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rangejoin import interval_overlap_join
+    from ftm_datalake_spark.plans.reference_ops import events_sessionize
+
+    intervals = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    events = load_table(spark, sf_dir, "events")
+    incidents = events.where(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("win_end"),
+    )
+    matched = interval_overlap_join(
+        intervals, incidents, on="user_id",
+        left_start="session_start", left_end="session_end",
+        right_start="win_start", right_end="win_end",
+    )
+    return (
+        matched.groupBy("user_id", "session_id")
+        .agg(F.countDistinct("event_id").alias("n_incidents"))
+        .orderBy("user_id", "session_id")
+    )

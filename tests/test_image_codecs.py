@@ -328,3 +328,133 @@ def test_jpeg_rejects_progressive_and_garbage():
 def test_jpeg_png_never_crash_on_fuzz(data):
     decode_jpeg(b"\xff\xd8" + data)
     decode_png(b"\x89PNG\r\n\x1a\n" + data)
+
+
+# ------------------------------------------------- color JPEG (3-component)
+
+
+def _encode_color_jpeg(
+    rgb: np.ndarray, sampling: tuple[int, int]
+) -> tuple[bytes, np.ndarray]:
+    """RGB HxW (dims multiples of 8*sampling) → (jpeg bytes, expected RGB).
+
+    YCbCr 3-component baseline with luma sampling factors (hs, vs) and
+    chroma at 1x1 (so (2,2) = 4:2:0, (1,1) = 4:4:4). Chroma planes are
+    box-downsampled then encoded; expected pixels recompute the whole
+    pipeline independently: subsample → DCT→quantize→dequantize→IDCT per
+    plane → replicate-upsample → YCbCr→RGB → round/clip, mirroring what
+    a correct decoder must produce bit-for-bit."""
+    import struct
+
+    hs, vs = sampling
+    h, w = rgb.shape[:2]
+    assert h % (8 * vs) == 0 and w % (8 * hs) == 0
+    r, g, b = (rgb[:, :, k].astype(np.float64) for k in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    def box_down(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+        if fy == 1 and fx == 1:
+            return p
+        hh, ww = p.shape
+        return p.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+
+    planes = [y, box_down(cb, vs, hs), box_down(cr, vs, hs)]
+    qz = np.ones(64, np.int64)
+    dc_codes = _enc_codes(*_DC_LUMA)
+    ac_codes = _enc_codes(*_AC_LUMA)
+
+    # encode MCU-interleaved; collect reconstructed planes for expectation
+    recon = [np.zeros_like(p) for p in planes]
+    factors = [(hs, vs), (1, 1), (1, 1)]
+    mcus_y, mcus_x = h // (8 * vs), w // (8 * hs)
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (p, (chs, cvs)) in enumerate(zip(planes, factors)):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        y0 = (my * cvs + by) * 8
+                        x0 = (mx * chs + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coeffs = _IDCT_A @ block @ _IDCT_A.T
+                        zz = np.round(coeffs.reshape(-1)[_ZIGZAG] / qz).astype(np.int64)
+                        deq = np.zeros(64)
+                        deq[_ZIGZAG] = (zz * qz).astype(np.float64)
+                        recon[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                            _IDCT_A.T @ deq.reshape(8, 8) @ _IDCT_A + 128.0
+                        )
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        t = _category(diff)
+                        writer.write(*dc_codes[t])
+                        if t:
+                            writer.write(t, _magnitude_bits(diff, t))
+                        run = 0
+                        last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                if run == 16:
+                                    writer.write(*ac_codes[0xF0])
+                                    run = 0
+                                continue
+                            s = _category(int(zz[k]))
+                            writer.write(*ac_codes[(run << 4) | s])
+                            writer.write(s, _magnitude_bits(int(zz[k]), s))
+                            run = 0
+                        if last_nz < 63:
+                            writer.write(*ac_codes[0x00])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof_comps = bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos_comps = bytes([1, 0x00, 2, 0x00, 3, 0x00])
+    data = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qz))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + sof_comps)
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + _DC_LUMA[1])
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + _AC_LUMA[1])
+        + seg(0xDA, bytes([3]) + sos_comps + bytes([0, 63, 0]))
+        + writer.flush()
+        + b"\xff\xd9"
+    )
+    # expected: replicate-upsample chroma, JFIF ycbcr→rgb, round/clip
+    ry = recon[0]
+    rcb = np.repeat(np.repeat(recon[1], vs, axis=0), hs, axis=1) - 128.0
+    rcr = np.repeat(np.repeat(recon[2], vs, axis=0), hs, axis=1) - 128.0
+    exp = np.stack(
+        [
+            ry + 1.402 * rcr,
+            ry - 0.344136 * rcb - 0.714136 * rcr,
+            ry + 1.772 * rcb,
+        ],
+        axis=2,
+    )
+    return data, np.clip(np.round(exp), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 2), (2, 1)])
+def test_jpeg_color_exact(sampling):
+    rng = np.random.default_rng(11)
+    hs, vs = sampling
+    h, w = 8 * vs * 2, 8 * hs * 2
+    rgb = rng.integers(50, 206, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    data, expected = _encode_color_jpeg(rgb, sampling)
+    out = decode_jpeg(data)
+    assert out is not None and out.shape == expected.shape
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_jpeg_color_solid_is_near_lossless():
+    rgb = np.full((16, 16, 3), 0, np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 120, 130, 140
+    data, expected = _encode_color_jpeg(rgb, (2, 2))
+    out = decode_jpeg(data)
+    np.testing.assert_array_equal(out, expected)
+    # solid color: DCT is DC-only, error is color-transform rounding only
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1

@@ -21,6 +21,10 @@ PLAN_QUERIES = [
     "dedup_common_segments",
     "salted_hot_key_join",
     "semantic_dedup_pairs",
+    # round-4 additions
+    "interval_overlap_sessions",
+    "multimodal_png_features",
+    "multimodal_jpeg_features",
 ]
 
 
