@@ -5,12 +5,13 @@ Decode status (container has no PIL/opencv/ffmpeg — decoders below are
 pure numpy/struct/zlib implementations of the container formats
 themselves):
 - images: REAL decode for PPM (P6), 24-bit BMP, PNG (stdlib zlib
-  inflate + per-scanline unfilter in numpy; 8-bit gray/RGB/palette/alpha,
-  non-interlaced), and baseline JPEG (SOF0: canonical Huffman entropy
-  decode, dequant, orthonormal numpy IDCT, chroma upsampling, JFIF
-  YCbCr→RGB; restart markers supported) — plus a real nearest-neighbor
-  resize + re-encode. Progressive JPEG / interlaced PNG fall back to a
-  clearly-marked deterministic stub.
+  inflate + per-scanline unfilter in numpy; 8/16-bit
+  gray/RGB/palette/alpha, non-interlaced AND Adam7-interlaced), and
+  baseline JPEG (SOF0: canonical Huffman entropy decode, dequant,
+  orthonormal numpy IDCT, chroma upsampling, JFIF YCbCr→RGB; restart
+  markers supported) — plus a real nearest-neighbor resize + re-encode.
+  Progressive JPEG / sub-byte-depth PNG fall back to a clearly-marked
+  deterministic stub.
 - audio: REAL decode for WAV/RIFF PCM16 (rate, channels, duration, RMS).
 - video: honest stub (no container parser without ffmpeg); the frame-
   sampling plumbing (stride selection, per-batch row explosion) is real.
@@ -235,12 +236,26 @@ def _png_unfilter(
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def decode_png(content: bytes) -> np.ndarray | None:
     """REAL PNG decode (stdlib zlib + numpy unfilter) → HxWx3 uint8 RGB.
 
-    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped (features
-    read color, not compositing); interlaced/16-bit → None (stub path)."""
+    Supports 8- and 16-bit depth (16-bit reduced to high byte, the
+    standard 8-bit downsample), color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), both non-interlaced and
+    Adam7-interlaced layouts. Alpha is dropped (features read color, not
+    compositing); sub-byte depths (1/2/4-bit) → None (stub path)."""
     if not content or not content.startswith(_PNG_MAGIC):
         return None
     i = 8
@@ -266,18 +281,47 @@ def decode_png(content: bytes) -> np.ndarray | None:
             elif ctype == b"IEND":
                 break
             i += 12 + length  # length + type + data + crc
-        if not width or not height or bit_depth != 8 or interlace != 0:
+        if not width or not height or bit_depth not in (8, 16) or interlace not in (0, 1):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-        if channels is None:
-            return None
+        if channels is None or (bit_depth == 16 and color_type == 3):
+            return None  # 16-bit palette indices are not legal PNG
+        sample_bytes = bit_depth // 8
+        bpp = channels * sample_bytes  # filter unit is the byte-pixel
         raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-        stride = width * channels
-        if len(raw) != height * (stride + 1):
-            return None
-        px = _png_unfilter(raw, height, stride, channels).reshape(
-            height, width, channels
-        )
+
+        def reduce16(rows: np.ndarray, w: int) -> np.ndarray:
+            """(h, w*bpp) filtered bytes → (h, w, channels) uint8 samples."""
+            h = rows.shape[0]
+            if sample_bytes == 1:
+                return rows.reshape(h, w, channels)
+            # 16-bit big-endian: high byte IS the 8-bit reduction
+            return rows.reshape(h, w, channels, 2)[:, :, :, 0]
+
+        if interlace == 0:
+            stride = width * bpp
+            if len(raw) != height * (stride + 1):
+                return None
+            px = reduce16(_png_unfilter(raw, height, stride, bpp), width)
+        else:  # Adam7: 7 independently-filtered sub-images, scattered
+            px = np.zeros((height, width, channels), np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = pw * bpp
+                need = ph * (stride + 1)
+                if pos + need > len(raw):
+                    return None
+                sub = reduce16(
+                    _png_unfilter(raw[pos : pos + need], ph, stride, bpp), pw
+                )
+                pos += need
+                px[y0::dy, x0::dx] = sub
+            if pos != len(raw):
+                return None
     except Exception:
         return None
     if color_type == 0:
@@ -720,7 +764,7 @@ def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
 
 def _decode_image_stub(content: bytes) -> tuple[int, int, float]:
     """STUB for formats with no pure-python decode path (progressive JPEG,
-    interlaced/16-bit PNG, webp/heic/...): deterministic fake dims/luma
+    sub-byte-depth PNG, webp/heic/...): deterministic fake dims/luma
     from the byte content, so pipelines stay testable."""
     if content is None:
         return (0, 0, 0.0)

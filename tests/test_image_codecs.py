@@ -458,3 +458,82 @@ def test_jpeg_color_solid_is_near_lossless():
     np.testing.assert_array_equal(out, expected)
     # solid color: DCT is DC-only, error is color-transform rounding only
     assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
+
+
+# --------------------------------------------------- Adam7 + 16-bit PNG
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _make_png_adam7(pixels: np.ndarray) -> bytes:
+    """Interlaced encoder: serialize the 7 passes (filter 0 rows)."""
+    import struct
+
+    h, w, channels = pixels.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw.append(0)
+            raw += sub[y].astype(np.uint8).tobytes()
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("dims", [(16, 16), (13, 9), (1, 1), (7, 3), (8, 1)])
+def test_png_adam7_interlaced(dims):
+    h, w = dims
+    px = _gradient_rgb(h, w)
+    out = decode_png(_make_png_adam7(px))
+    assert out is not None, f"decode failed for {dims}"
+    np.testing.assert_array_equal(out, px)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    import struct
+
+    h, w = 5, 4
+    rgb8 = _gradient_rgb(h, w)
+    # 16-bit big-endian samples: high byte = rgb8, low byte = arbitrary
+    rgb16 = np.zeros((h, w * 3 * 2), np.uint8)
+    rgb16[:, 0::2] = rgb8.reshape(h, w * 3)
+    rgb16[:, 1::2] = 0xAB
+    raw = b"".join(b"\x00" + rgb16[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    np.testing.assert_array_equal(out, rgb8)
+
+
+def test_png_palette():
+    import struct
+
+    h, w = 4, 6
+    palette = np.array([[250, 10, 30], [0, 200, 100], [5, 5, 5]], np.uint8)
+    idx = (np.arange(h * w) % 3).reshape(h, w).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data), palette[idx])
