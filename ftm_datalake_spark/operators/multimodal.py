@@ -461,32 +461,219 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def decode_jpeg(content: bytes) -> np.ndarray | None:
-    """REAL baseline JPEG decode (pure python/numpy) → HxWx3 uint8 RGB.
+class _JpegDone(Exception):
+    """EOI reached mid-scan: stop decoding, keep accumulated coefficients."""
 
-    Supports SOF0 (baseline sequential Huffman): JFIF/EXIF wrappers, 8-bit
-    quant tables (and 16-bit), grayscale and YCbCr with any integer
-    sampling-factor grid (4:4:4, 4:2:0, 4:2:2, ...), restart markers.
-    Progressive (SOF2) / arithmetic coding → None (caller's stub path).
-    IDCT is the orthonormal DCT-III as an 8x8 numpy matrix product;
-    chroma upsampling is sample replication; YCbCr→RGB per JFIF."""
+
+def _jpeg_decode_block(
+    bits: _JpegBits,
+    coefblk: np.ndarray,
+    dc_tab,
+    ac_tab,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    pred: list[int],
+    ci: int,
+    eobrun: list[int],
+) -> None:
+    """Decode one block's contribution for the current scan into `coefblk`
+    (64 coeffs, zigzag order). Handles sequential full-band scans
+    (ss=0, se=63, ah=al=0) and every progressive scan kind: DC first,
+    DC refine, AC first (EOB runs), AC refine (correction bits) — the
+    sequential AC case is the degenerate eobrun=1 progressive case."""
+    if ss == 0:
+        if ah == 0:  # DC first (or sequential)
+            t = _huff_decode(bits, dc_tab)
+            diff = _extend(bits.read_bits(t), t) if t else 0
+            pred[ci] += diff
+            coefblk[0] = pred[ci] << al
+        else:  # DC refinement: one bit
+            if bits.read_bits(1):
+                coefblk[0] |= 1 << al
+        if se == 0:
+            return
+    k = max(ss, 1)
+    if ah == 0:  # AC first scan (sequential when al == 0)
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= se:
+            rs = _huff_decode(bits, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += bits.read_bits(r)
+                break  # EOB for this block; run covers the next eobrun blocks
+            k += r
+            if k > se:
+                break  # corrupt run; tolerate
+            coefblk[k] = _extend(bits.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement scan (G.1.2.3)
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(idx: int) -> None:
+        if bits.read_bits(1) and not (coefblk[idx] & p1):
+            coefblk[idx] += p1 if coefblk[idx] >= 0 else m1
+
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _huff_decode(bits, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += bits.read_bits(r)
+                    break  # includes this block (consumed below)
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:  # s == 1: newly significant coefficient
+                val = p1 if bits.read_bits(1) else m1
+            while k <= se:
+                if coefblk[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and val:
+                coefblk[k] = val
+            k += 1
+    if eobrun[0] > 0:  # inside an EOB run: correction bits only
+        while k <= se:
+            if coefblk[k]:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _jpeg_decode_scan(
+    content: bytes,
+    pos: int,
+    scan_comps,
+    comp_info,
+    coef,
+    huff,
+    frame_dims,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one entropy-coded scan; returns the byte offset of the next
+    marker. scan_comps: [(cid, dc_id, ac_id)]. Interleaved when the scan
+    has >1 component (MCU order), else raster order over the single
+    component's own block grid."""
+    h, w, hmax, vmax, mcus_x, mcus_y = frame_dims
+    bits = _JpegBits(content, pos)
+    pred = [0] * len(scan_comps)
+    eobrun = [0]
+    try:
+        if len(scan_comps) > 1:  # interleaved MCU order
+            mcu_count = 0
+            for _my in range(mcus_y):
+                for _mx in range(mcus_x):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        bits.align_restart()
+                        pred = [0] * len(scan_comps)
+                        eobrun[0] = 0
+                    for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                        hs, vs, _tq = comp_info[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                _jpeg_decode_block(
+                                    bits,
+                                    coef[cid][_my * vs + by, _mx * hs + bx],
+                                    huff.get((0, dc_id)),
+                                    huff.get((1, ac_id)),
+                                    ss, se, ah, al, pred, ci, eobrun,
+                                )
+                    mcu_count += 1
+        else:  # non-interleaved: the component's own block grid
+            cid, dc_id, ac_id = scan_comps[0]
+            hs, vs, _tq = comp_info[cid]
+            comp_w = -(-w * hs // hmax)  # the component's true sample dims,
+            comp_h = -(-h * vs // vmax)  # NOT the MCU-padded grid
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            blk = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        bits.align_restart()
+                        pred = [0]
+                        eobrun[0] = 0
+                    _jpeg_decode_block(
+                        bits,
+                        coef[cid][by, bx],
+                        huff.get((0, dc_id)),
+                        huff.get((1, ac_id)),
+                        ss, se, ah, al, pred, 0, eobrun,
+                    )
+                    blk += 1
+    except _JpegMarker as m:
+        if m.marker == 0xD9:
+            raise _JpegDone() from None
+        raise
+    # skip any padding bits, then find the next marker
+    p = bits.pos
+    while p + 1 < len(content) and not (
+        content[p] == 0xFF and content[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def decode_jpeg(content: bytes) -> np.ndarray | None:
+    """REAL JPEG decode (pure python/numpy) → HxWx3 uint8 RGB.
+
+    Supports Huffman-coded SOF0/SOF1 (baseline/extended sequential) AND
+    SOF2 (progressive: spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs, per-scan DHT updates) —
+    i.e. the formats real-world encoders emit. JFIF/EXIF wrappers, 8/16
+    bit quant tables, grayscale and YCbCr with any integer sampling grid
+    (4:4:4, 4:2:0, 4:2:2, ...), restart markers. Arithmetic coding and
+    lossless/hierarchical modes → None (caller's stub path).
+
+    Entropy decoding accumulates quantized coefficients per component;
+    the epilogue dequantizes and applies a batched orthonormal IDCT
+    (one numpy matmul over all blocks), replicates chroma, and converts
+    YCbCr→RGB per JFIF."""
     if not content or not content.startswith(b"\xff\xd8"):
         return None
     try:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
         frame = None  # (h, w, comps) comps: (cid, hs, vs, tq)
-        scan_comps = None  # (cid, dc_id, ac_id)
+        coef: dict[int, np.ndarray] = {}
+        comp_info: dict[int, tuple[int, int, int]] = {}
+        frame_dims = None
         restart_interval = 0
-        scan_start = None
+        saw_scan = False
         i = 2
-        while i + 4 <= len(content) and scan_start is None:
+        while i + 2 <= len(content):
             if content[i] != 0xFF:
                 return None
             marker = content[i + 1]
-            i += 2
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xFF:  # fill byte
+                i += 1
                 continue
+            i += 2
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if i + 2 > len(content):
+                break
             (seg_len,) = struct.unpack_from(">H", content, i)
             seg = content[i + 2 : i + seg_len]
             if marker == 0xDB:  # DQT
@@ -501,7 +688,7 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
                         vals = np.frombuffer(seg[j : j + 64], np.uint8).astype(np.int64)
                         j += 64
                     qt[tq] = vals
-            elif marker == 0xC4:  # DHT
+            elif marker == 0xC4:  # DHT (progressive streams redefine between scans)
                 j = 0
                 while j < len(seg):
                     tc, th = seg[j] >> 4, seg[j] & 15
@@ -510,7 +697,7 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
                     symbols = seg[j + 17 : j + 17 + n]
                     huff[(tc, th)] = _build_huffman(bits_counts, symbols)
                     j += 17 + n
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: Huffman sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # Huffman sequential / progressive
                 precision = seg[0]
                 if precision != 8:
                     return None
@@ -521,86 +708,60 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
                     cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 15, tq_id))
                 frame = (h, w, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                frame_dims = (h, w, hmax, vmax, mcus_x, mcus_y)
+                comp_info = {cid: (hs, vs, tq_id) for cid, hs, vs, tq_id in comps}
+                coef = {
+                    cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int32)
+                    for cid, hs, vs, _tq in comps
+                }
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / arithmetic / hierarchical
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
-            elif marker == 0xDA:  # SOS
+            elif marker == 0xDA:  # SOS: decode the scan, resume at next marker
+                if frame is None:
+                    return None
                 ns = seg[0]
                 scan_comps = []
                 for c in range(ns):
                     cid, tables = seg[1 + 2 * c : 3 + 2 * c]
                     scan_comps.append((cid, tables >> 4, tables & 15))
-                scan_start = i + seg_len
+                ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = a >> 4, a & 15
+                saw_scan = True
+                try:
+                    i = _jpeg_decode_scan(
+                        content, i + seg_len, scan_comps, comp_info, coef,
+                        huff, frame_dims, restart_interval, ss, se, ah, al,
+                    )
+                except _JpegDone:
+                    break  # premature EOI: keep what we have
+                continue
             i += seg_len
-        if frame is None or scan_comps is None:
+        if frame is None or not saw_scan:
             return None
 
+        # epilogue: dequantize + batched IDCT + assemble planes
         h, w, comps = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
-        mcus_x = -(-w // (8 * hmax))
-        mcus_y = -(-h // (8 * vmax))
-        planes = {
-            cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
-            for cid, hs, vs, _tq in comps
-        }
-        comp_info = {cid: (hs, vs, tq_id) for cid, hs, vs, tq_id in comps}
-
-        bits = _JpegBits(content, scan_start)
-        pred = {cid: 0 for cid, _, _ in scan_comps}
-        mcu_count = 0
-        done = False
-        for my in range(mcus_y):
-            if done:
-                break
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    bits.align_restart()
-                    pred = {cid: 0 for cid, _, _ in scan_comps}
-                try:
-                    for cid, dc_id, ac_id in scan_comps:
-                        hs, vs, tq_id = comp_info[cid]
-                        dq = qt[tq_id]
-                        for by in range(vs):
-                            for bx in range(hs):
-                                zz = np.zeros(64, np.int64)
-                                t = _huff_decode(bits, huff[(0, dc_id)])
-                                diff = _extend(bits.read_bits(t), t) if t else 0
-                                pred[cid] += diff
-                                zz[0] = pred[cid]
-                                k = 1
-                                while k < 64:
-                                    rs = _huff_decode(bits, huff[(1, ac_id)])
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        break
-                                    zz[k] = _extend(bits.read_bits(s), s)
-                                    k += 1
-                                block = np.zeros(64, np.float64)
-                                block[_ZIGZAG] = (zz * dq).astype(np.float64)
-                                block = block.reshape(8, 8)
-                                spatial = _IDCT_A.T @ block @ _IDCT_A + 128.0
-                                y0 = (my * vs + by) * 8
-                                x0 = (mx * hs + bx) * 8
-                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
-                except _JpegMarker as m:
-                    if m.marker == 0xD9:  # premature EOI: keep what we have
-                        done = True
-                        break
-                    raise
-                mcu_count += 1
-
-        # upsample to full grid, crop to (h, w)
         full = []
-        for cid, hs, vs, _tq in comps:
-            plane = planes[cid]
+        for cid, hs, vs, tq_id in comps:
+            blocks = coef[cid]
+            bh, bw, _ = blocks.shape
+            flat = blocks.reshape(-1, 64).astype(np.float64) * qt[tq_id][None, :]
+            dez = np.zeros_like(flat)
+            dez[:, _ZIGZAG] = flat
+            spatial = (_IDCT_A.T @ dez.reshape(-1, 8, 8)) @ _IDCT_A + 128.0
+            plane = (
+                spatial.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
             full.append(plane[:h, :w])
         if len(full) == 1:

@@ -313,11 +313,13 @@ def test_jpeg_dispatch_and_magic():
     assert decoded[0, 0, 0] == 99
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_arithmetic_lossless_and_garbage():
     px = np.full((8, 8), 99, np.uint8)
     data, _ = _encode_baseline_jpeg(px, _Q_ONES)
-    progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert decode_jpeg(progressive) is None
+    arithmetic = data.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF9
+    assert decode_jpeg(arithmetic) is None
+    lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)  # SOF3
+    assert decode_jpeg(lossless) is None
     assert decode_jpeg(b"\xff\xd8\xff\xe0junk") is None
     assert decode_jpeg(b"") is None
     assert decode_jpeg(None) is None
@@ -537,3 +539,344 @@ def test_png_palette():
         + _png_chunk(b"IEND", b"")
     )
     np.testing.assert_array_equal(decode_png(data), palette[idx])
+
+
+# ------------------------------------------------- progressive JPEG (SOF2)
+
+
+def _encode_progressive_gray_jpeg(
+    pixels: np.ndarray, quant: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Grayscale progressive encoder (spectral selection + successive
+    approximation, Al=1 then refine), independent of the decoder:
+    scan 1: DC first  (Ah=0, Al=1)      scan 2: AC 1-20 first (Al=1)
+    scan 3: AC 21-63 first (Al=1)       scan 4: DC refine (Ah=1, Al=0)
+    scan 5: AC 1-63 refine (Ah=1, Al=0)
+    Returns (bytes, expected pixels) with the expectation computed from
+    the quantized coefficients alone (same math as the baseline tests)."""
+    import struct
+
+    h, w = pixels.shape
+    assert h % 8 == 0 and w % 8 == 0
+    qz = quant.astype(np.int64)
+    bh, bw = h // 8, w // 8
+    # forward DCT + quantize, and the independent expected reconstruction
+    coefs = np.zeros((bh, bw, 64), np.int64)
+    expected = np.zeros_like(pixels, dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
+            cf = _IDCT_A @ block @ _IDCT_A.T
+            zz = np.round(cf.reshape(-1)[_ZIGZAG] / qz).astype(np.int64)
+            coefs[by, bx] = zz
+            deq = np.zeros(64)
+            deq[_ZIGZAG] = (zz * qz).astype(np.float64)
+            expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _IDCT_A.T @ deq.reshape(8, 8) @ _IDCT_A + 128.0
+            )
+    dc_codes = _enc_codes(*_DC_LUMA)
+    ac_codes = _enc_codes(*_AC_LUMA)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qz))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + _DC_LUMA[1])
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + _AC_LUMA[1])
+
+    # scan 1: DC first, Al=1 (arithmetic shift for DC)
+    out += sos(0, 0, 0, 1)
+    writer = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            v = int(coefs[by, bx][0]) >> 1
+            diff = v - pred
+            pred = v
+            t = _category(diff)
+            writer.write(*dc_codes[t])
+            if t:
+                writer.write(t, _magnitude_bits(diff, t))
+    out += writer.flush()
+
+    # scans 2-3: AC first at Al=1 (magnitude shift). The standard Annex K
+    # tables have no EOBn symbols (0x10..0xE0 — those need custom
+    # progressive tables), so every EOB run has length 1 (code 0x00),
+    # which is spec-legal and hits the same decoder path with r=0.
+    for ss, se in ((1, 20), (21, 63)):
+        out += sos(ss, se, 0, 1)
+        writer = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[by, bx]
+                shifted = [
+                    (k, (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> 1))
+                    for k in range(ss, se + 1)
+                ]
+                nz = [(k, sv) for k, sv in shifted if sv]
+                prev = ss - 1
+                for k, sv in nz:
+                    run = k - prev - 1
+                    while run > 15:
+                        writer.write(*ac_codes[0xF0])
+                        run -= 16
+                    s = _category(sv)
+                    writer.write(*ac_codes[(run << 4) | s])
+                    writer.write(s, _magnitude_bits(sv, s))
+                    prev = k
+                if not nz or nz[-1][0] < se:
+                    writer.write(*ac_codes[0x00])  # EOB, run of exactly 1
+        out += writer.flush()
+
+    # scan 4: DC refinement (bit Al=0)
+    out += sos(0, 0, 1, 0)
+    writer = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            writer.write(1, int(coefs[by, bx][0]) & 1)
+    out += writer.flush()
+
+    # scan 5: AC refinement Ah=1, Al=0. Correction bits for history-
+    # nonzero coeffs interleave with the zero-run in coefficient order;
+    # `events` tracks that order so ZRL splits land on exact 16-zero
+    # boundaries. EOB runs are always length 1 (standard tables carry no
+    # EOBn symbols).
+    out += sos(1, 63, 1, 0)
+    writer = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            zz = coefs[by, bx]
+            events: list[tuple[str, int]] = []  # ('z', _) | ('c', bit)
+            for k in range(1, 64):
+                t = abs(int(zz[k]))
+                if t == 0:
+                    events.append(("z", 0))
+                elif t > 1:
+                    events.append(("c", t & 1))
+                else:  # newly significant: emit run + sign, flush events
+                    r = sum(1 for e, _ in events if e == "z")
+                    while r > 15:
+                        writer.write(*ac_codes[0xF0])  # ZRL: 16 zero-history
+                        zeros = 0
+                        while zeros < 16:
+                            e, bit = events.pop(0)
+                            if e == "z":
+                                zeros += 1
+                            else:
+                                writer.write(1, bit)
+                        r -= 16
+                    writer.write(*ac_codes[(r << 4) | 1])
+                    writer.write(1, 1 if int(zz[k]) > 0 else 0)
+                    for e, bit in events:
+                        if e == "c":
+                            writer.write(1, bit)
+                    events.clear()
+            if events:  # trailing zeros/corrections: EOB (run of 1) + bits
+                writer.write(*ac_codes[0x00])
+                for e, bit in events:
+                    if e == "c":
+                        writer.write(1, bit)
+    out += writer.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out), np.clip(np.round(expected), 0, 255).astype(np.uint8)
+
+
+def test_progressive_jpeg_solid_gray():
+    px = np.full((8, 8), 130, np.uint8)
+    data, expected = _encode_progressive_gray_jpeg(px, _Q_ONES)
+    out = decode_jpeg(data)
+    assert out is not None, "progressive decode returned None"
+    np.testing.assert_array_equal(out[:, :, 0], expected)
+    np.testing.assert_array_equal(out[:, :, 0], px)
+
+
+def test_progressive_jpeg_gradient_matches_baseline():
+    y, x = np.mgrid[0:24, 0:16]
+    px = (110 + 2 * x + 3 * y).astype(np.uint8)
+    prog, expected = _encode_progressive_gray_jpeg(px, _Q_ONES)
+    base, expected_b = _encode_baseline_jpeg(px, _Q_ONES)
+    np.testing.assert_array_equal(expected, expected_b)  # same coeff math
+    out_p = decode_jpeg(prog)
+    out_b = decode_jpeg(base)
+    assert out_p is not None
+    np.testing.assert_array_equal(out_p, out_b)  # progressive == baseline
+    np.testing.assert_array_equal(out_p[:, :, 0], expected)
+
+
+def test_progressive_jpeg_random_blocks_std_quant():
+    rng = np.random.default_rng(23)
+    px = rng.integers(40, 216, size=(24, 24), dtype=np.int64).astype(np.uint8)
+    data, expected = _encode_progressive_gray_jpeg(px, _Q_STD)
+    out = decode_jpeg(data)
+    assert out is not None
+    np.testing.assert_array_equal(out[:, :, 0], expected)
+
+
+def test_progressive_jpeg_high_frequency_content():
+    # checkerboard maximizes AC energy → exercises ZRL, EOB runs, and
+    # refinement correction bits densely
+    y, x = np.mgrid[0:16, 0:16]
+    px = (128 + 60 * ((x + y) % 2) - 30).astype(np.uint8)
+    data, expected = _encode_progressive_gray_jpeg(px, _Q_ONES)
+    out = decode_jpeg(data)
+    assert out is not None
+    np.testing.assert_array_equal(out[:, :, 0], expected)
+
+
+def _encode_progressive_color_jpeg(
+    rgb: np.ndarray, sampling: tuple[int, int]
+) -> tuple[bytes, np.ndarray]:
+    """Color progressive encoder: interleaved DC scans + per-component
+    non-interleaved AC scans. With sampling (2,2) and dims that are
+    multiples of 8 but NOT of 16, the luma component's own block grid is
+    smaller than the MCU-padded grid — exercising the decoder's
+    non-interleaved dimension math. Expected output mirrors the baseline
+    color pipeline (DCT roundtrip per plane, replicate-upsample, JFIF)."""
+    import struct
+
+    hs, vs = sampling
+    h, w = rgb.shape[:2]
+    r_, g_, b_ = (rgb[:, :, k].astype(np.float64) for k in range(3))
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168735892 * r_ - 0.331264108 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418687589 * g_ - 0.081312411 * b_
+
+    def box_down(p, fy, fx):
+        if fy == 1 and fx == 1:
+            return p
+        hh, ww = p.shape
+        return p.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+
+    planes = [y, box_down(cb, vs, hs), box_down(cr, vs, hs)]
+    factors = [(hs, vs), (1, 1), (1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qz = np.ones(64, np.int64)
+    dc_codes = _enc_codes(*_DC_LUMA)
+    ac_codes = _enc_codes(*_AC_LUMA)
+
+    # per-component quantized coeffs on the MCU-padded grid (edge blocks
+    # padded by edge replication) + reconstruction on the true grid
+    coefs = []
+    recon = []
+    for ci, (p, (chs, cvs)) in enumerate(zip(planes, factors)):
+        gh, gw = mcus_y * cvs * 8, mcus_x * chs * 8
+        padded = np.zeros((gh, gw))
+        ph, pw = p.shape
+        padded[:ph, :pw] = p
+        padded[ph:, :pw] = p[-1:, :]
+        padded[:, pw:] = padded[:, pw - 1 : pw]
+        bh, bw = gh // 8, gw // 8
+        cf = np.zeros((bh, bw, 64), np.int64)
+        rec = np.zeros((gh, gw))
+        for by in range(bh):
+            for bx in range(bw):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                zz = np.round((_IDCT_A @ block @ _IDCT_A.T).reshape(-1)[_ZIGZAG] / qz).astype(np.int64)
+                cf[by, bx] = zz
+                deq = np.zeros(64)
+                deq[_ZIGZAG] = (zz * qz).astype(np.float64)
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _IDCT_A.T @ deq.reshape(8, 8) @ _IDCT_A + 128.0
+                )
+        coefs.append(cf)
+        recon.append(rec[:ph, :pw])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qz))
+    sof_comps = bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + sof_comps)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + _DC_LUMA[1])
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + _AC_LUMA[1])
+
+    # scan 1: interleaved DC first, Al=1 — MCU order, vs×hs luma blocks/MCU
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (chs, cvs) in enumerate(factors):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        v = int(coefs[ci][my * cvs + by, mx * chs + bx][0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _category(diff)
+                        writer.write(*dc_codes[t])
+                        if t:
+                            writer.write(t, _magnitude_bits(diff, t))
+    out += writer.flush()
+
+    # scans 2-4: per-component AC first (Al=0 — single AC stage), over
+    # each component's TRUE block grid (not the MCU-padded grid)
+    for ci, (comp_id, (chs, cvs)) in enumerate(zip([1, 2, 3], factors)):
+        comp_w = -(-w * chs // hmax)
+        comp_h = -(-h * cvs // vmax)
+        bw_n, bh_n = -(-comp_w // 8), -(-comp_h // 8)
+        out += seg(0xDA, bytes([1, comp_id, 0x00, 1, 63, 0x00]))
+        writer = _BitWriter()
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                zz = coefs[ci][by, bx]
+                nz = [(k, int(zz[k])) for k in range(1, 64) if zz[k]]
+                prev = 0
+                for k, v in nz:
+                    run = k - prev - 1
+                    while run > 15:
+                        writer.write(*ac_codes[0xF0])
+                        run -= 16
+                    s = _category(v)
+                    writer.write(*ac_codes[(run << 4) | s])
+                    writer.write(s, _magnitude_bits(v, s))
+                    prev = k
+                if not nz or nz[-1][0] < 63:
+                    writer.write(*ac_codes[0x00])
+        out += writer.flush()
+
+    # scan 5: interleaved DC refinement (Ah=1, Al=0)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    writer = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (chs, cvs) in enumerate(factors):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        writer.write(1, int(coefs[ci][my * cvs + by, mx * chs + bx][0]) & 1)
+    out += writer.flush()
+    out += b"\xff\xd9"
+
+    # expected: AC scans only covered the TRUE grid; MCU-padding blocks
+    # got DC-only data, but padding is cropped before color convert
+    ry = recon[0]
+    rcb = np.repeat(np.repeat(recon[1], vs, axis=0), hs, axis=1)[:h, :w] - 128.0
+    rcr = np.repeat(np.repeat(recon[2], vs, axis=0), hs, axis=1)[:h, :w] - 128.0
+    exp = np.stack(
+        [ry + 1.402 * rcr,
+         ry - 0.344136 * rcb - 0.714136 * rcr,
+         ry + 1.772 * rcb], axis=2,
+    )
+    return bytes(out), np.clip(np.round(exp), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("dims,sampling", [((24, 24), (2, 2)), ((16, 16), (1, 1))])
+def test_progressive_color_jpeg(dims, sampling):
+    h, w = dims
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(60, 196, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    data, expected = _encode_progressive_color_jpeg(rgb, sampling)
+    out = decode_jpeg(data)
+    assert out is not None, "color progressive decode returned None"
+    np.testing.assert_array_equal(out, expected)
