@@ -6,13 +6,16 @@ pure numpy/struct/zlib implementations of the container formats
 themselves):
 - images: REAL decode for PPM (P6), 24-bit BMP, PNG (stdlib zlib
   inflate + per-scanline unfilter in numpy; 8/16-bit
-  gray/RGB/palette/alpha, non-interlaced AND Adam7-interlaced), and
-  baseline JPEG (SOF0: canonical Huffman entropy decode, dequant,
-  orthonormal numpy IDCT, chroma upsampling, JFIF YCbCr→RGB; restart
-  markers supported) — plus a real nearest-neighbor resize + re-encode.
-  Progressive JPEG / sub-byte-depth PNG fall back to a clearly-marked
-  deterministic stub.
-- audio: REAL decode for WAV/RIFF PCM16 (rate, channels, duration, RMS).
+  gray/RGB/palette/alpha, non-interlaced AND Adam7-interlaced), GIF
+  (LZW, 87a/89a, global/local palettes, interlacing, first frame), and
+  JPEG — both baseline (SOF0/SOF1) and progressive (SOF2: spectral
+  selection + successive approximation), canonical Huffman entropy
+  decode, dequant, batched orthonormal numpy IDCT, chroma upsampling,
+  JFIF YCbCr→RGB, restart markers — plus a real nearest-neighbor
+  resize + re-encode. Arithmetic-coded JPEG / sub-byte-depth PNG fall
+  back to a clearly-marked deterministic stub.
+- audio: REAL decode for WAV/RIFF PCM16/PCM8/float32 (rate, channels,
+  duration, RMS in a format-independent PCM16 scale).
 - video: honest stub (no container parser without ffmpeg); the frame-
   sampling plumbing (stride selection, per-batch row explosion) is real.
 
@@ -781,6 +784,130 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
         return None
 
 
+# -------------------------------------------------------------- GIF decode
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
+    """GIF variable-width LZW → index stream."""
+    clear_code = 1 << min_code_size
+    end_code = clear_code + 1
+    out = bytearray()
+    # bit reader: LSB-first within bytes
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return None
+        v = 0
+        for b in range(width):
+            byte = data[(bitpos + b) >> 3]
+            v |= ((byte >> ((bitpos + b) & 7)) & 1) << b
+        bitpos += width
+        return v
+
+    table: list[bytes] = []
+    width = 0
+    prev: bytes | None = None
+
+    def reset_table() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear_code)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset_table()
+    while True:
+        code = read_code(width)
+        if code is None or code == end_code:
+            break
+        if code == clear_code:
+            reset_table()
+            continue
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            return None  # corrupt stream
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def decode_gif(content: bytes) -> np.ndarray | None:
+    """REAL GIF decode (87a/89a) → HxWx3 uint8 RGB of the FIRST frame.
+
+    LZW with variable code width, global and local color tables,
+    interlaced and sequential row order. Later frames/animation are a
+    sampling concern (see video_frame_features for the stream shape)."""
+    if not content or content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(content, np.uint8, count=n * 3, offset=i).reshape(-1, 3)
+            i += n * 3
+        while i < len(content):
+            block = content[i]
+            if block == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(content) and content[i] != 0:
+                    i += 1 + content[i]
+                i += 1
+            elif block == 0x2C:  # image descriptor
+                x0, y0, iw, ih, iflags = struct.unpack_from("<HHHHB", content, i + 1)
+                i += 10
+                ct = gct
+                if iflags & 0x80:  # local color table
+                    n = 2 << (iflags & 7)
+                    ct = np.frombuffer(content, np.uint8, count=n * 3, offset=i).reshape(-1, 3)
+                    i += n * 3
+                if ct is None or iw == 0 or ih == 0:
+                    return None
+                min_code = content[i]
+                i += 1
+                lzw = bytearray()
+                while i < len(content) and content[i] != 0:
+                    size = content[i]
+                    lzw += content[i + 1 : i + 1 + size]
+                    i += 1 + size
+                i += 1
+                idx = _gif_lzw_decode(bytes(lzw), min_code)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                rows = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(ih, iw)
+                if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                    out_rows = np.zeros_like(rows)
+                    src = 0
+                    for start, step in _GIF_INTERLACE:
+                        for y in range(start, ih, step):
+                            out_rows[y] = rows[src]
+                            src += 1
+                    rows = out_rows
+                if int(rows.max()) >= len(ct):
+                    return None  # index out of palette range
+                return ct[rows]  # first frame only
+            elif block == 0x3B:  # trailer
+                return None  # no image data seen
+            else:
+                return None
+        return None
+    except Exception:
+        return None
+
+
 # Annex K table specs for the encoder: (bits[16], symbols)
 _ENC_DC_LUMA = (
     [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
@@ -920,6 +1047,9 @@ def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
     px = decode_jpeg(content)
     if px is not None:
         return ("jpeg", px)
+    px = decode_gif(content)
+    if px is not None:
+        return ("gif", px)
     return None
 
 
@@ -954,12 +1084,17 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_wav(content: bytes) -> tuple[int, int, np.ndarray] | None:
-    """WAV/RIFF PCM16 → (sample_rate, n_channels, samples int16 array)."""
+    """WAV/RIFF → (sample_rate, n_channels, samples).
+
+    Supports PCM16 (samples returned as-is), PCM8 (unsigned, recentered
+    and scaled ×256 to the PCM16 range), and IEEE float32 (scaled
+    ×32768) — so downstream RMS/duration math is format-independent."""
     if not content or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         return None
     i = 12
     rate = channels = None
     samples = None
+    fmt_bits = None
     while i + 8 <= len(content):
         chunk_id = content[i : i + 4]
         size = struct.unpack_from("<I", content, i + 4)[0]
@@ -968,12 +1103,22 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray] | None:
                 return None
             fmt, channels, rate = struct.unpack_from("<HHI", content, i + 8)
             bits = struct.unpack_from("<H", content, i + 22)[0]
-            if fmt != 1 or bits != 16:  # PCM16 only
+            if (fmt, bits) not in ((1, 16), (1, 8), (3, 32)):
                 return None
+            fmt_bits = (fmt, bits)
         elif chunk_id == b"data":
             if i + 8 + size > len(content):  # truncated data chunk
                 return None
-            samples = np.frombuffer(content, dtype="<i2", count=size // 2, offset=i + 8)
+            if fmt_bits is None:
+                return None  # data before fmt: malformed
+            if fmt_bits == (1, 16):
+                samples = np.frombuffer(content, "<i2", count=size // 2, offset=i + 8)
+            elif fmt_bits == (1, 8):
+                raw = np.frombuffer(content, np.uint8, count=size, offset=i + 8)
+                samples = (raw.astype(np.int64) - 128) * 256
+            else:  # IEEE float32
+                raw = np.frombuffer(content, "<f4", count=size // 4, offset=i + 8)
+                samples = raw.astype(np.float64) * 32768.0
         i += 8 + size + (size & 1)
     if rate is None or samples is None:
         return None
@@ -984,8 +1129,9 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray] | None:
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images in Arrow batches (mapInPandas).
 
-    PPM/BMP payloads get REAL dims + Rec.601 mean luma; other formats get
-    the deterministic stub (decoder column says which path ran)."""
+    PPM/BMP/PNG/JPEG (baseline + progressive) payloads get REAL dims +
+    Rec.601 mean luma; anything undecodable gets the deterministic stub
+    (the decoder column says which path ran)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1072,7 +1218,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """REAL WAV PCM16 decode: rate/channels/duration and exact RMS."""
+    """REAL WAV decode (PCM16/PCM8/float32): rate/channels/duration/RMS."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -880,3 +880,142 @@ def test_progressive_color_jpeg(dims, sampling):
     out = decode_jpeg(data)
     assert out is not None, "color progressive decode returned None"
     np.testing.assert_array_equal(out, expected)
+
+
+# ---------------------------------------------------------------- GIF
+
+from ftm_datalake_spark.operators.multimodal import decode_gif  # noqa: E402
+
+
+class _GifLzwWriter:
+    """LSB-first bit packer for GIF LZW codes."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Textbook GIF LZW encoder (dictionary of index strings)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    writer = _GifLzwWriter()
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    writer.write(clear, width)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        writer.write(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            # widen AFTER assigning: decoder widens when table hits 2^width
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        cur = bytes([byte])
+    if cur:
+        writer.write(table[cur], width)
+    writer.write(end, width)
+    return writer.flush()
+
+
+def _make_gif(
+    idx: np.ndarray, palette: np.ndarray, interlaced: bool = False,
+    local_palette: bool = False, version: bytes = b"GIF89a",
+) -> bytes:
+    import struct
+
+    h, w = idx.shape
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    n_padded = 1 << depth
+    pal = np.zeros((n_padded, 3), np.uint8)
+    pal[:n] = palette
+    rows = idx
+    if interlaced:
+        order = []
+        for start, step in [(0, 8), (4, 8), (2, 4), (1, 2)]:
+            order.extend(range(start, h, step))
+        rows = idx[order]
+    min_code = max(2, depth)
+    lzw = _gif_lzw_encode(rows.astype(np.uint8).tobytes(), min_code)
+    out = bytearray()
+    out += version
+    gflags = (0x80 | (depth - 1)) if not local_palette else 0x00
+    out += struct.pack("<HHBBB", w, h, gflags, 0, 0)
+    if not local_palette:
+        out += pal.tobytes()
+    # a comment extension to exercise the skip path
+    out += b"\x21\xfe\x05hello\x00"
+    iflags = (0x40 if interlaced else 0) | ((0x80 | (depth - 1)) if local_palette else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_palette:
+        out += pal.tobytes()
+    out += bytes([min_code])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_PAL = np.array(
+    [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7], [200, 150, 100]], np.uint8
+)
+
+
+@pytest.mark.parametrize("interlaced", [False, True])
+@pytest.mark.parametrize("local_palette", [False, True])
+def test_gif_decode(interlaced, local_palette):
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 5, size=(13, 9), dtype=np.int64).astype(np.uint8)
+    data = _make_gif(idx, _PAL, interlaced=interlaced, local_palette=local_palette)
+    out = decode_gif(data)
+    assert out is not None
+    np.testing.assert_array_equal(out, _PAL[idx])
+
+
+def test_gif_large_image_code_widening():
+    # enough distinct runs to push the LZW table past several width bumps
+    y, x = np.mgrid[0:64, 0:64]
+    idx = ((x * 3 + y * 7 + (x * y) % 5) % 5).astype(np.uint8)
+    data = _make_gif(idx, _PAL)
+    out = decode_gif(data)
+    np.testing.assert_array_equal(out, _PAL[idx])
+
+
+def test_gif_dispatch_and_rejects():
+    idx = np.zeros((4, 4), np.uint8)
+    data = _make_gif(idx, _PAL, version=b"GIF87a")
+    codec, decoded = decode_image(data)
+    assert codec == "gif"
+    np.testing.assert_array_equal(decoded, _PAL[idx])
+    assert decode_gif(b"GIF89a") is None
+    assert decode_gif(b"NOTGIF" + data[6:]) is None
+    assert decode_gif(data[: len(data) // 2]) is None
+    assert decode_gif(None) is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_gif_never_crashes_on_fuzz(data):
+    decode_gif(b"GIF89a" + data)

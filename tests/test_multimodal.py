@@ -231,3 +231,34 @@ def test_decoders_reject_hostile_headers():
     assert decode_ppm(b"P6\n2x 2\n255\n" + b"\x00" * 12) is None  # non-numeric
     # RIFF/WAVE magic with a truncated fmt chunk must not raise
     assert decode_wav(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01") is None
+
+
+def test_decode_wav_pcm8_and_float32():
+    import struct as st
+
+    from ftm_datalake_spark.operators.multimodal import decode_wav
+
+    def wav(fmt, bits, data_bytes, rate=8000, channels=1):
+        fmt_chunk = st.pack("<HHIIHH", fmt, channels, rate, rate * (bits // 8), bits // 8, bits)
+        return (
+            b"RIFF" + st.pack("<I", 36 + len(data_bytes)) + b"WAVE"
+            + b"fmt " + st.pack("<I", 16) + fmt_chunk
+            + b"data" + st.pack("<I", len(data_bytes)) + data_bytes
+        )
+
+    # PCM8: unsigned bytes recentered ×256 — 128 → 0, 129 → 256, 0 → -32768
+    rate, ch, samples = decode_wav(wav(1, 8, bytes([128, 129, 0])))
+    assert (rate, ch) == (8000, 1)
+    assert list(samples) == [0, 256, -32768]
+
+    # float32: scaled ×32768 — 0.5 → 16384.0
+    data = st.pack("<3f", 0.0, 0.5, -1.0)
+    rate, ch, samples = decode_wav(wav(3, 32, data))
+    assert list(samples) == [0.0, 16384.0, -32768.0]
+
+    # 24-bit PCM: unsupported → None
+    assert decode_wav(wav(1, 24, b"\x00" * 6)) is None
+    # data chunk before fmt chunk: malformed → None
+    bad = (b"RIFF" + st.pack("<I", 40) + b"WAVE"
+           + b"data" + st.pack("<I", 4) + b"\x00\x00\x00\x00")
+    assert decode_wav(bad) is None
