@@ -840,6 +840,78 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
     return out
 
 
+class _GifLzwWriter:
+    """LSB-first bit packer for GIF LZW codes."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Textbook GIF LZW encoder (dictionary of index strings)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    writer = _GifLzwWriter()
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    writer.write(clear, width)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        writer.write(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            # widen AFTER assigning: decoder widens when table hits 2^width
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        cur = bytes([byte])
+    if cur:
+        writer.write(table[cur], width)
+    writer.write(end, width)
+    return writer.flush()
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Indexed (H, W) image + (N, 3) palette → single-frame GIF89a."""
+    h, w = idx.shape
+    depth = max(1, (len(palette) - 1).bit_length())
+    pal = np.zeros((1 << depth, 3), np.uint8)
+    pal[: len(palette)] = palette
+    min_code = max(2, depth)
+    lzw = _gif_lzw_encode(idx.astype(np.uint8).tobytes(), min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 _GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
 

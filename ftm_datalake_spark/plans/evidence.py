@@ -93,6 +93,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "decontaminate_benchmark",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
     # remaining never-sampled, next in line for round-5 rotation
+    "multimodal_gif_features",
     "cdc_apply_documents",
     "statement_incremental_merge",
     "embedding_centroids",

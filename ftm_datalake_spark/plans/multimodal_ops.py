@@ -531,3 +531,67 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
         "decoder",
     ).orderBy("media_id")
+
+
+@register(
+    "multimodal_gif_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS w,
+             2 + doc_id % 2 AS h,
+             CAST(doc_id % 256 AS DOUBLE) AS v
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ROUND((0.299 * v
+                       + 0.587 * (CAST(v * 11 AS BIGINT) % 256)
+                       + 0.114 * (CAST(v * 17 AS BIGINT) % 256)) * 1000)
+                AS BIGINT) AS luma_x1000,
+           'gif' AS decoder
+    FROM d
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "gif"),
+)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF (LZW) decode under driver verification: single-entry palette
+    GIFs synthesized in a mapInPandas stage (all pixels index 0, palette
+    color derived from doc_id), so decoded dims/luma reduce to pure
+    arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from ftm_datalake_spark.operators.multimodal import MEDIA_SCHEMA, encode_gif
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 2 + doc_id % 3
+                h = 2 + doc_id % 2
+                v = doc_id % 256
+                palette = np.array([[v, (v * 11) % 256, (v * 17) % 256]], np.uint8)
+                idx = np.zeros((h, w), np.uint8)
+                rows.append(
+                    {
+                        "media_id": str(doc_id),
+                        "modality": "image",
+                        "content": encode_gif(idx, palette),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    feats = image_features(docs.mapInPandas(synth, MEDIA_SCHEMA))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+        "decoder",
+    ).orderBy("media_id")
