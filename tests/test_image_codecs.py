@@ -1019,3 +1019,97 @@ def test_gif_dispatch_and_rejects():
 @given(st.binary(min_size=0, max_size=300))
 def test_gif_never_crashes_on_fuzz(data):
     decode_gif(b"GIF89a" + data)
+
+
+def test_progressive_jpeg_multiblock_eob_runs():
+    """Real progressive encoders use custom AC tables with EOBn symbols
+    (0x10..0xE0) to span EOB runs across many blocks; the standard-table
+    tests above never emit r>0. This builds a custom table and a stream
+    where one EOB code covers a run of blocks, exercising the decoder's
+    `eobrun = (1<<r) + read_bits(r)` path in both first and refinement
+    scans."""
+    import struct
+
+    h = w = 32  # 16 blocks
+    # Coefficients are authored directly (small sizes fit the tiny custom
+    # table): block (0,0) carries AC energy, the other 15 are DC-only so
+    # one EOB16 code covers (0,0)'s band tail plus all 15 of them.
+    qz = np.ones(64, np.int64)
+    bh, bw = h // 8, w // 8
+    coefs = np.zeros((bh, bw, 64), np.int64)
+    for i, (by, bx) in enumerate((y, x) for y in range(bh) for x in range(bw)):
+        coefs[by, bx][0] = -224 + i * 16  # varied DC diffs
+    coefs[0, 0][[1, 3, 20, 37]] = [3, -2, 1, -1]  # sizes ≤ 2, runs ≤ 16
+    expected = np.zeros((h, w))
+    for by in range(bh):
+        for bx in range(bw):
+            deq = np.zeros(64)
+            deq[_ZIGZAG] = (coefs[by, bx] * qz).astype(np.float64)
+            expected[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                _IDCT_A.T @ deq.reshape(8, 8) @ _IDCT_A + 128.0
+            )
+    expected = np.clip(np.round(expected), 0, 255).astype(np.uint8)
+
+    # custom AC table: include EOBn symbols alongside size-1/2 run codes
+    ac_symbols = bytes([0x00, 0x10, 0x20, 0x30, 0x40, 0x01, 0x11, 0x21,
+                        0x02, 0x12, 0xF0, 0x03, 0x04, 0x05])
+    ac_bits = [0, 0, 2, 4, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    assert sum(ac_bits) == len(ac_symbols)
+    ac_codes = _enc_codes(ac_bits, ac_symbols)
+    dc_codes = _enc_codes(*_DC_LUMA)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qz))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + _DC_LUMA[1])
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_symbols)
+
+    # scan 1: DC first Al=0 (single DC stage)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    wtr = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            v = int(coefs[by, bx][0])
+            diff, pred = v - pred, v
+            t = _category(diff)
+            wtr.write(*dc_codes[t])
+            if t:
+                wtr.write(t, _magnitude_bits(diff, t))
+    out += wtr.flush()
+
+    # scan 2: AC first Al=0, band 1-63 — block (0,0) has coeffs, then an
+    # EOB15 run (code 0x30 + 3 extra bits = 8+7) covers the other 15 blocks
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    wtr = _BitWriter()
+    zz0 = coefs[0, 0]
+    nz = [(k, int(zz0[k])) for k in range(1, 64) if zz0[k]]
+    assert nz, "test image must put AC energy in block (0,0)"
+    prev = 0
+    for k, v in nz:
+        run = k - prev - 1
+        while run > 15:
+            wtr.write(*ac_codes[0xF0])
+            run -= 16
+        s = _category(v)
+        wtr.write(*ac_codes[(run << 4) | s])
+        wtr.write(s, _magnitude_bits(v, s))
+        prev = k
+    # EOB run covering: rest of block (0,0) + the 15 DC-only blocks? No —
+    # an EOB run STARTS at the current block; (0,0) ends via its own EOB
+    # inside the run. Spec: the run includes the current block. 16 blocks
+    # remain unfinished? (0,0) finished its nz list but band tail remains:
+    # EOBRUN of 16 = 0x40 (r=4, 1<<4=16) + 4 extra bits (0) → covers
+    # (0,0)'s tail AND the 15 empty blocks.
+    wtr.write(*ac_codes[0x40])
+    wtr.write(4, 0)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+
+    decoded = decode_jpeg(bytes(out))
+    assert decoded is not None
+    np.testing.assert_array_equal(decoded[:, :, 0], expected)
