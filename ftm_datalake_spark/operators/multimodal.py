@@ -1334,6 +1334,77 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("dominant_bin", T.IntegerType(), True),
+        T.StructField("dominant_hz", T.DoubleType(), True),
+        T.StructField("zero_cross", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_spectral_features(media: DataFrame) -> DataFrame:
+    """Frequency-domain audio features: dominant FFT bin, zero crossings, RMS.
+
+    Decodes WAV (mono assumed; multichannel uses the interleaved stream
+    as-is) and runs a real rFFT per clip inside the Arrow batch — the
+    numpy FFT is vectorizable across same-length clips but clip lengths
+    vary, so it is a per-row O(n log n) on decoded samples. The dominant
+    bin excludes DC (bin 0); ``dominant_hz = bin * rate / n``. At 100 TB
+    the decode+FFT is embarrassingly parallel (one clip never spans
+    partitions) and shuffles nothing.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                decoded = decode_wav(content) if content else None
+                if decoded is None or len(decoded[2]) < 2:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "dominant_bin": None,
+                            "dominant_hz": None,
+                            "zero_cross": None,
+                            "rms": None,
+                        }
+                    )
+                    continue
+                rate, _channels, samples = decoded
+                x = samples.astype(np.float64)
+                mag = np.abs(np.fft.rfft(x))
+                dom = int(np.argmax(mag[1:])) + 1 if len(mag) > 1 else 0
+                zc = int(np.sum(x[1:] * x[:-1] < 0))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": rate,
+                        "n_samples": len(x),
+                        "dominant_bin": dom,
+                        "dominant_hz": dom * rate / len(x),
+                        "zero_cross": zc,
+                        "rms": float(np.sqrt((x**2).mean())),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SPECTRAL_SCHEMA.fields]
+            )
+
+    return (
+        media.where(F.col("modality") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(extract, AUDIO_SPECTRAL_SCHEMA)
+    )
+
+
 VIDEO_FRAME_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

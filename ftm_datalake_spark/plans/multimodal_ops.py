@@ -199,6 +199,88 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_spectrum",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             64 + (doc_id % 4) * 32 AS n,
+             3 + doc_id % 5 AS c,
+             500 + doc_id % 500 AS a
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           8000 AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(c AS INTEGER) AS dominant_bin,
+           CAST(ROUND((CAST(c * 8000 AS DOUBLE) / n) * 1000) AS BIGINT)
+             AS dominant_mhz,
+           CAST(2 * c - 1 AS BIGINT) AS zero_cross,
+           CAST(a * 1000 AS BIGINT) AS rms_x1000
+    FROM d
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "fft"),
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FFT under driver verification: each row synthesizes a mono
+    PCM16 square wave in-engine — c cycles over n samples at amplitude
+    a, ``s_i = +a if (i*c mod n)*2 < n else -a`` — and the rFFT in
+    operators/multimodal.audio_spectral_features must find the
+    fundamental. Closed forms (verified numerically over the whole
+    parameter grid): dominant_bin = c with ~3x magnitude margin over
+    the strongest harmonic, zero_cross = 2c-1, and RMS = a exactly
+    (|s_i| is constant, so the mean of squares is a^2, an exact
+    float64). dominant_hz = c*8000/n uses the same two IEEE-754 ops on
+    both engines, so round(x1000) matches bit-for-bit."""
+    from ftm_datalake_spark.operators.multimodal import audio_spectral_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = (F.lit(64) + (F.col("doc_id") % 4) * 32).cast("int")
+    c = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    a = (F.lit(500) + F.col("doc_id") % 500).cast("int")
+    sample = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: _le16(
+            F.pmod(
+                F.when((i * c % n) * 2 < n, a).otherwise(-a),
+                F.lit(65536),
+            )
+        ),
+    )
+    hex_payload = F.concat(
+        F.lit("52494646"),               # "RIFF"
+        _le32(F.lit(36) + n * 2),        # riff size
+        F.lit("57415645"),               # "WAVE"
+        F.lit("666d7420"),               # "fmt "
+        _le32(F.lit(16)),                # fmt chunk size
+        _le16(F.lit(1)),                 # PCM
+        _le16(F.lit(1)),                 # mono
+        _le32(F.lit(8000)),
+        _le32(F.lit(16000)),             # byte rate
+        _le16(F.lit(2)),                 # block align
+        _le16(F.lit(16)),                # bits/sample
+        F.lit("64617461"),               # "data"
+        _le32(n * 2),                    # data size
+        F.array_join(sample, ""),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(hex_payload).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = audio_spectral_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "dominant_bin",
+        F.round(F.col("dominant_hz") * 1000).cast("long").alias("dominant_mhz"),
+        "zero_cross",
+        F.round(F.col("rms") * 1000).cast("long").alias("rms_x1000"),
+    ).orderBy("media_id")
+
+
+@register(
     "multimodal_bmp_features",
     oracle="""
     WITH d AS (

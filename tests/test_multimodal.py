@@ -262,3 +262,30 @@ def test_decode_wav_pcm8_and_float32():
     bad = (b"RIFF" + st.pack("<I", 40) + b"WAVE"
            + b"data" + st.pack("<I", 4) + b"\x00\x00\x00\x00")
     assert decode_wav(bad) is None
+
+def test_audio_spectral_features_square_wave(spark):
+    from ftm_datalake_spark.operators.multimodal import audio_spectral_features
+
+    n, c, a = 128, 5, 700
+    i = np.arange(n)
+    sq = np.where((i * c) % n * 2 < n, a, -a).astype(np.int16)
+    sine = np.round(900 * np.sin(2 * np.pi * 7 * np.arange(256) / 256)).astype(
+        np.int16
+    )
+    rows = [
+        ("sq", "audio", _wav_bytes(8000, sq), {}),
+        ("sine", "audio", _wav_bytes(16000, sine), {}),
+        ("junk", "audio", b"RIFFxxxx", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_spectral_features(media).collect()}
+    assert set(out) == {"sq", "sine", "junk"}
+    r = out["sq"]
+    assert r["dominant_bin"] == c
+    assert r["zero_cross"] == 2 * c - 1
+    assert r["rms"] == float(a)  # |x| constant -> exact
+    assert abs(r["dominant_hz"] - c * 8000 / n) < 1e-12
+    s = out["sine"]
+    assert s["dominant_bin"] == 7  # pure tone, integer cycles
+    assert abs(s["dominant_hz"] - 7 * 16000 / 256) < 1e-12
+    assert out["junk"]["dominant_bin"] is None
