@@ -1,0 +1,153 @@
+"""Data-layout operators: Z-order clustering and small-file compaction.
+
+Neither exists in the reference (it stores blobs in a sharded key-value
+layout, ftm_datalake/archive/dataset.py:62-69); both are table-layout
+services a 100 TB lake needs around the same data:
+
+* **Z-order** interleaves the bits of several quantized columns into one
+  sort key, so sorting by that single key co-locates rows that are close
+  in *every* dimension. Parquet row-group / file min-max stats then
+  prune multi-dimensional box predicates — a linear sort only ever
+  prunes its leading column. This is how Delta/Iceberg `OPTIMIZE
+  ZORDER BY` works; here it is expressed as pure Column arithmetic
+  (shift/mask inside whole-stage codegen, no UDF) feeding
+  ``repartitionByRange`` + ``sortWithinPartitions``.
+
+* **Compaction planning** turns a file listing into target-sized
+  write groups with a window cumulative sum — the standard fix for the
+  small-files problem that kills scan throughput at scale (every file
+  is a task; 10 M tiny files = 10 M tasks). The plan is deterministic
+  and relational, so it runs AS a query, distributed, not as a
+  driver-side loop over the listing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Magic-number bit spreading masks: value & mask after each
+# shift-and-or doubles the gap between payload bits (classic Morton
+# encoding, e.g. "Bit Twiddling Hacks"). _SPREAD2[k] = (shift, mask)
+# producing x with one zero bit between every payload bit, for payloads
+# up to 32 bits in a 64-bit lane.
+_SPREAD2: tuple[tuple[int, int], ...] = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread2(col: Column) -> Column:
+    """Spread a ≤31-bit non-negative int so payload bits land on even
+    positions (5 shift/mask ops, all JVM-side codegen)."""
+    x = col.cast("long")
+    for shift, mask in _SPREAD2:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue(cols: list[Column], bits: int) -> Column:
+    """Morton/Z-value of N quantized columns as one LONG sort key.
+
+    Inputs must already be non-negative and < 2**bits (see
+    ``quantize``); N * bits must fit in the 63 value bits of a long.
+    The 2-column case uses magic-number spreading (10 ops total); the
+    generic case materializes the bit-gather sum — ``bits * N`` cheap
+    shift/mask terms, still pure codegen arithmetic, no UDF.
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zvalue needs at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long's 63 value bits")
+    if n == 1:
+        return cols[0].cast("long")
+    if n == 2 and bits <= 31:
+        return _spread2(cols[0]).bitwiseOR(F.shiftleft(_spread2(cols[1]), 1))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, col in enumerate(cols):
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zvalue_sql(cols: list[str], bits: int) -> str:
+    """The same Z-value as ANSI-SQL text (naive bit-gather sum) — used
+    by oracle queries so an independent engine checks the arithmetic."""
+    terms = []
+    for b in range(bits):
+        for i, col in enumerate(cols):
+            terms.append(f"((({col} >> {b}) & 1) << {b * len(cols) + i})")
+    return " | ".join(terms)
+
+
+def quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Map a bounded numeric column onto [0, 2**bits) for Z-encoding.
+
+    Bounds come from table stats (at scale: the catalog, or a first
+    aggregate pass); values outside [lo, hi] clamp to the edges, so a
+    stale-stats outlier degrades clustering but never corrupts the key.
+    """
+    span = hi - lo
+    if span <= 0:
+        raise ValueError("quantize needs hi > lo")
+    top = (1 << bits) - 1
+    scaled = F.floor((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1))
+    return F.greatest(F.lit(0), F.least(F.lit(top), scaled)).cast("long")
+
+
+def zorder_repartition(
+    df: DataFrame, cols: list[Column], bits: int, num_partitions: int
+) -> DataFrame:
+    """Cluster a DataFrame for writing: range-partition by Z-value, then
+    sort each partition by it.
+
+    ``repartitionByRange`` samples the key distribution, so output files
+    split the Z-curve into contiguous runs — every file covers a small
+    hyper-rectangle-ish region and its parquet min/max stats prune on
+    ALL dimensions. One shuffle, which any global clustering requires.
+    """
+    z = zvalue(cols, bits).alias("__z")
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_partitions, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    path_col: str = "path",
+    size_col: str = "size",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Group small files into ~target-sized rewrite bins.
+
+    Orders the listing by path (preserves key locality in sharded
+    layouts), takes the running byte total, and assigns
+    ``bin = floor(exclusive_prefix_sum / target)`` — a file lands in the
+    bin its predecessors filled up to, so every bin except possibly the
+    last holds ≥ target bytes once its first member overflows it. The
+    single window over a constant key is intentional: a compaction plan
+    is metadata-scale (one row per FILE, not per record — ~10^6 rows for
+    10 M files), so the one-reducer window is cheap; the data-scale
+    rewrite it drives stays fully parallel.
+
+    Returns one row per bin: n_files, total_bytes, first/last path.
+    """
+    w = Window.orderBy(path_col).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    binned = files.withColumn(
+        "bin", F.floor(prefix / F.lit(target_bytes)).cast("long")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum(size_col).cast("long").alias("total_bytes"),
+        F.min(path_col).alias("first_path"),
+        F.max(path_col).alias("last_path"),
+    )

@@ -61,6 +61,10 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # new this round: compressed-codec decode paths (PNG, baseline JPEG)
     "multimodal_png_features",
     "multimodal_jpeg_features",
+    # new this round: FFT audio features, data-layout operators
+    "multimodal_audio_spectrum",
+    "layout_zorder_events",
+    "layout_compaction_plan",
     # never-sampled: ANN quantization family
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
@@ -88,10 +92,10 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     # never-sampled: sampling + training pipeline
     "sample_stratified",
+    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "sample_reservoir_k",
     "sequence_packing",
     "decontaminate_benchmark",
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
     # remaining never-sampled, next in line for round-5 rotation
     "multimodal_gif_features",
     "cdc_apply_documents",

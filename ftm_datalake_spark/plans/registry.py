@@ -59,6 +59,7 @@ def get_registry() -> dict[str, QuerySpec]:
         extra_ops,
         graph_ops,
         ivf_ops,
+        layout_ops,
         multimodal_ops,
         parity_ops,
         reference_ops,

@@ -1,0 +1,152 @@
+"""Layout operators: Z-value bit arithmetic vs a python reference, the
+data-skipping payoff of Z-ordered writes (file min/max stats prune a 2-D
+box predicate that a linear sort cannot), and compaction-plan invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.layout import (
+    compaction_plan,
+    quantize,
+    zorder_repartition,
+    zvalue,
+)
+
+
+def _z_ref(vals: list[int], bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            z |= ((v >> b) & 1) << (b * len(vals) + i)
+    return z
+
+
+def test_zvalue_matches_reference_2d_and_3d(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 16, 50)
+    ys = rng.integers(0, 1 << 16, 50)
+    ws = rng.integers(0, 1 << 8, 50)
+    df = spark.createDataFrame(
+        [(int(x), int(y), int(w)) for x, y, w in zip(xs, ys, ws)],
+        "x long, y long, w long",
+    )
+    got2 = [
+        r["z"]
+        for r in df.select(
+            zvalue([F.col("x"), F.col("y")], 16).alias("z")
+        ).collect()
+    ]
+    assert got2 == [_z_ref([int(x), int(y)], 16) for x, y in zip(xs, ys)]
+    got3 = [
+        r["z"]
+        for r in df.select(
+            zvalue([F.col("x"), F.col("y"), F.col("w")], 8).alias("z")
+        ).collect()
+    ]
+    assert got3 == [
+        _z_ref([int(x) & 0xFF, int(y) & 0xFF, int(w)], 8)
+        for x, y, w in zip(xs, ys, ws)
+    ]
+
+
+def test_zvalue_rejects_overflow():
+    with pytest.raises(ValueError):
+        zvalue([F.col("a"), F.col("b")], 32)
+    with pytest.raises(ValueError):
+        zvalue([], 8)
+
+
+def test_quantize_clamps_and_buckets(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.9999,), (100.0,), (250.0,)], "v double"
+    )
+    got = [
+        r["q"]
+        for r in df.select(quantize(F.col("v"), 0.0, 100.0, 4).alias("q")).collect()
+    ]
+    # lo clamps to 0, hi and beyond clamp to 15, interior scales to 16 buckets
+    assert got == [0, 0, 15, 15, 15]
+
+
+def _files_touched(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    """(files whose [min,max] overlaps [lo,hi], total files) via parquet
+    footer stats — the same pruning decision a scan makes."""
+    import glob as g
+
+    touched = total = 0
+    for f in sorted(g.glob(f"{path}/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        total += 1
+        fmin = min(
+            meta.row_group(i).column(
+                [meta.schema.column(j).name for j in range(meta.num_columns)].index(col)
+            ).statistics.min
+            for i in range(meta.num_row_groups)
+        )
+        fmax = max(
+            meta.row_group(i).column(
+                [meta.schema.column(j).name for j in range(meta.num_columns)].index(col)
+            ).statistics.max
+            for i in range(meta.num_row_groups)
+        )
+        if fmax >= lo and fmin <= hi:
+            touched += 1
+    return touched, total
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    # Deterministic pseudo-random 2-D points on a 256x256 grid.
+    df = (
+        spark.range(4096)
+        .select(
+            F.pmod(F.hash(F.col("id")), F.lit(256)).alias("x"),
+            F.pmod(F.hash(F.col("id") + 7_000_000), F.lit(256)).alias("y"),
+        )
+        .withColumn("x", F.abs(F.col("x")))
+        .withColumn("y", F.abs(F.col("y")))
+    )
+    linear = str(tmp_path / "linear")
+    zorder = str(tmp_path / "zorder")
+    # Linear layout: globally sorted by x only.
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+    # Z-order layout: clustered on (x, y) jointly.
+    zorder_repartition(df, [F.col("x"), F.col("y")], 8, 16).write.parquet(zorder)
+
+    # A y-only predicate: the x-sorted layout cannot prune at all.
+    lin_y, lin_total = _files_touched(linear, "y", 100, 115)
+    z_y, z_total = _files_touched(zorder, "y", 100, 115)
+    assert lin_y == lin_total  # every file spans the full y range
+    assert z_y <= z_total // 2  # z-order clusters y too
+
+    # An x predicate still prunes in the z-order layout.
+    z_x, _ = _files_touched(zorder, "x", 0, 31)
+    assert z_x <= z_total // 2
+
+    # Layout is a reshuffle, never a rewrite of values.
+    a = spark.read.parquet(linear).groupBy().sum("x", "y").collect()
+    b = spark.read.parquet(zorder).groupBy().sum("x", "y").collect()
+    assert a == b
+
+
+def test_compaction_plan_invariants(spark):
+    files = spark.createDataFrame(
+        [(f"src/{i:04d}", (i * 37) % 900 + 100) for i in range(200)],
+        "path string, size long",
+    )
+    target = 5_000
+    plan = compaction_plan(files, target_bytes=target).orderBy("bin").collect()
+    # Partitions the listing: every file in exactly one bin.
+    assert sum(r["n_files"] for r in plan) == 200
+    total = sum(r["total_bytes"] for r in plan)
+    assert total == files.groupBy().sum("size").collect()[0][0]
+    # Bins are contiguous path ranges (no interleaving).
+    for prev, nxt in zip(plan, plan[1:]):
+        assert prev["last_path"] < nxt["first_path"]
+    # Every bin except the last reaches the target once its spill-over
+    # member lands (bin boundaries come from the exclusive prefix sum).
+    for r in plan[:-1]:
+        assert r["total_bytes"] >= target - 1000  # max single-file size
