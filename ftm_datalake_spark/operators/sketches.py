@@ -119,6 +119,124 @@ def bloom_bits(keys: DataFrame, depth: int = 3, width: int = 1024) -> DataFrame:
     return _probe(keys, depth, width).select("seed", "bucket").distinct()
 
 
+# ----------------------------------------------------------- KMV/Theta
+TWO52 = 1 << 52  # KMV hash space: 13 md5 hex chars = 52 bits
+
+
+def kmv_hash52(col: Column) -> Column:
+    """52-bit key hash (13 md5 hex chars) — wide enough that ties are
+    negligible, narrow enough that every value and every c*2^52 product
+    stays exactly representable in a float64 mantissa, so estimates are
+    bit-identical across engines."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(keys: DataFrame, k: int, key_col: str = "key") -> DataFrame:
+    """K-minimum-values sketch: the k smallest distinct key hashes.
+
+    Scale shape: dense_rank inside each partition first (keeps every row
+    of the k smallest distinct hashes per partition without a full
+    distinct shuffle), THEN distinct over ≤ k x partitions rows, then
+    the global k-min window over that metadata-scale remainder. The full
+    key stream is never globally shuffled.
+    """
+    from pyspark.sql import Window
+
+    raw = keys.select(kmv_hash52(F.col(key_col)).alias("h"))
+    pw = Window.partitionBy("pid").orderBy("h")
+    local = (
+        raw.withColumn("pid", F.spark_partition_id())
+        .withColumn("dr", F.dense_rank().over(pw))
+        .where(F.col("dr") <= k)
+        .select("h")
+        .distinct()
+    )
+    gw = Window.orderBy("h")
+    return (
+        local.withColumn("rn", F.row_number().over(gw))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+
+
+def kmv_theta(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row (theta) frame: the sketch's inclusion bound as an integer
+    hash value — 2^52 when the sketch is exact (fewer than k hashes
+    survive, i.e. it holds the whole set), else the k-th smallest hash."""
+    return sketch.agg(F.count("*").alias("n"), F.max("h").alias("hk")).select(
+        F.when(F.col("n") < k, F.lit(TWO52)).otherwise(F.col("hk")).alias("theta")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, theta: DataFrame) -> DataFrame:
+    """Distinct-count estimate ROUND(c * 2^52 / theta) where c counts
+    sketch hashes strictly below theta. Collapses to the exact count
+    when theta = 2^52 (c * 2^52 / 2^52 = c, exact float64 arithmetic),
+    and to the classic (k-1)/theta KMV estimator otherwise."""
+    c = (
+        sketch.crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("c"))
+    )
+    return c.crossJoin(F.broadcast(theta)).select(
+        F.round((F.col("c") * F.lit(TWO52)) / F.col("theta")).cast("long").alias(
+            "est"
+        )
+    )
+
+
+def kmv_set_estimates(
+    ska: DataFrame, skb: DataFrame, k: int
+) -> DataFrame:
+    """Distinct-count estimates for A, B, A∪B and A∩B from two KMV
+    sketches — the theta-sketch set algebra, fully relational.
+
+    Every frame here is ≤ k rows (the sketches) or 1 row (the thetas):
+    after the two data-scale sketch builds, set algebra over ANY number
+    of 100 TB sets is metadata-scale broadcast joins.
+    """
+    from pyspark.sql import Window
+
+    ta = kmv_theta(ska, k)
+    tb = kmv_theta(skb, k)
+
+    # Union: k smallest of the merged sketches, bounded by every theta.
+    merged = ska.union(skb).distinct()
+    gw = Window.orderBy("h")
+    mk = (
+        merged.withColumn("rn", F.row_number().over(gw))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+    tm = kmv_theta(mk, k)
+    tu = (
+        ta.crossJoin(tb.withColumnRenamed("theta", "tb"))
+        .crossJoin(tm.withColumnRenamed("theta", "tm"))
+        .select(F.least("theta", "tb", "tm").alias("theta"))
+    )
+
+    # Intersection: hashes present in both sketches, below both thetas.
+    ti = (
+        ta.crossJoin(tb.withColumnRenamed("theta", "tb"))
+        .select(F.least("theta", "tb").alias("theta"))
+    )
+    both = ska.join(skb, "h")
+
+    def tagged(sk: DataFrame, theta: DataFrame, name: str) -> DataFrame:
+        return kmv_estimate(sk, theta).select(
+            F.lit(name).alias("set_op"), "est"
+        )
+
+    return (
+        tagged(ska, ta, "a")
+        .union(tagged(skb, tb, "b"))
+        .union(tagged(mk, tu, "union"))
+        .union(tagged(both, ti, "intersect"))
+    )
+
+
 def bloom_probe(
     candidates: DataFrame, bits: DataFrame, depth: int = 3, width: int = 1024
 ) -> DataFrame:

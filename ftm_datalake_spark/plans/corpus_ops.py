@@ -405,6 +405,82 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_theta_set_ops",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                            1, 13)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'),
+    ka AS (SELECT h FROM (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 32),
+    hb AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                            1, 13)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'),
+    kb AS (SELECT h FROM (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 32),
+    ta AS (SELECT CASE WHEN COUNT(*) < 32 THEN 4503599627370496
+                       ELSE MAX(h) END AS theta FROM ka),
+    tb AS (SELECT CASE WHEN COUNT(*) < 32 THEN 4503599627370496
+                       ELSE MAX(h) END AS theta FROM kb),
+    merged AS (SELECT DISTINCT h FROM (
+      SELECT h FROM ka UNION ALL SELECT h FROM kb)),
+    km AS (SELECT h FROM (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged)
+      WHERE rn <= 32),
+    tm AS (SELECT CASE WHEN COUNT(*) < 32 THEN 4503599627370496
+                       ELSE MAX(h) END AS theta FROM km),
+    tu AS (SELECT LEAST(ta.theta, tb.theta, tm.theta) AS theta
+           FROM ta, tb, tm),
+    ti AS (SELECT LEAST(ta.theta, tb.theta) AS theta FROM ta, tb),
+    bothh AS (SELECT ka.h FROM ka JOIN kb USING (h))
+    SELECT set_op, est FROM (
+      SELECT 'a' AS set_op, CAST(ROUND(
+        (SELECT COUNT(*) FROM ka, ta WHERE ka.h < ta.theta)
+        * 4503599627370496 / (SELECT theta FROM ta)) AS BIGINT) AS est
+      UNION ALL
+      SELECT 'b', CAST(ROUND(
+        (SELECT COUNT(*) FROM kb, tb WHERE kb.h < tb.theta)
+        * 4503599627370496 / (SELECT theta FROM tb)) AS BIGINT)
+      UNION ALL
+      SELECT 'union', CAST(ROUND(
+        (SELECT COUNT(*) FROM km, tu WHERE km.h < tu.theta)
+        * 4503599627370496 / (SELECT theta FROM tu)) AS BIGINT)
+      UNION ALL
+      SELECT 'intersect', CAST(ROUND(
+        (SELECT COUNT(*) FROM bothh, ti WHERE bothh.h < ti.theta)
+        * 4503599627370496 / (SELECT theta FROM ti)) AS BIGINT)
+    ) ORDER BY set_op
+    """,
+    tags=("sketch", "approx", "kmv"),
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over KMV sketches (operators/sketches):
+    distinct users who clicked (A), purchased (B), A∪B and A∩B — all
+    four cardinalities from two k=32 sketches, never rescanning the
+    events table. The 52-bit md5 hash and the single ROUND(c*2^52/theta)
+    estimator are engine-reproducible, so the oracle recomputes the
+    IDENTICAL estimates (exact counts where a set has < k members —
+    true at sf0.001 — and genuine KMV estimates where it does not, as
+    at sf0.01+: both code paths land under the hash gate across scales).
+    """
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+
+    def users(etype: str) -> DataFrame:
+        return events.where(F.col("event_type") == etype).select(
+            F.col("user_id").alias("key")
+        )
+
+    ska = kmv_sketch(users("click"), 32)
+    skb = kmv_sketch(users("purchase"), 32)
+    return kmv_set_estimates(ska, skb, 32).orderBy("set_op")
+
+
 # --------------------------------------------------------------------------
 # BM25-lite ranked search with QUANTIZED idf so ranking is exact
 # integer arithmetic end-to-end (true BM25's log-idf floats don't

@@ -61,10 +61,11 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # new this round: compressed-codec decode paths (PNG, baseline JPEG)
     "multimodal_png_features",
     "multimodal_jpeg_features",
-    # new this round: FFT audio features, data-layout operators
+    # new this round: FFT audio features, data-layout operators, KMV
     "multimodal_audio_spectrum",
     "layout_zorder_events",
     "layout_compaction_plan",
+    "sketch_theta_set_ops",
     # never-sampled: ANN quantization family
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
