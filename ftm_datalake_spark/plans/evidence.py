@@ -88,12 +88,12 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # never-sampled: text analysis
     "text_token_count",
     "text_bpe_tokens",
+    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "text_quality",
     "text_langid",
     "text_fingerprint",
     # never-sampled: sampling + training pipeline
     "sample_stratified",
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "sample_reservoir_k",
     "sequence_packing",
     "decontaminate_benchmark",

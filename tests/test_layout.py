@@ -150,3 +150,20 @@ def test_compaction_plan_invariants(spark):
     # member lands (bin boundaries come from the exclusive prefix sum).
     for r in plan[:-1]:
         assert r["total_bytes"] >= target - 1000  # max single-file size
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "by_type")
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.concat(F.lit("t"), F.pmod(F.col("id"), F.lit(5)).cast("string")).alias(
+            "etype"
+        ),
+    )
+    df.write.partitionBy("etype").parquet(path)
+    read = spark.read.parquet(path).where(F.col("etype") == "t3")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # the filter must become a PartitionFilter on the directory layout,
+    # not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "etype" in plan.split("PartitionFilters", 1)[1][:200]
+    assert read.count() == 200
