@@ -1105,6 +1105,140 @@ def encode_jpeg_gray(pixels: np.ndarray, quant: np.ndarray | None = None) -> byt
     )
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes | None:
+    """TIFF PackBits (RLE): n in [0,127] → copy n+1 literal bytes;
+    n in [-127,-1] → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                return None
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                return None
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out) if len(out) >= expected else None
+
+
+def decode_tiff(content: bytes) -> np.ndarray | None:
+    """Baseline TIFF: both byte orders, 8-bit grayscale (photometric 0/1)
+    and RGB (photometric 2), Compression 1 (none) or 32773 (PackBits),
+    multi-strip. Returns (h, w, 3) uint8; gray replicates channels so
+    downstream luma math is layout-independent."""
+    if len(content) < 8 or content[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if content[:2] == b"II" else ">"
+    try:
+        (ifd_off,) = struct.unpack_from(bo + "I", content, 4)
+        if ifd_off + 2 > len(content):
+            return None
+        (n_entries,) = struct.unpack_from(bo + "H", content, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for e in range(n_entries):
+            off = ifd_off + 2 + e * 12
+            if off + 12 > len(content):
+                return None
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", content, off)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # RATIONAL etc. — not needed for baseline tags
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            if size * cnt <= 4:
+                vals = list(struct.unpack_from(bo + fmt * cnt, content, off + 8))
+            else:
+                (voff,) = struct.unpack_from(bo + "I", content, off + 8)
+                if voff + size * cnt > len(content):
+                    return None
+                vals = list(struct.unpack_from(bo + fmt * cnt, content, voff))
+            tags[tag] = vals
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        offsets = tags.get(273)
+        spp = tags.get(277, [len(bits)])[0]
+        rows_per_strip = tags.get(278, [h])[0] or h
+        counts = tags.get(279)
+        if not w or not h or offsets is None or counts is None:
+            return None
+        if any(b != 8 for b in bits) or spp not in (1, 3):
+            return None
+        if photo not in (0, 1, 2) or comp not in (1, 32773):
+            return None
+        if len(offsets) != len(counts):
+            return None
+        raw = bytearray()
+        remaining_rows = h
+        for so, sc in zip(offsets, counts):
+            if so + sc > len(content):
+                return None
+            strip_rows = min(rows_per_strip, remaining_rows)
+            expected = strip_rows * w * spp
+            chunk = content[so : so + sc]
+            if comp == 32773:
+                dec = _packbits_decode(chunk, expected)
+                if dec is None:
+                    return None
+                chunk = dec[:expected]
+            if len(chunk) < expected:
+                return None
+            raw += chunk[:expected]
+            remaining_rows -= strip_rows
+        if remaining_rows > 0:
+            return None
+        px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        if spp == 1:
+            if photo == 0:  # WhiteIsZero: invert
+                px = 255 - px
+            px = np.repeat(px, 3, axis=2)
+        return px
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_tiff(pixels: np.ndarray) -> bytes:
+    """Minimal little-endian uncompressed TIFF (gray for 2-D/1-channel
+    input, RGB otherwise), single strip — the test-side independent
+    encoder for decode_tiff."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, spp = pixels.shape
+    strip = pixels.astype(np.uint8).tobytes()
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1 if spp == 1 else 2),
+        (273, 4, 1, 8),
+        (277, 3, 1, spp),
+        (278, 3, 1, h),
+        (279, 4, 1, len(strip)),
+    ]
+    ifd_off = 8 + len(strip)
+    extra = b""
+    if spp == 1:
+        entries.insert(2, (258, 3, 1, 8))
+    else:
+        # BitsPerSample = (8,8,8) doesn't fit inline: point past the IFD
+        extra_off = ifd_off + 2 + 9 * 12 + 4
+        entries.insert(2, (258, 3, 3, extra_off))
+        extra = struct.pack("<HHH", 8, 8, 8)
+    out = struct.pack("<2sHI", b"II", 42, ifd_off) + strip
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0) + extra
+    return out
+
+
 def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
     """Dispatch on magic bytes; None when no pure-python decoder applies."""
     px = decode_ppm(content)
@@ -1122,6 +1256,9 @@ def decode_image(content: bytes) -> tuple[str, np.ndarray] | None:
     px = decode_gif(content)
     if px is not None:
         return ("gif", px)
+    px = decode_tiff(content)
+    if px is not None:
+        return ("tiff", px)
     return None
 
 

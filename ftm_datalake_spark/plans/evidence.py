@@ -63,6 +63,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_features",
     # new this round: FFT audio features, data-layout operators, KMV
     "multimodal_audio_spectrum",
+    "multimodal_tiff_features",
     "layout_zorder_events",
     "layout_compaction_plan",
     "sketch_theta_set_ops",
@@ -87,8 +88,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     # never-sampled: text analysis
     "text_token_count",
-    "text_bpe_tokens",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "text_bpe_tokens",
     "text_quality",
     "text_langid",
     "text_fingerprint",

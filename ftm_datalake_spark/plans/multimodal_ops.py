@@ -199,6 +199,85 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS w,
+             2 + doc_id % 4 AS h,
+             CAST(doc_id % 256 AS DOUBLE) AS v
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(8 + w * h + 2 + 9 * 12 + 4 AS BIGINT) AS n_bytes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ROUND((0.299 * v + 0.587 * v + 0.114 * v) * 1000)
+                AS BIGINT) AS luma_x1000,
+           'tiff' AS decoder
+    FROM d
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode under the driver gate: each row synthesizes a
+    little-endian 8-bit grayscale TIFF in-engine — 8-byte header, raw
+    single strip of constant pixel v, then a 9-entry IFD with inline
+    SHORT/LONG values — and operators/multimodal.decode_tiff must walk
+    the IFD and recover dims + pixels. Constant-gray luma is v to within
+    ~1e-13 (see multimodal_image_features), far inside the round(x1000)
+    margin."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(2) + F.col("doc_id") % 4).cast("int")
+    v = (F.col("doc_id") % 256).cast("int")
+
+    def entry_short(tag: int, val) -> F.Column:
+        return F.concat(
+            _le16(F.lit(tag)), _le16(F.lit(3)), _le32(F.lit(1)),
+            _le16(val), _le16(F.lit(0)),
+        )
+
+    def entry_long(tag: int, val) -> F.Column:
+        return F.concat(
+            _le16(F.lit(tag)), _le16(F.lit(4)), _le32(F.lit(1)), _le32(val)
+        )
+
+    ifd_off = F.lit(8) + w * h
+    hex_payload = F.concat(
+        F.lit("49492a00"),                  # "II", 42
+        _le32(ifd_off),                     # IFD offset (strip first)
+        F.repeat(F.lpad(F.hex(v), 2, "0"), w * h),  # raw gray strip
+        _le16(F.lit(9)),                    # entry count
+        entry_short(256, w),                # ImageWidth
+        entry_short(257, h),                # ImageLength
+        entry_short(258, F.lit(8)),         # BitsPerSample
+        entry_short(259, F.lit(1)),         # Compression: none
+        entry_short(262, F.lit(1)),         # Photometric: BlackIsZero
+        entry_long(273, F.lit(8)),          # StripOffsets
+        entry_short(277, F.lit(1)),         # SamplesPerPixel
+        entry_short(278, h),                # RowsPerStrip
+        entry_long(279, w * h),             # StripByteCounts
+        _le32(F.lit(0)),                    # next IFD: none
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(hex_payload).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+        "decoder",
+    ).orderBy("media_id")
+
+
+@register(
     "multimodal_audio_spectrum",
     oracle="""
     WITH d AS (

@@ -1113,3 +1113,125 @@ def test_progressive_jpeg_multiblock_eob_runs():
     decoded = decode_jpeg(bytes(out))
     assert decoded is not None
     np.testing.assert_array_equal(decoded[:, :, 0], expected)
+
+
+# ------------------------------------------------------------------ TIFF
+from ftm_datalake_spark.operators.multimodal import (  # noqa: E402
+    _packbits_decode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def _tiff_px(h, w, ch=3):
+    rng = np.random.default_rng(h * 100 + w)
+    return rng.integers(0, 256, (h, w, ch) if ch else (h, w)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (5, 3), (16, 16), (7, 31)])
+def test_tiff_rgb_roundtrip(dims):
+    h, w = dims
+    px = _tiff_px(h, w)
+    got = decode_tiff(encode_tiff(px))
+    assert got is not None and np.array_equal(got, px)
+
+
+def test_tiff_gray_replicates_channels():
+    g = _tiff_px(6, 4, ch=0)
+    got = decode_tiff(encode_tiff(g))
+    assert got.shape == (6, 4, 3)
+    assert np.array_equal(got[:, :, 0], g)
+    assert np.array_equal(got[:, :, 1], g)
+
+
+def test_tiff_big_endian_and_white_is_zero():
+    # Hand-build a 2x2 big-endian gray TIFF with photometric 0.
+    import struct as S
+
+    strip = bytes([0, 100, 200, 255])
+    ifd_off = 8 + len(strip)
+    entries = [
+        (256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 0), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 2),
+        (279, 4, 1, 4),
+    ]
+    buf = S.pack(">2sHI", b"MM", 42, ifd_off) + strip + S.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            buf += S.pack(">HHIHH", tag, typ, cnt, val, 0)
+        else:
+            buf += S.pack(">HHII", tag, typ, cnt, val)
+    buf += S.pack(">I", 0)
+    got = decode_tiff(buf)
+    assert got is not None
+    assert got[:, :, 0].tolist() == [[255, 155], [55, 0]]  # inverted
+
+
+def test_tiff_packbits_strip():
+    import struct as S
+
+    # 4x4 gray, PackBits: row of 4 repeated bytes → (-3, v)
+    rows = bytes()
+    for v in (10, 20, 30, 40):
+        rows += bytes([256 - 3, v])  # repeat v 4 times
+    assert _packbits_decode(rows, 16) == bytes(
+        [10] * 4 + [20] * 4 + [30] * 4 + [40] * 4
+    )
+    ifd_off = 8 + len(rows)
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 4), (258, 3, 1, 8), (259, 3, 1, 32773),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 4),
+        (279, 4, 1, len(rows)),
+    ]
+    buf = S.pack("<2sHI", b"II", 42, ifd_off) + rows + S.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        buf += S.pack("<HHII", tag, typ, cnt, val)
+    buf += S.pack("<I", 0)
+    got = decode_tiff(buf)
+    assert got is not None
+    assert got[:, :, 0].tolist() == [[10] * 4, [20] * 4, [30] * 4, [40] * 4]
+
+
+def test_tiff_multi_strip():
+    px = _tiff_px(8, 5)
+    raw = px.tobytes()
+    import struct as S
+
+    half = 4 * 5 * 3
+    s1_off = 8
+    s2_off = 8 + half
+    ifd_off = 8 + len(raw)
+    extra_off = ifd_off + 2 + 9 * 12 + 4 + 8  # after IFD + two offset arrays
+    # offsets/counts arrays (2 entries each) live right after next-IFD ptr
+    arrays = S.pack("<II", s1_off, s2_off) + S.pack("<II", half, half)
+    bps_off = ifd_off + 2 + 9 * 12 + 4 + len(arrays)
+    entries = [
+        (256, 3, 1, 5), (257, 3, 1, 8), (258, 3, 3, bps_off), (259, 3, 1, 1),
+        (262, 3, 1, 2), (273, 4, 2, ifd_off + 2 + 9 * 12 + 4),
+        (277, 3, 1, 3), (278, 3, 1, 4),
+        (279, 4, 2, ifd_off + 2 + 9 * 12 + 4 + 8),
+    ]
+    buf = S.pack("<2sHI", b"II", 42, ifd_off) + raw + S.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        buf += S.pack("<HHII", tag, typ, cnt, val)
+    buf += S.pack("<I", 0) + arrays + S.pack("<HHH", 8, 8, 8)
+    del extra_off
+    got = decode_tiff(buf)
+    assert got is not None and np.array_equal(got, px)
+
+
+def test_tiff_rejects_garbage_and_truncation():
+    px = _tiff_px(6, 6)
+    good = encode_tiff(px)
+    assert decode_tiff(b"II*\x00" + b"\x01" * 3) is None
+    assert decode_tiff(good[: len(good) // 2]) is None
+    assert decode_tiff(b"not a tiff") is None
+    assert decode_tiff(b"") is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_tiff_never_crashes_on_fuzz(data):
+    decode_tiff(data)
+    decode_tiff(b"II*\x00" + data)
+    decode_tiff(b"MM\x00*" + data)
