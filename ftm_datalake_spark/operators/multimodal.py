@@ -1292,6 +1292,118 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+# ---------------------------------------------------------------- pHash
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n), float64."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    c[0] *= np.sqrt(1.0 / n)
+    c[1:] *= np.sqrt(2.0 / n)
+    return c
+
+
+_DCT32 = _dct_basis(32)
+
+
+def phash63(pixels: np.ndarray) -> int:
+    """63-bit perceptual hash: luma → 32x32 nearest-neighbor resample →
+    2-D DCT-II → low-frequency 8x8 block minus DC → bit i = coeff_i >
+    median. Uniform brightness shifts move only the DC coefficient, so
+    the hash is brightness-invariant by construction; small crops/noise
+    flip few bits — near-duplicates are small Hamming distances."""
+    px = pixels.astype(np.float64)
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    h, w = luma.shape
+    ys = np.minimum(((np.arange(32) + 0.5) * h / 32).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(32) + 0.5) * w / 32).astype(np.int64), w - 1)
+    small = luma[ys][:, xs]
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].flatten()[1:]  # drop DC
+    med = float(np.median(block))
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def phash_features(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image (real decode; undecodable → null)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                decoded = decode_image(content) if content else None
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "phash": phash63(decoded[1]) if decoded else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return (
+        media.where(F.col("modality") == "image")
+        .select("media_id", "content")
+        .mapInPandas(extract, PHASH_SCHEMA)
+    )
+
+
+def phash_neardup_pairs(feats: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance, via banded
+    blocking: 8 bands of 8 bits — two hashes within Hamming distance 7
+    MUST agree on at least one band (pigeonhole), so the candidate join
+    is an equi-join on (band_idx, band_bits) with NO false negatives for
+    max_hamming ≤ 7, and the quadratic all-pairs comparison never runs.
+    Same scale shape as the SimHash/LSH text paths."""
+    if max_hamming > 7:
+        raise ValueError("8x8-bit banding guarantees recall only to Hamming 7")
+    hashed = feats.where(F.col("phash").isNotNull())
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("band"),
+    ).select(
+        "media_id",
+        "phash",
+        "band",
+        F.expr("shiftrightunsigned(phash, band * 8) & 255").alias("band_bits"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "media_a",
+        "media_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def decode_wav(content: bytes) -> tuple[int, int, np.ndarray] | None:
     """WAV/RIFF → (sample_rate, n_channels, samples).
 

@@ -64,6 +64,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # new this round: FFT audio features, data-layout operators, KMV
     "multimodal_audio_spectrum",
     "multimodal_tiff_features",
+    "multimodal_phash_neardup",
     "layout_zorder_events",
     "layout_compaction_plan",
     "sketch_theta_set_ops",
@@ -87,8 +88,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_filter_pairs",
     "dedup_incremental",
     # never-sampled: text analysis
-    "text_token_count",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "text_token_count",
     "text_bpe_tokens",
     "text_quality",
     "text_langid",

@@ -277,6 +277,68 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+_PPM16_HEADER_HEX = "P6\n16 16\n255\n".encode().hex()
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 25 AS fam,
+             CAST(doc_id AS VARCHAR) AS mid
+      FROM documents)
+    SELECT a.mid AS media_a, b.mid AS media_b
+    FROM d a JOIN d b ON a.fam = b.fam AND a.mid < b.mid
+    ORDER BY media_a, media_b
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup under the driver gate. Each doc
+    row synthesizes a 16x16 gradient PPM in-engine: the stripe pattern
+    ((x*fx + y*fy)*7 mod 200) is fixed by the doc's family (doc_id mod
+    25 → 25 distinct orientations), plus a per-doc brightness shift of
+    0/8/16 — images in a family are byte-different but perceptually
+    identical. pHash moves brightness into the DC coefficient it
+    discards, so within-family Hamming ≤ 2 and cross-family ≥ 16
+    (measured over the whole grid); at threshold 5 the banded blocking
+    join must return exactly the same-family pairs — which is what the
+    SQL oracle predicts from doc_id arithmetic alone, without computing
+    a single hash."""
+    from ftm_datalake_spark.operators.multimodal import (
+        phash_features,
+        phash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fam = F.col("doc_id") % 25
+    b = (F.floor(F.col("doc_id") / 25) % 3) * 8
+    fx = F.lit(1) + fam % 5
+    fy = F.lit(1) + F.floor(fam / 5)
+    raster = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: F.repeat(
+                F.lpad(
+                    F.hex(((i % 16) * fx + F.floor(i / 16) * fy) * 7 % 200 + b),
+                    2,
+                    "0",
+                ),
+                3,
+            ),
+        ),
+        "",
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(F.concat(F.lit(_PPM16_HEADER_HEX), raster)).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    pairs = phash_neardup_pairs(phash_features(media), max_hamming=5)
+    return pairs.select("media_a", "media_b").orderBy("media_a", "media_b")
+
+
 @register(
     "multimodal_audio_spectrum",
     oracle="""

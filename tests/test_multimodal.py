@@ -289,3 +289,63 @@ def test_audio_spectral_features_square_wave(spark):
     assert s["dominant_bin"] == 7  # pure tone, integer cycles
     assert abs(s["dominant_hz"] - 7 * 16000 / 256) < 1e-12
     assert out["junk"]["dominant_bin"] is None
+
+
+def test_phash_brightness_invariance_and_discrimination():
+    from ftm_datalake_spark.operators.multimodal import phash63
+
+    def img(fx, fy, b):
+        x = np.arange(16)[None, :]
+        y = np.arange(16)[:, None]
+        val = ((x * fx + y * fy) * 7) % 200 + b
+        return np.repeat(val[:, :, None], 3, axis=2).astype(np.uint8)
+
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # uniform brightness shift moves only the discarded DC coefficient
+    assert ham(phash63(img(2, 3, 0)), phash63(img(2, 3, 16))) <= 2
+    # different stripe orientations are far apart
+    assert ham(phash63(img(2, 3, 0)), phash63(img(4, 1, 0))) > 10
+    # scale invariance: the same pattern rendered 2x larger
+    big = np.repeat(np.repeat(img(2, 3, 0), 2, axis=0), 2, axis=1)
+    assert ham(phash63(img(2, 3, 0)), phash63(big)) <= 2
+
+
+def test_phash_neardup_blocking_matches_brute_force(spark):
+    from ftm_datalake_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = int(rng.integers(0, 1 << 63))
+    rows = []
+    hashes = {}
+    for i in range(60):
+        h = base
+        for bit in rng.choice(63, size=int(rng.integers(0, 12)), replace=False):
+            h ^= 1 << int(bit)
+        mid = f"m{i:02d}"
+        rows.append((mid, h))
+        hashes[mid] = h
+    feats = spark.createDataFrame(rows, PHASH_SCHEMA)
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in phash_neardup_pairs(feats, max_hamming=5).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    want = {
+        (a, b, ham(hashes[a], hashes[b]))
+        for a in hashes
+        for b in hashes
+        if a < b and ham(hashes[a], hashes[b]) <= 5
+    }
+    assert got == want and len(want) > 0
+
+
+def test_phash_neardup_rejects_weak_banding():
+    import pytest as _pytest
+
+    from ftm_datalake_spark.operators.multimodal import phash_neardup_pairs
+
+    with _pytest.raises(ValueError):
+        phash_neardup_pairs(None, max_hamming=8)
