@@ -73,3 +73,60 @@ def test_streaming_cms_equals_batch_cms(spark, tmp_path):
         for r in cms_cells(full, depth=3, width=64).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_kmv_equals_batch_kmv(spark, tmp_path):
+    """KMV mergeability across micro-batches: keeping the k smallest of
+    (stored sketch ∪ batch sketch) every batch ends with exactly the
+    batch sketch of the full stream — so theta set algebra works over
+    live streams with k rows of state."""
+    from pyspark.sql import Window
+
+    from ftm_datalake_spark.operators.sketches import kmv_sketch
+
+    stage = str(tmp_path / "stage")
+    store = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+    K = 16
+
+    def merge_batch(batch_df, _batch_id):
+        new_sk = kmv_sketch(batch_df.select(F.col("token").alias("key")), K)
+        if os.path.exists(store):
+            old = batch_df.sparkSession.read.parquet(store)
+            merged = old.unionByName(new_sk).distinct()
+            w = Window.orderBy("h")
+            merged = (
+                merged.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= K)
+                .select("h")
+            )
+        else:
+            merged = new_sk
+        merged.write.mode("overwrite").parquet(store + ".tmp")
+        batch_df.sparkSession.read.parquet(store + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).json(stage)
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    toks1 = [f"t{i}" for i in range(40)]
+    toks2 = [f"t{i}" for i in range(20, 70)]  # overlap + new keys
+    _write(stage, "b1.json", toks1)
+    drain()
+    _write(stage, "b2.json", toks2)
+    drain()
+
+    streamed = sorted(r["h"] for r in spark.read.parquet(store).collect())
+    full = spark.createDataFrame(
+        [(t,) for t in toks1 + toks2], "key string"
+    )
+    batch = sorted(r["h"] for r in kmv_sketch(full, K).collect())
+    assert streamed == batch and len(batch) == K
