@@ -120,6 +120,95 @@ def zorder_repartition(
     )
 
 
+def build_skipping_index(spark, path: str, columns: list[str]) -> DataFrame:
+    """File-level min/max skipping index over a parquet directory, AS A
+    TABLE: one row per (file, column) with min/max/null_count/rows read
+    from parquet footers — the catalog-style stats layer Delta/Iceberg
+    keep in their metadata, for plain parquet directories.
+
+    The footer reads run in tasks via mapInPandas over the file listing
+    (binaryFile metadata scan, content column dropped immediately so no
+    data bytes move): indexing 10 M files is a metadata-scale job
+    distributed over the cluster, never a driver loop.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType(), False),
+            T.StructField("column", T.StringType(), False),
+            T.StructField("vmin", T.StringType(), True),
+            T.StructField("vmax", T.StringType(), True),
+            T.StructField("null_count", T.LongType(), True),
+            T.StructField("num_rows", T.LongType(), False),
+        ]
+    )
+    wanted = list(columns)
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fpath in pdf["path"]:
+                local = fpath.removeprefix("file:")
+                meta = pq.ParquetFile(local).metadata
+                names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+                for col in wanted:
+                    if col not in names:
+                        continue
+                    ci = names.index(col)
+                    vmin = vmax = None
+                    nulls = 0
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            vmin = vmax = None
+                            break
+                        vmin = st.min if vmin is None else min(vmin, st.min)
+                        vmax = st.max if vmax is None else max(vmax, st.max)
+                        nulls += st.null_count or 0
+                    rows.append(
+                        {
+                            "file": fpath,
+                            "column": col,
+                            "vmin": None if vmin is None else str(vmin),
+                            "vmax": None if vmax is None else str(vmax),
+                            "null_count": nulls,
+                            "num_rows": meta.num_rows,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path")
+    )
+    return listing.mapInPandas(read_footers, schema)
+
+
+def prune_files_long(index: DataFrame, column: str, lo: int, hi: int) -> DataFrame:
+    """Files whose [vmin, vmax] for a LONG column overlaps [lo, hi] —
+    the skip decision as a query over the index table (stringified
+    stats cast back). Files with no usable stats are kept (never skip
+    on missing evidence)."""
+    stats = index.where(F.col("column") == column)
+    keep = (
+        F.col("vmin").isNull()
+        | (
+            (F.col("vmax").cast("long") >= F.lit(lo))
+            & (F.col("vmin").cast("long") <= F.lit(hi))
+        )
+    )
+    return stats.where(keep).select("file")
+
+
 def compaction_plan(
     files: DataFrame,
     path_col: str = "path",

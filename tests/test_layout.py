@@ -167,3 +167,38 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # not a post-scan Filter over all partitions
     assert "PartitionFilters" in plan and "etype" in plan.split("PartitionFilters", 1)[1][:200]
     assert read.count() == 200
+
+
+def test_skipping_index_prunes_and_never_lies(spark, tmp_path):
+    from ftm_datalake_spark.operators.layout import (
+        build_skipping_index,
+        prune_files_long,
+    )
+
+    path = str(tmp_path / "table")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 100).alias("bucket")
+    )
+    # range-partitioned by id → each of 10 files holds a narrow id range
+    df.repartitionByRange(10, "id").write.parquet(path)
+
+    idx = build_skipping_index(spark, path, ["id", "bucket"])
+    stats = idx.collect()
+    files = {r["file"] for r in stats}
+    assert len(files) == 10
+    assert {r["column"] for r in stats} == {"id", "bucket"}
+    total_rows = sum(r["num_rows"] for r in stats if r["column"] == "id")
+    assert total_rows == 10_000
+
+    # an id range predicate touches few files...
+    kept = prune_files_long(idx, "id", 2000, 2999).collect()
+    assert 1 <= len(kept) <= 3
+    # ...and reading ONLY those files still returns every matching row
+    got = (
+        spark.read.parquet(*[r["file"] for r in kept])
+        .where(F.col("id").between(2000, 2999))
+        .count()
+    )
+    assert got == 1000
+    # bucket is uniform across files: no pruning possible, all kept
+    assert prune_files_long(idx, "bucket", 5, 10).count() == 10
