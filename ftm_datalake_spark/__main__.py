@@ -55,6 +55,24 @@ def main(argv: list[str] | None = None) -> int:
     p_zip.add_argument("--lake", required=True)
     p_zip.add_argument("--out", required=True)
 
+    # Lakehouse table maintenance over plain parquet directories
+    # (operators/layout): OPTIMIZE-style verbs.
+    p_opt = sub.add_parser("optimize")
+    opt_sub = p_opt.add_subparsers(dest="opt_cmd", required=True)
+    o_z = opt_sub.add_parser("zorder")
+    o_z.add_argument("path")
+    o_z.add_argument("--out", required=True)
+    o_z.add_argument("--cols", required=True, help="comma-separated columns")
+    o_z.add_argument("--bits", type=int, default=16)
+    o_z.add_argument("--partitions", type=int, default=32)
+    o_c = opt_sub.add_parser("compact-plan")
+    o_c.add_argument("path")
+    o_c.add_argument("--target-mb", type=int, default=128)
+    o_i = opt_sub.add_parser("index")
+    o_i.add_argument("path")
+    o_i.add_argument("--cols", required=True, help="comma-separated columns")
+    o_i.add_argument("--out", help="write index parquet here (default: print)")
+
     args = parser.parse_args(argv)
 
     from ftm_datalake_spark.session import build_session
@@ -116,6 +134,51 @@ def _dispatch(spark, args) -> int:
             df = REGISTRY[args.name].builder(spark, args.sf_dir)
             for row in df.limit(args.limit).collect():
                 print(json.dumps(row.asDict(recursive=True), default=str))
+    elif args.cmd == "optimize":
+        from pyspark.sql import functions as F
+
+        from ftm_datalake_spark.operators.layout import (
+            build_skipping_index,
+            compaction_plan,
+            quantize,
+            zorder_repartition,
+        )
+
+        if args.opt_cmd == "zorder":
+            df = spark.read.parquet(args.path)
+            cols = []
+            dtypes = dict(df.dtypes)
+            for c in args.cols.split(","):
+                if dtypes.get(c) in ("double", "float"):
+                    lo, hi = df.agg(F.min(c), F.max(c)).collect()[0]
+                    cols.append(quantize(F.col(c), lo, hi + 1e-9, args.bits))
+                else:
+                    cols.append(F.pmod(F.col(c), F.lit(1 << args.bits)))
+            zorder_repartition(df, cols, args.bits, args.partitions).write.mode(
+                "overwrite"
+            ).parquet(args.out)
+            print(args.out)
+        elif args.opt_cmd == "compact-plan":
+            listing = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.parquet")
+                .option("recursiveFileLookup", "true")
+                .load(args.path)
+                .select(F.col("path"), F.col("length").alias("size"))
+            )
+            plan = compaction_plan(
+                listing, target_bytes=args.target_mb * 1024 * 1024
+            )
+            for row in plan.orderBy("bin").collect():
+                print(json.dumps(row.asDict(), default=str))
+        elif args.opt_cmd == "index":
+            idx = build_skipping_index(spark, args.path, args.cols.split(","))
+            if args.out:
+                idx.write.mode("overwrite").parquet(args.out)
+                print(args.out)
+            else:
+                for row in idx.orderBy("file", "column").collect():
+                    print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "export-zip":
         import os
 
