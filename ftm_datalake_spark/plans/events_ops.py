@@ -475,3 +475,122 @@ def gdpr_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(before) - F.count("*")).cast("long").alias("purged_rows"),
         F.sum("user_id").cast("long").alias("survivor_checksum"),
     )
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS s,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events
+    FROM seq
+    WHERE regexp_matches(s, 'signup(,[a-z]+)*,purchase')
+    ORDER BY user_id
+    """,
+    tags=("events", "sequence", "pattern"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: users whose ordered event stream matches a
+    sequence regex (a signup later followed by a purchase). The per-user
+    event-type string is built from a sort_array'd collect_list — one
+    hash-agg shuffle on user_id, the regex runs once per user on the
+    aggregated row, and the same RE2-compatible pattern evaluates in
+    both engines. The (ts, event_id) sort key is a total order, so the
+    assembled string is deterministic."""
+    from pyspark.sql import Window  # noqa: F401 - symmetry with siblings
+
+    events = load_table(spark, sf_dir, "events")
+    seq = (
+        events.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ",",
+            ).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return (
+        seq.where(F.col("s").rlike("signup(,[a-z]+)*,purchase"))
+        .select("user_id", "n_events")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+      FROM events),
+    attr AS (
+      SELECT event_type, value,
+             LAST_VALUE(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS attributed
+      FROM marked)
+    SELECT COALESCE(attributed, 'none') AS attributed_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY attributed_type ORDER BY attributed_type
+    """,
+    tags=("events", "attribution", "window"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event. One window shuffle on user_id
+    (running last(ignoreNulls) over an exclusive-preceding frame — the
+    same union-marker shape as the as-of join), then a tiny group-by on
+    the attributed type. Revenue sums integer cents (round(value*100)
+    is the identical double op in both engines), so the aggregate is
+    exact and order-independent."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "touch"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = marked.select(
+        "event_type",
+        "value",
+        F.last("touch", ignorenulls=True).over(w).alias("attributed"),
+    )
+    return (
+        attr.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("attributed"), F.lit("none")).alias(
+                "attributed_type"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("attributed_type")
+    )

@@ -73,6 +73,9 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "ann_lsh_recall",
     "ann_ivf_topk_nprobe2",
+    # new this round: sequence pattern + attribution
+    "events_pattern_match",
+    "events_attribution_last_touch",
     # never-sampled: temporal joins
     "asof_last_purchase",
     "range_join_session_errors",
@@ -85,10 +88,10 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_families",
     "dedup_verified_pairs",
+    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "dedup_prefix_filter_pairs",
     "dedup_incremental",
     # never-sampled: text analysis
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "text_token_count",
     "text_bpe_tokens",
     "text_quality",
