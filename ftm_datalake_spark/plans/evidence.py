@@ -66,6 +66,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "multimodal_tiff_features",
     "multimodal_phash_neardup",
     "layout_zorder_events",
+    "layout_hilbert_events",
     "layout_compaction_plan",
     "sketch_theta_set_ops",
     # never-sampled: ANN quantization family
@@ -87,8 +88,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_families",
-    "dedup_verified_pairs",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "dedup_verified_pairs",
     "dedup_prefix_filter_pairs",
     "dedup_incremental",
     # never-sampled: text analysis

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from ftm_datalake_spark.operators.layout import (
     compaction_plan,
+    hilbert_index,
+    hilbert_sql,
     quantize,
     zvalue,
     zvalue_sql,
@@ -56,6 +58,42 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = d.withColumn("zval", zvalue([F.col("u"), F.col("q")], _ZBITS))
     return z.orderBy("zval", "event_id").limit(200)
+
+
+_HILBERT_INNER = hilbert_sql(
+    "u", "q", 8, ["event_id", "u", "q"],
+    """(SELECT event_id,
+               event_id % 256 AS u,
+               CAST(GREATEST(0, LEAST(255,
+                 FLOOR(value / 400.0 * 256))) AS BIGINT) AS q
+        FROM events)""",
+)
+
+
+@register(
+    "layout_hilbert_events",
+    oracle=f"""
+    SELECT event_id, u, q, hval
+    FROM ({_HILBERT_INNER})
+    ORDER BY hval, event_id LIMIT 200
+    """,
+    tags=("layout", "hilbert"),
+)
+def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert keys over (event_id mod 2^8, value quantized to 2^8).
+    The engine runs the rotate-and-reflect recurrence as 8 narrow
+    selects (operators/layout.hilbert_index); the oracle re-derives it
+    as 8 generated nested subqueries — two independent expansions of
+    the same recurrence, so the hash gate certifies every level's
+    rotation logic. The 200 smallest keys walk the curve's start."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "event_id",
+        F.pmod(F.col("event_id"), F.lit(256)).alias("u"),
+        quantize(F.col("value"), 0.0, 400.0, 8).alias("q"),
+    )
+    h = hilbert_index(d, "u", "q", 8)
+    return h.orderBy("hval", "event_id").limit(200)
 
 
 @register(

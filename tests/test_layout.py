@@ -202,3 +202,50 @@ def test_skipping_index_prunes_and_never_lies(spark, tmp_path):
     assert got == 1000
     # bucket is uniform across files: no pruning possible, all kept
     assert prune_files_long(idx, "bucket", 5, 10).count() == 10
+
+
+def _hilbert_ref(order: int, x: int, y: int) -> int:
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_walks_adjacent(spark):
+    from ftm_datalake_spark.operators.layout import hilbert_index
+
+    # full 16x16 grid: exact match with the classic recurrence
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = hilbert_index(grid, "x", "y", 4).collect()
+    got = {(r["x"], r["y"]): r["hval"] for r in rows}
+    assert got == {
+        (x, y): _hilbert_ref(16, x, y) for x in range(16) for y in range(16)
+    }
+    # bijection + the defining locality property: consecutive curve
+    # positions are Manhattan-adjacent (Z-order violates this at every
+    # quadrant boundary)
+    byd = {h: xy for xy, h in got.items()}
+    assert sorted(byd) == list(range(256))
+    assert all(
+        abs(byd[i][0] - byd[i + 1][0]) + abs(byd[i][1] - byd[i + 1][1]) == 1
+        for i in range(255)
+    )
+    # spot-check a wider order
+    rng = np.random.default_rng(3)
+    pts = [(int(a), int(b)) for a, b in rng.integers(0, 1 << 12, (40, 2))]
+    wide = spark.createDataFrame(pts, "x long, y long")
+    wrows = hilbert_index(wide, "x", "y", 12).collect()
+    assert {(r["x"], r["y"]): r["hval"] for r in wrows} == {
+        (x, y): _hilbert_ref(1 << 12, x, y) for x, y in pts
+    }
