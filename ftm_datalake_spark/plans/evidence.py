@@ -74,9 +74,10 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "ann_lsh_recall",
     "ann_ivf_topk_nprobe2",
-    # new this round: sequence pattern + attribution
+    # new this round: sequence pattern + attribution + leakage-safe split
     "events_pattern_match",
     "events_attribution_last_touch",
+    "corpus_leakage_safe_split",
     # never-sampled: temporal joins
     "asof_last_purchase",
     "range_join_session_errors",
@@ -87,8 +88,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_families",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "dedup_families",
     "dedup_verified_pairs",
     "dedup_prefix_filter_pairs",
     "dedup_incremental",

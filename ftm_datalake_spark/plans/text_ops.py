@@ -525,6 +525,63 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Leakage-safe train/val/test split: fold assignment hashes the DEDUP
+# FAMILY, not the document — near-duplicate documents land in the same
+# fold by construction, so the eval set can never contain a near-copy
+# of a training document. The split is md5-deterministic (engine- and
+# partitioning-independent) and composes the existing family pipeline;
+# the per-doc fold is a zero-shuffle projection once families exist.
+@register(
+    "corpus_leakage_safe_split",
+    oracle=_MINHASH_PAIRS_SQL.replace("WITH docs_aug", "WITH RECURSIVE docs_aug", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS n, a AS r FROM edges
+      UNION
+      SELECT reach.n, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    fam AS (SELECT n AS doc_id, MIN(r) AS family FROM reach GROUP BY n),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+      FROM docs_aug d LEFT JOIN fam f ON f.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(family AS BIGINT) AS family,
+           CAST(CAST(('0x' || substr(md5('fold:' || CAST(family AS VARCHAR)),
+                      1, 8)) AS BIGINT) % 3 AS BIGINT) AS fold
+    FROM labeled ORDER BY doc_id
+    """,
+    tags=("training", "split", "dedup"),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.components import dedup_families as families
+    from ftm_datalake_spark.operators.dedup import shingle_hash
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs)
+    fam = families(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(fam.withColumnRenamed("family", "__fam"), "doc_id", "left")
+        .withColumn("family", F.coalesce(F.col("__fam"), F.col("doc_id")))
+    )
+    fold = (
+        shingle_hash(F.concat(F.lit("fold:"), F.col("family").cast("string")))
+        % 3
+    )
+    return labeled.select(
+        "doc_id",
+        F.col("family").cast("long").alias("family"),
+        fold.cast("long").alias("fold"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # PPJoin-style prefix-filter similarity join: exact all-pairs Jaccard
 # >= 4/5 with NO false negatives (unlike LSH), candidates bounded by
 # rarest-token prefixes. See operators/dedup.prefix_filter_pairs.
