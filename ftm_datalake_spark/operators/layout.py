@@ -23,7 +23,7 @@ services a 100 TB lake needs around the same data:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Magic-number bit spreading masks: value & mask after each
@@ -294,19 +294,22 @@ def compaction_plan(
     layouts), takes the running byte total, and assigns
     ``bin = floor(exclusive_prefix_sum / target)`` — a file lands in the
     bin its predecessors filled up to, so every bin except possibly the
-    last holds ≥ target bytes once its first member overflows it. The
-    single window over a constant key is intentional: a compaction plan
-    is metadata-scale (one row per FILE, not per record — ~10^6 rows for
-    10 M files), so the one-reducer window is cheap; the data-scale
-    rewrite it drives stays fully parallel.
+    last holds ≥ target bytes once its first member overflows it.
+
+    The prefix sum runs through the two-phase global-cumsum scheme
+    (operators/rank.with_global_cumsum: range shuffle → per-partition
+    window → P driver-side offsets), so even a 10M-file listing never
+    funnels through a single-partition Exchange.
 
     Returns one row per bin: n_files, total_bytes, first/last path.
     """
-    w = Window.orderBy(path_col).rowsBetween(Window.unboundedPreceding, -1)
-    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    binned = files.withColumn(
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    summed = with_global_cumsum(files, [path_col], size_col, out_col="__cum")
+    prefix = F.col("__cum") - F.col(size_col)  # exclusive prefix
+    binned = summed.withColumn(
         "bin", F.floor(prefix / F.lit(target_bytes)).cast("long")
-    )
+    ).drop("__cum")
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_files"),
         F.sum(size_col).cast("long").alias("total_bytes"),
