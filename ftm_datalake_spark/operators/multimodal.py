@@ -1583,6 +1583,59 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def encode_wav_pcm16(rate: int, samples: np.ndarray) -> bytes:
+    """Minimal mono RIFF/WAVE PCM16 encoder (the write half of
+    decode_wav's PCM16 path)."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decimate_audio(media: DataFrame, factor: int) -> DataFrame:
+    """Integer-factor downsampling: decode WAV, keep every factor-th
+    frame, re-encode PCM16 at rate/factor. A decode → transform →
+    re-encode chain per clip inside Arrow batches — zero shuffle, and
+    the physical frequency content below the new Nyquist is preserved
+    (the dominant Hz of a tone is invariant, which the registry oracle
+    pins). Non-audio rows and undecodable payloads pass through
+    unchanged."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            contents = []
+            for modality, content in zip(pdf["modality"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                if modality != "audio" or not content:
+                    contents.append(content)
+                    continue
+                decoded = decode_wav(content)
+                if decoded is None:
+                    contents.append(content)
+                    continue
+                rate, channels, samples = decoded
+                frames = samples.reshape(-1, max(1, channels))[::factor]
+                contents.append(
+                    encode_wav_pcm16(rate // factor, frames.reshape(-1))
+                )
+            out["content"] = contents
+            yield out
+
+    return media.mapInPandas(transform, media.schema)
+
+
 AUDIO_SPECTRAL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

@@ -63,6 +63,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_features",
     # new this round: FFT audio features, data-layout operators, KMV
     "multimodal_audio_spectrum",
+    "multimodal_audio_decimate",
     "multimodal_tiff_features",
     "multimodal_phash_neardup",
     "layout_zorder_events",
@@ -87,8 +88,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "dedup_ngram_jaccard",
     "dedup_families",
     "dedup_verified_pairs",
     "dedup_prefix_filter_pairs",

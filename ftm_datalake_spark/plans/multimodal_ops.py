@@ -422,6 +422,87 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_decimate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             64 + (doc_id % 4) * 32 AS n,
+             3 + doc_id % 5 AS c,
+             500 + doc_id % 500 AS a
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           4000 AS sample_rate,
+           CAST(n // 2 AS BIGINT) AS n_samples,
+           CAST(c AS INTEGER) AS dominant_bin,
+           CAST(ROUND((CAST(c * 4000 AS DOUBLE) / (n // 2)) * 1000) AS BIGINT)
+             AS dominant_mhz,
+           CAST(a * 1000 AS BIGINT) AS rms_x1000
+    FROM d
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "fft"),
+)
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → decimate ×2 → re-encode → decode → FFT, end to end.
+    Keeping every 2nd sample of the c-cycle square wave yields EXACTLY
+    the c-cycle square wave over n/2 samples (frac(2ic/n) < 1/2 ⇔
+    frac(ic/(n/2)) < 1/2), so the closed forms survive decimation:
+    dominant bin stays c, RMS stays the amplitude, and the physical
+    dominant frequency is invariant — c*4000/(n/2) equals the
+    pre-decimation c*8000/n, which the oracle computes with the same
+    two IEEE-754 ops."""
+    from ftm_datalake_spark.operators.multimodal import (
+        audio_spectral_features,
+        decimate_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = (F.lit(64) + (F.col("doc_id") % 4) * 32).cast("int")
+    c = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    a = (F.lit(500) + F.col("doc_id") % 500).cast("int")
+    sample = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: _le16(
+            F.pmod(
+                F.when((i * c % n) * 2 < n, a).otherwise(-a),
+                F.lit(65536),
+            )
+        ),
+    )
+    hex_payload = F.concat(
+        F.lit("52494646"),
+        _le32(F.lit(36) + n * 2),
+        F.lit("57415645"),
+        F.lit("666d7420"),
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),
+        _le16(F.lit(1)),
+        _le32(F.lit(8000)),
+        _le32(F.lit(16000)),
+        _le16(F.lit(2)),
+        _le16(F.lit(16)),
+        F.lit("64617461"),
+        _le32(n * 2),
+        F.array_join(sample, ""),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(hex_payload).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = audio_spectral_features(decimate_audio(media, 2))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "dominant_bin",
+        F.round(F.col("dominant_hz") * 1000).cast("long").alias("dominant_mhz"),
+        F.round(F.col("rms") * 1000).cast("long").alias("rms_x1000"),
+    ).orderBy("media_id")
+
+
+@register(
     "multimodal_bmp_features",
     oracle="""
     WITH d AS (

@@ -349,3 +349,27 @@ def test_phash_neardup_rejects_weak_banding():
 
     with _pytest.raises(ValueError):
         phash_neardup_pairs(None, max_hamming=8)
+
+
+def test_decimate_audio_roundtrip(spark):
+    from ftm_datalake_spark.operators.multimodal import (
+        decimate_audio,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = np.arange(-50, 50, dtype=np.int16)
+    wav = encode_wav_pcm16(8000, samples)
+    rate, ch, got = decode_wav(wav)
+    assert (rate, ch) == (8000, 1) and np.array_equal(got, samples)
+    rows = [
+        ("aud", "audio", wav, {}),
+        ("img", "image", b"not audio", {}),
+        ("bad", "audio", b"RIFFjunk", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decimate_audio(media, 2).collect()}
+    rate2, _, dec = decode_wav(bytes(out["aud"]["content"]))
+    assert rate2 == 4000 and np.array_equal(dec, samples[::2])
+    assert bytes(out["img"]["content"]) == b"not audio"  # passthrough
+    assert bytes(out["bad"]["content"]) == b"RIFFjunk"  # undecodable kept
