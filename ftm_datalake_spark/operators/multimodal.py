@@ -1292,6 +1292,89 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+def resize_bilinear(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Bilinear resample on the half-pixel-center grid, float64 blend,
+    edge-clamped, returned as float64 (callers quantize as needed).
+
+    Fully vectorized: two gathers + one blend per axis, no python loop.
+    On a linear intensity ramp the interpolation is EXACT (a plane
+    through 4 coplanar corners), which the registry oracle exploits."""
+    h, w, _ = pixels.shape
+    src = pixels.astype(np.float64)
+
+    def axis_coords(n_out: int, n_in: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        centers = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        lo = np.clip(np.floor(centers), 0, n_in - 1).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = np.clip(centers - lo, 0.0, 1.0)
+        return lo, hi, frac
+
+    y0, y1, fy = axis_coords(height, h)
+    x0, x1, fx = axis_coords(width, w)
+    top = src[y0][:, x0] * (1 - fx)[None, :, None] + src[y0][:, x1] * fx[None, :, None]
+    bot = src[y1][:, x0] * (1 - fx)[None, :, None] + src[y1][:, x1] * fx[None, :, None]
+    return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+
+
+RESIZE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def bilinear_resize_features(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → bilinear downscale by ``factor`` → Rec.601 mean luma,
+    computed on the float64 resized raster (no uint8 re-quantization, so
+    linear-ramp exactness survives to the feature). Zero shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                decoded = decode_image(content) if content else None
+                if decoded is None:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "out_w": None,
+                            "out_h": None,
+                            "mean_luma": None,
+                        }
+                    )
+                    continue
+                px = decoded[1]
+                h, w, _ = px.shape
+                ow, oh = max(1, w // factor), max(1, h // factor)
+                small = resize_bilinear(px, ow, oh)
+                luma = (
+                    0.299 * small[:, :, 0]
+                    + 0.587 * small[:, :, 1]
+                    + 0.114 * small[:, :, 2]
+                ).mean()
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "out_w": ow,
+                        "out_h": oh,
+                        "mean_luma": float(luma),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        media.where(F.col("modality") == "image")
+        .select("media_id", "content")
+        .mapInPandas(extract, RESIZE_FEATURES_SCHEMA)
+    )
+
+
 # ---------------------------------------------------------------- pHash
 def _dct_basis(n: int) -> np.ndarray:
     """Orthonormal DCT-II basis matrix (n x n), float64."""

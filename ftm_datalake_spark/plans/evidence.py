@@ -64,6 +64,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # new this round: FFT audio features, data-layout operators, KMV
     "multimodal_audio_spectrum",
     "multimodal_audio_decimate",
+    "multimodal_resize_bilinear",
     "multimodal_tiff_features",
     "multimodal_phash_neardup",
     "layout_zorder_events",
@@ -87,8 +88,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # never-sampled: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_families",
     "dedup_verified_pairs",

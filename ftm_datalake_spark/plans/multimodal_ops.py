@@ -340,6 +340,79 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_bilinear",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8 + (doc_id % 3) * 4 AS w,
+             8 + (doc_id % 2) * 4 AS h,
+             CAST(doc_id % 150 AS DOUBLE) AS b
+      FROM documents),
+    m AS (
+      SELECT doc_id, w, h,
+             (w - 1) + 1.5 * (h - 1) + b AS vb
+      FROM d)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(w // 2 AS INTEGER) AS out_w,
+           CAST(h // 2 AS INTEGER) AS out_h,
+           CAST(ROUND((0.299 * vb + 0.587 * vb + 0.114 * vb) * 1000)
+                AS BIGINT) AS luma_x1000
+    FROM m
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "resize"),
+)
+def multimodal_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear downscale under the driver gate. Each row synthesizes a
+    LINEAR-RAMP gray PPM (val = 2x + 3y + b) in-engine; bilinear
+    interpolation is exact on a plane, and on the half-pixel-center
+    grid a clean 2x downscale never clamps at the edges, so the resized
+    mean luma collapses to the closed form evaluated at the grid-center
+    means: vb = 2*(w-1)/2 + 3*(h-1)/2 + b. vb*1000 is an exact integer
+    (vb ends in .0 or .5), so the round(x1000) compare has ~1e-7
+    absolute float headroom on both engines."""
+    from ftm_datalake_spark.operators.multimodal import bilinear_resize_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(8) + (F.col("doc_id") % 3) * 4).cast("int")
+    h = (F.lit(8) + (F.col("doc_id") % 2) * 4).cast("int")
+    b = (F.col("doc_id") % 150).cast("int")
+    header = F.encode(
+        F.concat_ws(
+            "",
+            F.lit("P6\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    raster = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), w * h - 1),
+            lambda i: F.repeat(
+                F.lpad(F.hex((i % w) * 2 + F.floor(i / w) * 3 + b), 2, "0"), 3
+            ),
+        ),
+        "",
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.concat(header, F.unhex(raster)).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = bilinear_resize_features(media, factor=2)
+    return feats.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+    ).orderBy("media_id")
+
+
+@register(
     "multimodal_audio_spectrum",
     oracle="""
     WITH d AS (

@@ -373,3 +373,24 @@ def test_decimate_audio_roundtrip(spark):
     assert rate2 == 4000 and np.array_equal(dec, samples[::2])
     assert bytes(out["img"]["content"]) == b"not audio"  # passthrough
     assert bytes(out["bad"]["content"]) == b"RIFFjunk"  # undecodable kept
+
+
+def test_resize_bilinear_exact_on_plane_and_constant():
+    from ftm_datalake_spark.operators.multimodal import resize_bilinear
+
+    # constant image: every output pixel is the constant
+    const = np.full((8, 6, 3), 77, dtype=np.uint8)
+    out = resize_bilinear(const, 3, 4)
+    assert out.shape == (4, 3, 3) and np.allclose(out, 77.0, atol=1e-12)
+
+    # linear ramp: interpolation reproduces the plane at output centers
+    x = np.arange(12)[None, :]
+    y = np.arange(8)[:, None]
+    ramp = np.repeat((2 * x + 3 * y)[:, :, None], 3, axis=2).astype(np.float64)
+    out = resize_bilinear(ramp, 6, 4)
+    xs = (np.arange(6) + 0.5) * 12 / 6 - 0.5
+    ys = (np.arange(4) + 0.5) * 8 / 4 - 0.5
+    want = 2 * xs[None, :] + 3 * ys[:, None]
+    assert np.allclose(out[:, :, 0], want, atol=1e-10)
+    # mean-invariance of the plane under clean downscale
+    assert abs(out[:, :, 0].mean() - ramp[:, :, 0].mean()) < 1e-10
