@@ -249,3 +249,36 @@ def test_hilbert_matches_reference_and_walks_adjacent(spark):
     assert {(r["x"], r["y"]): r["hval"] for r in wrows} == {
         (x, y): _hilbert_ref(1 << 12, x, y) for x, y in pts
     }
+
+
+def test_zvalue_and_hilbert_hypothesis(spark):
+    """Property sweep: random coordinate batches must match the pure-
+    python references for both curves (one Spark job per batch keeps
+    the sweep fast, so hypothesis drives the data, not the job count)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ftm_datalake_spark.operators.layout import hilbert_index, zvalue
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, (1 << 10) - 1), st.integers(0, (1 << 10) - 1)
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def run(pts):
+        df = spark.createDataFrame(pts, "x long, y long")
+        zrows = df.select(
+            "x", "y", zvalue([F.col("x"), F.col("y")], 10).alias("z")
+        ).collect()
+        assert all(r["z"] == _z_ref([r["x"], r["y"]], 10) for r in zrows)
+        hrows = hilbert_index(df, "x", "y", 10).collect()
+        assert all(
+            r["hval"] == _hilbert_ref(1 << 10, r["x"], r["y"]) for r in hrows
+        )
+
+    run()
