@@ -50,61 +50,41 @@ def statement_aggregation_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # Shuffle on the 8-byte bigint order key; the 'o{key}' canonical_id
     # string is built only on the (already aggregated) output rows.
-    # One scan, explode 4 statements per row (same multiset as the
-    # oracle's 4-way UNION ALL, without re-reading the table 4x).
-    stmt = F.explode(
-        F.array(
-            F.struct(
-                F.lit("part").alias("prop"),
-                F.col("l_partkey").cast("string").alias("value"),
-            ),
-            F.struct(
-                F.lit("supplier").alias("prop"),
-                F.col("l_suppkey").cast("string").alias("value"),
-            ),
-            F.struct(
-                F.lit("flag").alias("prop"), F.col("l_returnflag").alias("value")
-            ),
-            F.struct(
-                F.lit("qty").alias("prop"),
-                F.col("l_quantity").cast("decimal(12,2)").cast("string").alias("value"),
-            ),
-        )
-    ).alias("s")
-    stmts = li.select(F.col("l_orderkey"), stmt).select(
-        "l_orderkey", "s.prop", "s.value"
+    # One scan, ONE shuffle, and — unlike the oracle's 4-way UNION ALL
+    # or an explode — NO row multiplication: the four statement props
+    # aggregate as four parallel collect_set columns in the same
+    # hash-aggregate, so the exchange moves one row per lineitem with
+    # four small partially-deduped sets instead of 4x exploded rows.
+    # (This is the same multiset semantics: each UNION branch always
+    # emits, so every entity has exactly these 4 props; per-prop value
+    # lists are lexicographically sorted strings in both engines, and
+    # the 'prop=' prefixes sort alphabetically: flag<part<qty<supplier.)
+    agg = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_set(F.col("l_returnflag"))
+        ).alias("flag"),
+        F.array_sort(
+            F.collect_set(F.col("l_partkey").cast("string"))
+        ).alias("part"),
+        F.array_sort(
+            F.collect_set(
+                F.col("l_quantity").cast("decimal(12,2)").cast("string")
+            )
+        ).alias("qty"),
+        F.array_sort(
+            F.collect_set(F.col("l_suppkey").cast("string"))
+        ).alias("supplier"),
     )
-    # ONE shuffle: collect the distinct (prop, value) pairs per entity
-    # (map-side partial collect_set dedups before the exchange), then
-    # assemble the per-prop groups with higher-order functions on the
-    # aggregated rows — replaces the former two-shuffle
-    # (groupBy(id, prop) → groupBy(id)) plan, which spent a second
-    # exchange + sort-agg pass on 2.4M intermediate rows.
-    pv = F.array_sort(F.collect_set(F.struct("prop", "value")))
-    props = F.array_distinct(F.transform(F.col("pv"), lambda x: x["prop"]))
-    prop_strs = F.transform(
-        props,
-        lambda p: F.concat(
-            p,
-            F.lit("="),
-            F.array_join(
-                F.transform(
-                    F.filter(F.col("pv"), lambda x: x["prop"] == p),
-                    lambda x: x["value"],
-                ),
-                ",",
-            ),
+    prop_strs = F.array(
+        *[
+            F.concat(F.lit(f"{p}="), F.array_join(F.col(p), ","))
+            for p in ("flag", "part", "qty", "supplier")
+        ]
+    )
+    return agg.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+            "canonical_id"
         ),
-    )
-    return (
-        stmts.groupBy("l_orderkey")
-        .agg(pv.alias("pv"))
-        .select(
-            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
-                "canonical_id"
-            ),
-            F.array_join(prop_strs, "|").alias("properties"),
-            F.size(props).cast("long").alias("n_props"),
-        )
-        .orderBy("canonical_id")
-    )
+        F.array_join(prop_strs, "|").alias("properties"),
+        F.lit(4).cast("long").alias("n_props"),
+    ).orderBy("canonical_id")
