@@ -79,6 +79,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # new this round: sequence pattern + attribution + leakage-safe split
     "events_pattern_match",
     "events_attribution_last_touch",
+    "events_ohlc_hourly",
+    "events_ewma_smoothed",
     "corpus_leakage_safe_split",
     # never-sampled: temporal joins
     "asof_last_purchase",
@@ -86,9 +88,9 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "interval_overlap_sessions",  # new this round: overlap-join operator
     "events_interarrival",
     # never-sampled: dedup family
+    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "dedup_exact",
     "dedup_minhash_lsh",
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_families",

@@ -719,3 +719,114 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("event_id").alias("n_incidents"))
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket,
+             ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, bucket
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, bucket
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM c)
+    SELECT event_type, bucket,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open,
+           CAST(MAX(cents) AS BIGINT) AS high,
+           CAST(MIN(cents) AS BIGINT) AS low,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+             AS close,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars: per (event_type, hour), the first/max/min/last
+    value in integer cents. Open/close use min_by/max_by over the total
+    (ts, event_id) order — one hash-aggregate, no window pass over the
+    raw rows; the oracle derives the same bars through row_number
+    windows, so two different aggregation strategies must agree."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    c = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        cents.alias("cents"),
+        key.alias("k"),
+    )
+    return (
+        c.groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("cents", F.col("k")).alias("open"),
+            F.max("cents").alias("high"),
+            F.min("cents").alias("low"),
+            F.max_by("cents", F.col("k")).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "events_ewma_smoothed",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    l AS (
+      SELECT user_id, ts, event_id, cents,
+             """
+    + ",\n             ".join(
+        f"LAG(cents, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS lag{j}"
+        for j in range(1, 16)
+    )
+    + """
+      FROM c)
+    SELECT user_id, event_id,
+           CAST(cents * 32768 """
+    + " ".join(
+        f"+ COALESCE(lag{j}, 0) * {1 << (15 - j)}" for j in range(1, 16)
+    )
+    + """ AS BIGINT) AS ewma_x32768
+    FROM l
+    ORDER BY user_id, event_id
+    """,
+    tags=("events", "timeseries", "window", "ewma"),
+)
+def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving sum with half-life decay 1/2 per
+    event, over the last 16 events per user — expressed as 16 lag terms
+    with dyadic weights 2^(15-j), so the whole smoother is EXACT 64-bit
+    integer arithmetic (cents ≤ ~40k, x32768, x16 terms: < 2^36 —
+    no overflow, no float rounding, bit-identical in any engine).
+    One window shuffle on user_id; the 16 lags share a single sorted
+    pass (one Window node in the plan)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = events.select("user_id", "ts", "event_id", cents.alias("cents"))
+    ewma = F.col("cents") * F.lit(1 << 15)
+    for j in range(1, 16):
+        ewma = ewma + F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * F.lit(
+            1 << (15 - j)
+        )
+    return c.select(
+        "user_id", "event_id", ewma.cast("long").alias("ewma_x32768")
+    ).orderBy("user_id", "event_id")
