@@ -82,13 +82,14 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "events_ohlc_hourly",
     "events_ewma_smoothed",
     "corpus_leakage_safe_split",
+    "dedup_lsh_recall",
     # never-sampled: temporal joins
     "asof_last_purchase",
     "range_join_session_errors",
     "interval_overlap_sessions",  # new this round: overlap-join operator
+    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "events_interarrival",
     # never-sampled: dedup family
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -525,6 +525,100 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH recall measurement for the dedup family (the dedup twin of
+# ann_lsh_recall): exact shingle-Jaccard >= 4/5 ground truth from a
+# postings self-join, scored against the MinHash-LSH band candidates.
+# The ground-truth side is an EVALUATION op — you run it on a sample to
+# tune bands/rows, never on the full 100 TB corpus; the candidate side
+# is the production path.
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT m.doc_a, m.doc_b
+      FROM common m
+      JOIN cnt ca ON ca.doc_id = m.doc_a
+      JOIN cnt cb ON cb.doc_id = m.doc_b
+      WHERE m.common * 5 >= (ca.n_sh + cb.n_sh - m.common) * 4
+    ),
+    hit AS (
+      SELECT t.doc_a FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hit) AS n_found,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 100
+                ELSE (SELECT COUNT(*) FROM hit) * 100
+                     // (SELECT COUNT(*) FROM truth) END AS BIGINT)
+             AS recall_pct
+    """,
+    tags=("dedup", "eval", "lsh"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    sh = D.shingle_postings(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    uni = F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("common")
+    truth = (
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .where(F.col("common") * 5 >= uni * 4)
+        .select("doc_a", "doc_b")
+    )
+    cand = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_found = hit.agg(F.count("*").alias("n_found"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_truth",
+            "n_found",
+            "n_candidates",
+            F.when(F.col("n_truth") == 0, F.lit(100))
+            .otherwise(
+                F.floor(F.col("n_found") * 100 / F.col("n_truth"))
+            )
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Leakage-safe train/val/test split: fold assignment hashes the DEDUP
 # FAMILY, not the document — near-duplicate documents land in the same
 # fold by construction, so the eval set can never contain a near-copy
