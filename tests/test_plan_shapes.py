@@ -84,6 +84,10 @@ def test_phrase_search_is_pure_projection(spark, sf_dir):
 # aggregates (one-row totals, sketch register folds, quartile scalars) —
 # tiny data by construction at the point of exchange.
 GLOBAL_SCALAR_OK = {
+    # one-row scalar totals (n_truth/n_found/n_candidates) — the recall
+    # report is a 1-row eval summary, so its finals are SinglePartition
+    # by construction
+    "dedup_lsh_recall",
     "dq_validation_suite",
     "events_funnel",
     "gdpr_forget_users",
