@@ -79,8 +79,12 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # new this round: sequence pattern + attribution + leakage-safe split
     "events_pattern_match",
     "events_attribution_last_touch",
-    "events_ohlc_hourly",
-    "events_ewma_smoothed",
+    # new this round: BPE tokenizer family (the oracle-gated pair).
+    # events_ohlc_hourly / events_ewma_smoothed moved below the boundary
+    # to make room — the events extension family already has several
+    # members inside the prefix.
+    "bpe_pair_freq_top20",
+    "bpe_encode_fixed",
     "corpus_leakage_safe_split",
     "dedup_lsh_recall",
     # never-sampled: temporal joins
@@ -88,6 +92,10 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "range_join_session_errors",
     "interval_overlap_sessions",  # new this round: overlap-join operator
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "events_ohlc_hourly",
+    "events_ewma_smoothed",
+    "bpe_train_merges",
+    "bpe_encode_trained",
     "events_interarrival",
     # never-sampled: dedup family
     "dedup_exact",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ftm_datalake_spark.operators import bpe as B
 from ftm_datalake_spark.operators import dedup as D
 from ftm_datalake_spark.operators import textops as TX
 from ftm_datalake_spark.plans.registry import register
@@ -725,3 +726,124 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     return D.prefix_filter_pairs(docs, t_num=4, t_den=5).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer family (operators/bpe.py). Three-tier evidence:
+# the pair-count stage and the fixed-table encode are oracle-gated here;
+# the learned merge table (iterative, data-dependent argmax per round —
+# the brief's non-SQL-expressible carve-out) is rows-only with full
+# pure-python parity in tests/test_bpe.py.
+@register(
+    "bpe_pair_freq_top20",
+    oracle="""
+    WITH w AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    p AS (
+      SELECT substr(word, i, 1) AS lsym, substr(word, i + 1, 1) AS rsym, freq
+      FROM (SELECT word, freq,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w WHERE length(word) >= 2)
+    )
+    SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM p GROUP BY lsym, rsym
+    ORDER BY pair_freq DESC, lsym, rsym
+    LIMIT 20
+    """,
+    tags=("text", "bpe"),
+)
+def bpe_pair_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration's pair statistics: adjacent-symbol
+    frequencies over the distinct-word vocabulary, weighted by word
+    frequency — the exact stage the trainer argmaxes each round. One
+    corpus scan (word_vocab), then vocab-scale work only."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = B.with_symbols(B.word_vocab(docs))
+    return (
+        B.pair_counts(vocab)
+        .select("lsym", "rsym", F.col("pair_freq").cast("long").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), "lsym", "rsym")
+        .limit(20)
+    )
+
+
+@register(
+    "bpe_encode_fixed",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, s,
+             replace(replace(replace(replace(replace(replace(replace(replace(
+               s, 'th', 'T'), 'Te', 'E'), 'in', 'I'), 'tI', 'Q'), 'an', 'A'),
+               'er', 'R'), 'on', 'O'), 're', 'C') AS enc
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(length(replace(s, ' ', '')) AS BIGINT) AS n_chars,
+           CAST(length(replace(enc, ' ', '')) AS BIGINT) AS n_symbols
+    FROM e ORDER BY doc_id
+    """,
+    tags=("text", "bpe"),
+)
+def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode under the FIXED single-char merge table: chained
+    replace IS leftmost-non-overlapping BPE merge application when every
+    symbol is one character. Pure per-row expressions — zero shuffle,
+    whole-stage codegen; the oracle is the same replace chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "))
+    enc = B.apply_fixed_merges(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(F.replace(s, F.lit(" "), F.lit(""))).cast("long").alias("n_chars"),
+        F.length(F.replace(enc, F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_symbols"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative data-dependent argmax per round: rows-only
+    tags=("text", "bpe", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: 12 BPE merges over `documents`, trained
+    distributed (vocab-scale iterations, 1-row driver state per merge).
+    Deterministic: (freq DESC, left ASC, right ASC) argmax tie-break.
+    Pure-python parity: tests/test_bpe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = B.bpe_train(docs, num_merges=12)
+    rows = [
+        (i + 1, left, right, freq) for i, (left, right, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, lsym STRING, rsym STRING, pair_freq BIGINT"
+    )
+
+
+@register(
+    "bpe_encode_trained",
+    oracle=None,  # depends on the learned table: rows-only
+    tags=("text", "bpe", "iterative"),
+)
+def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by token count under a trained 12-merge vocab: the
+    full train → encode path. Encode never replays merges per token —
+    the final vocab maps word → symbol count, so it is one corpus scan
+    plus a broadcast word join."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = B.bpe_train(docs, num_merges=12)
+    return (
+        B.encode_token_counts(docs, vocab)
+        .orderBy(F.desc("n_bpe_tokens"), "doc_id")
+        .limit(20)
+    )
