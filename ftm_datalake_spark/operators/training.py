@@ -72,6 +72,60 @@ def decontaminate(
     )
 
 
+def exact_substring_matches(
+    train: DataFrame,
+    bench: DataFrame,
+    w: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring contamination report (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    suffix-array exact-match family re-expressed relationally):
+    (train_doc, bench_doc, n_matched_blocks) for every train doc sharing
+    an exact ``w``-char window with a benchmark doc.
+
+    Block-window scheme — the scale shape:
+    - TRAIN side emits only block-ALIGNED windows (stride = w): a 1/w
+      row inflation of the corpus, not the all-offsets quadratic-ish
+      explosion. Any shared run of length >= 2w-1 necessarily contains
+      one fully train-aligned block, so detection of runs >= 2w-1 is
+      guaranteed; shorter shared runs (>= w) are detected when aligned.
+    - BENCH side emits ALL offsets, distinct-ed — benchmarks are eval
+      sets, small by definition, so |bench| x len windows is bounded.
+    - One hash equi-join on window content, then a (train, bench) pair
+      aggregation with map-side combine. No cartesian anywhere.
+    """
+    t = F.col(text_col)
+    tb = train.where(F.length(t) >= w).select(
+        F.col(id_col).alias("train_doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) div {w}),"
+                f" j -> substring({text_col}, (j - 1) * {w} + 1, {w}))"
+            )
+        ).alias("win"),
+    )
+    bw = (
+        bench.where(F.length(t) >= w)
+        .select(
+            F.col(id_col).alias("bench_doc"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {w} + 1),"
+                    f" i -> substring({text_col}, i, {w}))"
+                )
+            ).alias("win"),
+        )
+        .distinct()
+    )
+    return (
+        tb.join(bw, "win")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count_distinct("win").alias("n_matched_blocks"))
+    )
+
+
 def sample_per_group_cap(
     df: DataFrame,
     group_col: str,

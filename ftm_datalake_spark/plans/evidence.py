@@ -75,7 +75,10 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "ann_lsh_recall",
-    "ann_ivf_topk_nprobe2",
+    # new this round: exact-substring decontamination (oracle-gated);
+    # ann_ivf_topk_nprobe2 moved below the boundary (nprobe variant of
+    # an already-green family — lowest marginal evidence in the prefix)
+    "decontaminate_exact_substring",
     # new this round: sequence pattern + attribution + leakage-safe split
     "events_pattern_match",
     "events_attribution_last_touch",
@@ -92,6 +95,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "range_join_session_errors",
     "interval_overlap_sessions",  # new this round: overlap-join operator
     # ---- 50-slot prefix boundary (driver samples ~50) ----
+    "ann_ivf_topk_nprobe2",
     "events_ohlc_hourly",
     "events_ewma_smoothed",
     "bpe_train_merges",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ftm_datalake_spark.operators import bpe as B
 from ftm_datalake_spark.operators import dedup as D
 from ftm_datalake_spark.operators import textops as TX
+from ftm_datalake_spark.operators import training as TR
 from ftm_datalake_spark.plans.registry import register
 from ftm_datalake_spark.sources.tables import load_table
 
@@ -846,4 +847,58 @@ def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         B.encode_token_counts(docs, vocab)
         .orderBy(F.desc("n_bpe_tokens"), "doc_id")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring decontamination (Lee et al. 2022 exact-match family):
+# train docs sharing an exact 20-char window with a benchmark doc, via
+# block-aligned train windows (stride w — 1/w row inflation, guarantees
+# detection of shared runs >= 2w-1) joined to all-offset bench windows
+# (bench corpora are eval-set-small). The augmented corpus' re-keyed
+# copies of every 100th doc make true contaminations exist by
+# construction: each copy fully contains its benchmark original.
+@register(
+    "decontaminate_exact_substring",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    bench AS (
+      SELECT doc_id, text FROM docs_aug
+      WHERE doc_id % 10 = 0 AND doc_id < 1000000
+    ),
+    train AS (
+      SELECT doc_id, text FROM docs_aug
+      WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)
+    ),
+    tb AS (
+      SELECT doc_id AS train_doc, substr(text, (j - 1) * 20 + 1, 20) AS win
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) // 20)) AS j
+            FROM train WHERE length(text) >= 20)
+    ),
+    bw AS (
+      SELECT DISTINCT doc_id AS bench_doc, substr(text, i, 20) AS win
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+            FROM bench WHERE length(text) >= 20)
+    )
+    SELECT t.train_doc, b.bench_doc,
+           CAST(COUNT(DISTINCT t.win) AS BIGINT) AS n_matched_blocks
+    FROM tb t JOIN bw b ON t.win = b.win
+    GROUP BY t.train_doc, b.bench_doc
+    ORDER BY t.train_doc, b.bench_doc
+    """,
+    tags=("training", "dedup", "decontamination"),
+)
+def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000)
+    bench = docs.where(is_bench)
+    train = docs.where(~is_bench)
+    return (
+        TR.exact_substring_matches(train, bench, w=20)
+        .select(
+            "train_doc",
+            "bench_doc",
+            F.col("n_matched_blocks").cast("long").alias("n_matched_blocks"),
+        )
+        .orderBy("train_doc", "bench_doc")
     )

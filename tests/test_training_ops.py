@@ -123,3 +123,34 @@ def test_epoch_shards_partition_positions(spark):
         assert keys == sorted(keys)
     # uniform-ish occupancy: no shard has more than half the corpus
     assert max(len(v) for v in by_shard.values()) < 250
+
+
+# ----------------------------------------------------- exact-substring
+
+
+def test_exact_substring_guarantee_and_negatives(spark):
+    """Block-window detection contract: a shared run of >= 2w-1 chars is
+    ALWAYS found; disjoint texts never match; a shared run shorter than
+    w can never match."""
+    from ftm_datalake_spark.operators.training import exact_substring_matches
+
+    w = 10
+    shared = "abcdefghijklmnopqrs"  # 2w-1 = 19 chars
+    train = spark.createDataFrame(
+        [
+            (1, "xx" + shared + "yy"),          # contains the full run, misaligned
+            (2, "z" * 40),                       # disjoint
+            (3, "qq" + shared[:w - 1] + "pp"),   # only w-1 shared chars
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "B" * 7 + shared + "E" * 5)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["train_doc"], r["bench_doc"])
+        for r in exact_substring_matches(train, bench, w=w).collect()
+    }
+    assert (1, 100) in got          # >= 2w-1 shared: guaranteed
+    assert (2, 100) not in got      # disjoint
+    assert (3, 100) not in got      # < w shared: impossible to match
