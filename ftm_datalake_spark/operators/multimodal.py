@@ -16,8 +16,12 @@ themselves):
   back to a clearly-marked deterministic stub.
 - audio: REAL decode for WAV/RIFF PCM16/PCM8/float32 (rate, channels,
   duration, RMS in a format-independent PCM16 scale).
-- video: honest stub (no container parser without ffmpeg); the frame-
-  sampling plumbing (stride selection, per-batch row explosion) is real.
+- video: REAL parse + frame decode for the two uncompressed stream
+  formats with pure-python paths — YUV4MPEG2/.y4m (C420*/422/444/mono
+  planar YCbCr; the Y' plane is the luma) and concatenated-P6 MJPEG-
+  style streams. Compressed containers (MP4/MKV) remain an honest stub
+  (no ffmpeg); the frame-sampling plumbing (stride selection, per-batch
+  row explosion) is shared and real.
 
 Scale notes:
 - mapInPandas streams Arrow record batches; `spark.sql.execution.arrow.
@@ -147,6 +151,94 @@ def split_ppm_stream(content: bytes) -> list[bytes] | None:
         frames.append(content[i:end])
         i = end
     return frames
+
+
+def parse_y4m(content: bytes) -> tuple[int, int, str, list[bytes]] | None:
+    """YUV4MPEG2 (.y4m) — the standard UNCOMPRESSED video container
+    (mjpegtools/ffmpeg interchange format): stream header
+    ``YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<fmt>\\n`` followed by
+    ``FRAME[ params]\\n`` + raw planar YCbCr per frame.
+
+    Returns (width, height, chroma_format, [frame plane bytes]) or None
+    if not Y4M / malformed. Supports C420* (jpeg/mpeg2/paldv centering
+    variants — plane layout is identical), C422, C444 and Cmono."""
+    if not content or not content.startswith(b"YUV4MPEG2"):
+        return None
+    nl = content.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    cfmt = "420jpeg"  # the spec default when C is absent
+    for tag in content[9:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        try:
+            if key == b"W":
+                w = int(val)
+            elif key == b"H":
+                h = int(val)
+            elif key == b"C":
+                cfmt = val.decode("ascii")
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    if cfmt.startswith("420"):
+        if w % 2 or h % 2:
+            return None
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    elif cfmt.startswith("422"):
+        if w % 2:
+            return None
+        frame_size = w * h + 2 * ((w // 2) * h)
+    elif cfmt.startswith("444"):
+        frame_size = 3 * w * h
+    elif cfmt == "mono":
+        frame_size = w * h
+    else:
+        return None
+    frames: list[bytes] = []
+    i = nl + 1
+    while i < len(content):
+        if content[i : i + 5] != b"FRAME":
+            return None
+        fnl = content.find(b"\n", i)
+        if fnl < 0:
+            return None
+        start, end = fnl + 1, fnl + 1 + frame_size
+        if end > len(content):
+            return None
+        frames.append(content[start:end])
+        i = end
+    return (w, h, cfmt, frames)
+
+
+def y4m_frame_luma(w: int, h: int, frame: bytes) -> float:
+    """Mean luma of one Y4M frame: the Y' plane IS the luma signal, so
+    this is a plain mean over the first w*h bytes — no matrix."""
+    y = np.frombuffer(frame, dtype=np.uint8, count=w * h)
+    return float(y.astype(np.float64).mean())
+
+
+def encode_y4m(
+    y_frames: list[np.ndarray], cfmt: str = "420jpeg"
+) -> bytes:
+    """Synthesize a Y4M stream from HxW uint8 luma planes (chroma filled
+    neutral 128) — the test/registry fixture encoder."""
+    h, w = y_frames[0].shape
+    if cfmt.startswith("420"):
+        chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
+    elif cfmt.startswith("422"):
+        chroma = b"\x80" * (2 * ((w // 2) * h))
+    elif cfmt.startswith("444"):
+        chroma = b"\x80" * (2 * w * h)
+    else:  # mono
+        chroma = b""
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, cfmt.encode())
+    return head + b"".join(
+        b"FRAME\n" + f.astype(np.uint8).tobytes() + chroma for f in y_frames
+    )
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
@@ -1818,7 +1910,26 @@ def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(content) if content is not None else None
-                frames = split_ppm_stream(content) if content else None
+                if not content:
+                    continue
+                y4m = parse_y4m(content)
+                if y4m is not None:
+                    w, h, _cfmt, yframes = y4m
+                    n = len(yframes)
+                    for idx in range(0, n, max(1, every_n)):
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": idx,
+                                "n_frames": n,
+                                "width": w,
+                                "height": h,
+                                "mean_luma": y4m_frame_luma(w, h, yframes[idx]),
+                                "decoder": "y4m",
+                            }
+                        )
+                    continue
+                frames = split_ppm_stream(content)
                 if frames is None:
                     continue
                 n = len(frames)

@@ -123,6 +123,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "decontaminate_benchmark",
     # remaining never-sampled, next in line for round-5 rotation
     "multimodal_gif_features",
+    "multimodal_y4m_frames",
     "cdc_apply_documents",
     "statement_incremental_merge",
     "embedding_centroids",

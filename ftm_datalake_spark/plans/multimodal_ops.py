@@ -712,6 +712,76 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) frame sampling under REAL driver verification: each
+# documents row synthesizes a standard .y4m stream in-engine (C420jpeg,
+# 4x2 constant-luma frames, per-frame value (doc_id*11 + idx*17) % 256,
+# neutral 0x80 chroma); operators/multimodal.parse_y4m walks the real
+# container (stream header tags + FRAME headers + planar payloads) and
+# the sampler decodes every 2nd frame's Y' plane. The oracle recomputes
+# the sampled frames' luma by pure arithmetic (a constant plane's mean
+# is its value — exact in both engines).
+@register(
+    "multimodal_y4m_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+    ),
+    f AS (
+      SELECT doc_id, nf, s.i AS frame_idx,
+             (doc_id * 11 + s.i * 17) % 256 AS v
+      FROM d, LATERAL (SELECT i FROM generate_series(0, 7) g(i)) s
+      WHERE s.i < nf AND s.i % 2 = 0
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(4 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(v * 1000 AS BIGINT) AS luma_x1000,
+           'y4m' AS decoder
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("multimodal", "mapInPandas", "video"),
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.multimodal import video_frame_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_frames = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+
+    def frame(idx: F.Column) -> F.Column:
+        v = ((F.col("doc_id") * 11 + idx * 17) % 256).cast("int")
+        return F.concat(
+            F.encode(F.lit("FRAME\n"), "UTF-8"),
+            # Y plane: 4x2 = 8 bytes of v; chroma: 2x(2x1) = 4 bytes 0x80
+            F.unhex(F.repeat(F.lpad(F.hex(v), 2, "0"), 8)),
+            F.unhex(F.lit("80808080")),
+        )
+
+    payload = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n_frames - 1), frame),
+        F.encode(F.lit("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"), "UTF-8"),
+        lambda acc, x: F.concat(acc, x),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("modality"),
+        payload.alias("content"),
+    )
+    feats = video_frame_features(media, every_n=2)
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
+        "decoder",
+    ).orderBy("media_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
 # Multimodal dedup composition: REAL decode → content signature →
 # duplicate families. Payloads are synthesized with only 16 distinct
 # pixel values (doc_id % 16 scaled ×16) so collisions are guaranteed;

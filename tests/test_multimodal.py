@@ -394,3 +394,68 @@ def test_resize_bilinear_exact_on_plane_and_constant():
     assert np.allclose(out[:, :, 0], want, atol=1e-10)
     # mean-invariance of the plane under clean downscale
     assert abs(out[:, :, 0].mean() - ramp[:, :, 0].mean()) < 1e-10
+
+
+# ----------------------------------------------------------------- y4m
+
+
+def test_y4m_roundtrip_all_chroma_formats():
+    import numpy as np
+
+    from ftm_datalake_spark.operators.multimodal import (
+        encode_y4m,
+        parse_y4m,
+        y4m_frame_luma,
+    )
+
+    for cfmt in ("420jpeg", "420mpeg2", "422", "444", "mono"):
+        frames = [np.full((2, 4), v, np.uint8) for v in (0, 7, 200)]
+        w, h, c, fr = parse_y4m(encode_y4m(frames, cfmt))
+        assert (w, h, c) == (4, 2, cfmt)
+        assert [y4m_frame_luma(w, h, f) for f in fr] == [0.0, 7.0, 200.0]
+    # non-constant plane: exact float mean of the Y' bytes
+    y = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    w, h, _, fr = parse_y4m(encode_y4m([y]))
+    assert y4m_frame_luma(w, h, fr[0]) == 3.5
+
+
+def test_y4m_malformed_rejected():
+    from ftm_datalake_spark.operators.multimodal import parse_y4m
+
+    assert parse_y4m(b"") is None
+    assert parse_y4m(b"P6\n1 1\n255\n\x00\x00\x00") is None  # not y4m
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C420\n") == (4, 2, "420", [])
+    # truncated frame payload
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C420\nFRAME\n" + b"\x00" * 5) is None
+    assert parse_y4m(b"YUV4MPEG2 W3 H3 C420\n") is None  # odd dims for 420
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C999\n") is None  # unknown chroma
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C420\nJUNK\n") is None  # no FRAME
+
+
+def test_video_frame_features_routes_y4m_and_p6(spark):
+    import numpy as np
+
+    from ftm_datalake_spark.operators.multimodal import (
+        encode_ppm,
+        encode_y4m,
+        video_frame_features,
+    )
+
+    y4m = encode_y4m([np.full((2, 2), v, np.uint8) for v in (10, 20, 30)])
+    p6 = b"".join(
+        encode_ppm(np.full((2, 2, 3), v, np.uint8)) for v in (40, 50)
+    )
+    media = spark.createDataFrame(
+        [("vid-y4m", "video", bytearray(y4m)), ("vid-p6", "video", bytearray(p6))],
+        "media_id STRING, modality STRING, content BINARY",
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in video_frame_features(media, every_n=2).collect()
+    }
+    assert rows[("vid-y4m", 0)]["decoder"] == "y4m"
+    assert rows[("vid-y4m", 0)]["mean_luma"] == 10.0
+    assert rows[("vid-y4m", 2)]["mean_luma"] == 30.0
+    assert ("vid-y4m", 1) not in rows  # stride honored
+    assert rows[("vid-p6", 0)]["decoder"] == "ppm-stream"
+    assert rows[("vid-p6", 0)]["n_frames"] == 2
