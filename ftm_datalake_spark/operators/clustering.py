@@ -101,14 +101,24 @@ def kmeans(
 
     for _ in range(iters):
         assigned = _assign(q_df, centroids)
-        stats = assigned.groupBy("cluster").agg(
-            F.count("*").alias("cnt"),
-            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dims)],
+        # Per-dimension sums via posexplode + (cluster, pos) hash-agg:
+        # ONE generic expression instead of `dims` separate sum columns,
+        # so the plan stays O(1) in dims (a 64-col agg costs ~1s of
+        # analysis/codegen per iteration on a warm session). The 64x row
+        # explosion collapses map-side: each task emits at most k*dims
+        # partial rows, so the shuffle is k*dims*tasks — same as the
+        # column-wise form.
+        stats = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
         )
-        rows = {r["cluster"]: r for r in stats.collect()}
+        sums: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats.collect():  # k*dims rows — driver-bounded
+            sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["cnt"])
         centroids = [
-            [_floordiv(rows[c][f"s{i}"], rows[c]["cnt"]) for i in range(dims)]
-            if c in rows
+            [_floordiv(*sums[c][i]) for i in range(dims)]
+            if c in sums
             else centroids[c]  # empty cluster keeps its previous centroid
             for c in range(k)
         ]
@@ -117,18 +127,25 @@ def kmeans(
 
 
 def cluster_profile(assigned: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Per-cluster summary: size, id-sum checksum, leading centroid dims."""
-    spark = assigned.sparkSession
-    cent_rows = [
-        (cid, int(vec[0]), int(vec[1]), int(vec[2]), int(vec[3]))
-        for cid, vec in enumerate(centroids)
-    ]
-    cent_df = spark.createDataFrame(
-        cent_rows, "cluster long, c0 long, c1 long, c2 long, c3 long"
+    """Per-cluster summary: size, id-sum checksum, leading centroid dims.
+
+    The centroids are driver-held constants (k rows), so the lookup is a
+    literal-array index expression — no createDataFrame + broadcast-join
+    stage for what is a compile-time-known map."""
+    cent = F.array(
+        *[
+            F.array(*[F.lit(int(vec[d])).cast("long") for d in range(4)])
+            for vec in centroids
+        ]
     )
     sizes = assigned.groupBy("cluster").agg(
         F.count("*").alias("n"), F.sum("vec_id").alias("id_sum")
     )
-    return sizes.join(F.broadcast(cent_df), "cluster", "left").select(
-        "cluster", "n", "id_sum", "c0", "c1", "c2", "c3"
+    # element_at is 1-based; cluster ids are 0-based
+    picked = F.element_at(cent, (F.col("cluster") + 1).cast("int"))
+    return sizes.select(
+        "cluster",
+        "n",
+        "id_sum",
+        *[picked[d].alias(f"c{d}") for d in range(4)],
     )
