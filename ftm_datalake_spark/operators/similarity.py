@@ -84,6 +84,51 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-cosine-similar corpus vectors whose LABEL DIFFERS
+    from the query's — the vectors a contrastive loss most needs to see.
+
+    Same scale shape as brute_force_topk (broadcast query set × one
+    corpus scan; the label inequality rides the broadcast join
+    condition, so mismatched-label pairs are dropped before scoring
+    ever shuffles). Output: (qid, nid, rank, cosine)."""
+    corpus = _with_quantized(embeddings, emb_col).select(
+        F.col(id_col).alias("nid"),
+        F.col("q").alias("nq"),
+        F.col("norm2").alias("nn"),
+        F.col(label_col).alias("nlabel"),
+    )
+    qs = _with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qn"),
+        F.col(label_col).alias("qlabel"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(qs),
+            (F.col("nid") != F.col("qid"))
+            & (F.col("nlabel") != F.col("qlabel")),
+        )
+        .withColumn("dot", int_dot(F.col("qq"), F.col("nq")))
+        .withColumn("cosine", cosine(F.col("dot"), F.col("qn"), F.col("nn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
 def vectorized_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -372,3 +372,54 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: for each query vector, the top-5 most-similar
+# corpus vectors with a DIFFERENT label — the contrastive-training data
+# prep step. Same broadcast-queries x one-corpus-scan shape as
+# ann_cosine_topk; the label inequality is part of the broadcast join
+# condition so cross-label pairs never reach the scoring shuffle.
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT qid, e.vec_id AS nid, qe, e.embedding AS ne
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+    ),
+    comp AS (
+      SELECT qid, nid,
+             CAST(SUM(t.qq * t.nq) AS BIGINT) AS dot,
+             CAST(SUM(t.qq * t.qq) AS BIGINT) AS qn,
+             CAST(SUM(t.nq * t.nq) AS BIGINT) AS nn
+      FROM pairs, LATERAL (
+        SELECT {_QUANT.format(x='qe[i]')} AS qq,
+               {_QUANT.format(x='ne[i]')} AS nq
+        FROM generate_series(1, 64) g(i)
+      ) t
+      GROUP BY qid, nid
+    ),
+    ranked AS (
+      SELECT qid, nid,
+             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cosine,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) DESC,
+                        nid) AS rank
+      FROM comp
+    )
+    SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+    """,
+    tags=("similarity", "training"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.hard_negative_topk(emb, queries, k=5)
+    return out.select(
+        "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
+    ).orderBy("qid", "rank")
