@@ -146,3 +146,38 @@ def test_encode_counts_match_pure_python(spark, sf_dir, corpus_words):
         if n:
             want[r["doc_id"]] = n
     assert got == want
+
+
+def test_fixed_encode_equals_pairwise_merge_semantics():
+    """The single-char replace chain (bpe_encode_fixed / DuckDB oracle)
+    and leftmost-non-overlapping pair merging (merge_adjacent semantics)
+    are the same algorithm under a symbol relabeling: applying
+    FIXED_MERGES as string replaces must yield exactly as many symbols
+    per word as applying the corresponding pair merges to char lists."""
+    from ftm_datalake_spark.operators.bpe import FIXED_MERGES
+
+    # the pair-merge view of the fixed table: output symbols spelled out
+    expanded = {}  # single-char alias -> multi-char symbol
+    pair_merges = []
+    for left, right, new in FIXED_MERGES:
+        l_sym = expanded.get(left, left)
+        r_sym = expanded.get(right, right)
+        expanded[new] = l_sym + r_sym
+        pair_merges.append((l_sym, r_sym))
+
+    rng = random.Random(7)
+    words = ["the", "tin", "ting", "banana", "rere", "theater", "onion",
+             "anana", "thth", "tintin"] + [
+        "".join(rng.choice("theinaor") for _ in range(rng.randint(1, 14)))
+        for _ in range(300)
+    ]
+    for w in words:
+        s = w
+        for left, right, new in FIXED_MERGES:
+            s = s.replace(left + right, new)
+        syms = list(w)
+        for l_sym, r_sym in pair_merges:
+            syms = _py_merge(syms, l_sym, r_sym)
+        assert len(s) == len(syms), (w, s, syms)
+        # and the relabeling expands back to the original word
+        assert "".join(expanded.get(c, c) for c in s) == w
