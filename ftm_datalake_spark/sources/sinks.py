@@ -212,3 +212,104 @@ def compact_table(
         .parquet(out_dir)
     )
     return len(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+
+
+# ---------------------------------------------------------------- webdataset
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_size: int = 1000,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    binary_col: str | None = None,
+    prefix: str = "shard",
+) -> list[dict]:
+    """Training-data export: WebDataset-style tar shards + manifest.
+
+    The standard large-corpus training format (one tar per shard, one
+    sample per key with `{key}.txt` / optional `{key}.bin` members,
+    shards consumed sequentially by dataloaders). Spark-first shape:
+
+    - exact global order via the two-phase rank (operators/rank.py — a
+      range partition + per-partition offsets, no single-partition
+      stage), so shard assignment `rank // shard_size` is deterministic
+      and every shard except the last is exactly `shard_size` samples;
+    - one `applyInPandas` group per shard writes its tar (groups are
+      bounded by shard_size rows — the unit of memory is the shard, not
+      the corpus) and returns a metadata row;
+    - tars are BYTE-DETERMINISTIC (zeroed mtime/uid/gid, fixed member
+      order and modes): re-running under any input partitioning produces
+      identical sha256 per shard, so task retries are idempotent
+      overwrites and downstream caches can trust the digests;
+    - the manifest (shard → path, n_samples, sha256) is written from
+      shard-count metadata rows — driver data is one row per shard.
+
+    `out_dir` must be task-writable shared storage (same contract as
+    every other sink here). Returns the manifest entries.
+    """
+    import hashlib
+    import tarfile
+
+    import pandas as pd
+
+    from ftm_datalake_spark.operators.rank import with_global_rank
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [key_col, text_col] + ([binary_col] if binary_col else [])
+    ranked, _total = with_global_rank(df.select(*cols), [key_col])
+    sharded = ranked.withColumn(
+        "__shard", ((F.col("rank") - 1) / shard_size).cast("long")
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values("rank")
+        path = os.path.join(out_dir, f"{prefix}-{shard_id:06d}.tar")
+        tmp = path + ".__stage__"
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in pdf.iterrows():
+                members = [(f"{int(row[key_col]):09d}.txt",
+                            str(row[text_col]).encode("utf-8"))]
+                if binary_col:
+                    payload = row[binary_col]
+                    members.append(
+                        (f"{int(row[key_col]):09d}.bin",
+                         bytes(payload) if payload is not None else b"")
+                    )
+                for name, data in members:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    import io
+
+                    tar.addfile(info, io.BytesIO(data))
+        os.replace(tmp, path)  # atomic publish; retries overwrite same bytes
+        sha = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        return pd.DataFrame(
+            [{"shard_id": shard_id, "path": path, "n_samples": len(pdf),
+              "sha256": sha}]
+        )
+
+    meta_rows = (
+        sharded.groupBy("__shard")
+        .applyInPandas(
+            write_shard,
+            "shard_id LONG, path STRING, n_samples LONG, sha256 STRING",
+        )
+        .collect()  # one row per shard — metadata-scale
+    )
+    manifest = sorted(
+        (
+            {"shard_id": r["shard_id"], "path": r["path"],
+             "n_samples": r["n_samples"], "sha256": r["sha256"]}
+            for r in meta_rows
+        ),
+        key=lambda m: m["shard_id"],
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
