@@ -313,3 +313,57 @@ def write_webdataset_shards(
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def read_webdataset_shards(spark: SparkSession, shards_dir: str) -> DataFrame:
+    """Ingest twin of :func:`write_webdataset_shards`: tar shards back to
+    (key, member, content) rows.
+
+    Scale shape: the shard is the parallel unit — `binaryFile` assigns
+    whole tars to tasks (tar has no central directory, so sequential
+    member walk per archive is the format's native access pattern), and
+    an Arrow-batched mapInPandas parses members task-side. Shard bytes
+    never pass through the driver."""
+    import io
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("shard_path", T.StringType(), False),
+            T.StructField("key", T.LongType(), False),
+            T.StructField("member", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for info in tar.getmembers():
+                        if not info.isfile():
+                            continue
+                        stem, _, ext = info.name.partition(".")
+                        rows.append(
+                            {
+                                "shard_path": path,
+                                "key": int(stem),
+                                "member": ext,
+                                "content": tar.extractfile(info).read(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    tars = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(shards_dir)
+        .select("path", "content")
+    )
+    return tars.mapInPandas(parse, schema)

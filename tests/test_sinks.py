@@ -251,3 +251,23 @@ def test_webdataset_binary_members(spark, tmp_path):
     with tarfile.open(m[0]["path"]) as tar:
         assert tar.extractfile("000000003.bin").read() == bytes([3]) * 4
         assert tar.extractfile("000000003.txt").read() == b"t3"
+
+
+def test_webdataset_read_back(spark, tmp_path):
+    from ftm_datalake_spark.sources.sinks import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(23)], "doc_id LONG, text STRING"
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(docs, out, shard_size=10)
+    back = read_webdataset_shards(spark, out)
+    rows = back.where("member = 'txt'").collect()
+    assert {r["key"]: bytes(r["content"]).decode() for r in rows} == {
+        i: f"body {i}" for i in range(23)
+    }
+    # three shards contributed
+    assert len({r["shard_path"] for r in rows}) == 3
