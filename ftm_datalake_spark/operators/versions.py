@@ -89,3 +89,74 @@ def changes_since(
         spark, lake_dir, dataset, since_version, list_versions(lake_dir, dataset)[-1]
     )
     return added
+
+
+def retention_plan(
+    lake_dir: str, dataset: str, keep_last: int = 2
+) -> dict:
+    """VACUUM planning for the versioned table: which snapshots fall out
+    of the retention window, with their reclaimable footprint, plus any
+    stray files in the versions root that belong to no snapshot (failed
+    staging leftovers).
+
+    Metadata-only (directory listing + stat — never reads row data), so
+    it is driver-side by design, same as `list_versions`; at lake scale
+    the per-snapshot file counts come from the same listing a manifest
+    would provide. Nothing is deleted here — see :func:`vacuum_versions`.
+    """
+    root = _versions_root(lake_dir, dataset)
+    versions = list_versions(lake_dir, dataset)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    expired = [v for v in versions if v not in keep]
+
+    def _footprint(path: str) -> tuple[int, int]:
+        n, size = 0, 0
+        for r, _d, files in os.walk(path):
+            for f in files:
+                n += 1
+                size += os.path.getsize(os.path.join(r, f))
+        return n, size
+
+    plan = {
+        "dataset": dataset,
+        "versions_total": len(versions),
+        "keep": sorted(keep),
+        "expired": [],
+        "orphans": [],
+    }
+    for v in expired:
+        n, size = _footprint(os.path.join(root, f"version={v}"))
+        plan["expired"].append({"version": v, "n_files": n, "bytes": size})
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            if not name.startswith("version="):
+                plan["orphans"].append(os.path.join(root, name))
+    return plan
+
+
+def vacuum_versions(
+    lake_dir: str, dataset: str, keep_last: int = 2, dry_run: bool = True
+) -> dict:
+    """Apply (or preview) the retention plan: delete expired snapshot
+    directories and orphaned staging files, keeping the newest
+    ``keep_last`` versions readable. Time travel (`read_version`,
+    `diff_versions`, `changes_since`) keeps working across the surviving
+    window. Returns the executed plan with a `deleted` flag per entry."""
+    import shutil
+
+    root = _versions_root(lake_dir, dataset)
+    plan = retention_plan(lake_dir, dataset, keep_last)
+    plan["dry_run"] = dry_run
+    for entry in plan["expired"]:
+        path = os.path.join(root, f"version={entry['version']}")
+        if not dry_run:
+            shutil.rmtree(path)
+        entry["deleted"] = not dry_run
+    for i, orphan in enumerate(list(plan["orphans"])):
+        if not dry_run:
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan)
+            else:
+                os.remove(orphan)
+        plan["orphans"][i] = {"path": orphan, "deleted": not dry_run}
+    return plan

@@ -109,3 +109,47 @@ def test_salted_agg_equivalence(spark, sf_dir):
 
     with pytest.raises(ValueError):
         salted_agg(events, ["event_type"], {"bad": ("value", "collect_list")})
+
+
+def test_retention_vacuum(spark, tmp_path):
+    """Expired snapshots + staging orphans are planned, dry-run leaves
+    everything readable, real vacuum reclaims them and time travel keeps
+    working across the surviving window."""
+    import os
+
+    from ftm_datalake_spark.operators.versions import (
+        changes_since,
+        list_versions,
+        read_version,
+        retention_plan,
+        vacuum_versions,
+        write_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    rows = lambda *keys: spark.createDataFrame(  # noqa: E731
+        [(k, f"h{k}") for k in keys], "key STRING, content_hash STRING"
+    )
+    for i, ks in enumerate([("a",), ("a", "b"), ("a", "b", "c"), ("a", "b", "c", "d")]):
+        write_version(rows(*ks), lake, "ds", version=f"v{i}")
+    # a staging leftover that belongs to no snapshot
+    root = os.path.join(lake, "document_versions", "dataset=ds")
+    open(os.path.join(root, "part-stray.__stage__"), "w").write("x")
+
+    plan = retention_plan(lake, "ds", keep_last=2)
+    assert [e["version"] for e in plan["expired"]] == ["v0", "v1"]
+    assert plan["keep"] == ["v2", "v3"]
+    assert len(plan["orphans"]) == 1
+    assert all(e["n_files"] > 0 and e["bytes"] > 0 for e in plan["expired"])
+
+    preview = vacuum_versions(lake, "ds", keep_last=2, dry_run=True)
+    assert all(not e["deleted"] for e in preview["expired"])
+    assert list_versions(lake, "ds") == ["v0", "v1", "v2", "v3"]  # intact
+
+    done = vacuum_versions(lake, "ds", keep_last=2, dry_run=False)
+    assert all(e["deleted"] for e in done["expired"])
+    assert list_versions(lake, "ds") == ["v2", "v3"]
+    assert not os.path.exists(os.path.join(root, "part-stray.__stage__"))
+    # time travel still works in the surviving window
+    assert read_version(spark, lake, "ds", "v2").count() == 3
+    assert {r["key"] for r in changes_since(spark, lake, "ds", "v2").collect()} == {"d"}
