@@ -124,3 +124,56 @@ def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
             rogue_single.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
     assert not rogue_single, f"undocumented single-partition exchange in: {rogue_single}"
+
+
+# Audited shuffle-exchange budgets for the bench headliners (static plan
+# node counts at sf0.001; BroadcastExchange excluded — broadcasts are the
+# cheap path). A future change that adds a shuffle to a headline query
+# must either get under the budget or consciously raise it here with a
+# plan diff in the commit. (er_blocked_matches' 25 static nodes collapse
+# to 13 runtime stages via AQE exchange reuse — see ARCHITECTURE.md.)
+SHUFFLE_BUDGET = {
+    "events_sessionize": 2,
+    "dedup_exact": 2,
+    "dedup_minhash_lsh": 3,
+    "corpus_curation_v2": 5,
+    "embedding_kmeans": 2,
+    "q1_pricing_summary": 2,
+    "q3_shipping_priority": 1,
+    "q5_region_revenue": 2,
+    "dedup_common_segments": 3,
+    "corpus_curation": 2,
+    "corpus_pipeline_e2e": 8,
+    "er_blocked_matches": 25,
+    "docs_merge_upsert": 3,
+    "statement_aggregation": 3,
+    "statement_aggregation_wide": 2,
+    "ann_cosine_topk": 2,
+}
+
+
+def test_bench_queries_within_shuffle_budget(spark, sf_dir):
+    from ftm_datalake_spark.plans import REGISTRY
+
+    over, missing = [], []
+    for name, spec in REGISTRY.items():
+        if not spec.bench:
+            continue
+        if name not in SHUFFLE_BUDGET:
+            missing.append(name)
+            continue
+        plan = (
+            spec.builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = sum(
+            1
+            for line in plan.splitlines()
+            if line.strip().lstrip("+-:* ").startswith("Exchange ")
+        )
+        if n > SHUFFLE_BUDGET[name]:
+            over.append((name, n, SHUFFLE_BUDGET[name]))
+    assert not over, f"shuffle budget exceeded (name, got, budget): {over}"
+    assert not missing, f"bench queries without a shuffle budget: {missing}"
