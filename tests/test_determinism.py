@@ -1,0 +1,52 @@
+"""Partitioning-independence sweep: the engine claims every operator is
+deterministic under ANY physical partitioning (md5-based sampling, total
+sort orders, two-phase ranks, mergeable sketches). Lock it in: build
+representative queries under two different shuffle-partition settings
+and require bit-identical results.
+
+The picked set is the risky surface: global ranks/ntile, sampling,
+sketches (fold order varies with partitioning), sequence packing,
+epoch shards, dedup keepers (min-id under commutative agg), BPE
+training (argmax over partial aggregations), k-means (driver-collected
+iteration state), LSH bucketing."""
+
+from __future__ import annotations
+
+import pytest
+
+RISKY = [
+    "global_sort_topk",
+    "ntile_customer_quartiles",
+    "sample_stratified",
+    "sample_reservoir_k",
+    "sample_per_source_cap",
+    "sequence_packing",
+    "corpus_epoch_shards",
+    "sketch_hll_distinct_users",
+    "sketch_cms_heavy_hitters",
+    "sketch_theta_set_ops",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_kmeans",
+    "bpe_train_merges",
+    "topk_per_group",
+]
+
+
+def _rows(spark, name, sf_dir, partitions):
+    from ftm_datalake_spark.plans import REGISTRY
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = REGISTRY[name].builder(spark, sf_dir)
+        return sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_identical_under_different_partitioning(spark, sf_dir, name):
+    a = _rows(spark, name, sf_dir, 5)
+    b = _rows(spark, name, sf_dir, 32)
+    assert a == b
