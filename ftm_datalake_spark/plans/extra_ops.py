@@ -597,3 +597,77 @@ def null_semantics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Integer-exact n-gram LM surprisal (the CCNet perplexity-filter role,
+# made cross-engine-exact): corpus trigram counts are the LM; each
+# occurrence's surprisal is CAP - floor(log2(count)), computed as binary
+# -string length so the score is pure integer arithmetic (no libm log —
+# log2 via bin() is bit-exact in any engine). Rare-trigram-heavy docs
+# score high (novel or garbled), boilerplate scores low — rank by avg
+# surprisal ×1000 (integer division). Scale shape: one trigram explode,
+# one vocab-scale count agg, one hash join back, one doc agg.
+@register(
+    "lm_surprisal_topdocs",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tokens) - 2),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+             )) AS trigram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+            FROM documents)
+    ),
+    lm AS (SELECT trigram, COUNT(*) AS freq FROM tri GROUP BY trigram),
+    scored AS (
+      SELECT t.doc_id,
+             40 - (length(bin(l.freq)) - 1) AS surprisal
+      FROM tri t JOIN lm l USING (trigram)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(surprisal) AS BIGINT) AS total_surprisal,
+           CAST((SUM(surprisal) * 1000) // COUNT(*) AS BIGINT) AS avg_surprisal_x1000
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY avg_surprisal_x1000 DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("text", "training", "quality"),
+)
+def lm_surprisal_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    tri = toked.where(n >= 3).select(
+        "doc_id", F.explode(tri_arr).alias("trigram")
+    )
+    lm = tri.groupBy("trigram").agg(F.count("*").alias("freq"))
+    floor_log2 = F.length(F.conv(F.col("freq"), 10, 2)) - 1
+    scored = tri.join(lm, "trigram").select(
+        "doc_id", (F.lit(40) - floor_log2).alias("surprisal")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum("surprisal").cast("long").alias("total_surprisal"),
+            F.floor(
+                (F.sum("surprisal") * 1000) / F.count("*")
+            ).cast("long").alias("avg_surprisal_x1000"),
+        )
+        .orderBy(F.desc("avg_surprisal_x1000"), "doc_id")
+        .limit(50)
+    )
