@@ -902,3 +902,65 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("train_doc", "bench_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment similarity (doc-in-doc): |A∩B| / |A| — the ASYMMETRIC
+# measure Jaccard misses (a short doc quoted inside a long one has high
+# containment but low resemblance). Candidates come from the same
+# shared-shingle postings join as the Jaccard path (never all pairs);
+# the 90% threshold is integer cross-multiplication. Ordered pairs:
+# (contained_doc, container_doc); exact copies qualify both ways.
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT m.doc_a AS contained_doc, m.doc_b AS container_doc,
+           CAST(m.common AS BIGINT) AS common,
+           CAST(ca.n_sh AS BIGINT) AS n_contained
+    FROM common m
+    JOIN cnt ca ON ca.doc_id = m.doc_a
+    WHERE m.common * 10 >= ca.n_sh * 9
+    ORDER BY contained_doc, container_doc
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    sh = D.shingle_postings(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.select(
+        F.col("doc_id").alias("contained_doc"), F.col("n_sh").alias("n_contained")
+    )
+    return (
+        common.join(ca, "contained_doc")
+        .where(F.col("common") * 10 >= F.col("n_contained") * 9)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.col("common").cast("long").alias("common"),
+            F.col("n_contained").cast("long").alias("n_contained"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
