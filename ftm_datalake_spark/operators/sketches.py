@@ -252,3 +252,46 @@ def bloom_probe(
         "token",
         (F.coalesce(F.col("bits_set"), F.lit(0)) == depth).alias("maybe_present"),
     )
+
+
+def hll_registers_by(
+    keys: DataFrame, group_col: str, m: int = 64, key_col: str = "key"
+) -> DataFrame:
+    """Per-group HLL registers: the scale replacement for GROUP BY +
+    COUNT(DISTINCT) — each task emits ≤ m rows PER GROUP after map-side
+    combine regardless of key cardinality, and groupBy(group, bucket)
+    max(rho) IS the register merge. Same exact integer rho as the
+    global sketch."""
+    h = shingle_hash(F.col(key_col).cast("string"))
+    w_bits = 32 - (m.bit_length() - 1)
+    w = F.floor(h / m).cast("long")
+    rho = F.lit(w_bits + 1)
+    for b in range(1, w_bits + 1):
+        rho = F.when(
+            (F.lit(2 ** (b - 1)) <= w) & (w < F.lit(2**b)),
+            F.lit(w_bits - b + 1),
+        ).otherwise(rho)
+    probe = keys.select(
+        F.col(group_col), (h % m).alias("bucket"), rho.alias("rho")
+    )
+    return probe.groupBy(group_col, "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_col: str, m: int = 64
+) -> DataFrame:
+    """Per-group raw HLL estimate; the dyadic-rational sum stays exact
+    and order-independent per group (see hll_estimate)."""
+    alpha = 0.709
+    per = registers.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    return per.select(
+        F.col(group_col),
+        (
+            F.lit(alpha * m * m)
+            / (F.col("s") + (F.lit(m) - F.col("nb")) * F.lit(1.0))
+        ).alias("estimate"),
+        F.col("nb").alias("buckets_used"),
+    )

@@ -552,3 +552,73 @@ def text_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("score").cast("long").alias("score"), "rank")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group HLL: distinct users per event_type from grouped register
+# sketches — the scale replacement for GROUP BY + COUNT(DISTINCT). Each
+# task emits <= m register rows per group after map-side combine, so
+# the shuffle is groups x m rows at ANY user cardinality; the exact
+# count rides along for error inspection (the oracle reproduces both).
+@register(
+    "sketch_hll_by_event_type",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    probe AS (
+      SELECT event_type, h % 64 AS bucket, {_hll_rho_sql()} AS rho
+      FROM (SELECT event_type, h, CAST(floor(h / 64) AS BIGINT) AS w
+            FROM hashed)
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS r
+      FROM probe GROUP BY event_type, bucket
+    ),
+    est AS (
+      SELECT event_type,
+             0.709 * 64 * 64 / (SUM(pow(2.0, -r)) + (64 - COUNT(*)) * 1.0)
+               AS estimate,
+             CAST(COUNT(*) AS BIGINT) AS buckets_used
+      FROM regs GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.estimate, e.buckets_used, x.exact_distinct
+    FROM est e JOIN x USING (event_type)
+    ORDER BY e.event_type
+    """,
+    tags=("sketch", "agg"),
+)
+def sketch_hll_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers_by(
+        events.select("event_type", F.col("user_id").alias("key")),
+        "event_type",
+    )
+    est = hll_estimate_by(regs, "event_type")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "estimate",
+            F.col("buckets_used").cast("long").alias("buckets_used"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
