@@ -84,3 +84,70 @@ def asof_join(
     if how == "inner":
         out = out.where(F.col(f"{on}_asof_{right_ts}").isNotNull())
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Forward as-of: left rows + EARLIEST right row per key with
+    right_ts >= left_ts (inclusive) — the label-assignment twin of the
+    backward join ("next purchase after this click"). Same union-marker
+    shape: one shuffle, one window, no range explosion.
+
+    Determinism at ties: among right rows tied on (key, ts), the
+    SMALLEST tuple of carried columns wins (mirror of the backward
+    join's greatest-tuple rule)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Left rows order BEFORE right rows at equal ts (desc on the marker)
+    # so the forward frame [current, following] includes same-ts right
+    # rows → inclusive >= semantics; tied right rows order ascending by
+    # carried tuple so first() picks the smallest.
+    r_tiebreak = F.struct(*[F.col(f"__r_{c}") for c in right_cols])
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", F.desc("__is_left"), r_tiebreak.asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__left",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+        F.first("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+    ).where(F.col("__is_left") == 1)
+
+    out = carried.select(
+        F.col("__left.*"),
+        *[F.col(f"__c_{c}").alias(f"{on}_next_{c}") for c in right_cols],
+        F.col("__c_ts").alias(f"{on}_next_{right_ts}"),
+    )
+    if how == "inner":
+        out = out.where(F.col(f"{on}_next_{right_ts}").isNotNull())
+    return out

@@ -830,3 +830,51 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "user_id", "event_id", ewma.cast("long").alias("ewma_x32768")
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join: for each click, the user's EARLIEST purchase
+# at-or-after it — conversion-label assignment. The oracle states the
+# semantics directly (first later purchase, smallest (id, value) tuple
+# at timestamp ties) as a ranked inequality join; Spark uses the
+# union-marker forward window (one shuffle, no range explosion).
+@register(
+    "asof_next_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, value, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.user_id, c.event_id, c.ts,
+             p.purchase_id, p.value, p.ts AS pts,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts, p.purchase_id, p.value) AS rn
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT user_id, event_id, ts,
+           purchase_id AS user_id_next_purchase_id,
+           value AS user_id_next_value,
+           pts AS user_id_next_ts
+    FROM pairs WHERE rn = 1 ORDER BY event_id
+    """,
+    tags=("join", "asof"),
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.asof import asof_join_forward
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "value", "ts"
+    )
+    return asof_join_forward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
+    ).orderBy("event_id")

@@ -63,3 +63,40 @@ def test_asof_join_right_tie_deterministic(spark):
         ).repartition(4)
         got = asof_join(left, right, "key", "ts", "ts").collect()
         assert [r["key_asof_value"] for r in got] == [99.0]
+
+
+def test_asof_forward_inclusive_ties_and_left(spark):
+    """Forward as-of: earliest right with ts >= left ts (inclusive);
+    smallest carried tuple wins at ties; how='left' keeps unmatched."""
+    from ftm_datalake_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T12:00:00"), "a"),  # matches same-ts right
+            (1, _ts("2024-01-01T13:30:00"), "b"),  # matches the 14:00 row
+            (1, _ts("2024-01-01T15:00:00"), "c"),  # nothing after
+            (2, _ts("2024-01-01T00:00:00"), "d"),  # other key, no rights
+        ],
+        "key long, ts timestamp, tag string",
+    )
+    rows = [
+        (1, _ts("2024-01-01T12:00:00"), 7.0),
+        (1, _ts("2024-01-01T12:00:00"), 3.0),  # tied ts: SMALLEST tuple wins
+        (1, _ts("2024-01-01T14:00:00"), 9.0),
+    ]
+    for attempt in range(3):
+        right = spark.createDataFrame(
+            rows[attempt:] + rows[:attempt], "key long, ts timestamp, value double"
+        ).repartition(4)
+        inner = {
+            r["tag"]: r["key_next_value"]
+            for r in asof_join_forward(left, right, "key", "ts", "ts").collect()
+        }
+        assert inner == {"a": 3.0, "b": 9.0}
+        outer = {
+            r["tag"]: r["key_next_value"]
+            for r in asof_join_forward(
+                left, right, "key", "ts", "ts", how="left"
+            ).collect()
+        }
+        assert outer == {"a": 3.0, "b": 9.0, "c": None, "d": None}
