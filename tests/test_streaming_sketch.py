@@ -130,3 +130,86 @@ def test_streaming_kmv_equals_batch_kmv(spark, tmp_path):
     )
     batch = sorted(r["h"] for r in kmv_sketch(full, K).collect())
     assert streamed == batch and len(batch) == K
+
+
+def test_streaming_grouped_hll_equals_batch(spark, tmp_path):
+    """Per-group HLL registers merged across micro-batches via
+    foreachBatch max-merge equal the batch sketch of the full stream —
+    grouped registers are mergeable the same way global ones are, so
+    per-group distinct counts stream with bounded state (groups x m)."""
+    import json as _json
+
+    from ftm_datalake_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("key", T.StringType()),
+        ]
+    )
+    stage = str(tmp_path / "stage")
+    store = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write_rows(name, rows):
+        os.makedirs(stage, exist_ok=True)
+        with open(os.path.join(stage, name), "w") as fh:
+            for g, k in rows:
+                fh.write(_json.dumps({"grp": g, "key": k}) + "\n")
+
+    def merge_batch(batch_df, _batch_id):
+        new = hll_registers_by(batch_df, "grp")
+        if os.path.exists(store):
+            old = batch_df.sparkSession.read.parquet(store)
+            merged = (
+                old.unionByName(new)
+                .groupBy("grp", "bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        else:
+            merged = new
+        merged.write.mode("overwrite").parquet(store + ".tmp")
+        batch_df.sparkSession.read.parquet(store + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(stage)
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [("x", f"u{i}") for i in range(40)] + [("y", f"v{i}") for i in range(5)]
+    b2 = [("x", f"u{i}") for i in range(20, 60)] + [("y", "v0"), ("z", "w1")]
+    _write_rows("b1.json", b1)
+    drain()
+    _write_rows("b2.json", b2)
+    drain()
+
+    streamed = {
+        (r["grp"], r["bucket"]): r["r"]
+        for r in spark.read.parquet(store).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, schema)
+    batch = {
+        (r["grp"], r["bucket"]): r["r"]
+        for r in hll_registers_by(full, "grp").collect()
+    }
+    assert streamed == batch
+    # and the estimates therefore agree too
+    est_streamed = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_by(spark.read.parquet(store), "grp").collect()
+    }
+    est_batch = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_by(hll_registers_by(full, "grp"), "grp").collect()
+    }
+    assert est_streamed == est_batch
