@@ -80,3 +80,19 @@ def scan_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.option("recursiveFileLookup", "true").load(path)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, suffix: str = ""
+) -> list[str]:
+    """SQL surface: register every lake table as a temp view so users
+    query with plain ``spark.sql(...)`` — the DuckDB-oracle parity then
+    holds almost verbatim (same table names the oracles use). Views are
+    lazy; Catalyst still sees the parquet scans, so pushdown/pruning are
+    unaffected. Returns the registered view names."""
+    names = []
+    for name in TEST_TABLES:
+        view = f"{name}{suffix}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names
