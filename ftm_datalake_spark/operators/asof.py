@@ -29,11 +29,14 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     how: str = "inner",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left rows + latest right row per key with right_ts <= left_ts.
 
     how='inner' drops left rows with no prior right row (DuckDB ASOF JOIN
-    default); how='left' keeps them with nulls."""
+    default); how='left' keeps them with nulls. tolerance_us (pandas
+    merge_asof parity) voids matches older than the window — a stale
+    feature value is as bad as none in point-in-time lookups."""
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.select(
@@ -75,6 +78,23 @@ def asof_join(
         ],
         F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
     ).where(F.col("__is_left") == 1)
+
+    if tolerance_us is not None:
+        # a match older than the tolerance window is no match: null out
+        # every carried column (the union-marker row keeps its left half)
+        fresh = (
+            F.unix_micros(F.col("__left").getField(left_ts))
+            - F.unix_micros(F.col("__c_ts"))
+        ) <= F.lit(int(tolerance_us))
+        carried = carried.select(
+            "__is_left",
+            "__left",
+            *[
+                F.when(fresh, F.col(f"__c_{c}")).alias(f"__c_{c}")
+                for c in right_cols
+            ],
+            F.when(fresh, F.col("__c_ts")).alias("__c_ts"),
+        )
 
     out = carried.select(
         F.col("__left.*"),

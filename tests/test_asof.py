@@ -100,3 +100,43 @@ def test_asof_forward_inclusive_ties_and_left(spark):
             ).collect()
         }
         assert outer == {"a": 3.0, "b": 9.0, "c": None, "d": None}
+
+
+def test_asof_tolerance_window(spark):
+    """tolerance_us voids stale matches (merge_asof parity): within the
+    window the match holds; outside it behaves as no-match for both
+    how='inner' (dropped) and how='left' (nulls)."""
+    from ftm_datalake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T12:00:00"), "fresh"),   # 30 min after right
+            (1, _ts("2024-01-01T18:00:00"), "stale"),   # 6.5 h after right
+        ],
+        "key long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:30:00"), 5.0)],
+        "key long, ts timestamp, value double",
+    )
+    one_hour = 3_600_000_000
+    inner = {
+        r["tag"]: r["key_asof_value"]
+        for r in asof_join(
+            left, right, "key", "ts", "ts", tolerance_us=one_hour
+        ).collect()
+    }
+    assert inner == {"fresh": 5.0}
+    outer = {
+        r["tag"]: r["key_asof_value"]
+        for r in asof_join(
+            left, right, "key", "ts", "ts", how="left", tolerance_us=one_hour
+        ).collect()
+    }
+    assert outer == {"fresh": 5.0, "stale": None}
+    # no tolerance: both match
+    both = {
+        r["tag"]: r["key_asof_value"]
+        for r in asof_join(left, right, "key", "ts", "ts").collect()
+    }
+    assert both == {"fresh": 5.0, "stale": 5.0}
