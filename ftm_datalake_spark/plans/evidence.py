@@ -22,6 +22,17 @@ This list reorders the registry so the prefix is spent deliberately:
 Everything not listed keeps registration order after these. Rotate this
 list in future rounds as rows go green (regenerate the candidate pool
 with ``scripts/gen_parity.py``).
+
+Round-4 curation: bpe_pair_freq_top20 / bpe_encode_fixed /
+decontaminate_exact_substring entered the prefix (displacing
+events_ohlc_hourly, events_ewma_smoothed, ann_ivf_topk_nprobe2 just
+below the boundary). For round 5: once CORRECTNESS_r04 lands, move its
+green rows out of the prefix and pull in the next never-sampled names
+(bpe_train_merges/bpe_encode_trained, multimodal_y4m_frames,
+asof_next_purchase, lm_surprisal_topdocs, dedup_containment_pairs,
+sketch_hll_by_event_type, then the remaining dedup/text families) —
+every one of them is already green in the sf0.01 AND sf0.1 local
+sweeps, so driver rows should come back green.
 """
 
 from __future__ import annotations
