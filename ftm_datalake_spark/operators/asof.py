@@ -171,3 +171,63 @@ def asof_join_forward(
     if how == "inner":
         out = out.where(F.col(f"{on}_next_{right_ts}").isNotNull())
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest as-of (pandas merge_asof direction='nearest' parity):
+    whichever of the latest-before / earliest-after right rows is closer
+    in time wins; ties prefer the earlier (backward) match, pandas-style.
+
+    Composed from the two union-marker passes (two shuffles total —
+    still no range explosion); tolerance applies to |Δt| on both sides.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    back = asof_join(
+        left, right, on, left_ts, right_ts, right_cols, how="left"
+    )
+    fwd = asof_join_forward(
+        left, right, on, left_ts, right_ts, right_cols, how="left"
+    )
+    join_keys = list(left.columns)
+    both = back.join(fwd, join_keys)
+
+    lts = F.unix_micros(F.col(left_ts))
+    bts = F.unix_micros(F.col(f"{on}_asof_{right_ts}"))
+    fts = F.unix_micros(F.col(f"{on}_next_{right_ts}"))
+    bdelta = lts - bts  # >= 0 when present
+    fdelta = fts - lts  # >= 0 when present
+    if tolerance_us is not None:
+        tol = F.lit(int(tolerance_us))
+        bok = bts.isNotNull() & (bdelta <= tol)
+        fok = fts.isNotNull() & (fdelta <= tol)
+    else:
+        bok = bts.isNotNull()
+        fok = fts.isNotNull()
+    # backward wins ties (<=), pandas-style
+    use_back = bok & (~fok | (bdelta <= fdelta))
+    use_fwd = fok & ~use_back
+
+    out = both.select(
+        *join_keys,
+        *[
+            F.when(use_back, F.col(f"{on}_asof_{c}"))
+            .when(use_fwd, F.col(f"{on}_next_{c}"))
+            .alias(f"{on}_nearest_{c}")
+            for c in right_cols
+        ],
+        F.when(use_back, F.col(f"{on}_asof_{right_ts}"))
+        .when(use_fwd, F.col(f"{on}_next_{right_ts}"))
+        .alias(f"{on}_nearest_{right_ts}"),
+    )
+    if how == "inner":
+        out = out.where(F.col(f"{on}_nearest_{right_ts}").isNotNull())
+    return out

@@ -140,3 +140,45 @@ def test_asof_tolerance_window(spark):
         for r in asof_join(left, right, "key", "ts", "ts").collect()
     }
     assert both == {"fresh": 5.0, "stale": 5.0}
+
+
+def test_asof_nearest_direction_and_tolerance(spark):
+    """Nearest as-of picks the closer of before/after; ties prefer the
+    backward match (pandas direction='nearest'); tolerance bounds |dt|."""
+    from ftm_datalake_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T12:00:00"), "closer_before"),  # 10m after r1, 50m before r2
+            (1, _ts("2024-01-01T12:40:00"), "closer_after"),   # 50m after r1, 10m before r2
+            (1, _ts("2024-01-01T12:20:00"), "tie"),            # 30m both ways
+            (2, _ts("2024-01-01T12:00:00"), "lonely"),
+        ],
+        "key long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:50:00"), 1.0),
+            (1, _ts("2024-01-01T12:50:00"), 2.0),
+        ],
+        "key long, ts timestamp, value double",
+    )
+    got = {
+        r["tag"]: r["key_nearest_value"]
+        for r in asof_join_nearest(left, right, "key", "ts", "ts").collect()
+    }
+    assert got == {"closer_before": 1.0, "closer_after": 2.0, "tie": 1.0}
+    # tolerance 15 min: the tie row (30 min either way) loses its match
+    tol = 15 * 60 * 1_000_000
+    outer = {
+        r["tag"]: r["key_nearest_value"]
+        for r in asof_join_nearest(
+            left, right, "key", "ts", "ts", how="left", tolerance_us=tol
+        ).collect()
+    }
+    assert outer == {
+        "closer_before": 1.0,
+        "closer_after": 2.0,
+        "tie": None,
+        "lonely": None,
+    }
