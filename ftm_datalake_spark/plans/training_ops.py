@@ -623,3 +623,96 @@ def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_sig"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Point-in-time labeled training set: the feature-store composition the
+# as-of family exists for. For every click with at least one prior
+# purchase: the latest purchase value AS OF the click (backward as-of —
+# no feature leakage from the future), a binary label "next purchase
+# within 24h" (forward as-of, inclusive), and a deterministic md5
+# train/val fold. Two union-marker windows + one projection — no range
+# explosion anywhere; the oracle states both directions as ranked
+# inequality joins.
+@register(
+    "pit_labeled_examples",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, value, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    feat AS (
+      SELECT c.user_id, c.event_id, c.ts, p.value AS feat_last_value,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts DESC, p.value DESC) AS rn
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    ),
+    f AS (SELECT user_id, event_id, ts, feat_last_value FROM feat WHERE rn = 1),
+    nxt AS (
+      SELECT f.event_id, MIN(p.ts) AS next_ts
+      FROM f JOIN purchases p
+        ON p.user_id = f.user_id AND p.ts >= f.ts
+      GROUP BY f.event_id
+    )
+    SELECT f.user_id, f.event_id, f.ts, f.feat_last_value,
+           CAST(CASE WHEN nxt.next_ts IS NOT NULL
+                      AND epoch_us(nxt.next_ts) - epoch_us(f.ts)
+                          <= 86400000000 THEN 1 ELSE 0 END AS BIGINT)
+             AS label,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(f.event_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END AS fold
+    FROM f LEFT JOIN nxt USING (event_id)
+    ORDER BY f.event_id
+    """,
+    tags=("training", "asof", "composition"),
+)
+def pit_labeled_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.asof import asof_join, asof_join_forward
+    from ftm_datalake_spark.operators.training import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "value", "ts"
+    )
+    # features as of the click (inner: examples need a feature history)
+    feat = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    ).select(
+        "user_id", "event_id", "ts",
+        F.col("user_id_asof_value").alias("feat_last_value"),
+    )
+    # label: next purchase (inclusive) within 24h
+    labeled = asof_join_forward(
+        feat, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], how="left",
+    )
+    day_us = 86_400_000_000
+    label = (
+        F.when(
+            F.col("user_id_next_ts").isNotNull()
+            & (
+                F.unix_micros(F.col("user_id_next_ts"))
+                - F.unix_micros(F.col("ts"))
+                <= day_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    fold = F.when(hash_bucket(F.col("event_id"), 10) < 8, "train").otherwise(
+        "val"
+    )
+    return labeled.select(
+        "user_id", "event_id", "ts", "feat_last_value",
+        label.alias("label"), fold.alias("fold"),
+    ).orderBy("event_id")
