@@ -153,3 +153,50 @@ def apply_cdc(
             for col in data_cols
         ],
     )
+
+
+def as_changefeed(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    seq: int = 1,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the I/U/D change feed that turns snapshot `old` into
+    snapshot `new` — the inverse of :func:`apply_cdc`, so
+    ``apply_cdc(old, as_changefeed(old, new, keys), keys) == new`` by
+    construction (the CDC roundtrip law, property-tested).
+
+    One full-outer join on the (unique-per-snapshot) key: new-only rows
+    emit I, old-only rows emit D (carrying the old values — consumers
+    often want the deleted image), both-sides rows emit U only when any
+    data column differs (null-safe struct compare). Unchanged rows emit
+    nothing, so the feed size is the true delta, not the table."""
+    data_cols = [c for c in new.columns if c not in key_cols]
+    # presence flags: key-side columns can't distinguish a null data value
+    # from an absent row after the full outer, so each side carries a
+    # literal marker column
+    o2 = old.select(*key_cols, F.lit(1).alias("__in_old"), *[F.col(c).alias(f"__o_{c}") for c in data_cols])
+    n2 = new.select(*key_cols, F.lit(1).alias("__in_new"), *[F.col(c).alias(f"__n_{c}") for c in data_cols])
+    j = o2.join(n2, key_cols, "full_outer")
+    changed = ~F.struct(*[F.col(f"__o_{c}") for c in data_cols]).eqNullSafe(
+        F.struct(*[F.col(f"__n_{c}") for c in data_cols])
+    )
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    picked = j.withColumn(op_col, op).where(F.col(op_col).isNotNull())
+    return picked.select(
+        *key_cols,
+        *[
+            F.when(F.col(op_col) == "D", F.col(f"__o_{c}"))
+            .otherwise(F.col(f"__n_{c}"))
+            .alias(c)
+            for c in data_cols
+        ],
+        F.col(op_col),
+        F.lit(int(seq)).alias(seq_col),
+    )

@@ -169,3 +169,55 @@ def test_dq_rule_summary_counts(spark):
 
     dup = dq_duplicate_key_count(df, ["id"], "uniq").collect()[0]
     assert (dup.n_rows, dup.n_violations) == (4, 1)
+
+
+# ------------------------------------------------------------ changefeed
+
+
+def test_changefeed_roundtrip_law(spark):
+    """apply_cdc(old, as_changefeed(old, new)) == new for arbitrary
+    snapshot pairs — the CDC roundtrip law, across random mutations
+    (inserts, updates, deletes, null values, unchanged rows)."""
+    import random
+
+    from ftm_datalake_spark.operators.documents import apply_cdc, as_changefeed
+
+    rng = random.Random(11)
+    for trial in range(5):
+        keys = [f"k{i}" for i in range(12)]
+        old_rows = [
+            (k, rng.choice(["a", "b", None]), rng.randint(0, 3))
+            for k in keys
+            if rng.random() < 0.8
+        ]
+        new_rows = [
+            (k, rng.choice(["a", "b", "c", None]), rng.randint(0, 3))
+            for k in keys
+            if rng.random() < 0.8
+        ]
+        schema = "key STRING, val STRING, n LONG"
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        feed = as_changefeed(old, new, ["key"])
+        # feed size is the true delta
+        old_map = {r[0]: r[1:] for r in old_rows}
+        new_map = {r[0]: r[1:] for r in new_rows}
+        n_delta = sum(
+            1
+            for k in set(old_map) | set(new_map)
+            if old_map.get(k, "<absent>") != new_map.get(k, "<absent>")
+        )
+        assert feed.count() == n_delta
+        got = {
+            tuple(r)
+            for r in apply_cdc(old, feed, ["key"]).select("key", "val", "n").collect()
+        }
+        assert got == set(new_rows), f"trial {trial}"
+        # D rows carry the deleted image
+        deleted = {
+            (r["key"], r["val"], r["n"])
+            for r in feed.where("op = 'D'").collect()
+        }
+        assert deleted == {
+            (k, *old_map[k]) for k in set(old_map) - set(new_map)
+        }
