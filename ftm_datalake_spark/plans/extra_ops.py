@@ -671,3 +671,69 @@ def lm_surprisal_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_surprisal_x1000"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Changefeed derivation under the oracle gate: old = documents, new =
+# documents with every 13th doc deleted, every 7th doc's text rewritten,
+# and re-keyed copies of every 100th doc inserted — the feed must be
+# exactly the I/U/D delta (U only where data truly differs, D carrying
+# the deleted image). Composes documents.as_changefeed (the inverse of
+# apply_cdc, roundtrip-law-tested in test_operators).
+@register(
+    "changefeed_documents",
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'rev2: ' || text ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             o.text AS o_text, n.text AS n_text,
+             o.doc_id IS NOT NULL AS in_old,
+             n.doc_id IS NOT NULL AS in_new
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN NOT in_old THEN n_text
+                WHEN NOT in_new THEN o_text
+                ELSE n_text END AS text,
+           CASE WHEN NOT in_old THEN 'I'
+                WHEN NOT in_new THEN 'D'
+                ELSE 'U' END AS op,
+           CAST(1 AS BIGINT) AS seq
+    FROM j
+    WHERE NOT in_old OR NOT in_new OR o_text IS DISTINCT FROM n_text
+    ORDER BY doc_id
+    """,
+    tags=("cdc", "versions"),
+)
+def changefeed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.documents import as_changefeed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("rev2: "), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 100 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        as_changefeed(docs, new, ["doc_id"])
+        .select("doc_id", "text", "op", F.col("seq").cast("long").alias("seq"))
+        .orderBy("doc_id")
+    )
