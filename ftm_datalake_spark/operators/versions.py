@@ -160,3 +160,23 @@ def vacuum_versions(
                 os.remove(orphan)
         plan["orphans"][i] = {"path": orphan, "deleted": not dry_run}
     return plan
+
+
+def changefeed_between_versions(
+    spark: SparkSession,
+    lake_dir: str,
+    dataset: str,
+    old_version: str,
+    new_version: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """I/U/D feed that replays one stored snapshot into another:
+    ``apply_cdc(read_version(old), feed) == read_version(new)`` by the
+    changefeed roundtrip law. The sequenced feed is what a downstream
+    sync/CDC consumer needs, where `changes_since` (I2) only yields the
+    upserted rows."""
+    from ftm_datalake_spark.operators.documents import as_changefeed
+
+    old = read_version(spark, lake_dir, dataset, old_version)
+    new = read_version(spark, lake_dir, dataset, new_version)
+    return as_changefeed(old, new, key_cols or ["key"])

@@ -153,3 +153,32 @@ def test_retention_vacuum(spark, tmp_path):
     # time travel still works in the surviving window
     assert read_version(spark, lake, "ds", "v2").count() == 3
     assert {r["key"] for r in changes_since(spark, lake, "ds", "v2").collect()} == {"d"}
+
+
+def test_changefeed_between_versions_roundtrip(spark, tmp_path):
+    from ftm_datalake_spark.operators.documents import apply_cdc
+    from ftm_datalake_spark.operators.versions import (
+        changefeed_between_versions,
+        read_version,
+        write_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    v0 = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "key STRING, content_hash STRING"
+    )
+    v1 = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2x"), ("d", "h4")], "key STRING, content_hash STRING"
+    )
+    write_version(v0, lake, "ds", version="v0")
+    write_version(v1, lake, "ds", version="v1")
+    feed = changefeed_between_versions(spark, lake, "ds", "v0", "v1")
+    ops = {(r["key"], r["op"]) for r in feed.collect()}
+    assert ops == {("b", "U"), ("c", "D"), ("d", "I")}
+    replayed = {
+        tuple(r)
+        for r in apply_cdc(
+            read_version(spark, lake, "ds", "v0"), feed, ["key"]
+        ).collect()
+    }
+    assert replayed == {("a", "h1"), ("b", "h2x"), ("d", "h4")}
