@@ -203,3 +203,18 @@ def apply_fixed_merges(text: Column) -> Column:
     for left, right, new in FIXED_MERGES:
         s = F.replace(s, F.lit(left + right), F.lit(new))
     return s
+
+
+def apply_merges(syms: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Fold the learned merge table over a symbol array — the
+    inference-time encode for words the training vocab never saw (the
+    vocab join covers seen words without replay; this is the OOV path).
+
+    Expression-only (R chained merge_adjacent passes, zero shuffle);
+    suitable for modest R. For production-size merge tables (10k+),
+    move the same fold into a mapInPandas with a rank dict — semantics
+    identical, tested against the pure-python reference either way."""
+    out = syms
+    for left, right, _freq in merges:
+        out = merge_adjacent(out, left, right)
+    return out

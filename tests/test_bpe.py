@@ -181,3 +181,26 @@ def test_fixed_encode_equals_pairwise_merge_semantics():
         assert len(s) == len(syms), (w, s, syms)
         # and the relabeling expands back to the original word
         assert "".join(expanded.get(c, c) for c in s) == w
+
+
+def test_apply_merges_handles_unseen_words(spark, sf_dir, corpus_words):
+    """OOV encode: folding the learned table over words the trainer
+    never saw gives exactly the python reference's segmentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = B.bpe_train(docs, num_merges=8)
+    unseen = ["zzzquux", "thequick", "ananab", "xyzzy", "a"]
+    assert all(w not in corpus_words for w in unseen[:1])  # genuinely OOV
+    df = spark.createDataFrame([(w,) for w in unseen], "word STRING").withColumn(
+        "syms", F.expr("split(word, '')")
+    )
+    got = [
+        r["m"]
+        for r in df.select(B.apply_merges(F.col("syms"), merges).alias("m")).collect()
+    ]
+    want = []
+    for w in unseen:
+        syms = list(w)
+        for left, right, _f in merges:
+            syms = _py_merge(syms, left, right)
+        want.append(syms)
+    assert got == want
