@@ -30,6 +30,12 @@ RISKY = [
     "embedding_kmeans",
     "bpe_train_merges",
     "topk_per_group",
+    # round-4 late compositions: tie rules + hash folds must not leak
+    # partitioning
+    "pit_labeled_examples",
+    "changefeed_documents",
+    "asof_next_purchase",
+    "lm_surprisal_topdocs",
 ]
 
 
