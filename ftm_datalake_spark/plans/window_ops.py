@@ -878,3 +878,83 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_forward(
         clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Overlapping-interval merge (gaps-and-islands on RANGES, distinct from
+# point-gap sessionization): each event opens a 10-minute attention
+# window [ts, ts+10m]; overlapping windows per user merge into islands
+# via the running-max-of-end trick — one window partitioned by user,
+# state bounded by the user's events, no self-join. Output: per-user
+# island count and total merged active time (integer micros → minutes).
+@register(
+    "events_active_windows",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(me - ms) // 60000000 AS BIGINT) AS active_minutes
+    FROM merged
+    GROUP BY user_id
+    ORDER BY active_minutes DESC, user_id
+    LIMIT 100
+    """,
+    tags=("window", "interval"),
+)
+def events_active_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 600_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > prev_max_e, F.lit(1)).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.floor(F.sum(F.col("me") - F.col("ms")) / 60_000_000)
+            .cast("long")
+            .alias("active_minutes"),
+        )
+        .orderBy(F.desc("active_minutes"), "user_id")
+        .limit(100)
+    )
