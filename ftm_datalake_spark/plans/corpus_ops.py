@@ -622,3 +622,64 @@ def sketch_hll_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus report card: the daily-ops summary a corpus owner
+# watches — volume, exact-dup contamination, token mass, language
+# spread per source. One scan + one md5 hash-agg + one join back + one
+# source agg; integer ratios (x1000 floor-div) keep it engine-exact.
+@register(
+    "corpus_report_card",
+    oracle="""
+    WITH h AS (
+      SELECT md5(text) AS ch, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(text) AS ch
+      FROM documents
+    ),
+    x AS (SELECT p.*, h.n > 1 AS is_dup FROM per_doc p JOIN h USING (ch))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) * 1000) // COUNT(*) AS BIGINT)
+             AS avg_tokens_x1000,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM x GROUP BY source ORDER BY source
+    """,
+    tags=("corpus", "stats"),
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("ch"),
+    )
+    h = per_doc.groupBy("ch").agg(F.count("*").alias("n"))
+    x = per_doc.join(h, "ch").withColumn("is_dup", F.col("n") > 1)
+    return (
+        x.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.floor((F.sum("n_tokens") * 1000) / F.count("*"))
+            .cast("long")
+            .alias("avg_tokens_x1000"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
