@@ -594,3 +594,120 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("attributed_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection per event_type: median / MAD (median absolute
+# deviation) with the discrete lower-median definition (the smallest
+# value whose cumulative count reaches half the group) — the same
+# cumulative-count idiom as events_p90_value_by_type, so the statistic is
+# bit-exact in both engines with no reliance on interpolation parity.
+# An event is anomalous when |v - median| > 5 * MAD.
+#
+# Scale shape: everything aggregates by (event_type, value) first — the
+# windows run over DISTINCT quantized values per type (bounded domain,
+# decimal cents), never over raw events; median/MAD frames are broadcast
+# back (few types). Raw events are touched exactly once.
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, COUNT(*) AS c
+      FROM events GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, v, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    ),
+    med AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN 2*cumc >= n THEN v END) AS med
+      FROM cum GROUP BY event_type
+    ),
+    devs AS (
+      SELECT v.event_type, abs(v.v - m.med) AS dev, v.c, m.n, m.med
+      FROM vals v JOIN med m USING (event_type)
+    ),
+    dev_counts AS (
+      SELECT event_type, dev, SUM(c) AS c FROM devs GROUP BY event_type, dev
+    ),
+    dcum AS (
+      SELECT event_type, dev, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY dev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM dev_counts
+    ),
+    mad AS (
+      SELECT event_type, MIN(CASE WHEN 2*cumd >= n THEN dev END) AS mad
+      FROM dcum GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(MAX(d.n) AS BIGINT) AS n,
+           CAST(MAX(d.med) AS DOUBLE) AS med,
+           CAST(MAX(m2.mad) AS DOUBLE) AS mad,
+           CAST(COALESCE(SUM(CASE WHEN d.dev > 5*m2.mad THEN d.c ELSE 0 END), 0)
+                AS BIGINT) AS n_anomalies
+    FROM devs d JOIN mad m2 USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    tags=("events", "stats", "dq"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    vals = events.groupBy(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    ).agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type", "v", "c",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(2 * F.col("cumc") >= F.col("n"), F.col("v"))).alias("med"),
+    )
+    devs = vals.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("v") - F.col("med")).alias("dev"),
+        "c", "n", "med",
+    )
+    dev_counts = devs.groupBy("event_type", "dev").agg(F.sum("c").alias("c"))
+    wdev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dev_counts.select(
+        "event_type", "dev", "c",
+        F.sum("c").over(wdev).alias("cumd"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    mad = dcum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cumd") >= F.col("n"), F.col("dev"))).alias("mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("med").cast("double").alias("med"),
+            F.max("mad").cast("double").alias("mad"),
+            F.coalesce(
+                F.sum(F.when(F.col("dev") > 5 * F.col("mad"), F.col("c")).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

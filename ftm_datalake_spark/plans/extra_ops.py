@@ -737,3 +737,88 @@ def changefeed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "op", F.col("seq").cast("long").alias("seq"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary), the staple
+# CRM rollup: per-customer order metrics, fixed tertile-calibrated
+# thresholds (data-derived constants, documented below), segment label,
+# per-segment rollup. Thresholds are compile-time constants rather than
+# runtime quantiles so the query is a single agg -> map -> agg pipeline:
+# one shuffle on o_custkey (uniform key), one on the 27-value segment
+# label — no global sort or quantile pass at any scale. Monetary uses
+# integer cents (floor(x*100+0.5)) so sums are exact in both engines.
+# Thresholds = sf0.01 tertiles: recency 95/265 days, frequency 8/11,
+# monetary cents 205e6/283e6.
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+    labeled AS (
+      SELECT custkey, frequency, monetary_cents,
+        CASE WHEN date_diff('day', last_order, ref_date) <= 95 THEN 3
+             WHEN date_diff('day', last_order, ref_date) <= 265 THEN 2
+             ELSE 1 END AS r,
+        CASE WHEN frequency >= 11 THEN 3
+             WHEN frequency >= 8 THEN 2 ELSE 1 END AS f,
+        CASE WHEN monetary_cents >= 283000000 THEN 3
+             WHEN monetary_cents >= 205000000 THEN 2 ELSE 1 END AS m
+      FROM cust, ref
+    )
+    SELECT 'R' || CAST(r AS VARCHAR) || 'F' || CAST(f AS VARCHAR)
+             || 'M' || CAST(m AS VARCHAR) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents,
+           CAST(SUM(frequency) AS DOUBLE) / COUNT(*) AS avg_frequency
+    FROM labeled GROUP BY segment ORDER BY segment
+    """,
+    tags=("analytics", "agg"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    rec = F.datediff(F.col("ref_date"), F.col("last_order"))
+    labeled = cust.crossJoin(F.broadcast(ref)).select(
+        "custkey", "frequency", "monetary_cents",
+        F.when(rec <= 95, 3).when(rec <= 265, 2).otherwise(1).alias("r"),
+        F.when(F.col("frequency") >= 11, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+        .alias("f"),
+        F.when(F.col("monetary_cents") >= 283000000, 3)
+        .when(F.col("monetary_cents") >= 205000000, 2)
+        .otherwise(1)
+        .alias("m"),
+    )
+    return (
+        labeled.groupBy(
+            F.concat(
+                F.lit("R"), F.col("r").cast("string"),
+                F.lit("F"), F.col("f").cast("string"),
+                F.lit("M"), F.col("m").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
+            (F.sum("frequency").cast("double") / F.count("*")).alias(
+                "avg_frequency"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -964,3 +964,151 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: split every document into
+# variable-size chunks whose boundaries depend only on LOCAL content (the
+# rolling hash of each adjacent word pair - a word-level Gear/Rabin
+# analogue), then count duplicated chunks globally. Unlike fixed-stride
+# chunking (corpus_sliding_chunks), CDC boundaries survive insertions:
+# editing one sentence shifts at most the chunks that touch it, so
+# shared chunks between near-identical docs still collide.
+#
+# Scale shape: the chunker is a pure per-row array expression (transform
+# + array_join + split - zero shuffles, whole-stage codegen); the only
+# shuffle is the final hash-aggregation on chunk_sig, a uniform
+# high-cardinality key. No per-doc window, no ordinality join.
+# Cross-engine: boundary = md5 32-bit prefix of "prev_word curr_word"
+# % 16 == 0 (avg chunk ~16 words), identical in both engines; the U+0001
+# marker trick reassembles chunk text without any positional join.
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM docs_aug
+    ),
+    marked AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(tk, (x, i) -> CASE
+                 WHEN i > 1 AND
+                      CAST(('0x' || substr(md5(tk[i-1] || ' ' || x), 1, 8))
+                           AS BIGINT) % 16 = 0
+                 THEN chr(1) || x ELSE x END),
+               ' ') AS marked_text
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(string_split(marked_text, ' ' || chr(1))) AS chunk
+      FROM marked
+    )
+    SELECT md5(chunk) AS chunk_sig,
+           CAST(count(*) AS BIGINT) AS n_occur,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens
+    FROM chunks
+    GROUP BY chunk_sig
+    HAVING count(*) > 1
+    ORDER BY n_occur DESC, chunk_sig
+    LIMIT 100
+    """,
+    tags=("dedup", "training"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+    )
+
+    def mark(x, i):
+        # previous word: the 0-based lambda index i IS the 1-based index
+        # of the predecessor; greatest() guards the (unused) i=0 lookup.
+        prev = F.element_at(F.col("tk"), F.greatest(i, F.lit(1)))
+        h = F.conv(
+            F.substring(F.md5(F.concat(prev, F.lit(" "), x)), 1, 8), 16, 10
+        ).cast("long")
+        return F.when(
+            (i > F.lit(0)) & (h % 16 == 0), F.concat(F.lit("\u0001"), x)
+        ).otherwise(x)
+
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.split(F.array_join(F.transform("tk", mark), " "), " \u0001")
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_sig"))
+        .agg(
+            F.count("*").cast("long").alias("n_occur"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.size(F.split(F.col("chunk"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .where(F.col("n_occur") > 1)
+        .orderBy(F.desc("n_occur"), "chunk_sig")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Diversity-promoting sampling: one representative document per
+# SimHash-LSH bucket (top 8 signature bits), picking the longest doc in
+# each bucket (ties -> lowest doc_id). The one-per-bucket shape is the
+# scale-safe diversified sampler: the per-bucket argmax is a single
+# map-side-combinable max(struct) aggregation - no window, no per-bucket
+# sort, no skew beyond the 256-way bucket key.
+@register(
+    "sample_diverse_lsh",
+    oracle=f"""
+    WITH sim AS (
+      WITH docs_aug AS (SELECT doc_id, text FROM documents),
+      {_simhash_sql()}
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             CAST(s.simhash >> 24 AS BIGINT) AS bucket,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM sim s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT bucket, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT bucket, doc_id, n_tokens FROM ranked WHERE rn = 1 ORDER BY bucket
+    """,
+    tags=("training", "dedup", "sampling"),
+)
+def sample_diverse_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sim = D.simhash(docs)
+    scored = sim.join(
+        docs.select(
+            "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+        ),
+        "doc_id",
+    ).select(
+        F.shiftright("simhash", 24).cast("long").alias("bucket"),
+        "doc_id",
+        "n_tokens",
+    )
+    # argmax(n_tokens, min doc_id) per bucket as a plain aggregation:
+    # max(struct) orders by n_tokens first, then by -doc_id (so the max
+    # struct carries the LOWEST doc_id among length ties).
+    best = scored.groupBy("bucket").agg(
+        F.max(
+            F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b")
+    )
+    return best.select(
+        "bucket",
+        (-F.col("b.neg_id")).cast("long").alias("doc_id"),
+        F.col("b.n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("bucket")
