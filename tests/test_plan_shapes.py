@@ -87,6 +87,7 @@ GLOBAL_SCALAR_OK = {
     # one-row scalar totals (n_truth/n_found/n_candidates) — the recall
     # report is a 1-row eval summary, so its finals are SinglePartition
     # by construction
+    "customer_rfm_segments",  # global max(o_orderdate) reference scalar
     "dedup_lsh_recall",
     "dq_validation_suite",
     "events_funnel",
