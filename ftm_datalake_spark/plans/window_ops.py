@@ -958,3 +958,87 @@ def events_active_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("active_minutes"), "user_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue-concentration (Pareto) analysis: how many top customers cover
+# 50/80/90/95/99% of total revenue. The global running sum over
+# customers ordered by revenue DESC uses the two-phase scheme
+# (operators/rank.with_global_cumsum: range shuffle -> per-partition
+# window -> P driver-side offsets) so no single-partition Exchange
+# appears — the naive SUM() OVER (ORDER BY ...) would funnel every
+# customer through one task. Revenue is integer cents, so every
+# cumulative sum and the threshold comparisons are exact; the grand
+# total is a driver-side scalar (metadata, like the kmeans centroids)
+# embedded as a literal.
+@register(
+    "orders_revenue_pareto",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM cust),
+    cum AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM cust
+    ),
+    th AS (SELECT unnest([50, 80, 90, 95, 99]) AS pct)
+    SELECT CAST(th.pct AS INT) AS pct,
+           CAST(COALESCE(SUM(CASE WHEN c * 100 < th.pct * total THEN 1 END), 0)
+                + 1 AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN c * 100 >= th.pct * total THEN c END)
+                AS BIGINT) AS revenue_cents,
+           CAST(MIN(CASE WHEN c * 100 >= th.pct * total THEN c END)
+                AS DOUBLE) * 100.0 / total AS revenue_pct
+    FROM th, cum, tot
+    GROUP BY th.pct, total ORDER BY pct
+    """,
+    tags=("window", "analytics", "scale"),
+)
+def orders_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev")
+    ).select("o_custkey", "rev", (-F.col("rev")).alias("neg_rev"))
+    total = cust.agg(F.sum("rev")).collect()[0][0]  # driver scalar (metadata)
+    cum = with_global_cumsum(cust, ["neg_rev", "o_custkey"], "rev", "c")
+    j = cum.select(
+        "c",
+        F.explode(F.array(*[F.lit(p) for p in (50, 80, 90, 95, 99)])).alias("pct"),
+    )
+    return (
+        j.groupBy("pct")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("c") * 100 < F.col("pct") * F.lit(total), 1)
+                    ),
+                    F.lit(0),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("n_customers"),
+            F.min(
+                F.when(F.col("c") * 100 >= F.col("pct") * F.lit(total), F.col("c"))
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            "n_customers",
+            "revenue_cents",
+            (F.col("revenue_cents").cast("double") * 100.0 / F.lit(total)).alias(
+                "revenue_pct"
+            ),
+        )
+        .orderBy("pct")
+    )
