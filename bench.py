@@ -73,11 +73,11 @@ def main() -> None:
             # attributable (real slowdown shows in EVERY sample; host noise
             # shows as spread).
             samples: list[float] = []
-            for attempt in range(3):
+            for attempt in range(4):
                 start = time.perf_counter()
                 spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - start, 3))
-                if attempt >= 1 and min(samples) < 5.0:
+                if attempt >= 2 and min(samples) < 5.0:
                     break
         except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
