@@ -711,3 +711,61 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/WAU engagement ("stickiness"): exact distinct users per day and per
+# week, then avg-daily / weekly ratio. The base frame is the DISTINCT
+# (week, day, user) projection — ONE shuffle on the compound key, after
+# which both rollups are cheap; weekly distinct users come from the same
+# frame (a user appears once per active day). Exact distinct is the
+# demonstration here; the mergeable-sketch alternative for 100 TB lives
+# in operators/sketches.py (sketch_hll_by_event_type).
+@register(
+    "events_dau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day,
+                      date_trunc('week', ts) AS week,
+                      user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT week, day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM du GROUP BY week, day
+    ),
+    weekly AS (
+      SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM du GROUP BY week
+    )
+    SELECT w.week, w.wau,
+           CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) AS avg_dau,
+           CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / w.wau AS stickiness
+    FROM weekly w JOIN daily d USING (week)
+    GROUP BY w.week, w.wau ORDER BY w.week
+    """,
+    tags=("events", "agg", "analytics"),
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "user_id",
+    ).distinct()
+    daily = du.groupBy("week", "day").agg(F.count("*").cast("long").alias("dau"))
+    weekly = du.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        weekly.join(daily, "week")
+        .groupBy("week", "wau")
+        .agg((F.sum("dau").cast("double") / F.count("*")).alias("avg_dau"))
+        .select(
+            "week",
+            "wau",
+            "avg_dau",
+            (F.col("avg_dau") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("week")
+    )

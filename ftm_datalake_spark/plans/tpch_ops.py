@@ -692,3 +692,52 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Year-over-year revenue growth: yearly exact-decimal revenue, then the
+# previous year attached via a broadcast self-join on yr = prev_yr + 1
+# instead of LAG() OVER (ORDER BY yr) — the year frame is tiny (the
+# post-agg side), but the join form keeps even this query free of
+# single-partition window exchanges, so the registry-wide plan gate
+# holds with no allowlist entry. Growth math runs on doubles derived
+# from exact decimal sums, identically ordered in both engines.
+@register(
+    "lineitem_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2))
+                         - CAST(l_discount AS DECIMAL(12,2))))
+                  AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY yr
+    )
+    SELECT c.yr, c.revenue,
+           p.revenue AS prev_revenue,
+           c.revenue / p.revenue - 1.0 AS yoy_growth
+    FROM yearly c LEFT JOIN yearly p ON c.yr = p.yr + 1
+    ORDER BY c.yr
+    """,
+    tags=("window", "agg", "analytics"),
+)
+def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
+        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    prev = yearly.select(
+        (F.col("yr") + 1).alias("yr"), F.col("revenue").alias("prev_revenue")
+    )
+    return (
+        yearly.join(F.broadcast(prev), "yr", "left")
+        .select(
+            "yr",
+            "revenue",
+            "prev_revenue",
+            (F.col("revenue") / F.col("prev_revenue") - 1.0).alias("yoy_growth"),
+        )
+        .orderBy("yr")
+    )
