@@ -1,13 +1,22 @@
 """CLI entry points mirroring the reference's Typer commands (SURVEY §3):
 
-    python -m ftm_datalake_spark crawl  SRC  -d DATASET --lake LAKE [--include G] [--exclude G]
+    python -m ftm_datalake_spark crawl  SRC  -d DATASET --lake LAKE [--include G] [--exclude G] [--archive]
     python -m ftm_datalake_spark make   SRC  -d DATASET --lake LAKE
     python -m ftm_datalake_spark stats       -d DATASET --lake LAKE
     python -m ftm_datalake_spark ls          -d DATASET --lake LAKE [--keys|--checksums]
+    python -m ftm_datalake_spark config      -d DATASET --lake LAKE [--config PATH]
+    python -m ftm_datalake_spark catalog         --lake LAKE [--names-only]
+    python -m ftm_datalake_spark versions    -d DATASET --lake LAKE
+    python -m ftm_datalake_spark diff        -d DATASET --lake LAKE -v NEW [--against OLD]
+    python -m ftm_datalake_spark get    KEY  -d DATASET --lake LAKE [-o OUT]
+    python -m ftm_datalake_spark head   KEY  -d DATASET --lake LAKE
     python -m ftm_datalake_spark export-zip  -d DATASET --lake LAKE --out FILE.zip
 
-Reference: ftm_datalake/cli.py:159-283 (crawl/make/ls) — same verbs,
-Spark jobs underneath.
+Reference: ftm_datalake/cli.py:96-283 (config/catalog/versions/diff/make/
+get/head/ls/crawl/export) — same verbs, Spark jobs underneath. `head`
+matches the reference semantics: it prints the file INFO record (metadata
+JSON), not leading bytes; `get` streams the blob from the content-
+addressed archive (populate it with `crawl --archive`).
 """
 
 from __future__ import annotations
@@ -28,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     p_crawl.add_argument("--lake", required=True)
     p_crawl.add_argument("--include")
     p_crawl.add_argument("--exclude")
+    p_crawl.add_argument(
+        "--archive", action="store_true",
+        help="also copy blob bytes into the content-addressed archive",
+    )
 
     p_make = sub.add_parser("make")
     p_make.add_argument("source")
@@ -44,6 +57,36 @@ def main(argv: list[str] | None = None) -> int:
     group = p_ls.add_mutually_exclusive_group()
     group.add_argument("--keys", action="store_true")
     group.add_argument("--checksums", action="store_true")
+
+    p_cfg = sub.add_parser("config")
+    p_cfg.add_argument("-d", "--dataset", required=True)
+    p_cfg.add_argument("--lake", required=True)
+    p_cfg.add_argument("--config", help="config.yml path override")
+
+    p_cat = sub.add_parser("catalog")
+    p_cat.add_argument("--lake", required=True)
+    p_cat.add_argument("--names-only", action="store_true")
+
+    p_ver = sub.add_parser("versions")
+    p_ver.add_argument("-d", "--dataset", required=True)
+    p_ver.add_argument("--lake", required=True)
+
+    p_diff = sub.add_parser("diff")
+    p_diff.add_argument("-d", "--dataset", required=True)
+    p_diff.add_argument("--lake", required=True)
+    p_diff.add_argument("-v", "--version", required=True)
+    p_diff.add_argument("--against", help="older version (default: predecessor)")
+
+    p_get = sub.add_parser("get")
+    p_get.add_argument("key")
+    p_get.add_argument("-d", "--dataset", required=True)
+    p_get.add_argument("--lake", required=True)
+    p_get.add_argument("-o", "--out", help="write blob here (default: stdout)")
+
+    p_head = sub.add_parser("head")
+    p_head.add_argument("key")
+    p_head.add_argument("-d", "--dataset", required=True)
+    p_head.add_argument("--lake", required=True)
 
     p_query = sub.add_parser("query")
     p_query.add_argument("name", nargs="?", help="registry query name (omit to list)")
@@ -100,6 +143,17 @@ def _dispatch(spark, args) -> int:
             spark, args.source, args.dataset, args.lake,
             include=args.include, exclude=args.exclude,
         )
+        if args.archive:
+            from pyspark.sql import functions as F
+
+            from ftm_datalake_spark.functions.checksum import content_checksum
+            from ftm_datalake_spark.sources.archive import archive_blobs
+            from ftm_datalake_spark.sources.tables import scan_binary_files
+
+            files = scan_binary_files(spark, args.source).select(
+                "path", content_checksum(F.col("content")).alias("content_hash")
+            )
+            archive_blobs(files, args.lake, args.dataset)
         print(json.dumps(counters))
     elif args.cmd == "make":
         actions = make(spark, args.source, args.dataset, args.lake)
@@ -123,6 +177,80 @@ def _dispatch(spark, args) -> int:
         else:
             for row in docs.collect():
                 print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "config":
+        import os
+
+        from ftm_datalake_spark.sources.archive import read_dataset_config
+
+        path = args.config or os.path.join(args.lake, args.dataset, "config.yml")
+        cfg = read_dataset_config(path) if os.path.exists(path) else {}
+        print(
+            json.dumps(
+                {"dataset": args.dataset, "lake": args.lake, "config": cfg}
+            )
+        )
+    elif args.cmd == "catalog":
+        from pyspark.sql import functions as F
+
+        from ftm_datalake_spark.operators.stats import catalog, dataset_index
+        from ftm_datalake_spark.pipelines.ingest import project_entities
+
+        try:
+            docs = spark.read.parquet(f"{args.lake}/documents")
+        except Exception:
+            return 0
+        if args.names_only:
+            for r in docs.select("dataset").distinct().orderBy("dataset").collect():
+                print(r["dataset"])
+        else:
+            rows = catalog(dataset_index(docs, project_entities(docs)))
+            for row in rows.collect():
+                print(json.dumps(row.asDict(recursive=True), default=str))
+    elif args.cmd == "versions":
+        from ftm_datalake_spark.operators.versions import list_versions
+
+        for v in list_versions(args.lake, args.dataset):
+            print(v)
+    elif args.cmd == "diff":
+        from ftm_datalake_spark.operators.versions import (
+            diff_versions,
+            list_versions,
+        )
+
+        versions = list_versions(args.lake, args.dataset)
+        old = args.against
+        if old is None:
+            idx = versions.index(args.version)
+            if idx == 0:
+                print("no predecessor version", file=sys.stderr)
+                return 1
+            old = versions[idx - 1]
+        added, deleted = diff_versions(
+            spark, args.lake, args.dataset, old, args.version
+        )
+        for op, frame in (("added", added), ("deleted", deleted)):
+            for row in frame.collect():
+                print(json.dumps({"op": op, **row.asDict()}, default=str))
+    elif args.cmd in ("get", "head"):
+        from ftm_datalake_spark.serving import lookup_file
+        from ftm_datalake_spark.sources.archive import open_blob
+
+        docs = read_documents(spark, args.lake, args.dataset)
+        info = lookup_file(docs, args.dataset, args.key)
+        if info is None:
+            print(f"not found: {args.dataset}/{args.key}", file=sys.stderr)
+            return 1
+        if args.cmd == "head":
+            print(json.dumps(info, default=str))
+        else:
+            blob = open_blob(args.lake, args.dataset, info["content_hash"])
+            if args.out:
+                with open(args.out, "wb") as fh:
+                    fh.write(blob)
+                print(args.out)
+            else:
+                sys.stdout.buffer.write(blob)
+                sys.stdout.buffer.flush()
     elif args.cmd == "query":
         from ftm_datalake_spark.plans import REGISTRY
 

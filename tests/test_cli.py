@@ -68,3 +68,57 @@ def test_cli_optimize_flow(spark, tmp_path):
     assert sum(r["n_files"] for r in plan_lines) == len(
         [r for r in idx_lines if r["column"] == "x"]
     )
+
+
+def test_cli_reference_verbs_flow(spark, tmp_path):
+    """config / catalog / versions / diff / get / head — the remaining
+    reference CLI verbs (ftm_datalake/cli.py:96-235), one subprocess
+    flow over a crawled + archived lake."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "doc.txt").write_bytes(b"hello lake")
+    lake = str(tmp_path / "lake")
+    (tmp_path / "lake").mkdir()
+    (tmp_path / "lake" / "ds1").mkdir()
+    (tmp_path / "lake" / "ds1" / "config.yml").write_text(
+        "name: ds1\ntitle: Dataset One\n"
+    )
+
+    counters = json.loads(
+        _run("crawl", str(src), "-d", "ds1", "--lake", lake, "--archive").strip()
+    )
+    assert counters["added_or_updated"] == 1
+
+    cfg = json.loads(_run("config", "-d", "ds1", "--lake", lake).strip())
+    assert cfg["config"]["title"] == "Dataset One"
+
+    assert _run("catalog", "--lake", lake, "--names-only").split() == ["ds1"]
+    cat_rows = [
+        json.loads(l) for l in _run("catalog", "--lake", lake).splitlines()
+    ]
+    assert cat_rows[0]["dataset"] == "ds1" and cat_rows[0]["file_count"] == 1
+
+    info = json.loads(_run("head", "doc.txt", "-d", "ds1", "--lake", lake).strip())
+    import hashlib
+
+    assert info["content_hash"] == hashlib.sha1(b"hello lake").hexdigest()
+
+    blob = _run("get", "doc.txt", "-d", "ds1", "--lake", lake)
+    assert blob == "hello lake"
+
+    # versions + diff over two programmatic snapshots
+    from ftm_datalake_spark.operators.versions import write_version
+    from ftm_datalake_spark.pipelines.ingest import read_documents
+
+    docs = read_documents(spark, lake, "ds1")
+    v1 = write_version(docs, lake, "ds1", version="v1")
+    (src / "extra.txt").write_bytes(b"more")
+    _run("crawl", str(src), "-d", "ds1", "--lake", lake)
+    v2 = write_version(read_documents(spark, lake, "ds1"), lake, "ds1", version="v2")
+
+    assert _run("versions", "-d", "ds1", "--lake", lake).split() == [v1, v2]
+    ops = [
+        json.loads(l)
+        for l in _run("diff", "-d", "ds1", "--lake", lake, "-v", "v2").splitlines()
+    ]
+    assert [(o["op"], o["key"]) for o in ops] == [("added", "extra.txt")]
