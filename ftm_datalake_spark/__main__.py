@@ -88,6 +88,18 @@ def main(argv: list[str] | None = None) -> int:
     p_head.add_argument("-d", "--dataset", required=True)
     p_head.add_argument("--lake", required=True)
 
+    p_mem = sub.add_parser("memorious-sync")
+    p_mem.add_argument("glob", help="memorious sidecar JSON glob")
+    p_mem.add_argument("-d", "--dataset", required=True)
+    p_mem.add_argument("--lake", required=True)
+    p_mem.add_argument("--key-strip-prefix")
+    p_mem.add_argument("--key-template")
+
+    p_al = sub.add_parser("aleph-sync")
+    p_al.add_argument("-d", "--dataset", required=True)
+    p_al.add_argument("--lake", required=True)
+    p_al.add_argument("-o", "--out", help="write upload payload JSONL here (default: stdout)")
+
     p_query = sub.add_parser("query")
     p_query.add_argument("name", nargs="?", help="registry query name (omit to list)")
     p_query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -251,6 +263,68 @@ def _dispatch(spark, args) -> int:
             else:
                 sys.stdout.buffer.write(blob)
                 sys.stdout.buffer.flush()
+    elif args.cmd == "memorious-sync":
+        from pyspark.sql import functions as F
+
+        from ftm_datalake_spark.operators.documents import merge_documents
+        from ftm_datalake_spark.pipelines.ingest import write_documents
+        from ftm_datalake_spark.pipelines.sync import (
+            key_from_template,
+            key_strip_prefix,
+            memorious_import,
+        )
+
+        # memorious sidecar contract (reference sync/memorious.py): an
+        # explicit schema so headers arrive as a MAP and timestamps typed
+        meta = spark.read.schema(
+            "url string, content_hash string, _file_name string, "
+            "headers map<string,string>, retrieved_at timestamp, "
+            "modified_at timestamp, request_id string"
+        ).json(args.glob)
+        key_func = None
+        if args.key_strip_prefix:
+            prefix = args.key_strip_prefix
+            key_func = lambda df: key_strip_prefix(F.col("url"), prefix)  # noqa: E731
+        elif args.key_template:
+            tmpl_udf = key_from_template(args.key_template)
+            # template fields come from the sidecar row: pass every column
+            key_func = lambda df: tmpl_udf(  # noqa: E731
+                F.struct(*[F.col(c) for c in df.columns])
+            )
+        imported = memorious_import(meta, key_func=key_func).withColumn(
+            "dataset", F.lit(args.dataset)
+        )
+        current = read_documents(spark, args.lake, args.dataset)
+        n = imported.count()
+        write_documents(merge_documents(current, imported), args.lake)
+        print(json.dumps({"imported": n}))
+    elif args.cmd == "aleph-sync":
+        import hashlib
+
+        from ftm_datalake_spark.pipelines.sync import (
+            aleph_folder_ids,
+            aleph_upload_rows,
+        )
+
+        docs = read_documents(spark, args.lake, args.dataset)
+        # Dry-run sync: deterministic folder ids (no live Aleph API from
+        # the CLI); the payload written here is exactly what
+        # sync_to_aleph would push batch-wise.
+        make_folder = lambda path, parent: hashlib.sha1(  # noqa: E731
+            f"{args.dataset}:{parent or ''}:{path}".encode()
+        ).hexdigest()[:16]
+        rows = aleph_upload_rows(docs, aleph_folder_ids(docs, make_folder))
+        lines = [
+            json.dumps(r.asDict(recursive=True), default=str, sort_keys=True)
+            for r in rows.collect()
+        ]
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write("\n".join(lines) + ("\n" if lines else ""))
+            print(args.out)
+        else:
+            for line in lines:
+                print(line)
     elif args.cmd == "query":
         from ftm_datalake_spark.plans import REGISTRY
 

@@ -122,3 +122,39 @@ def test_cli_reference_verbs_flow(spark, tmp_path):
         for l in _run("diff", "-d", "ds1", "--lake", lake, "-v", "v2").splitlines()
     ]
     assert [(o["op"], o["key"]) for o in ops] == [("added", "extra.txt")]
+
+
+def test_cli_sync_verbs(tmp_path):
+    """memorious-sync imports sidecar metadata into the documents table;
+    aleph-sync emits the exact upload payload with resolved folder ids."""
+    meta_dir = tmp_path / "meta"
+    meta_dir.mkdir()
+    (meta_dir / "m1.json").write_text(
+        json.dumps(
+            {
+                "url": "http://host/docs/report.pdf",
+                "content_hash": "ab" * 20,
+                "_file_name": "report.pdf",
+                "headers": {"Content-Length": "77", "Content-Type": "application/pdf"},
+                "retrieved_at": "2024-01-02T03:04:05Z",
+                "request_id": "r1",
+            }
+        )
+        + "\n"
+    )
+    lake = str(tmp_path / "lake")
+
+    out = json.loads(
+        _run("memorious-sync", str(meta_dir) + "/*.json", "-d", "ds1", "--lake", lake).strip()
+    )
+    assert out == {"imported": 1}
+    keys = _run("ls", "-d", "ds1", "--lake", lake, "--keys").split()
+    assert keys == ["docs/report.pdf"]
+
+    payload = [
+        json.loads(l)
+        for l in _run("aleph-sync", "-d", "ds1", "--lake", lake).splitlines()
+    ]
+    assert len(payload) == 1
+    assert payload[0]["file_name"] == "report.pdf"
+    assert payload[0]["parent_id"]  # resolved parent folder id
