@@ -769,3 +769,73 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of the hourly event-count series (per event_type):
+# Pearson r over consecutive-hour pairs. Hour pairing is an equi-join on
+# hour = hour + 1h (skips gaps, like a lag over the gap-filled series
+# with missing hours excluded), so no window is needed at all. All five
+# Pearson terms are exact integer sums; the final expression is double
+# arithmetic over those integers with one IEEE sqrt — correctly rounded,
+# hence bit-identical across engines.
+@register(
+    "events_hourly_autocorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hour
+    ),
+    pairs AS (
+      SELECT a.event_type, a.n AS x, b.n AS y
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type
+       AND b.hour = a.hour + INTERVAL 1 HOUR
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, k,
+           (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS autocorr_lag1
+    FROM terms ORDER BY event_type
+    """,
+    tags=("events", "stats", "window"),
+)
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    nxt = hourly.select(
+        "event_type",
+        (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("hour"),
+        F.col("n").alias("y"),
+    )
+    pairs = hourly.join(nxt, ["event_type", "hour"]).select(
+        "event_type", F.col("n").alias("x"), "y"
+    )
+    terms = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    k, sx, sy = F.col("k").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = k * F.col("sxy") - sx * F.col("sy")
+    den = F.sqrt(
+        (k * F.col("sxx") - sx * F.col("sx")) * (k * F.col("syy") - sy * F.col("sy"))
+    )
+    return terms.select(
+        "event_type", "k", (num / den).alias("autocorr_lag1")
+    ).orderBy("event_type")
