@@ -104,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("name", nargs="?", help="registry query name (omit to list)")
     p_query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_query.add_argument("--limit", type=int, default=20)
+    p_query.add_argument(
+        "--explain", action="store_true", help="print the physical plan instead of rows"
+    )
+    p_query.add_argument(
+        "--oracle", action="store_true", help="print the DuckDB oracle SQL instead of rows"
+    )
 
     p_zip = sub.add_parser("export-zip")
     p_zip.add_argument("-d", "--dataset", required=True)
@@ -332,6 +338,12 @@ def _dispatch(spark, args) -> int:
             for name, spec in sorted(REGISTRY.items()):
                 oracle = "oracle" if spec.oracle else "rows-only"
                 print(f"{name}\t{oracle}\t{','.join(spec.tags)}")
+        elif args.oracle:
+            sql = REGISTRY[args.name].oracle
+            print(sql.strip() if sql else "-- rows-only query: no oracle")
+        elif args.explain:
+            df = REGISTRY[args.name].builder(spark, args.sf_dir)
+            df.explain(mode="formatted")
         else:
             df = REGISTRY[args.name].builder(spark, args.sf_dir)
             for row in df.limit(args.limit).collect():
