@@ -839,3 +839,46 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "event_type", "k", (num / den).alias("autocorr_lag1")
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (the WAU-per-day curve): for every active
+# day, the distinct users seen in the trailing 7-day window. The window
+# is expressed as a range join of the tiny day dimension against the
+# DISTINCT (day, user) frame — the day dimension broadcasts, the
+# distinct count shuffles on (window_day, user), and no sliding
+# count-distinct window (which Spark cannot partial-aggregate) ever
+# appears. Same base frame idiom as events_dau_stickiness.
+@register(
+    "events_rolling_7d_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    win AS (
+      SELECT d.day, du.user_id
+      FROM days d JOIN du
+        ON du.day <= d.day AND du.day > d.day - INTERVAL 7 DAY
+    )
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM win GROUP BY day ORDER BY day
+    """,
+    tags=("events", "window", "analytics"),
+)
+def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    win = F.broadcast(days.select(F.col("day").alias("wday"))).join(
+        du,
+        (F.col("day") <= F.col("wday"))
+        & (F.col("day") > F.col("wday") - F.expr("INTERVAL 7 DAYS")),
+    )
+    return (
+        win.groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+        .orderBy("day")
+    )
