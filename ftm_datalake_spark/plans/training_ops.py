@@ -716,3 +716,64 @@ def pit_labeled_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "feat_last_value",
         label.alias("label"), fold.alias("fold"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Curriculum staging: order the corpus easy -> hard for curriculum
+# training. Difficulty proxy = token count (fixed thresholds, like the
+# RFM constants: compile-time cutoffs keep this a single agg -> map ->
+# agg pipeline with no global quantile pass); each stage reports volume
+# and the type-token ratio (lexical diversity) as an exact
+# integer-derived double. All per-row work is array expressions in
+# whole-stage codegen; the only shuffle is the 3-key stage rollup.
+@register(
+    "corpus_curriculum_stages",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, n_tok, n_distinct,
+             CASE WHEN n_tok <= 50 THEN 1
+                  WHEN n_tok <= 150 THEN 2 ELSE 3 END AS stage
+      FROM t
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tok) AS type_token_ratio
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+    tags=("training", "text"),
+)
+def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
+    )
+    staged = t.select(
+        "n_tok",
+        "n_distinct",
+        F.when(F.col("n_tok") <= 50, 1)
+        .when(F.col("n_tok") <= 150, 2)
+        .otherwise(3)
+        .alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            (F.sum("n_distinct").cast("double") / F.sum("n_tok")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("stage")
+    )
