@@ -741,3 +741,62 @@ def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration per part type: HHI over
+# supplier revenue shares, computed WITHOUT any double summation —
+# sum-of-squares and total run in exact arithmetic (integer cents;
+# squares in DECIMAL(38,0) so the accumulator cannot overflow at any
+# realistic scale), and HHI = sum(rev_i^2)/total^2 is two IEEE ops at
+# the edge. Avoids the naive share^2 formulation whose double SUM would
+# be partial-agg-order-dependent.
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type AS part_type, l.l_suppkey,
+             SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    ),
+    agg AS (
+      SELECT part_type,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+             SUM(CAST(rev_cents AS DECIMAL(38,0)) * rev_cents) AS ss
+      FROM rev GROUP BY part_type
+    )
+    SELECT part_type, n_suppliers, total_cents,
+           CAST(ss AS DOUBLE)
+             / (CAST(total_cents AS DOUBLE) * total_cents) AS hhi
+    FROM agg ORDER BY part_type
+    """,
+    tags=("agg", "analytics", "join"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("part_type"), "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .alias("rev_cents")
+        )
+    )
+    agg = rev.groupBy("part_type").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)") * F.col("rev_cents")).alias("ss"),
+    )
+    return agg.select(
+        "part_type",
+        "n_suppliers",
+        "total_cents",
+        (
+            F.col("ss").cast("double")
+            / (F.col("total_cents").cast("double") * F.col("total_cents"))
+        ).alias("hhi"),
+    ).orderBy("part_type")
