@@ -1112,3 +1112,85 @@ def sample_diverse_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_id")).cast("long").alias("doc_id"),
         F.col("b.n_tokens").cast("long").alias("n_tokens"),
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Trigram novelty: for each document, the fraction of its DISTINCT word
+# trigrams whose FIRST corpus occurrence (lowest doc_id) is this
+# document — an originality score for dedup-aware curation (a doc built
+# from already-seen fragments scores near 0 even when no single source
+# passes a pairwise dedup threshold). Exact integer counts; the ratio is
+# one IEEE division. Shape: explode distinct trigrams, min(doc_id) per
+# trigram (uniform high-cardinality key), join back, per-doc rollup —
+# two gram-keyed shuffles and one doc-keyed rollup, all
+# partial-aggregatable.
+@register(
+    "text_trigram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(tk, (x, i) -> CASE
+                 WHEN i <= len(tk) - 2
+                 THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS g
+        FROM toks
+      ) WHERE g IS NOT NULL
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM grams gr JOIN firsts f USING (g)
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+    """,
+    tags=("text", "dedup", "training"),
+)
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", tk.alias("tk"))
+    gram_arr = F.transform(
+        "tk",
+        lambda x, i: F.when(
+            i <= F.size(F.col("tk")) - 3,
+            F.concat_ws(
+                " ",
+                x,
+                F.element_at(F.col("tk"), i + 2),
+                F.element_at(F.col("tk"), i + 3),
+            ),
+        ),
+    )
+    grams = (
+        base.select("doc_id", F.explode(gram_arr).alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
