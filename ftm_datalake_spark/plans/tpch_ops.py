@@ -800,3 +800,63 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total_cents").cast("double") * F.col("total_cents"))
         ).alias("hhi"),
     ).orderBy("part_type")
+
+
+# --------------------------------------------------------------------------
+# Substitute-product candidates: same (type, size), different brand,
+# retail price within 5% — the "interchangeable part" analytics shape.
+# The equi-join on the (type, size) block bounds fanout (~|block|^2
+# pairs, blocks are small by construction); the 5% price band is exact
+# integer-cent arithmetic (|pa-pb| * 20 <= min(pa,pb)), evaluated after
+# the block join, never as a global inequality join.
+@register(
+    "part_substitution_candidates",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_type AS part_type, CAST(a.p_size AS BIGINT) AS part_size,
+           a.price_c AS price_a, b.price_c AS price_b
+    FROM p a JOIN p b
+      ON a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey AND a.p_brand <> b.p_brand
+    WHERE abs(a.price_c - b.price_c) * 20 <= least(a.price_c, b.price_c)
+    ORDER BY key_a, key_b
+    """,
+    tags=("join", "er", "analytics"),
+)
+def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price_c"),
+    )
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("part_type"), F.col("p_size").alias("part_size"),
+        F.col("price_c").alias("price_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("part_type"), F.col("p_size").alias("part_size"),
+        F.col("price_c").alias("price_b"),
+    )
+    return (
+        a.join(b, ["part_type", "part_size"])
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("brand_a") != F.col("brand_b"))
+            & (
+                F.abs(F.col("price_a") - F.col("price_b")) * 20
+                <= F.least(F.col("price_a"), F.col("price_b"))
+            )
+        )
+        .select(
+            "key_a", "key_b", "part_type",
+            F.col("part_size").cast("long").alias("part_size"),
+            "price_a", "price_b",
+        )
+        .orderBy("key_a", "key_b")
+    )
