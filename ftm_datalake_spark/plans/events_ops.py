@@ -882,3 +882,101 @@ def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert: for each user with a purchase at/after their first
+# signup, the latency from first signup to FIRST subsequent purchase,
+# rolled up per signup-week cohort with discrete p50/p90 latency (the
+# cumulative-count idiom again — bit-exact, no interpolation). Latency
+# is integer minutes. Min-aggregations per user, one window-free
+# percentile pass over the per-cohort latency distributions.
+@register(
+    "events_conversion_latency",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, date_trunc('week', s.s_ts) AS cohort_week,
+             CAST(floor(epoch_us(MIN(e.ts)) / 60000000.0)
+                  - floor(epoch_us(s.s_ts) / 60000000.0) AS BIGINT) AS lat_min
+      FROM signup s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+      GROUP BY s.user_id, s.s_ts
+    ),
+    counts AS (
+      SELECT cohort_week, lat_min, COUNT(*) AS c
+      FROM conv GROUP BY cohort_week, lat_min
+    ),
+    cum AS (
+      SELECT cohort_week, lat_min, c,
+             SUM(c) OVER (PARTITION BY cohort_week ORDER BY lat_min
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+             SUM(c) OVER (PARTITION BY cohort_week) AS n
+      FROM counts
+    )
+    SELECT cohort_week,
+           CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN 2*cumc >= n THEN lat_min END) AS BIGINT) AS p50_min,
+           CAST(MIN(CASE WHEN 10*cumc >= 9*n THEN lat_min END) AS BIGINT) AS p90_min
+    FROM cum GROUP BY cohort_week ORDER BY cohort_week
+    """,
+    tags=("events", "cohort", "stats"),
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ftm_datalake_spark.functions.timeutil import ts_micros
+
+    events = load_table(spark, sf_dir, "events")
+    signup = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(purchases, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+        .select(
+            F.date_trunc("week", "s_ts").alias("cohort_week"),
+            (
+                F.floor(ts_micros(F.col("first_p")) / 60000000.0)
+                - F.floor(ts_micros(F.col("s_ts")) / 60000000.0)
+            )
+            .cast("long")
+            .alias("lat_min"),
+        )
+    )
+    counts = conv.groupBy("cohort_week", "lat_min").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("lat_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("cohort_week")
+    cum = counts.select(
+        "cohort_week", "lat_min", "c",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("cohort_week")
+        .agg(
+            F.max("n").cast("long").alias("n_converted"),
+            F.min(F.when(2 * F.col("cumc") >= F.col("n"), F.col("lat_min")))
+            .cast("long")
+            .alias("p50_min"),
+            F.min(F.when(10 * F.col("cumc") >= 9 * F.col("n"), F.col("lat_min")))
+            .cast("long")
+            .alias("p90_min"),
+        )
+        .orderBy("cohort_week")
+    )
