@@ -822,3 +822,40 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Basket-size distribution: line items per order histogram plus the
+# average item count — the order-composition staple. Two cheap
+# aggregations (order rollup, then size histogram); everything integer.
+@register(
+    "orders_basket_size_distribution",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_orders
+    FROM per_order GROUP BY n_items ORDER BY n_items
+    """,
+    tags=("agg", "analytics"),
+)
+def orders_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    hist = per_order.groupBy("n_items").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    # total as a window over the tiny histogram frame (<=7 rows), not
+    # over orders — the single-partition exchange runs on the histogram
+    return hist.select(
+        "n_items",
+        "n_orders",
+        F.sum("n_orders").over(Window.partitionBy()).cast("long").alias("total_orders"),
+    ).orderBy("n_items")

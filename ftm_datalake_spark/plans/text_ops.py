@@ -1194,3 +1194,69 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Source-level vocabulary overlap: pairwise Jaccard between the distinct
+# token vocabularies of each corpus source — the corpus-composition
+# diagnostic (how much do two scrape sources share?). The (source,
+# token) distinct frame shuffles once on token for the pair
+# intersection; per-source sizes broadcast back (sources are few). All
+# integers; one IEEE division.
+@register(
+    "docs_source_vocab_overlap",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("text", "dedup", "stats"),
+)
+def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

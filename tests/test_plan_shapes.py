@@ -88,6 +88,7 @@ GLOBAL_SCALAR_OK = {
     # report is a 1-row eval summary, so its finals are SinglePartition
     # by construction
     "customer_rfm_segments",  # global max(o_orderdate) reference scalar
+    "orders_basket_size_distribution",  # total over the <=7-row histogram frame
     "dedup_lsh_recall",
     "dq_validation_suite",
     "events_funnel",
