@@ -30,9 +30,17 @@ below the boundary). For round 5: once CORRECTNESS_r04 lands, move its
 green rows out of the prefix and pull in the next never-sampled names
 (bpe_train_merges/bpe_encode_trained, multimodal_y4m_frames,
 asof_next_purchase, lm_surprisal_topdocs, dedup_containment_pairs,
-sketch_hll_by_event_type, then the remaining dedup/text families) —
+sketch_hll_by_event_type, the remaining dedup/text families, and the
+16 round-4-continuation queries: dedup_cdc_chunks, sample_diverse_lsh,
+events_anomaly_mad, customer_rfm_segments, orders_revenue_pareto,
+lineitem_yoy_growth, events_dau_stickiness, events_hourly_autocorr,
+events_rolling_7d_users, corpus_curriculum_stages,
+supplier_concentration_hhi, text_trigram_novelty,
+part_substitution_candidates, events_conversion_latency,
+docs_source_vocab_overlap, orders_basket_size_distribution) —
 every one of them is already green in the sf0.01 AND sf0.1 local
-sweeps, so driver rows should come back green.
+sweeps (VERIFY_LOCAL_r04 / VERIFY_LOCAL_SF01_r04: 200/200), so driver
+rows should come back green.
 """
 
 from __future__ import annotations
