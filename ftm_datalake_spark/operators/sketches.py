@@ -295,3 +295,95 @@ def hll_estimate_by(
         ).alias("estimate"),
         F.col("nb").alias("buckets_used"),
     )
+
+
+# ------------------------------------------------------------ moments sketch
+# A mergeable quantile-estimation sketch in the shape of Gan et al.,
+# "Moment-Based Quantile Sketches for Efficient High Cardinality
+# Aggregation Queries" (VLDB 2018): per group keep only
+# {count, min, max, sum(v), sum(v^2)} over an integer-quantized value.
+# Merging two sketches is element-wise add/min/max — exactly what
+# Spark's map-side partial aggregation already does for these
+# aggregates, so at 100 TB the shuffle carries one tiny row per
+# (task, group), never the values. Quantiles are then estimated from
+# the moments driver-free, inside the same plan.
+#
+# Exactness contract: the value is quantized to integer units (cents by
+# default) and the power sums accumulate in DECIMAL(38,0), so the sketch
+# itself is EXACT integer arithmetic — order- and partitioning-
+# independent, hence bit-identical across engines (DuckDB accumulates
+# the same integers in HUGEINT). Only the final estimate step casts the
+# (identical) integers to double with an identical formula, so even the
+# derived doubles match bit-for-bit.
+
+
+def moments_partials(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """One mergeable moments-sketch row per group: (n, vmin, vmax, s1, s2).
+
+    ``value`` is quantized to integer units via floor(v*scale + 0.5) —
+    the same half-up rule the integer-cents TPC-H rewrites use — and the
+    power sums are exact decimals. Calling this on any partition of the
+    data and then :func:`moments_merge`-ing the partials is identical to
+    calling it once on the union (the mergeability property the test
+    suite asserts)."""
+    v = F.floor(value * scale + F.lit(0.5)).cast("long")
+    v_dec = v.cast("decimal(19,0)")
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(v_dec).cast("decimal(38,0)").alias("s1"),
+        F.sum((v_dec * v_dec).cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+    )
+
+
+def moments_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge moments-sketch partial rows that share a group: counts and
+    power sums add, min/max fold. Pure re-aggregation — usable as a
+    streaming `outputMode(update)` agg or to fan partial sketches in
+    from per-shard/ per-day runs."""
+    return partials.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("s1").cast("decimal(38,0)").alias("s1"),
+        F.sum("s2").cast("decimal(38,0)").alias("s2"),
+    )
+
+
+#: z-scores for the normal-approximation quantile estimates, written as
+#: exact double literals so both engines multiply by the same bits.
+_Z_SCORES = {"p50": 0.0, "p90": 1.2815515655446004, "p99": 2.3263478740408408}
+
+
+def moments_estimates(sketch: DataFrame, scale: int = 100) -> DataFrame:
+    """Quantile estimates from a moments sketch (normal approximation:
+    mean + z*sigma, clamped to the exact [min, max] the sketch kept).
+    All doubles derive from exact integers with one fixed formula, so
+    the estimates are engine-portable bit-for-bit."""
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    lo = F.col("vmin").cast("double")
+    hi = F.col("vmax").cast("double")
+    unit = F.lit(float(scale))
+    cols = [
+        F.col("n"),
+        (lo / unit).alias("min_value"),
+        (hi / unit).alias("max_value"),
+        (mean / unit).alias("mean_value"),
+        (std / unit).alias("std_value"),
+    ]
+    for name, z in _Z_SCORES.items():
+        est = F.least(F.greatest(mean + F.lit(z) * std, lo), hi)
+        cols.append((est / unit).alias(f"est_{name}"))
+    keep = [c for c in sketch.columns if c not in ("n", "vmin", "vmax", "s1", "s2")]
+    return sketch.select(*keep, *cols)

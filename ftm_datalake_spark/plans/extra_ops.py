@@ -859,3 +859,74 @@ def orders_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         "n_orders",
         F.sum("n_orders").over(Window.partitionBy()).cast("long").alias("total_orders"),
     ).orderBy("n_items")
+
+
+# --------------------------------------------------------------------------
+# Moments-sketch quantile estimation (Gan et al., VLDB 2018 shape): a
+# mergeable {n, min, max, Σv, Σv²} sketch per group, quantiles estimated
+# from the moments. The query builds PARTIAL sketches on a finer key
+# (returnflag × linestatus) and merges them up to returnflag — the exact
+# fan-in a 100 TB per-shard / per-day rollup would do — then derives the
+# estimates. Sketch arithmetic is integer-exact (cents in DECIMAL(38,0)),
+# so even the derived doubles are bit-identical cross-engine.
+@register(
+    "sketch_moments_quantiles",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    partial AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(v) AS vmin, MAX(v) AS vmax,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2
+      FROM q GROUP BY l_returnflag, l_linestatus
+    ),
+    merged AS (
+      SELECT l_returnflag,
+             CAST(SUM(n) AS BIGINT) AS n,
+             MIN(vmin) AS vmin, MAX(vmax) AS vmax,
+             SUM(s1) AS s1, SUM(s2) AS s2
+      FROM partial GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             CAST(vmin AS DOUBLE) AS lo, CAST(vmax AS DOUBLE) AS hi,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt(greatest(
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+               0.0)) AS std
+      FROM merged
+    )
+    SELECT l_returnflag, n,
+           lo / 100.0 AS min_value,
+           hi / 100.0 AS max_value,
+           mean / 100.0 AS mean_value,
+           std / 100.0 AS std_value,
+           least(greatest(mean + 0.0 * std, lo), hi) / 100.0 AS est_p50,
+           least(greatest(mean + 1.2815515655446004 * std, lo), hi) / 100.0
+             AS est_p90,
+           least(greatest(mean + 2.3263478740408408 * std, lo), hi) / 100.0
+             AS est_p99
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("sketch", "agg", "mergeable"),
+)
+def sketch_moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.sketches import (
+        moments_estimates,
+        moments_merge,
+        moments_partials,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = moments_partials(
+        li, F.col("l_extendedprice"), ["l_returnflag", "l_linestatus"]
+    )
+    merged = moments_merge(partial, ["l_returnflag"])
+    return moments_estimates(merged).orderBy("l_returnflag")

@@ -167,3 +167,50 @@ def test_diverse_sample_one_per_bucket_and_argmax(spark, sf_dir):
     merged = out.merge(best, on="bucket")
     assert (merged["doc_id_x"] == merged["doc_id_y"]).all()
     assert (merged["n_tokens"] == merged["nt"]).all()
+
+
+# ---------------------------------------------------------- moments sketch
+def test_moments_sketch_merge_equals_direct(spark, sf_dir):
+    """Mergeability: partial sketches on a finer key, merged up, must be
+    ROW-IDENTICAL to sketching the coarse key directly — the property
+    that makes the sketch safe for per-shard/per-day fan-in at scale."""
+    from ftm_datalake_spark.operators.sketches import (
+        moments_merge,
+        moments_partials,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = moments_partials(li, F.col("l_extendedprice"), ["l_returnflag"])
+    fine = moments_partials(
+        li, F.col("l_extendedprice"), ["l_returnflag", "l_linenumber"]
+    ).drop("l_linenumber")
+    merged = moments_merge(fine, ["l_returnflag"])
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+
+
+def test_moments_sketch_estimates_sane(spark, sf_dir):
+    """The normal-approximation estimates stay inside [min, max], are
+    monotone p50 <= p90 <= p99, and land near the exact quantiles for
+    the (roughly uniform) price distribution."""
+    from ftm_datalake_spark.operators.sketches import (
+        moments_estimates,
+        moments_partials,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = moments_estimates(
+        moments_partials(li, F.col("l_extendedprice"), ["l_returnflag"])
+    )
+    exact = {
+        r["l_returnflag"]: r["q"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.9)").alias("q"))
+        .collect()
+    }
+    rows = sk.collect()
+    assert rows
+    for r in rows:
+        assert r["min_value"] <= r["est_p50"] <= r["est_p90"] <= r["est_p99"] <= r["max_value"]
+        # price ~ uniform-ish: mean+1.28σ should be within 15% of true p90
+        assert abs(r["est_p90"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]] < 0.15
