@@ -367,3 +367,28 @@ def read_webdataset_shards(spark: SparkSession, shards_dir: str) -> DataFrame:
         .select("path", "content")
     )
     return tars.mapInPandas(parse, schema)
+
+
+# ----------------------------------------------------------------------- orc
+def write_table_orc(
+    df: DataFrame, out_dir: str, partition_by: list[str] | None = None
+) -> str:
+    """ORC sink with optional Hive-style partition layout
+    (``col=value/`` directories). ORC is the second Spark-native
+    columnar format next to parquet — same predicate pushdown, column
+    pruning and partition pruning, so a lake can serve readers pinned to
+    either ecosystem from one pipeline. Partitioning on a low-cardinality
+    column turns equality predicates into directory pruning: the scan
+    never lists, let alone reads, the other partitions."""
+    w = df.write.mode("overwrite").option("compression", "zlib")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(out_dir)
+    return out_dir
+
+
+def read_table_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; partition columns come back from the directory layout
+    and filters on them prune at planning time (PartitionFilters in the
+    physical plan — asserted in tests/test_sinks.py)."""
+    return spark.read.orc(path)

@@ -271,3 +271,24 @@ def test_webdataset_read_back(spark, tmp_path):
     }
     # three shards contributed
     assert len({r["shard_path"] for r in rows}) == 3
+
+
+def test_orc_roundtrip_partition_pruning(spark, tmp_path):
+    """ORC write/read roundtrip with Hive-partitioned layout; an equality
+    filter on the partition column must prune to one directory at plan
+    time (PartitionFilters), and the data must survive bit-exact."""
+    from ftm_datalake_spark.sources.sinks import read_table_orc, write_table_orc
+
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    write_table_orc(nation, out, partition_by=["n_regionkey"])
+    back = read_table_orc(spark, out)
+    # roundtrip: same multiset of rows (partition col type survives)
+    a = nation.select("n_nationkey", "n_name", "n_regionkey")
+    b = back.select("n_nationkey", "n_name", F.col("n_regionkey").cast("long"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # pruning: only the matching region's directory is scanned
+    pruned = back.where(F.col("n_regionkey") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "n_regionkey" in plan
+    assert pruned.count() == nation.where("n_regionkey = 2").count()
