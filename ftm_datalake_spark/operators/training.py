@@ -347,3 +347,42 @@ def importance_sample(
         .withColumn("bucket", hash_bucket(F.col(id_col)))
         .where(F.col("bucket") < F.col("rate_pct"))
     )
+
+
+def weighted_sample_hashrace(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_cols: list[str],
+    max_weight: int = 64,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — no RNG state, no floats.
+
+    Efraimidis–Spirakis A-ES draws key u_i^(1/w_i) and keeps the top-k;
+    here the continuous draw is replaced by an integer hash race: item i
+    holds w_i lottery tickets md5(id|1) .. md5(id|w_i), its race key is
+    the MINIMUM ticket, and the k smallest race keys across the table
+    win. More tickets -> stochastically smaller minimum, monotone in
+    w exactly like u^(1/w); distinct md5 inputs make ties impossible, so
+    the winner set is a pure function of the data — identical across
+    runs, engines and partitionings.
+
+    Scale shape: the ticket list is sequence+transform+array_min, all
+    row-local (never exploded into rows), and the global top-k is
+    orderBy().limit(k) — Spark's TakeOrderedAndProject, which keeps a
+    k-row heap per task and merges heaps, no global sort. ``max_weight``
+    caps per-row hashing CPU; for unbounded weights log-bucket the
+    weight first (the race only needs the weight's order of magnitude).
+    """
+    w = F.least(F.lit(max_weight), F.greatest(F.lit(1), weight.cast("long")))
+    ident = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    tickets = F.transform(
+        F.sequence(F.lit(1).cast("long"), w),
+        lambda j: F.md5(F.concat_ws("|", ident, j.cast("string"))),
+    )
+    return (
+        df.withColumn("wt", w)
+        .withColumn("race_key", F.array_min(tickets))
+        .orderBy("race_key", *id_cols)
+        .limit(k)
+    )

@@ -777,3 +777,43 @@ def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES, hash-race form): each
+# lineitem holds floor(l_quantity) lottery tickets md5(id|j); its race
+# key is the minimum ticket and the 100 smallest keys win. Monotone in
+# the weight like u^(1/w), bit-deterministic (no RNG, no floats), and
+# the ticket list stays row-local — never exploded into rows.
+@register(
+    "sample_weighted_aes",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber,
+             LEAST(64, GREATEST(1, CAST(floor(l_quantity) AS BIGINT))) AS wt
+      FROM lineitem),
+    keyed AS (
+      SELECT l_orderkey, l_linenumber, wt,
+             list_min(list_transform(
+               generate_series(CAST(1 AS BIGINT), wt),
+               j -> md5(CAST(l_orderkey AS VARCHAR) || '|'
+                        || CAST(l_linenumber AS VARCHAR) || '|'
+                        || CAST(j AS VARCHAR)))) AS race_key
+      FROM r)
+    SELECT l_orderkey, l_linenumber, wt, race_key
+    FROM keyed
+    ORDER BY race_key, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("training", "sampling"),
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return TR.weighted_sample_hashrace(
+        li,
+        F.floor(F.col("l_quantity")),
+        k=100,
+        id_cols=["l_orderkey", "l_linenumber"],
+    ).select("l_orderkey", "l_linenumber", "wt", "race_key")

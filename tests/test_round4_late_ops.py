@@ -214,3 +214,43 @@ def test_moments_sketch_estimates_sane(spark, sf_dir):
         assert r["min_value"] <= r["est_p50"] <= r["est_p90"] <= r["est_p99"] <= r["max_value"]
         # price ~ uniform-ish: mean+1.28σ should be within 15% of true p90
         assert abs(r["est_p90"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]] < 0.15
+
+
+# ------------------------------------------------- weighted A-ES hash race
+def test_weighted_hashrace_matches_bruteforce(spark):
+    """The winner set must equal a hashlib brute force of the same race
+    (min over md5(id|j), top-k) — pinning the exact ticket construction
+    the oracle relies on."""
+    import hashlib
+
+    from ftm_datalake_spark.operators.training import weighted_sample_hashrace
+
+    rows = [(i, (i * 7) % 9 + 1) for i in range(200)]  # (id, weight 1..9)
+    df = spark.createDataFrame(rows, "item_id long, w long")
+    got = [
+        (r["item_id"], r["race_key"])
+        for r in weighted_sample_hashrace(
+            df, F.col("w"), k=25, id_cols=["item_id"]
+        ).collect()
+    ]
+
+    def race(i, w):
+        return min(
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest() for j in range(1, w + 1)
+        )
+
+    want = sorted(((i, race(i, w)) for i, w in rows), key=lambda t: t[1])[:25]
+    assert got == want
+
+
+def test_weighted_hashrace_favors_heavy_items(spark):
+    """Weight monotonicity: with weights 1 vs 64 split half/half, the
+    heavy half must dominate the winner set (fixed hashes -> this is a
+    deterministic assertion, not a flaky statistical one)."""
+    from ftm_datalake_spark.operators.training import weighted_sample_hashrace
+
+    rows = [(i, 64 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "item_id long, w long")
+    sel = weighted_sample_hashrace(df, F.col("w"), k=100, id_cols=["item_id"])
+    heavy = sel.where(F.col("wt") == 64).count()
+    assert heavy >= 90  # E[heavy] ~ 98 of 100; 90 leaves slack
