@@ -123,3 +123,54 @@ def test_documents_table_partition_pruning(spark, tmp_path):
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "dataset" in plan
     assert [r["key"] for r in docs.collect()] == ["ds_a.txt"]
+
+
+def test_streaming_moments_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The moments sketch streams: because the sketch is mergeable
+    (count/min/max/decimal power sums), a streaming groupBy over
+    micro-batches (forced here via maxFilesPerTrigger=1 over multiple
+    files) must converge to the EXACT batch sketch — same integers, and
+    therefore the same derived quantile estimates."""
+    from ftm_datalake_spark.operators.sketches import (
+        moments_estimates,
+        moments_partials,
+    )
+    from ftm_datalake_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    stage = str(tmp_path / "events_json")
+    events.select("event_type", "value").repartition(3).write.json(stage)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(stage)
+    sketch_stream = moments_partials(stream, F.col("value"), ["event_type"])
+    q = (
+        sketch_stream.writeStream.format("memory")
+        .queryName("moments_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = spark.table("moments_stream")
+    batch = moments_partials(events, F.col("value"), ["event_type"])
+    assert batch.exceptAll(final).count() == 0
+    assert final.exceptAll(batch).count() == 0
+    # derived estimates agree bit-for-bit too (pure function of the sketch)
+    est_s = {
+        r["event_type"]: (r["mean_value"], r["std_value"], r["est_p99"])
+        for r in moments_estimates(final).collect()
+    }
+    est_b = {
+        r["event_type"]: (r["mean_value"], r["std_value"], r["est_p99"])
+        for r in moments_estimates(batch).collect()
+    }
+    assert est_s == est_b
