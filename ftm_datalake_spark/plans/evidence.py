@@ -37,9 +37,10 @@ lineitem_yoy_growth, events_dau_stickiness, events_hourly_autocorr,
 events_rolling_7d_users, corpus_curriculum_stages,
 supplier_concentration_hhi, text_trigram_novelty,
 part_substitution_candidates, events_conversion_latency,
-docs_source_vocab_overlap, orders_basket_size_distribution) —
+docs_source_vocab_overlap, orders_basket_size_distribution, and the
+2 round-4 finishers sketch_moments_quantiles / sample_weighted_aes) —
 every one of them is already green in the sf0.01 AND sf0.1 local
-sweeps (VERIFY_LOCAL_r04 / VERIFY_LOCAL_SF01_r04: 200/200), so driver
+sweeps (VERIFY_LOCAL_r04 / VERIFY_LOCAL_SF01_r04: 202/202), so driver
 rows should come back green.
 """
 
