@@ -13,7 +13,9 @@
     python -m ftm_datalake_spark export-zip  -d DATASET --lake LAKE --out FILE.zip
 
 Reference: ftm_datalake/cli.py:96-283 (config/catalog/versions/diff/make/
-get/head/ls/crawl/export) — same verbs, Spark jobs underneath. `head`
+get/head/ls/crawl/export) plus aleph-load-dataset / aleph-load-catalog
+(cli.py:351-395, sync/aleph_entities.py) — same verbs, Spark jobs
+underneath. `head`
 matches the reference semantics: it prints the file INFO record (metadata
 JSON), not leading bytes; `get` streams the blob from the content-
 addressed archive (populate it with `crawl --archive`).
@@ -99,6 +101,21 @@ def main(argv: list[str] | None = None) -> int:
     p_al.add_argument("-d", "--dataset", required=True)
     p_al.add_argument("--lake", required=True)
     p_al.add_argument("-o", "--out", help="write upload payload JSONL here (default: stdout)")
+
+    p_ald = sub.add_parser("aleph-load-dataset")
+    p_ald.add_argument("uri", help="dataset index.json uri")
+    p_ald.add_argument(
+        "--out", required=True, help="dry-run sink dir (one JSON file per pushed batch)"
+    )
+    p_ald.add_argument("--ledger", help="task-ledger dir for incremental resource skip")
+    p_ald.add_argument("--batch-size", type=int, default=1000)
+
+    p_alc = sub.add_parser("aleph-load-catalog")
+    p_alc.add_argument("uri", help="catalog index.json uri")
+    p_alc.add_argument("--out", required=True)
+    p_alc.add_argument("--ledger")
+    p_alc.add_argument("--include-dataset", help="fnmatch glob on dataset names")
+    p_alc.add_argument("--exclude-dataset", help="fnmatch glob on dataset names")
 
     p_query = sub.add_parser("query")
     p_query.add_argument("name", nargs="?", help="registry query name (omit to list)")
@@ -331,6 +348,44 @@ def _dispatch(spark, args) -> int:
         else:
             for line in lines:
                 print(line)
+    elif args.cmd in ("aleph-load-dataset", "aleph-load-catalog"):
+        import hashlib
+        import os
+
+        from ftm_datalake_spark.pipelines.sync import (
+            load_entities_catalog,
+            load_entities_dataset,
+        )
+
+        outdir = args.out
+        os.makedirs(outdir, exist_ok=True)
+
+        def send(batch: list[dict]) -> None:
+            # Dry-run sink (no live Aleph API): one file per pushed batch,
+            # named by content hash so re-pushes are idempotent on disk.
+            blob = json.dumps(batch, default=str, sort_keys=True)
+            name = hashlib.sha1(blob.encode()).hexdigest()[:16]
+            with open(os.path.join(outdir, name + ".json"), "w") as fh:
+                fh.write(blob)
+
+        if args.cmd == "aleph-load-dataset":
+            res = load_entities_dataset(
+                spark,
+                args.uri,
+                send,
+                ledger_dir=args.ledger,
+                batch_size=args.batch_size,
+            )
+        else:
+            res = load_entities_catalog(
+                spark,
+                args.uri,
+                send,
+                include_dataset=args.include_dataset,
+                exclude_dataset=args.exclude_dataset,
+                ledger_dir=args.ledger,
+            )
+        print(json.dumps(res, default=str, sort_keys=True))
     elif args.cmd == "query":
         from ftm_datalake_spark.plans import REGISTRY
 

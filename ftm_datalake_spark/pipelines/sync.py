@@ -196,3 +196,116 @@ def push_in_batches(
             send(batch)
 
     df.coalesce(max_concurrency).foreachPartition(handle)
+
+
+FTM_MIME = "application/json+ftm"
+
+
+def _read_json_uri(uri: str) -> dict:
+    """Driver-side metadata read of a dataset/catalog index.json — a
+    handful of KB by construction, never data-plane."""
+    import json as _json
+    import urllib.request
+
+    if "://" in uri and not uri.startswith("file://"):
+        with urllib.request.urlopen(uri) as fh:  # noqa: S310 - explicit URI
+            return _json.load(fh)
+    path = uri.removeprefix("file://")
+    with open(path, encoding="utf-8") as fh:
+        return _json.load(fh)
+
+
+def load_entities_dataset(
+    spark: SparkSession,
+    index_uri: str,
+    send: Callable[[list[dict]], None],
+    ledger_dir: str | None = None,
+    batch_size: int = 1000,
+    max_concurrency: int = 10,
+    update_metadata: Callable[[dict], None] | None = None,
+) -> dict:
+    """Load a dataset's FTM entities into an Aleph-style API from its
+    published index.json (reference: sync/aleph_entities.py:90-108).
+
+    Reference semantics, Spark-shaped:
+    - the index and its resource list are driver-side METADATA (an index
+      holds O(10) resources) — only entity payloads are data-plane;
+    - resources already pushed are skipped via the task ledger keyed on
+      the resource checksum/timestamp (the reference's @anycache on
+      queue_tasks_from_resource), so re-runs are incremental;
+    - each resource's entity stream is a distributed JSON-lines scan
+      pushed in ≤batch_size dicts with bounded concurrency
+      (push_in_batches == the reference's 1000-entity buffers on a
+      10-thread worker);
+    - ``update_metadata`` mirrors update_collection_metadata: called
+      once, first, with the raw index dict.
+
+    Returns {"resources", "entities", "skipped_resources"} — the
+    AlephLoadDatasetStatus counters."""
+    from ftm_datalake_spark.schemas import ENTITY_SCHEMA
+    from ftm_datalake_spark.streaming.ledger import read_ledger, record_completed
+
+    index = _read_json_uri(index_uri)
+    if update_metadata is not None:
+        update_metadata(index)
+    resources = [
+        r
+        for r in index.get("resources", [])
+        if r.get("mime_type") == FTM_MIME
+    ]
+    done: set[str] = set()
+    if ledger_dir:
+        done = {
+            row["cache_key"]
+            for row in read_ledger(spark, ledger_dir).select("cache_key").collect()
+        }
+    stats = {"resources": 0, "entities": 0, "skipped_resources": 0}
+    for res in resources:
+        cache_key = "aleph-load:" + str(
+            res.get("checksum") or res.get("timestamp") or res.get("url")
+        )
+        if cache_key in done:
+            stats["skipped_resources"] += 1
+            continue
+        url = str(res["url"]).removeprefix("file://")
+        entities = spark.read.schema(ENTITY_SCHEMA).json(url)
+        stats["entities"] += entities.count()
+        push_in_batches(
+            entities, send, batch_size=batch_size, max_concurrency=max_concurrency
+        )
+        stats["resources"] += 1
+        if ledger_dir:
+            record_completed(
+                spark.createDataFrame([(cache_key,)], "cache_key string"),
+                ledger_dir,
+            )
+    return stats
+
+
+def load_entities_catalog(
+    spark: SparkSession,
+    catalog_uri: str,
+    send: Callable[[list[dict]], None],
+    include_dataset: str | None = None,
+    exclude_dataset: str | None = None,
+    **kwargs,
+) -> list[dict]:
+    """Catalog fan-out of load_entities_dataset with the reference's
+    include/exclude fnmatch globs on dataset names
+    (sync/aleph_entities.py:111-133). Returns one status dict per
+    loaded dataset, tagged with the dataset name."""
+    from fnmatch import fnmatch
+
+    catalog = _read_json_uri(catalog_uri)
+    out: list[dict] = []
+    for ds in catalog.get("datasets", []):
+        name = ds.get("name", "")
+        if exclude_dataset and fnmatch(name, exclude_dataset):
+            continue
+        if include_dataset and not fnmatch(name, include_dataset):
+            continue
+        uri = ds.get("index_url") or ds.get("uri")
+        stats = load_entities_dataset(spark, uri, send, **kwargs)
+        stats["dataset"] = name
+        out.append(stats)
+    return out

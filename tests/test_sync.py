@@ -139,3 +139,103 @@ def test_push_in_batches(spark, tmp_path):
     assert max(len(b) for b in batches) <= 1000
     ids = sorted(row["id"] for b in batches for row in b)
     assert ids == list(range(2500))
+
+
+# ----------------------------------------------- aleph entity loading (new)
+def _write_ftm_dataset(spark, root, name, n_entities):
+    """A published dataset layout: entities.ftm.json + index.json with an
+    FTM resource row (checksum'd), like the nomenklatura dataset spec."""
+    import hashlib
+
+    ds_dir = os.path.join(root, name)
+    os.makedirs(ds_dir, exist_ok=True)
+    ents = spark.createDataFrame(
+        [(f"{name}-e{i}", "Document", {"title": [f"doc {i}"]}, name) for i in range(n_entities)],
+        "id string, schema string, properties map<string,array<string>>, dataset string",
+    )
+    from ftm_datalake_spark.sources.sinks import write_entities_jsonl
+
+    target = write_entities_jsonl(ents, ds_dir)
+    checksum = hashlib.sha1(open(target, "rb").read()).hexdigest()
+    index = {
+        "name": name,
+        "resources": [
+            {
+                "name": "entities.ftm.json",
+                "url": target,
+                "mime_type": "application/json+ftm",
+                "checksum": checksum,
+            },
+            {"name": "documents.csv", "url": "x", "mime_type": "text/csv"},
+        ],
+    }
+    index_path = os.path.join(ds_dir, "index.json")
+    with open(index_path, "w") as fh:
+        json.dump(index, fh)
+    return index_path
+
+
+def test_load_entities_dataset_incremental(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.sync import load_entities_dataset
+
+    index_uri = _write_ftm_dataset(spark, str(tmp_path), "ds_a", 25)
+    outdir = str(tmp_path / "pushed")
+    os.makedirs(outdir)
+
+    def send(batch: list[dict]) -> None:
+        import uuid
+
+        with open(os.path.join(outdir, f"{uuid.uuid4().hex}.json"), "w") as fh:
+            json.dump(batch, fh)
+
+    ledger = str(tmp_path / "ledger")
+    meta_calls: list[str] = []
+    stats = load_entities_dataset(
+        spark, index_uri, send, ledger_dir=ledger, batch_size=10,
+        update_metadata=lambda ix: meta_calls.append(ix["name"]),
+    )
+    assert stats == {"resources": 1, "entities": 25, "skipped_resources": 0}
+    assert meta_calls == ["ds_a"]  # update_collection_metadata hook, once
+    pushed = [
+        e for p in os.listdir(outdir)
+        for b in [json.load(open(os.path.join(outdir, p)))] for e in b
+    ]
+    assert sorted(e["id"] for e in pushed) == sorted(f"ds_a-e{i}" for i in range(25))
+    assert all(len(json.load(open(os.path.join(outdir, p)))) <= 10 for p in os.listdir(outdir))
+
+    # second run: the resource checksum is in the ledger -> skipped, no new pushes
+    n_files = len(os.listdir(outdir))
+    stats2 = load_entities_dataset(spark, index_uri, send, ledger_dir=ledger)
+    assert stats2 == {"resources": 0, "entities": 0, "skipped_resources": 1}
+    assert len(os.listdir(outdir)) == n_files
+
+
+def test_load_entities_catalog_globs(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.sync import load_entities_catalog
+
+    uri_a = _write_ftm_dataset(spark, str(tmp_path), "pub_a", 3)
+    uri_b = _write_ftm_dataset(spark, str(tmp_path), "pub_b", 4)
+    uri_c = _write_ftm_dataset(spark, str(tmp_path), "internal_c", 5)
+    catalog = {
+        "datasets": [
+            {"name": "pub_a", "index_url": uri_a},
+            {"name": "pub_b", "index_url": uri_b},
+            {"name": "internal_c", "index_url": uri_c},
+        ]
+    }
+    cat_path = str(tmp_path / "catalog.json")
+    with open(cat_path, "w") as fh:
+        json.dump(catalog, fh)
+    outdir = str(tmp_path / "pushed_cat")
+    os.makedirs(outdir)
+
+    def send(batch: list[dict]) -> None:
+        import uuid
+
+        with open(os.path.join(outdir, f"{uuid.uuid4().hex}.json"), "w") as fh:
+            json.dump(batch, fh)
+
+    res = load_entities_catalog(
+        spark, cat_path, send, include_dataset="pub_*", exclude_dataset="*_b"
+    )
+    assert [(r["dataset"], r["entities"]) for r in res] == [("pub_a", 3)]
