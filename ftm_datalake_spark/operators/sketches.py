@@ -255,13 +255,19 @@ def bloom_probe(
 
 
 def hll_registers_by(
-    keys: DataFrame, group_col: str, m: int = 64, key_col: str = "key"
+    keys: DataFrame,
+    group_col: str | list[str],
+    m: int = 64,
+    key_col: str = "key",
 ) -> DataFrame:
     """Per-group HLL registers: the scale replacement for GROUP BY +
     COUNT(DISTINCT) — each task emits ≤ m rows PER GROUP after map-side
     combine regardless of key cardinality, and groupBy(group, bucket)
     max(rho) IS the register merge. Same exact integer rho as the
-    global sketch."""
+    global sketch. ``group_col`` may be a compound key (list); coarser
+    rollups come from re-maxing the registers on a key prefix (see
+    events_dau_stickiness_hll: weekly registers from daily ones)."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     h = shingle_hash(F.col(key_col).cast("string"))
     w_bits = 32 - (m.bit_length() - 1)
     w = F.floor(h / m).cast("long")
@@ -272,23 +278,24 @@ def hll_registers_by(
             F.lit(w_bits - b + 1),
         ).otherwise(rho)
     probe = keys.select(
-        F.col(group_col), (h % m).alias("bucket"), rho.alias("rho")
+        *groups, (h % m).alias("bucket"), rho.alias("rho")
     )
-    return probe.groupBy(group_col, "bucket").agg(F.max("rho").alias("r"))
+    return probe.groupBy(*groups, "bucket").agg(F.max("rho").alias("r"))
 
 
 def hll_estimate_by(
-    registers: DataFrame, group_col: str, m: int = 64
+    registers: DataFrame, group_col: str | list[str], m: int = 64
 ) -> DataFrame:
     """Per-group raw HLL estimate; the dyadic-rational sum stays exact
     and order-independent per group (see hll_estimate)."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     alpha = 0.709
-    per = registers.groupBy(group_col).agg(
+    per = registers.groupBy(*groups).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
         F.count("*").alias("nb"),
     )
     return per.select(
-        F.col(group_col),
+        *groups,
         (
             F.lit(alpha * m * m)
             / (F.col("s") + (F.lit(m) - F.col("nb")) * F.lit(1.0))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ftm_datalake_spark.plans.corpus_ops import _hll_rho_sql
 from ftm_datalake_spark.plans.registry import register
 from ftm_datalake_spark.sources.tables import load_table
 
@@ -979,4 +980,92 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p90_min"),
         )
         .orderBy("cohort_week")
+    )
+
+
+# --------------------------------------------------------------------------
+# DAU/WAU stickiness on the SKETCH path — the 100 TB twin of
+# events_dau_stickiness: distinct users per day/week come from 64-bucket
+# HLL registers instead of exact distincts. The weekly registers are NOT
+# rebuilt from raw events — they are the daily registers re-maxed on
+# (week, bucket), i.e. the register merge a tiered rollup would ship
+# between levels; per group each task emits ≤64 rows after map-side
+# combine regardless of user cardinality. Every estimate is a
+# dyadic-rational sum (exact, order-independent) so even the sketch
+# floats are bit-identical cross-engine. No cross-row float sums: the
+# output is per-day, each value a pure function of its two register
+# sets.
+@register(
+    "events_dau_stickiness_hll",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT date_trunc('week', ts) AS week, date_trunc('day', ts) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    probe AS (
+      SELECT week, day, h % 64 AS bucket, {_hll_rho_sql()} AS rho
+      FROM (SELECT week, day, h, CAST(floor(h / 64) AS BIGINT) AS w
+            FROM hashed)
+    ),
+    daily_regs AS (
+      SELECT week, day, bucket, MAX(rho) AS r
+      FROM probe GROUP BY week, day, bucket
+    ),
+    weekly_regs AS (
+      SELECT week, bucket, MAX(r) AS r
+      FROM daily_regs GROUP BY week, bucket
+    ),
+    dau AS (
+      SELECT week, day,
+             0.709 * 64 * 64 / (SUM(pow(2.0, -r)) + (64 - COUNT(*)) * 1.0)
+               AS dau_est
+      FROM daily_regs GROUP BY week, day
+    ),
+    wau AS (
+      SELECT week,
+             0.709 * 64 * 64 / (SUM(pow(2.0, -r)) + (64 - COUNT(*)) * 1.0)
+               AS wau_est
+      FROM weekly_regs GROUP BY week
+    )
+    SELECT d.week, d.day, d.dau_est, w.wau_est,
+           d.dau_est / w.wau_est AS day_stickiness
+    FROM dau d JOIN wau w USING (week)
+    ORDER BY d.week, d.day
+    """,
+    tags=("sketch", "events", "analytics"),
+)
+def events_dau_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("user_id").alias("key"),
+    )
+    daily_regs = hll_registers_by(base, ["week", "day"])
+    weekly_regs = daily_regs.groupBy("week", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    dau = hll_estimate_by(daily_regs, ["week", "day"]).select(
+        "week", "day", F.col("estimate").alias("dau_est")
+    )
+    wau = hll_estimate_by(weekly_regs, "week").select(
+        "week", F.col("estimate").alias("wau_est")
+    )
+    return (
+        dau.join(wau, "week")
+        .select(
+            "week",
+            "day",
+            "dau_est",
+            "wau_est",
+            (F.col("dau_est") / F.col("wau_est")).alias("day_stickiness"),
+        )
+        .orderBy("week", "day")
     )

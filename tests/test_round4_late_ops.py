@@ -254,3 +254,54 @@ def test_weighted_hashrace_favors_heavy_items(spark):
     sel = weighted_sample_hashrace(df, F.col("w"), k=100, id_cols=["item_id"])
     heavy = sel.where(F.col("wt") == 64).count()
     assert heavy >= 90  # E[heavy] ~ 98 of 100; 90 leaves slack
+
+
+# --------------------------------------------------- HLL register rollup
+def test_hll_weekly_registers_merge_equals_direct(spark, sf_dir):
+    """Tiered-rollup property: weekly registers obtained by re-maxing the
+    daily registers must equal registers built directly from raw events
+    at week grain — max(max per day) == max per week."""
+    from ftm_datalake_spark.operators.sketches import hll_registers_by
+    from ftm_datalake_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("user_id").alias("key"),
+    )
+    daily = hll_registers_by(base, ["week", "day"])
+    merged = daily.groupBy("week", "bucket").agg(F.max("r").alias("r"))
+    direct = hll_registers_by(base.drop("day"), "week")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_stickiness_tracks_exact(spark, sf_dir):
+    """The sketch stickiness should land near the exact one (64 buckets
+    -> ~13% rsd; assert within 40% relative on every day)."""
+    from ftm_datalake_spark.plans import REGISTRY
+
+    sk = {
+        (r["week"], r["day"]): r["day_stickiness"]
+        for r in REGISTRY["events_dau_stickiness_hll"].builder(spark, sf_dir).collect()
+    }
+    from ftm_datalake_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("week", "day").agg(F.count("*").alias("dau"))
+    wau = du.select("week", "user_id").distinct().groupBy("week").agg(
+        F.count("*").alias("wau")
+    )
+    exact = {
+        (r["week"], r["day"]): r["dau"] / r["wau"]
+        for r in dau.join(wau, "week").collect()
+    }
+    assert set(sk) == set(exact)
+    for k, v in exact.items():
+        assert abs(sk[k] - v) / v < 0.40, (k, sk[k], v)
