@@ -930,3 +930,95 @@ def sketch_moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = moments_merge(partial, ["l_returnflag"])
     return moments_estimates(merged).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules over order baskets at brand grain:
+# pairwise support / confidence / lift. The pair generation is a
+# self-equi-join on l_orderkey with brand_a < brand_b — fanout bounded
+# by basket size squared (baskets are ≤7 lines), NEVER all-pairs over
+# brands or orders, so the shape is linear in orders at 100 TB. The
+# brand marginals (≤25 rows) broadcast back onto the pair frame. All
+# metrics are ratios of exact integer counts evaluated with one fixed
+# formula, so the doubles are bit-identical cross-engine.
+@register(
+    "basket_brand_association",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bc AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS brand_orders
+      FROM ob GROUP BY brand
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_orders
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_orders,
+           CAST(p.pair_orders AS DOUBLE) / n.n_orders AS support,
+           CAST(p.pair_orders AS DOUBLE) / ba.brand_orders AS confidence,
+           CAST(p.pair_orders AS DOUBLE) * n.n_orders
+             / (CAST(ba.brand_orders AS DOUBLE) * bb.brand_orders) AS lift
+    FROM pairs p, n
+    JOIN bc ba ON p.brand_a = ba.brand
+    JOIN bc bb ON p.brand_b = bb.brand
+    WHERE p.pair_orders >= 2
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 50
+    """,
+    tags=("agg", "analytics", "join"),
+)
+def basket_brand_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    # basket count is metadata-scale (one scalar), like the k-means
+    # centroid collects: an exact integer, identical in the oracle's
+    # subquery, so every derived double matches bit-for-bit
+    n_orders = ob.select("l_orderkey").distinct().count()
+    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("brand_orders"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").cast("long").alias("pair_orders"))
+        .where(F.col("pair_orders") >= 2)
+    )
+    ba = F.broadcast(bc.withColumnRenamed("brand", "brand_a").withColumnRenamed("brand_orders", "orders_a"))
+    bb = F.broadcast(bc.withColumnRenamed("brand", "brand_b").withColumnRenamed("brand_orders", "orders_b"))
+    return (
+        pairs.join(ba, "brand_a")
+        .join(bb, "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            (F.col("pair_orders").cast("double") / F.lit(n_orders)).alias("support"),
+            (F.col("pair_orders").cast("double") / F.col("orders_a")).alias(
+                "confidence"
+            ),
+            (
+                F.col("pair_orders").cast("double")
+                * F.lit(n_orders)
+                / (F.col("orders_a").cast("double") * F.col("orders_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(50)
+    )
