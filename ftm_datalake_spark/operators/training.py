@@ -386,3 +386,31 @@ def weighted_sample_hashrace(
         .orderBy("race_key", *id_cols)
         .limit(k)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_cols: list[str],
+    group_cols: list[str],
+    max_weight: int = 64,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: the same hashed
+    integer lottery as :func:`weighted_sample_hashrace`, but the k
+    smallest race keys are taken PER GROUP via one row_number window —
+    the per-source quota sampler's shape (one bounded window per group,
+    parallel across groups) with A-ES weighting inside each group."""
+    w = F.least(F.lit(max_weight), F.greatest(F.lit(1), weight.cast("long")))
+    ident = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    tickets = F.transform(
+        F.sequence(F.lit(1).cast("long"), w),
+        lambda j: F.md5(F.concat_ws("|", ident, j.cast("string"))),
+    )
+    keyed = df.withColumn("wt", w).withColumn("race_key", F.array_min(tickets))
+    win = Window.partitionBy(*group_cols).orderBy("race_key", *id_cols)
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )

@@ -39,9 +39,10 @@ supplier_concentration_hhi, text_trigram_novelty,
 part_substitution_candidates, events_conversion_latency,
 docs_source_vocab_overlap, orders_basket_size_distribution, and the
 4 round-4 finishers sketch_moments_quantiles / sample_weighted_aes /
-events_dau_stickiness_hll / basket_brand_association) —
+events_dau_stickiness_hll / basket_brand_association /
+sample_weighted_per_lang) —
 every one of them is already green in the sf0.01 AND sf0.1 local
-sweeps (VERIFY_LOCAL_r04 / VERIFY_LOCAL_SF01_r04: 204/204), so driver
+sweeps (VERIFY_LOCAL_r04 / VERIFY_LOCAL_SF01_r04: 205/205), so driver
 rows should come back green.
 """
 

@@ -817,3 +817,47 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=100,
         id_cols=["l_orderkey", "l_linenumber"],
     ).select("l_orderkey", "l_linenumber", "wt", "race_key")
+
+
+# --------------------------------------------------------------------------
+# Per-group weighted sampling without replacement: the A-ES hash race
+# scoped per language — top-20 docs per lang, selection probability
+# rising with document length. One bounded row_number window per group
+# (parallel across groups, k rows kept each); the ticket list stays
+# row-local exactly as in the global sampler.
+@register(
+    "sample_weighted_per_lang",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             LEAST(64, GREATEST(1, n_chars // 100)) AS wt
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang, wt,
+             list_min(list_transform(
+               generate_series(CAST(1 AS BIGINT), wt),
+               j -> md5(CAST(doc_id AS VARCHAR) || '|'
+                        || CAST(j AS VARCHAR)))) AS race_key
+      FROM r),
+    ranked AS (
+      SELECT doc_id, lang, wt, race_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY race_key, doc_id) AS rn
+      FROM keyed)
+    SELECT doc_id, lang, wt, race_key
+    FROM ranked WHERE rn <= 20
+    ORDER BY lang, race_key
+    """,
+    tags=("training", "sampling"),
+)
+def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return TR.weighted_sample_per_group(
+        docs,
+        (F.col("n_chars") / 100).cast("long"),
+        k=20,
+        id_cols=["doc_id"],
+        group_cols=["lang"],
+    ).select("doc_id", "lang", "wt", "race_key").orderBy("lang", "race_key")

@@ -305,3 +305,20 @@ def test_hll_stickiness_tracks_exact(spark, sf_dir):
     assert set(sk) == set(exact)
     for k, v in exact.items():
         assert abs(sk[k] - v) / v < 0.40, (k, sk[k], v)
+
+
+def test_weighted_per_group_caps_and_favors_heavy(spark):
+    """Per-group A-ES: exactly k winners per group (when the group has
+    >=k items) and heavy items dominate within each group."""
+    from ftm_datalake_spark.operators.training import weighted_sample_per_group
+
+    rows = [(g * 1000 + i, f"g{g}", 64 if i < 250 else 1)
+            for g in range(3) for i in range(500)]
+    df = spark.createDataFrame(rows, "item_id long, grp string, w long")
+    sel = weighted_sample_per_group(
+        df, F.col("w"), k=50, id_cols=["item_id"], group_cols=["grp"]
+    )
+    per = {r["grp"]: r["n"] for r in sel.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per == {"g0": 50, "g1": 50, "g2": 50}
+    heavy = sel.where(F.col("wt") == 64).count()
+    assert heavy >= 135  # E ~ 147/150; deterministic given fixed hashes
