@@ -19,6 +19,8 @@ estimate) is oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -301,6 +303,55 @@ def hll_estimate_by(
             / (F.col("s") + (F.lit(m) - F.col("nb")) * F.lit(1.0))
         ).alias("estimate"),
         F.col("nb").alias("buckets_used"),
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant alpha_m (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_lc_table(m: int) -> list[float]:
+    """Linear-counting estimates m * ln(m / V) for V = 1..m-1 empty
+    buckets, precomputed driver-side. The table exists because JVM
+    Math.log differs from libm ln by 1 ulp on some of these inputs
+    (measured: m=256, V=177), while CPython's math.log and DuckDB's ln
+    are both libm-backed and bit-agree on all of them — baking the
+    doubles in as literals keeps the small-range branch bit-reproducible
+    cross-engine (a pytest pins the table against DuckDB's ln)."""
+    return [m * math.log(m / v) for v in range(1, m)]
+
+
+def hll_estimate_full_by(
+    registers: DataFrame, group_col: str | list[str], m: int = 64
+) -> DataFrame:
+    """Per-group HLL with the standard small-range correction: raw
+    estimate alpha_m * m^2 / sum(2^-r); when raw <= 2.5m and some
+    buckets are empty, switch to linear counting m*ln(m/V) via the
+    literal table. The raw estimate and the branch predicate are exact
+    dyadic arithmetic (see hll_estimate), so both engines take the same
+    branch and produce identical doubles end-to-end."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    per = registers.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    raw = F.lit(hll_alpha(m) * m * m) / (
+        F.col("s") + (F.lit(m) - F.col("nb")) * F.lit(1.0)
+    )
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in hll_lc_table(m)]),
+        (F.lit(m) - F.col("nb")).cast("int"),
+    )
+    est = F.when((F.col("nb") < m) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return per.select(
+        *groups, est.alias("estimate"), F.col("nb").alias("buckets_used")
     )
 
 

@@ -7,123 +7,44 @@ of that round, and rounds with identical registries sampled identical
 sets). Registration order is module-import order, which bears no
 relation to which queries most need driver evidence.
 
-This list reorders the registry so the prefix is spent deliberately:
+This list reorders the registry so the prefix is spent deliberately.
 
-1. Queries whose latest driver row is red (stale r1 errors fixed in r2,
-   plus the r3 TIMESTAMP_NTZ casualty) — a standing red row is worse
-   than no row.
-2. ``events_sessionize`` — r2 bench headliner, broken by the NTZ drift,
-   fixed this round; needs a fresh green row.
-3. Never-sampled queries, ordered to cover every untested family inside
-   the 50-slot prefix: TPC-H q2/q7-q11/q13/q15-q17/q20-q22, graph ops,
-   multimodal, the PQ/IVF-PQ ANN family, asof/range joins, the dedup
-   family, text analysis, sampling, training-pipeline ops.
+Round-5 curation: CORRECTNESS_r04 came back 49/49 green on every
+oracled row, so the whole r4 prefix rotates out. The new prefix is:
 
-Everything not listed keeps registration order after these. Rotate this
-list in future rounds as rows go green (regenerate the candidate pool
-with ``scripts/gen_parity.py``).
+1. ``approx_distinct_users`` — the one standing red row (err:
+   no_oracle in r1–r4). Re-registered this round on the deterministic
+   relational-HLL path with a full DuckDB oracle (m=256 registers +
+   linear-counting small-range branch via a driver-baked ln table), so
+   the row should finally go green. It stays in slot 1 until it does.
+2. 49 never-driver-sampled queries (83 remained after r4), ordered to
+   cover every untested family: the dedup family (exact, minhash,
+   simhash, ngram-jaccard, families, verified-pairs, prefix-filter,
+   incremental, containment, CDC-chunks, canonical corpus), the text
+   family (token count, BPE tokens, quality, langid, fingerprint,
+   repetition, trigram novelty), sampling (stratified, reservoir,
+   importance, per-source cap, diverse-LSH, A-ES weighted ×2),
+   training-pipeline ops (sequence packing, epoch shards, source
+   mixing, sliding chunks, curriculum, decontaminate-benchmark,
+   quantize-int8), multimodal GIF/Y4M, BPE train/encode-trained,
+   per-group HLL + moments sketches, CDC/changefeed/incremental-merge,
+   and the round-4 analytics batch (anomaly MAD, RFM, pareto, YoY,
+   DAU stickiness ×2, autocorr, rolling-7d, conversion latency, HHI,
+   vocab overlap, basket associations, substitution candidates).
 
-Round-4 curation: bpe_pair_freq_top20 / bpe_encode_fixed /
-decontaminate_exact_substring entered the prefix (displacing
-events_ohlc_hourly, events_ewma_smoothed, ann_ivf_topk_nprobe2 just
-below the boundary). For round 5: once CORRECTNESS_r04 lands, move its
-green rows out of the prefix and pull in the next never-sampled names
-(bpe_train_merges/bpe_encode_trained, multimodal_y4m_frames,
-asof_next_purchase, lm_surprisal_topdocs, dedup_containment_pairs,
-sketch_hll_by_event_type, the remaining dedup/text families, and the
-16 round-4-continuation queries: dedup_cdc_chunks, sample_diverse_lsh,
-events_anomaly_mad, customer_rfm_segments, orders_revenue_pareto,
-lineitem_yoy_growth, events_dau_stickiness, events_hourly_autocorr,
-events_rolling_7d_users, corpus_curriculum_stages,
-supplier_concentration_hhi, text_trigram_novelty,
-part_substitution_candidates, events_conversion_latency,
-docs_source_vocab_overlap, orders_basket_size_distribution, and the
-4 round-4 finishers sketch_moments_quantiles / sample_weighted_aes /
-events_dau_stickiness_hll / basket_brand_association /
-sample_weighted_per_lang) —
-every one of them is already green in the sf0.01 AND sf0.1 local
-sweeps (VERIFY_LOCAL_r04 / VERIFY_LOCAL_SF01_r04: 205/205), so driver
+Everything not listed keeps registration order after these. The 34
+never-sampled names that didn't fit the 50-slot prefix queue just below
+the boundary for round 6. Every prefix name is green in the builder's
+full-registry sf0.01 AND sf0.1 sweeps (VERIFY_LOCAL_r04/r05), so driver
 rows should come back green.
 """
 
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # 1. stale-red driver rows (all verified green locally post-fix)
-    "entities_full",
+    # 1. the last red driver row, now fully oracled (round-5 fix)
     "approx_distinct_users",
-    "sessions_overlap_purchases",
-    # 2. NTZ-regression casualty, fixed this round
-    "events_sessionize",
-    # 3. never-sampled: TPC-H
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    # never-sampled: graph
-    "pagerank_trade_graph",
-    "graph_triangles_trade",
-    "graph_bfs_distances",
-    # never-sampled: multimodal
-    "multimodal_image_features",
-    "multimodal_resize_roundtrip",
-    "multimodal_audio_features",
-    "multimodal_bmp_features",
-    "multimodal_video_frames",
-    "multimodal_image_dedup",
-    # new this round: compressed-codec decode paths (PNG, baseline JPEG)
-    "multimodal_png_features",
-    "multimodal_jpeg_features",
-    # new this round: FFT audio features, data-layout operators, KMV
-    "multimodal_audio_spectrum",
-    "multimodal_audio_decimate",
-    "multimodal_resize_bilinear",
-    "multimodal_tiff_features",
-    "multimodal_phash_neardup",
-    "layout_zorder_events",
-    "layout_hilbert_events",
-    "layout_compaction_plan",
-    "sketch_theta_set_ops",
-    # never-sampled: ANN quantization family
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_recall",
-    # new this round: exact-substring decontamination (oracle-gated);
-    # ann_ivf_topk_nprobe2 moved below the boundary (nprobe variant of
-    # an already-green family — lowest marginal evidence in the prefix)
-    "decontaminate_exact_substring",
-    # new this round: sequence pattern + attribution + leakage-safe split
-    "events_pattern_match",
-    "events_attribution_last_touch",
-    # new this round: BPE tokenizer family (the oracle-gated pair).
-    # events_ohlc_hourly / events_ewma_smoothed moved below the boundary
-    # to make room — the events extension family already has several
-    # members inside the prefix.
-    "bpe_pair_freq_top20",
-    "bpe_encode_fixed",
-    "corpus_leakage_safe_split",
-    "dedup_lsh_recall",
-    # never-sampled: temporal joins
-    "asof_last_purchase",
-    "range_join_session_errors",
-    "interval_overlap_sessions",  # new this round: overlap-join operator
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
-    "ann_ivf_topk_nprobe2",
-    "events_ohlc_hourly",
-    "events_ewma_smoothed",
-    "bpe_train_merges",
-    "bpe_encode_trained",
-    "events_interarrival",
-    # never-sampled: dedup family
+    # 2. never-sampled: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -132,35 +53,81 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dedup_verified_pairs",
     "dedup_prefix_filter_pairs",
     "dedup_incremental",
+    "dedup_containment_pairs",
+    "dedup_cdc_chunks",
+    "dedup_canonical_corpus",
     # never-sampled: text analysis
     "text_token_count",
     "text_bpe_tokens",
     "text_quality",
     "text_langid",
     "text_fingerprint",
-    # never-sampled: sampling + training pipeline
+    "text_repetition",
+    "text_trigram_novelty",
+    # never-sampled: sampling
     "sample_stratified",
     "sample_reservoir_k",
+    "sample_importance_weighted",
+    "sample_per_source_cap",
+    "sample_diverse_lsh",
+    "sample_weighted_aes",
+    "sample_weighted_per_lang",
+    # never-sampled: training-pipeline ops
     "sequence_packing",
     "decontaminate_benchmark",
-    # remaining never-sampled, next in line for round-5 rotation
-    "multimodal_gif_features",
-    "multimodal_y4m_frames",
-    "cdc_apply_documents",
-    "statement_incremental_merge",
-    "embedding_centroids",
-    "tfidf_top_terms",
-    "dedup_canonical_corpus",
-    "pii_redact",
-    "embedding_quantize_int8",
-    "text_repetition",
-    "doc_commonness",
-    "corpus_curation_v2",
     "corpus_epoch_shards",
-    "sample_importance_weighted",
     "corpus_source_mixing",
     "corpus_sliding_chunks",
-    "sample_per_source_cap",
+    "corpus_curriculum_stages",
+    "embedding_quantize_int8",
+    # never-sampled: multimodal codecs not yet driver-seen
+    "multimodal_gif_features",
+    "multimodal_y4m_frames",
+    # never-sampled: basket/vocab analytics (the BPE trained pair is
+    # rows-only — no oracle for the data-dependent iterative argmax —
+    # so it stays OUT of the prefix: a sampled rows-only row records
+    # "err: no_oracle", the exact red-row class this rotation kills)
+    "basket_brand_association",
+    "docs_source_vocab_overlap",
+    # never-sampled: sketches
+    "sketch_hll_by_event_type",
+    "sketch_moments_quantiles",
+    # never-sampled: incremental / CDC
+    "cdc_apply_documents",
+    "changefeed_documents",
+    "statement_incremental_merge",
+    # never-sampled: analytics batch
+    "events_anomaly_mad",
+    "events_dau_stickiness_hll",
+    "events_rolling_7d_users",
+    "events_conversion_latency",
+    "customer_rfm_segments",
+    "orders_revenue_pareto",
+    "lineitem_yoy_growth",
+    "supplier_concentration_hhi",
+    # ---- 50-slot prefix boundary (driver samples ~50) ----
+    # never-sampled queue for round 6
+    "bpe_train_merges",
+    "bpe_encode_trained",
+    "part_substitution_candidates",
+    "events_dau_stickiness",
+    "events_hourly_autocorr",
+    "events_ohlc_hourly",
+    "events_ewma_smoothed",
+    "events_interarrival",
+    "events_active_windows",
+    "orders_basket_size_distribution",
+    "ann_ivf_topk_nprobe2",
+    "ann_hard_negatives",
+    "pit_labeled_examples",
+    "asof_next_purchase",
+    "lm_surprisal_topdocs",
+    "corpus_report_card",
+    "corpus_curation_v2",
+    "doc_commonness",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "pii_redact",
     "hypertable_daily_rollup",
     "mode_event_type",
     "pivot_user_event_counts",

@@ -186,13 +186,88 @@ def entities_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Approximate distinct (HLL) — the 100 TB variant of entity counting.
-# No cross-engine oracle: sketch implementations differ; rows-only check.
-@register("approx_distinct_users", oracle=None, tags=("agg", "approx"))
+# Re-registered (round 5) on the deterministic relational HLL path
+# (operators/sketches.py) instead of Spark's approx_count_distinct, whose
+# sketch internals no other engine reproduces: m=256 registers from exact
+# integer (bucket, rho) hashing, raw estimate as exact dyadic double
+# arithmetic, and the standard small-range linear-counting branch via a
+# driver-baked m*ln(m/V) literal table (JVM Math.log is 1 ulp off libm on
+# some inputs; the table makes both engines read the same doubles). Fully
+# DuckDB-oracled — estimate, branch, and exact count all hash-match.
+_ADU_M = 256
+_ADU_ALPHA_MM = 0.7213 / (1 + 1.079 / _ADU_M) * _ADU_M * _ADU_M
+
+
+def _adu_oracle() -> str:
+    from ftm_datalake_spark.plans.corpus_ops import _hll_rho_sql
+
+    m = _ADU_M
+    raw = f"{_ADU_ALPHA_MM!r} / (s + ({m} - nb) * 1.0)"
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    probe AS (
+      SELECT event_type, h % {m} AS bucket, {_hll_rho_sql(24)} AS rho
+      FROM (SELECT event_type, h, CAST(floor(h / {m}) AS BIGINT) AS w
+            FROM hashed)
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS r
+      FROM probe GROUP BY event_type, bucket
+    ),
+    per AS (
+      SELECT event_type, SUM(pow(2.0, -r)) AS s, COUNT(*) AS nb
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CASE WHEN nb < {m} AND ({raw}) <= {2.5 * m!r}
+                  THEN {m} * ln({float(m)!r} / ({m} - nb))
+                  ELSE {raw} END AS approx_users,
+             CAST(nb AS BIGINT) AS buckets_used
+      FROM per
+    )
+    SELECT e.event_type, e.approx_users, e.buckets_used, x.exact_users
+    FROM est e JOIN (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type) x USING (event_type)
+    ORDER BY e.event_type
+    """
+
+
+@register(
+    "approx_distinct_users",
+    oracle=_adu_oracle(),
+    tags=("agg", "approx", "sketch"),
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.sketches import (
+        hll_estimate_full_by,
+        hll_registers_by,
+    )
+
     events = load_table(spark, sf_dir, "events")
+    regs = hll_registers_by(
+        events.select("event_type", F.col("user_id").alias("key")),
+        "event_type",
+        m=_ADU_M,
+    )
+    est = hll_estimate_full_by(regs, "event_type", m=_ADU_M)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
     return (
-        events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("estimate").alias("approx_users"),
+            F.col("buckets_used").cast("long").alias("buckets_used"),
+            "exact_users",
+        )
         .orderBy("event_type")
     )
 

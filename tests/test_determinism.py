@@ -23,6 +23,7 @@ RISKY = [
     "sequence_packing",
     "corpus_epoch_shards",
     "sketch_hll_distinct_users",
+    "approx_distinct_users",
     "sketch_cms_heavy_hitters",
     "sketch_theta_set_ops",
     "dedup_exact",
