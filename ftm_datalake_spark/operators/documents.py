@@ -82,6 +82,50 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame]
     return new.exceptAll(old), old.exceptAll(new)
 
 
+def unified_diff_changes(
+    old_lines: DataFrame, new_lines: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed difflib: per-changed-line hunk anchors for a
+    byte-parity unified diff (n=0) between two sorted unique line sets.
+
+    The reference diffs snapshots with ``difflib.unified_diff`` over the
+    full sorted line lists in memory (archive/documents.py:96-117). For
+    sorted *unique* sequences the longest common subsequence is exactly
+    the set intersection, so difflib's matching — and with n=0 its hunk
+    grouping — is fully determined by, per changed line, the number of
+    common lines strictly before it (its "anchor"): changed lines with
+    equal anchors form one hunk, deletions before insertions. Anchors
+    are computable distributed with NO single-partition stage:
+
+        anchor(deleted x) = pos_in_old(x) - rank_among_deleted(x)
+        anchor(added   x) = pos_in_new(x) - rank_among_added(x)
+
+    using the two-phase global rank (operators/rank.py). Only the
+    CHANGED lines ever need to reach a renderer — at 100 TB the diff of
+    two 100M-row snapshots collects just the delta, where difflib itself
+    would need both full files driver-side.
+
+    Input: DataFrames with a single ``line`` string column (multisets
+    are collapsed — the reference's make_lines builds a set). Returns
+    ``(deleted, added)`` each with columns (line, anchor).
+    """
+    from ftm_datalake_spark.operators.rank import with_global_rank
+
+    o = old_lines.select("line").distinct()
+    n = new_lines.select("line").distinct()
+    dels = o.join(n, "line", "left_anti")
+    adds = n.join(o, "line", "left_anti")
+
+    def _anchored(full: DataFrame, changed: DataFrame) -> DataFrame:
+        pos, _ = with_global_rank(full, ["line"], "pos")
+        rnk, _ = with_global_rank(changed, ["line"], "rnk")
+        return pos.join(rnk, "line").select(
+            "line", (F.col("pos") - F.col("rnk")).cast("long").alias("anchor")
+        )
+
+    return _anchored(o, dels), _anchored(n, adds)
+
+
 def reconcile(
     source_files: DataFrame,
     metadata: DataFrame,

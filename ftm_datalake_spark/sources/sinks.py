@@ -22,6 +22,7 @@ import shutil
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DOCUMENT_COLUMNS = ["key", "content_hash", "size", "mimetype", "created_at", "updated_at"]
 
@@ -40,45 +41,169 @@ def _single_file_write(df: DataFrame, target: str, fmt: str, header: bool) -> No
     shutil.rmtree(tmp)
 
 
+# Above this row count the interchange CSV switches from one deterministic
+# file to a directory of globally range-ordered parts: a coalesce(1) funnel
+# on a 100M-row documents table would serialize the whole write through a
+# single task (and its memory). 1M rows of ~150-byte document lines is a
+# ~150 MB file — the sensible ceiling for "one file" interchange.
+SINGLE_FILE_MAX_ROWS = 1_000_000
+
+
 def write_documents_csv(
-    documents: DataFrame, out_dir: str, snapshot: bool = True
+    documents: DataFrame,
+    out_dir: str,
+    snapshot: bool = True,
+    single_file_max_rows: int = SINGLE_FILE_MAX_ROWS,
 ) -> str:
     """S11: documents.csv with stable ordering + timestamped snapshot.
 
     Mirrors Documents.write() (reference: archive/documents.py:82-117):
     current table at documents.csv, plus documents.csv.{iso-ts} snapshot.
     Diffs between snapshots are *computed relationally* (snapshot_diff),
-    not stored as unified-diff text."""
+    not stored as unified-diff text.
+
+    Scale guard: up to ``single_file_max_rows`` rows the sink emits the
+    reference's single deterministic file. Above it, documents.csv
+    becomes a DIRECTORY of part files in global (key, updated_at) range
+    order (repartitionByRange + sortWithinPartitions — concatenating
+    parts in filename order reproduces the sorted file), written fully
+    distributed; the snapshot copy is hardlinked, not re-read. The
+    single-file form is interchange parity for per-dataset metadata
+    scale; the directory form is what a 100M-row dataset needs."""
     target = os.path.join(out_dir, "documents.csv")
-    ordered = documents.select(*DOCUMENT_COLUMNS).orderBy("key", "updated_at")
-    _single_file_write(ordered, target, "csv", header=True)
+    ordered = documents.select(*DOCUMENT_COLUMNS)
+    n_rows = ordered.count()
+    if n_rows <= single_file_max_rows:
+        _single_file_write(
+            ordered.orderBy("key", "updated_at"), target, "csv", header=True
+        )
+    else:
+        parts = max(2, min(2048, n_rows // single_file_max_rows + 1))
+        if os.path.isfile(target):
+            os.remove(target)  # switching forms: file -> directory
+        (
+            ordered.repartitionByRange(parts, "key", "updated_at")
+            .sortWithinPartitions("key", "updated_at")
+            .write.mode("overwrite")
+            .option("header", "false")
+            .csv(target)
+        )
+        with open(os.path.join(target, "_header"), "w", encoding="utf-8") as fh:
+            fh.write(",".join(DOCUMENT_COLUMNS) + "\n")
     if snapshot:
         stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
-        shutil.copyfile(target, f"{target}.{stamp}")
+        if os.path.isdir(target):
+            shutil.copytree(target, f"{target}.{stamp}", copy_function=os.link)
+        else:
+            shutil.copyfile(target, f"{target}.{stamp}")
     return target
 
 
-def write_documents_diff(
-    added: DataFrame, deleted: DataFrame, target: str
+def documents_csv_lines(documents: DataFrame) -> DataFrame:
+    """The reference's make_lines as a relational projection: each
+    document row rendered as one stripped CSV line (QUOTE_MINIMAL — a
+    field is quoted iff it contains a comma, quote, CR or LF, quotes
+    doubled; None renders empty), distinct-ed like the reference's set
+    (archive/documents.py:129-136). Timestamps render via Spark's
+    timestamp→string cast ('yyyy-MM-dd HH:mm:ss[.ffffff]'), which
+    matches pandas' str(Timestamp) used by the reference."""
+    def fld(c: str):
+        s = F.when(F.col(c).isNull(), F.lit("")).otherwise(
+            F.col(c).cast("string")
+        )
+        quoted = F.concat(
+            F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"')
+        )
+        return F.when(s.rlike('[",\n\r]'), quoted).otherwise(s)
+
+    line = F.concat_ws(",", *[fld(c) for c in DOCUMENT_COLUMNS])
+    stripped = F.regexp_replace(F.regexp_replace(line, r"^\s+", ""), r"\s+$", "")
+    return documents.select(stripped.alias("line")).distinct()
+
+
+def _format_range_unified(start: int, stop: int) -> str:
+    """difflib._format_range_unified, byte-for-byte (0-based [start, stop))."""
+    beginning = start + 1
+    length = stop - start
+    if length == 1:
+        return str(beginning)
+    if not length:
+        beginning -= 1
+    return f"{beginning},{length}"
+
+
+def render_unified_diff(
+    deleted: list, added: list, from_version: str, to_version: str
 ) -> str:
-    """Unified-diff-style text artifact between two documents snapshots
-    (reference: documents.csv.{ts}.diff, archive/documents.py:96-117).
+    """Render (line, anchor) change sets as the exact bytes the reference
+    writes for documents.csv.{ts}.diff (archive/documents.py:96-117): it
+    iterates difflib.unified_diff(n=0) and writes each element + '\\n',
+    so header/hunk lines — which difflib yields with their own lineterm —
+    carry a trailing blank line, and body lines (built from stripped
+    input) a single newline. Headers use empty file names with optional
+    '\\t{version}' dates, matching unified_diff's fromfiledate/tofiledate
+    rendering. Empty change set → empty string (the reference skips the
+    diff file entirely when nothing changed)."""
+    dmap: dict[int, list[str]] = {}
+    amap: dict[int, list[str]] = {}
+    for row in deleted:
+        dmap.setdefault(row["anchor"], []).append(row["line"])
+    for row in added:
+        amap.setdefault(row["anchor"], []).append(row["line"])
+    anchors = sorted(set(dmap) | set(amap))
+    if not anchors:
+        return ""
+    for group in dmap.values():
+        group.sort()
+    for group in amap.values():
+        group.sort()
+    fromdate = f"\t{from_version}" if from_version else ""
+    todate = f"\t{to_version}" if to_version else ""
+    elements = [f"--- {fromdate}\n", f"+++ {todate}\n"]
+    cum_d = cum_a = 0
+    for a in anchors:
+        d = dmap.get(a, [])
+        i = amap.get(a, [])
+        i1 = a + cum_d
+        j1 = a + cum_a
+        fr1 = _format_range_unified(i1, i1 + len(d))
+        fr2 = _format_range_unified(j1, j1 + len(i))
+        elements.append(f"@@ -{fr1} +{fr2} @@\n")
+        elements.extend("-" + line for line in d)
+        elements.extend("+" + line for line in i)
+        cum_d += len(d)
+        cum_a += len(i)
+    return "".join(e + "\n" for e in elements)
 
-    Diffs are *computed* relationally (snapshot_diff); this sink renders
-    them as sorted '-'/'+' CSV lines for interchange parity. Per-dataset
-    metadata scale → a driver-side write over collected rows."""
-    def _lines(df: DataFrame, sign: str) -> list[str]:
-        cols = df.columns
-        rows = df.orderBy(*cols).collect()
-        out = []
-        for row in rows:
-            rendered = ",".join("" if row[c] is None else str(row[c]) for c in cols)
-            out.append(f"{sign}{rendered}")
-        return out
 
+def write_documents_diff(
+    old: DataFrame,
+    new: DataFrame,
+    target: str,
+    from_version: str = "",
+    to_version: str = "",
+) -> str:
+    """documents.csv.{ts}.diff with reference byte parity
+    (ftm_datalake/archive/documents.py:96-117).
+
+    The diff is COMPUTED relationally (operators/documents.
+    unified_diff_changes — anti-joins + two-phase ranks, no
+    single-partition stage, no full-snapshot collect); only the changed
+    lines reach the driver, where render_unified_diff reproduces
+    difflib.unified_diff's exact output bytes (n=0 hunks, header
+    dates, the reference's extra newline per yielded element)."""
+    from ftm_datalake_spark.operators.documents import unified_diff_changes
+
+    dels, adds = unified_diff_changes(
+        documents_csv_lines(old), documents_csv_lines(new)
+    )
+    del_rows = dels.collect()
+    add_rows = adds.collect()
     os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
     with open(target, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(_lines(deleted, "-") + _lines(added, "+")) + "\n")
+        fh.write(
+            render_unified_diff(del_rows, add_rows, from_version, to_version)
+        )
     return target
 
 

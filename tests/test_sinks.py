@@ -72,14 +72,28 @@ def test_entities_jsonl(spark, tmp_path):
 
 
 def test_documents_diff_text(spark, tmp_path):
-    from ftm_datalake_spark.operators.documents import snapshot_diff
+    # byte-format details are covered in tests/test_unified_diff.py; this
+    # is the sink-level smoke: -/+ lines for the changed keys, with the
+    # reference's unified-diff headers and hunk markers present.
     from ftm_datalake_spark.sources.sinks import write_documents_diff
 
-    v1 = spark.createDataFrame([("a", "h1"), ("b", "h2")], "key string, ch string")
-    v2 = spark.createDataFrame([("a", "h1"), ("c", "h3")], "key string, ch string")
-    added, deleted = snapshot_diff(v1, v2)
-    target = write_documents_diff(added, deleted, str(tmp_path / "documents.csv.diff"))
-    assert open(target).read() == "-b,h2\n+c,h3\n"
+    old = _documents(spark)
+    new = _documents(spark).withColumn(
+        "content_hash",
+        F.when(F.col("key") == "b.txt", F.lit("h2x")).otherwise(
+            F.col("content_hash")
+        ),
+    )
+    target = write_documents_diff(
+        old, new, str(tmp_path / "documents.csv.diff"), "", "2024-02-01T00:00:00"
+    )
+    text = open(target).read()
+    # reference writer quirk: header elements carry difflib's own
+    # lineterm PLUS the writer's "+ '\n'" — a blank line after each
+    assert text.startswith("--- \n\n+++ \t2024-02-01T00:00:00\n\n")
+    assert "@@ " in text
+    assert "-b.txt,h2," in text and "+b.txt,h2x," in text
+    assert "a.txt,h1" not in text  # unchanged rows never appear (n=0)
 
 
 def test_zip_export_roundtrip(spark, tmp_path):
