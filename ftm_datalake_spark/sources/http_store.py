@@ -1,0 +1,192 @@
+"""S2 remote-store backend: crawl an HTTP store (SURVEY §2.1).
+
+The reference's storage layer is fsspec-backed and its tests exercise a
+live local HTTP range server (reference tests/conftest.py:60-80). Spark
+has no Hadoop filesystem for http://, so the backend is built from the
+two primitives an HTTP store actually offers:
+
+- LISTING: driver-side, metadata-only — either a caller-supplied key
+  list (manifest/inventory, the common object-store case) or a
+  recursive walk of an autoindex page (``python -m http.server``
+  style), yielding relative keys. Listing is metadata scale by
+  definition — bytes never flow here.
+- FETCH: task-side — keys are parallelized and each task GETs its own
+  keys through an Arrow-batched mapInPandas, so blob bytes go straight
+  from the HTTP store to executors, never through the driver. Output is
+  binaryFile-shaped (path, modificationTime, length, content), so the
+  whole downstream crawl pipeline (checksum → projection → merge) is
+  IDENTICAL to the local-FS path — proven by the http-vs-local crawl
+  parity test (tests/test_http_store.py).
+
+Ranged reads (``read_http_range``) cover the reference's range-server
+contract for streaming single blobs without full downloads."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from email.utils import parsedate_to_datetime
+from html.parser import HTMLParser
+from urllib.parse import quote, unquote, urljoin
+from urllib.request import Request, urlopen
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class _HrefParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__()
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.hrefs.append(value)
+
+
+def list_http_autoindex(base_url: str, timeout: float = 30.0) -> list[str]:
+    """Recursively walk an HTML autoindex (http.server / nginx style)
+    and return sorted relative keys. Driver-side metadata traversal —
+    one small HTML page per directory, no blob bytes."""
+    base_url = base_url.rstrip("/") + "/"
+    keys: list[str] = []
+    stack = [""]
+    seen = set()
+    while stack:
+        prefix = stack.pop()
+        if prefix in seen:
+            continue
+        seen.add(prefix)
+        with urlopen(base_url + quote(prefix), timeout=timeout) as res:
+            html = res.read().decode(res.headers.get_content_charset() or "utf-8")
+        parser = _HrefParser()
+        parser.feed(html)
+        for href in parser.hrefs:
+            if href.startswith(("?", "#", "../")) or "://" in href:
+                continue
+            rel = unquote(href)
+            if rel.startswith("/"):  # absolute within server: keep subtree only
+                continue
+            if rel.endswith("/"):
+                stack.append(prefix + rel)
+            else:
+                keys.append(prefix + rel)
+    return sorted(keys)
+
+
+def _http_date(value: str | None) -> dt.datetime | None:
+    if not value:
+        return None
+    try:
+        return parsedate_to_datetime(value)
+    except (TypeError, ValueError):
+        return None
+
+
+def read_http_range(
+    url: str, start: int, length: int, timeout: float = 30.0
+) -> bytes:
+    """Ranged blob read (bytes [start, start+length)) — the reference's
+    range-server contract (tests/conftest.py:60-80): stream a slice
+    without fetching the object."""
+    req = Request(url, headers={"Range": f"bytes={start}-{start + length - 1}"})
+    with urlopen(req, timeout=timeout) as res:
+        if res.status not in (200, 206):
+            raise OSError(f"range request failed: {res.status}")
+        body = res.read()
+    if res.status == 200:  # server ignored Range: slice locally
+        return body[start : start + length]
+    return body
+
+
+def scan_http_store(
+    spark: SparkSession,
+    base_url: str,
+    keys: list[str] | None = None,
+    num_partitions: int | None = None,
+    timeout: float = 60.0,
+) -> DataFrame:
+    """binaryFile-shaped scan of an HTTP store: (path, modificationTime,
+    length, content). ``keys`` defaults to an autoindex walk. Fetches
+    run task-side, Arrow-batched; Last-Modified becomes
+    modificationTime (fetch time when the server sends none)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    base = base_url.rstrip("/") + "/"
+    if keys is None:
+        keys = list_http_autoindex(base)
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    meta = spark.createDataFrame(
+        [(k,) for k in keys], "key string"
+    ).repartition(min(p, max(1, len(keys))), "key")
+
+    out_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            paths, mtimes, lengths, contents = [], [], [], []
+            for key in pdf["key"]:
+                url = base + quote(key)
+                with urlopen(url, timeout=timeout) as res:
+                    body = res.read()
+                    modified = _http_date(res.headers.get("Last-Modified"))
+                paths.append(base + key)
+                mtimes.append(modified or dt.datetime.now(dt.timezone.utc))
+                lengths.append(len(body))
+                contents.append(body)
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "modificationTime": mtimes,
+                    "length": lengths,
+                    "content": contents,
+                }
+            )
+
+    return meta.mapInPandas(fetch, out_schema)
+
+
+def crawl_scan_http(
+    spark: SparkSession,
+    base_url: str,
+    dataset: str,
+    keys: list[str] | None = None,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> DataFrame:
+    """The crawl_scan twin for HTTP sources: same DOCUMENTS_SCHEMA rows,
+    same glob semantics, checksum computed task-side over fetched bytes.
+    Include/exclude prune the KEY LIST before any fetch — excluded blobs
+    are never downloaded (reference skips before fetching,
+    ftm_datalake/crawl.py:58-71)."""
+    import fnmatch
+
+    from ftm_datalake_spark.pipelines.ingest import _document_rows
+
+    base = base_url.rstrip("/") + "/"
+    if keys is None:
+        keys = list_http_autoindex(base)
+    if include:
+        keys = [k for k in keys if re.match(r"\A" + fnmatch.translate(include), k)]
+    if exclude:
+        keys = [
+            k for k in keys if not re.match(r"\A" + fnmatch.translate(exclude), k)
+        ]
+    files = scan_http_store(spark, base, keys)
+    return _document_rows(files, base, dataset)
