@@ -181,12 +181,19 @@ def _dispatch(spark, args) -> int:
         if args.archive:
             from pyspark.sql import functions as F
 
-            from ftm_datalake_spark.functions.checksum import content_checksum
             from ftm_datalake_spark.sources.archive import archive_blobs
-            from ftm_datalake_spark.sources.tables import scan_binary_files
 
-            files = scan_binary_files(spark, args.source).select(
-                "path", content_checksum(F.col("content")).alias("content_hash")
+            # Archive pass driven by the MERGED TABLE, not a fresh
+            # content scan: the crawl already applied --include/--exclude
+            # and computed every hash, so excluded files are never
+            # archived and nothing is re-read or re-hashed here —
+            # archive_blobs itself skips shards that already exist, so
+            # only genuinely new blobs are copied.
+            docs = read_documents(spark, args.lake, args.dataset)
+            src_prefix = args.source.rstrip("/") + "/"
+            files = docs.select(
+                F.concat(F.lit(src_prefix), F.col("key")).alias("path"),
+                "content_hash",
             )
             archive_blobs(files, args.lake, args.dataset)
         print(json.dumps(counters))
@@ -230,10 +237,21 @@ def _dispatch(spark, args) -> int:
         from ftm_datalake_spark.operators.stats import catalog, dataset_index
         from ftm_datalake_spark.pipelines.ingest import project_entities
 
+        from pyspark.errors import AnalysisException
+
         try:
             docs = spark.read.parquet(f"{args.lake}/documents")
-        except Exception:
-            return 0
+        except AnalysisException as exc:
+            # An empty lake (no documents table yet) is an empty catalog;
+            # any OTHER read failure (corrupt footers, permissions) must
+            # surface, not masquerade as "no datasets".
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return 0
+            print(f"catalog read failed: {exc}", file=sys.stderr)
+            return 1
+        except Exception as exc:  # corrupt footers etc. — exit loudly
+            print(f"catalog read failed: {exc}", file=sys.stderr)
+            return 1
         if args.names_only:
             for r in docs.select("dataset").distinct().orderBy("dataset").collect():
                 print(r["dataset"])
@@ -253,7 +271,13 @@ def _dispatch(spark, args) -> int:
         )
 
         versions = list_versions(args.lake, args.dataset)
+        if args.version not in versions:
+            print(f"unknown version: {args.version}", file=sys.stderr)
+            return 1
         old = args.against
+        if old is not None and old not in versions:
+            print(f"unknown version: {old}", file=sys.stderr)
+            return 1
         if old is None:
             idx = versions.index(args.version)
             if idx == 0:

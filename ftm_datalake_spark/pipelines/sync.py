@@ -201,6 +201,29 @@ def push_in_batches(
 FTM_MIME = "application/json+ftm"
 
 
+def _localize_resource(uri: str) -> str:
+    """Resource payloads in a published catalog are routinely http(s)
+    URLs (the reference's smart_read_proxies reads them transparently),
+    but Spark ships no http filesystem — a distributed scan of an
+    https:// path dies with 'No FileSystem for scheme'. Remote payloads
+    are therefore staged driver-side to a temp file before the scan;
+    local / file:// / DFS URIs pass through untouched. Payload staging
+    is bounded by the resource size (entities.ftm.json per dataset), the
+    same bytes the reference's single-process reader pulls anyway."""
+    if uri.startswith(("http://", "https://")):
+        import shutil
+        import tempfile
+        import urllib.request
+
+        fd, tmp = tempfile.mkstemp(suffix=".ftm.json")
+        import os as _os
+
+        with _os.fdopen(fd, "wb") as out, urllib.request.urlopen(uri) as res:  # noqa: S310
+            shutil.copyfileobj(res, out)
+        return tmp
+    return uri.removeprefix("file://")
+
+
 def _read_json_uri(uri: str) -> dict:
     """Driver-side metadata read of a dataset/catalog index.json — a
     handful of KB by construction, never data-plane."""
@@ -267,7 +290,7 @@ def load_entities_dataset(
         if cache_key in done:
             stats["skipped_resources"] += 1
             continue
-        url = str(res["url"]).removeprefix("file://")
+        url = _localize_resource(str(res["url"]))
         entities = spark.read.schema(ENTITY_SCHEMA).json(url)
         stats["entities"] += entities.count()
         push_in_batches(
