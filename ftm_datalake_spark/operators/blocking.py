@@ -28,7 +28,7 @@ doc length, hash-agg joins); no Python boundary anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ftm_datalake_spark.operators.textops import tokens
@@ -53,31 +53,45 @@ def distinct_token_postings(
     )
 
 
-def rare_token_block_keys(postings: DataFrame, k: int = 2) -> DataFrame:
+def rare_token_block_keys(
+    postings: DataFrame, k: int = 2, carry_tokens: bool = False
+) -> DataFrame:
     """One block key per doc: its k rarest tokens (by corpus document
     frequency, lexical tie-break) joined with '|'.
 
-    The df aggregation is a uniform hash-agg; the per-doc ranking window
-    partitions by doc_id, so its state is bounded by document length —
-    no global or skewed window anywhere.
+    Windowless: the per-doc ranking is array_sort(collect_list(struct
+    (df, token))) + slice inside ONE groupBy(doc_id) — (df, token) is a
+    total order over a doc's distinct tokens, so the slice equals the
+    old row_number()<=k window at one less shuffle, and the agg state is
+    bounded by document length.
+
+    ``carry_tokens=True`` additionally emits n_tok and the doc's full
+    distinct-token array — callers that verify candidates by set overlap
+    (entity_match) then need NO further postings joins at all.
     """
     dfreq = postings.groupBy("token").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "token")
-    ranked = (
-        postings.join(dfreq, "token")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-    )
-    return ranked.groupBy("doc_id").agg(
+    ranked = postings.join(dfreq, "token")
+    sorted_toks = F.array_sort(F.collect_list(F.struct("df", "token")))
+    aggs = [
         F.any_value(F.col("source")).alias("source"),
+        sorted_toks.alias("__sorted"),
+    ]
+    out = ranked.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        "source",
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "token"))),
-                lambda s: s["token"],
-            ),
-            "|",
+            F.transform(F.slice("__sorted", 1, k), lambda s: s["token"]), "|"
         ).alias("block_key"),
+        *(
+            [
+                F.size("__sorted").cast("long").alias("n_tok"),
+                F.transform("__sorted", lambda s: s["token"]).alias("toks"),
+            ]
+            if carry_tokens
+            else []
+        ),
     )
+    return out
 
 
 def candidate_pairs(
@@ -164,15 +178,61 @@ def entity_match(
 ) -> DataFrame:
     """Composed cross-source match: block → candidates → verify.
 
+    The verify stage carries each doc's distinct-token ARRAY through the
+    block self-join and intersects arrays in place
+    (size(array_intersect)) instead of re-joining the postings relation
+    per side — the round-4 plan audit's worst static-shuffle offender
+    (25 exchanges) drops to the blocking stage's handful, and the
+    quadratic work stays confined inside purged blocks. Token arrays are
+    bounded by document length; candidate fanout is bounded by
+    max_block_size² per block by construction.
+
     threshold_pct is applied as integer arithmetic
     (n_inter * 100 >= n_union * threshold_pct) so the cut is bit-exact
     across engines; the reported jaccard double is exact IEEE division of
-    the same integers.
+    the same integers (array_intersect over distinct arrays == the
+    postings-join distinct intersection count).
     """
+    from pyspark.sql import Window
+
     postings = distinct_token_postings(df, text_col, id_col, source_col)
-    keys = rare_token_block_keys(postings, k)
-    cands = candidate_pairs(keys, max_block_size)
-    scored = score_token_jaccard(cands, postings)
+    keys = rare_token_block_keys(postings, k, carry_tokens=True)
+    # Purge with a same-key window BEFORE collecting members: oversized
+    # (stopword-like) blocks are dropped without ever materializing
+    # their member list, and the following groupBy reuses the window's
+    # hash partitioning — no extra exchange, no purge-join diamond.
+    wb = Window.partitionBy("block_key")
+    guarded = keys.withColumn("__bn", F.count("*").over(wb)).where(
+        F.col("__bn") <= max_block_size
+    )
+    # doc_id FIRST in the member struct: array_sort's struct order then
+    # makes every generated pair (i < j) satisfy doc_a < doc_b with no
+    # post-filter, independent of collect order.
+    blocks = guarded.groupBy("block_key").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "source", "n_tok", "toks"))
+        ).alias("members")
+    )
+    pairs = blocks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) -> "
+                "transform(slice(members, i + 2, size(members) - i - 1), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).where(F.col("p.a.source") != F.col("p.b.source"))
+    n_inter = F.size(F.array_intersect("p.a.toks", "p.b.toks")).cast("long")
+    n_union = F.col("p.a.n_tok") + F.col("p.b.n_tok") - n_inter
+    scored = pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.source").alias("source_a"),
+        F.col("p.b.source").alias("source_b"),
+        n_inter.alias("n_inter"),
+        n_union.alias("n_union"),
+        (n_inter.cast("double") / n_union).alias("jaccard"),
+    )
     return scored.where(
         F.col("n_inter") * 100 >= F.col("n_union") * F.lit(threshold_pct)
     )
