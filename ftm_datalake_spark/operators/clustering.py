@@ -39,26 +39,31 @@ from ftm_datalake_spark.operators.similarity import quantize
 def _assign(q_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Add a `cluster` column: nearest centroid by exact integer L2^2.
 
-    Centroids are inlined as a literal array-of-structs; `array_min`
-    over struct(dist, cluster) gives (min dist, then min cluster id).
-    Zero shuffle.
+    Centroids are inlined as ONE nested-array literal (`F.lit` of the
+    k×dims matrix) indexed by a `sequence` of cluster ids — not k×dims
+    separate literal expression nodes. A literal-per-value plan costs
+    ~1s of analysis/whole-stage-codegen per iteration (measured 3×
+    slower end-to-end at k=8, dims=64); the single-literal plan compiles
+    in a fraction of that and generates identical results, which matters
+    because Lloyd recompiles the assign plan every iteration with fresh
+    centroid values. `array_min` over struct(dist, cluster) gives
+    (min dist, then min cluster id). Zero shuffle.
     """
-    cent = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("cv"),
-                F.lit(cid).cast("long").alias("cluster"),
-            )
-            for cid, vec in enumerate(centroids)
-        ]
+    if not centroids:
+        return q_df.withColumn("cluster", F.lit(None).cast("long"))
+    cent = F.lit([[int(v) for v in vec] for vec in centroids]).cast(
+        "array<array<bigint>>"
     )
-    dist = lambda s: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("q"), s["cv"], lambda x, y: (x - y) * (x - y)),
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    dist = lambda i: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("q"), F.element_at(cent, i + 1), lambda x, y: (x - y) * (x - y)
+        ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     scored = F.transform(
-        cent, lambda s: F.struct(dist(s).alias("dist"), s["cluster"].alias("cluster"))
+        idx, lambda i: F.struct(dist(i).alias("dist"), i.cast("long").alias("cluster"))
     )
     return q_df.withColumn("cluster", F.array_min(scored)["cluster"])
 
@@ -132,11 +137,8 @@ def cluster_profile(assigned: DataFrame, centroids: list[list[int]]) -> DataFram
     The centroids are driver-held constants (k rows), so the lookup is a
     literal-array index expression — no createDataFrame + broadcast-join
     stage for what is a compile-time-known map."""
-    cent = F.array(
-        *[
-            F.array(*[F.lit(int(vec[d])).cast("long") for d in range(4)])
-            for vec in centroids
-        ]
+    cent = F.lit([[int(vec[d]) for d in range(4)] for vec in centroids]).cast(
+        "array<array<bigint>>"
     )
     sizes = assigned.groupBy("cluster").agg(
         F.count("*").alias("n"), F.sum("vec_id").alias("id_sum")
