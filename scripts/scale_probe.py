@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""sf0.1 → sf1.0 scale probe for the data-bound bench headliners
+(VERDICT r4 item 9).
+
+The driver ships sf{0.001,0.01,0.1} only, so the sf1.0 input is
+generated HERE, locally, by 10× replication of sf0.1 with shifted
+entity keys — lineitem orderkeys shift per copy (entity count scales
+10×, per-entity fanout constant, the TPC-H scaling law) and documents
+get shifted doc_ids plus a per-copy suffix token (so copies are not
+exact duplicates of each other and the dedup/ER workloads keep their
+within-copy duplicate structure instead of becoming 10-way global
+clones). Dimension dictionaries (partkey/suppkey vocab) stay fixed —
+the probe scales rows and entities, not dimension cardinality; noted
+in SCALING.md.
+
+Usage: python scripts/scale_probe.py [out_json]
+Writes one JSON line with per-query best-of-3 seconds at both scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+HEADLINERS = [
+    "q1_pricing_summary",
+    "statement_aggregation_wide",
+    "dedup_minhash_lsh",
+    "dedup_common_segments",
+    "er_blocked_matches",
+]
+COPIES = 10
+PROBE_DIR = "/tmp/sfprobe/sf1.0"
+
+
+def generate(spark, src_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    li = spark.read.parquet(os.path.join(src_dir, "lineitem.parquet"))
+    parts = [
+        li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(c * 10_000_000)
+        )
+        for c in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(PROBE_DIR, "lineitem.parquet"))
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    dparts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * 1_000_000))
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(f" copymarker{c:02d}")),
+        )
+        for c in range(COPIES)
+    ]
+    dout = dparts[0]
+    for p in dparts[1:]:
+        dout = dout.unionByName(p)
+    dout.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "documents.parquet")
+    )
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from ftm_datalake_spark.plans import REGISTRY
+
+    out: dict[str, float] = {}
+    for name in HEADLINERS:
+        builder = REGISTRY[name].builder
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[name] = min(samples)
+        print(f"{sf_dir} {name}: {min(samples)} {samples}", flush=True)
+    return out
+
+
+def main() -> None:
+    from ftm_datalake_spark.session import build_session
+
+    spark = build_session(
+        app_name="scale-probe",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(os.path.join(PROBE_DIR, "lineitem.parquet")):
+        generate(spark, src)
+    sf01 = time_queries(spark, src)
+    sf10 = time_queries(spark, PROBE_DIR)
+    payload = {
+        "sf0.1": sf01,
+        "sf1.0": sf10,
+        "ratio": {k: round(sf10[k] / sf01[k], 2) for k in sf01},
+    }
+    line = json.dumps(payload)
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
