@@ -30,11 +30,13 @@ Determinism (partitioning-independent, engine-independent):
 - merge application is leftmost-non-overlapping, the BPE standard;
 - no floats anywhere.
 
-Training is inherently iterative with a data-dependent argmax per round
-— the brief's carve-out for non-SQL-expressible ops — so the registry
-entry for the learned table is rows-only; the pair-count stage and the
-fixed-table encode are oracle-gated, and tests/test_bpe.py checks the
-full learned table against an independent pure-python trainer.
+Training is iterative with a data-dependent argmax per round, but since
+round 5 even that is fully DuckDB-oracled: the registry oracle unrolls
+all 12 rounds in SQL (plans/text_ops._bpe_train_oracle_ctes — pair
+count → argmax → list_reduce merge application per round, MATERIALIZED
+CTEs), so bpe_train_merges and bpe_encode_trained hash-match
+cross-engine like everything else; tests/test_bpe.py additionally
+checks the learned table against an independent pure-python trainer.
 """
 
 from __future__ import annotations

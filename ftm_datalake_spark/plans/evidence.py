@@ -83,12 +83,12 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     # never-sampled: multimodal codecs not yet driver-seen
     "multimodal_gif_features",
     "multimodal_y4m_frames",
-    # never-sampled: basket/vocab analytics (the BPE trained pair is
-    # rows-only — no oracle for the data-dependent iterative argmax —
-    # so it stays OUT of the prefix: a sampled rows-only row records
-    # "err: no_oracle", the exact red-row class this rotation kills)
-    "basket_brand_association",
-    "docs_source_vocab_overlap",
+    # never-sampled: the BPE trained pair — rows-only in rounds 1-4,
+    # fully oracled in round 5 via the unrolled 12-round training
+    # replay (_bpe_train_oracle_ctes), so a driver sample now records
+    # a real hash row instead of "err: no_oracle"
+    "bpe_train_merges",
+    "bpe_encode_trained",
     # never-sampled: sketches
     "sketch_hll_by_event_type",
     "sketch_moments_quantiles",
@@ -107,8 +107,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "supplier_concentration_hhi",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
     # never-sampled queue for round 6
-    "bpe_train_merges",
-    "bpe_encode_trained",
+    "basket_brand_association",
+    "docs_source_vocab_overlap",
     "part_substitution_candidates",
     "events_dau_stickiness",
     "events_hourly_autocorr",

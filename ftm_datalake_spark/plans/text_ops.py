@@ -730,11 +730,10 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# BPE tokenizer family (operators/bpe.py). Three-tier evidence:
-# the pair-count stage and the fixed-table encode are oracle-gated here;
-# the learned merge table (iterative, data-dependent argmax per round —
-# the brief's non-SQL-expressible carve-out) is rows-only with full
-# pure-python parity in tests/test_bpe.py.
+# BPE tokenizer family (operators/bpe.py). Fully oracle-gated since
+# round 5: pair-count stage, fixed-table encode, AND the learned merge
+# table + trained encode (via the unrolled training replay below), with
+# independent pure-python parity in tests/test_bpe.py.
 @register(
     "bpe_pair_freq_top20",
     oracle="""
@@ -811,18 +810,91 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bpe_train_oracle_ctes(num_merges: int) -> str:
+    """Unrolled BPE-training replay in SQL — the full 12-round
+    data-dependent argmax loop, previously the registry's only rows-only
+    carve-out, now DuckDB-oracled (round 5).
+
+    Per round t: p{t} counts adjacent symbol pairs over the vocab, b{t}
+    argmaxes (freq DESC, lsym, rsym), v{t} applies the merge with
+    leftmost-non-overlapping semantics via list_reduce over a
+    STRING-ENCODED accumulator 'out§pend' (symbols are [a-z]+ so '§'
+    and '|' are safe separators) — a pending lsym followed by rsym emits
+    the merged symbol, mirroring operators/bpe.merge_adjacent exactly.
+    Every CTE is MATERIALIZED: DuckDB otherwise inlines the chain and
+    re-evaluates it exponentially (377s → 0.18s measured at sf0.01)."""
+    parts = [
+        """w AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(generate_series(1, length(word)), i -> word[i])
+               AS syms
+      FROM w
+    )"""
+    ]
+    for t in range(1, num_merges + 1):
+        p = t - 1
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+      SELECT syms[i] AS lsym, syms[i + 1] AS rsym, SUM(freq) AS pair_freq
+      FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM v{p} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    ),
+    b{t} AS MATERIALIZED (
+      SELECT lsym, rsym, CAST(pair_freq AS BIGINT) AS pair_freq
+      FROM p{t} ORDER BY pair_freq DESC, lsym, rsym LIMIT 1
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT word, freq,
+             string_split(ltrim(CASE WHEN split_part(f, '§', 2) <> ''
+                  THEN split_part(f, '§', 1) || '|' || split_part(f, '§', 2)
+                  ELSE split_part(f, '§', 1) END, '|'), '|') AS syms
+      FROM (
+        SELECT v.word, v.freq,
+               list_reduce(list_prepend('§', v.syms), (acc, x) ->
+                 CASE WHEN split_part(acc, '§', 2) = b.lsym AND x = b.rsym
+                        THEN split_part(acc, '§', 1) || '|' || b.lsym || b.rsym
+                             || '§'
+                      WHEN split_part(acc, '§', 2) <> ''
+                        THEN split_part(acc, '§', 1) || '|'
+                             || split_part(acc, '§', 2) || '§' || x
+                      ELSE split_part(acc, '§', 1) || '§' || x END) AS f
+        FROM v{p} v CROSS JOIN b{t} b
+      )
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_N = 12
+
+
 @register(
     "bpe_train_merges",
-    oracle=None,  # iterative data-dependent argmax per round: rows-only
+    oracle="WITH "
+    + _bpe_train_oracle_ctes(_BPE_N)
+    + "\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT {t} AS rank, lsym, rsym, pair_freq FROM b{t}"
+        for t in range(1, _BPE_N + 1)
+    )
+    + "\n    ORDER BY rank",
     tags=("text", "bpe", "iterative"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table: 12 BPE merges over `documents`, trained
     distributed (vocab-scale iterations, 1-row driver state per merge).
     Deterministic: (freq DESC, left ASC, right ASC) argmax tie-break.
-    Pure-python parity: tests/test_bpe.py."""
+    Oracled by a full unrolled training replay (_bpe_train_oracle_ctes);
+    independent pure-python parity in tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = B.bpe_train(docs, num_merges=12)
+    merges, _ = B.bpe_train(docs, num_merges=_BPE_N)
     rows = [
         (i + 1, left, right, freq) for i, (left, right, freq) in enumerate(merges)
     ]
@@ -833,16 +905,28 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_encode_trained",
-    oracle=None,  # depends on the learned table: rows-only
+    oracle="WITH "
+    + _bpe_train_oracle_ctes(_BPE_N)
+    + f""",
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )
+    SELECT dw.doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN v{_BPE_N} v USING (word)
+    GROUP BY dw.doc_id
+    ORDER BY n_bpe_tokens DESC, doc_id
+    LIMIT 20""",
     tags=("text", "bpe", "iterative"),
 )
 def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 docs by token count under a trained 12-merge vocab: the
     full train → encode path. Encode never replays merges per token —
     the final vocab maps word → symbol count, so it is one corpus scan
-    plus a broadcast word join."""
+    plus a broadcast word join. Oracled end-to-end through the unrolled
+    training replay."""
     docs = load_table(spark, sf_dir, "documents")
-    _, vocab = B.bpe_train(docs, num_merges=12)
+    _, vocab = B.bpe_train(docs, num_merges=_BPE_N)
     return (
         B.encode_token_counts(docs, vocab)
         .orderBy(F.desc("n_bpe_tokens"), "doc_id")
