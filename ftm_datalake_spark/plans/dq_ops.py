@@ -91,3 +91,126 @@ def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk = dq_orphan_count(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey_exists")
     uniq = dq_duplicate_key_count(orders, ["o_orderkey"], "orders.unique_orderkey")
     return o_rules.unionAll(l_rules).unionAll(fk).unionAll(uniq).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Key-skew report (operators/quality.key_skew_report): the pre-join
+# shuffle-skew diagnosis — top-10 heavy hitters on orders.o_custkey with
+# exact per-million share. Integer ppm via the (s - s % d) / d identity
+# (exactly divisible pair → exact double division in both engines).
+@register(
+    "dq_skew_report_orders",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT COUNT(*) AS total, COUNT(DISTINCT o_custkey) AS dk FROM orders
+    ),
+    top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10)
+    SELECT top.key, CAST(top.n AS BIGINT) AS n,
+           CAST((top.n * 1000000 - (top.n * 1000000) % t.total) / t.total
+                AS BIGINT) AS share_ppm,
+           CAST(t.total AS BIGINT) AS total_rows,
+           CAST(t.dk AS BIGINT) AS distinct_keys
+    FROM top CROSS JOIN t
+    ORDER BY n DESC, key
+    """,
+    tags=("quality", "ops", "agg"),
+)
+def dq_skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.quality import key_skew_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew_report(orders, "o_custkey", top_n=10)
+
+
+# --------------------------------------------------------------------------
+# Table profile (operators/quality.table_profile): per-column
+# null/distinct/min/max fingerprint of `documents` in ONE scan — every
+# column adds aggregates to the same global agg, never another pass.
+@register(
+    "dq_table_profile_documents",
+    oracle="""
+    SELECT 'lang' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT lang) AS n_distinct,
+           MIN(CAST(lang AS VARCHAR)) AS min_s,
+           MAX(CAST(lang AS VARCHAR)) AS max_s
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT source),
+           MIN(CAST(source AS VARCHAR)), MAX(CAST(source AS VARCHAR))
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT n_chars),
+           MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR))
+    FROM documents
+    ORDER BY "column"
+    """,
+    tags=("quality", "ops", "agg"),
+)
+def dq_table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.quality import table_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return table_profile(docs, ["lang", "source", "n_chars"]).orderBy("column")
+
+
+# --------------------------------------------------------------------------
+# Profile drift (operators/quality.profile_drift): snapshot-over-snapshot
+# per-column deltas — the CI rows for schema/distribution drift. Old
+# snapshot = even doc_ids, new = the full table.
+@register(
+    "dq_profile_drift_documents",
+    oracle="""
+    WITH oldp AS (
+      SELECT 'lang' AS col, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT lang) AS n_distinct,
+             MIN(CAST(lang AS VARCHAR)) AS min_s, MAX(CAST(lang AS VARCHAR)) AS max_s
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'n_chars', COUNT(*),
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT n_chars),
+             MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR))
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    newp AS (
+      SELECT 'lang' AS col, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT lang) AS n_distinct,
+             MIN(CAST(lang AS VARCHAR)) AS min_s, MAX(CAST(lang AS VARCHAR)) AS max_s
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', COUNT(*),
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT n_chars),
+             MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR))
+      FROM documents
+    )
+    SELECT COALESCE(n.col, o.col) AS "column",
+           CAST(COALESCE(n.n_rows, 0) - COALESCE(o.n_rows, 0) AS BIGINT) AS d_rows,
+           CAST(COALESCE(n.n_null, 0) - COALESCE(o.n_null, 0) AS BIGINT) AS d_null,
+           CAST(COALESCE(n.n_distinct, 0) - COALESCE(o.n_distinct, 0) AS BIGINT)
+             AS d_distinct,
+           COALESCE(n.min_s <> o.min_s, TRUE) AS min_changed,
+           COALESCE(n.max_s <> o.max_s, TRUE) AS max_changed
+    FROM oldp o FULL OUTER JOIN newp n ON o.col = n.col
+    ORDER BY "column"
+    """,
+    tags=("quality", "ops", "join"),
+)
+def dq_profile_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.quality import profile_drift, table_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = table_profile(docs.where(F.col("doc_id") % 2 == 0), ["lang", "n_chars"])
+    new = table_profile(docs, ["lang", "n_chars"])
+    return profile_drift(old, new).orderBy("column")

@@ -100,13 +100,18 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "events_anomaly_mad",
     "events_dau_stickiness_hll",
     "events_rolling_7d_users",
-    "events_conversion_latency",
     "customer_rfm_segments",
     "orders_revenue_pareto",
-    "lineitem_yoy_growth",
-    "supplier_concentration_hhi",
+    # new in round 5: lake-ops quality family (skew report, profile,
+    # drift) — brand new, so driver evidence is highest-value
+    "dq_skew_report_orders",
+    "dq_table_profile_documents",
+    "dq_profile_drift_documents",
     # ---- 50-slot prefix boundary (driver samples ~50) ----
     # never-sampled queue for round 6
+    "events_conversion_latency",
+    "lineitem_yoy_growth",
+    "supplier_concentration_hhi",
     "basket_brand_association",
     "docs_source_vocab_overlap",
     "part_substitution_candidates",
