@@ -282,6 +282,37 @@ def prune_files_long(index: DataFrame, column: str, lo: int, hi: int) -> DataFra
     return stats.where(keep).select("file")
 
 
+def pruned_scan(
+    spark,
+    path: str,
+    index: DataFrame,
+    column: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """File-skipping scan: load ONLY the parquet files whose index
+    min/max for ``column`` overlaps [lo, hi], then re-apply the
+    predicate for row-level exactness — the Delta/Iceberg data-skipping
+    read path for plain parquet directories, composed from
+    :func:`build_skipping_index` + :func:`prune_files_long`.
+
+    The kept-file list is driver-side metadata (file names, not data);
+    at 100 TB the win is that a selective predicate on a clustered
+    column (Z-order/Hilbert layouts above) never opens the other files
+    at all — `df.inputFiles()` shrinks with selectivity, asserted in
+    tests. Semantics are identical to a full scan + filter by
+    construction (files are only skipped when their stats PROVE no row
+    matches; missing stats keep the file)."""
+    kept = [r["file"] for r in prune_files_long(index, column, lo, hi).collect()]
+    if not kept:
+        full_schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], full_schema)
+    df = spark.read.parquet(*kept)
+    return df.where(
+        (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    )
+
+
 def compaction_plan(
     files: DataFrame,
     path_col: str = "path",

@@ -282,3 +282,38 @@ def test_zvalue_and_hilbert_hypothesis(spark):
         )
 
     run()
+
+
+def test_pruned_scan_equals_full_scan_and_skips_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.layout import (
+        build_skipping_index,
+        pruned_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    # 10 files, ids range-clustered per file (0-999, 1000-1999, ...)
+    (
+        spark.range(10_000)
+        .repartitionByRange(10, "id")
+        .write.parquet(path)
+    )
+    idx = build_skipping_index(spark, path, ["id"]).cache()
+
+    out = pruned_scan(spark, path, idx, "id", 2_500, 3_499)
+    full = spark.read.parquet(path).where(
+        (F.col("id") >= 2_500) & (F.col("id") <= 3_499)
+    )
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in full.collect()
+    )
+    # the pruned plan opened only the 2 overlapping files of 10
+    assert len(out.inputFiles()) == 2
+    assert len(full.inputFiles()) == 10
+
+    # empty overlap: no files read, schema preserved, zero rows
+    none = pruned_scan(spark, path, idx, "id", 1_000_000, 2_000_000)
+    assert none.count() == 0
+    assert none.schema == spark.read.parquet(path).schema
+    idx.unpersist()
