@@ -30,9 +30,12 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    # Plain session, like the driver's correctness gate.
+    # Plain session, like the driver's correctness gate. Core count is
+    # overridable for the local sweeps (correctness is core-invariant;
+    # the determinism suite pins that separately).
+    cores = os.environ.get("SPARK_GRAFT_VERIFY_CORES", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cores}]")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
