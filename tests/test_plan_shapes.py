@@ -146,7 +146,9 @@ SHUFFLE_BUDGET = {
     "dedup_common_segments": 3,
     "corpus_curation": 2,
     "corpus_pipeline_e2e": 8,
-    "er_blocked_matches": 25,
+    # round-5 rewrite: in-block pair explosion, no self-join/postings
+    # diamond — a regression back toward the old 25 must fail loudly
+    "er_blocked_matches": 6,
     "docs_merge_upsert": 3,
     "statement_aggregation": 3,
     "statement_aggregation_wide": 2,
