@@ -91,6 +91,12 @@ GLOBAL_SCALAR_OK = {
     "orders_basket_size_distribution",  # total over the <=7-row histogram frame
     "dedup_lsh_recall",
     "dq_validation_suite",
+    # round-5 quality family: suite totals / skew totals / per-column
+    # profile are 1-row (or columns-count-row) global aggregates by
+    # construction — the data term collapsed before the exchange
+    "dq_skew_report_orders",
+    "dq_table_profile_documents",
+    "dq_profile_drift_documents",
     "events_funnel",
     "gdpr_forget_users",
     "q11_important_parts",
