@@ -11,6 +11,14 @@
     python -m ftm_datalake_spark get    KEY  -d DATASET --lake LAKE [-o OUT]
     python -m ftm_datalake_spark head   KEY  -d DATASET --lake LAKE
     python -m ftm_datalake_spark export-zip  -d DATASET --lake LAKE --out FILE.zip
+    python -m ftm_datalake_spark serve           --lake LAKE --secret S [--debug]
+    python -m ftm_datalake_spark forget KEY...  -d DATASET --lake LAKE [--keep-blobs]
+    python -m ftm_datalake_spark gc          -d DATASET --lake LAKE [--dry-run]
+    python -m ftm_datalake_spark dq profile PATH --cols a,b  |  dq skew PATH --key k
+
+`crawl` routes by URI scheme: a local path scans via binaryFile, an
+http(s):// source lists/fetches through sources/http_store (key-based
+skip-existing; --archive fetches only blobs whose shard is absent).
 
 Reference: ftm_datalake/cli.py:96-283 (config/catalog/versions/diff/make/
 get/head/ls/crawl/export) plus aleph-load-dataset / aleph-load-catalog
@@ -133,6 +141,41 @@ def main(argv: list[str] | None = None) -> int:
     p_zip.add_argument("--lake", required=True)
     p_zip.add_argument("--out", required=True)
 
+    p_srv = sub.add_parser("serve")
+    p_srv.add_argument("--lake", required=True)
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8000)
+    p_srv.add_argument("--secret", required=True, help="JWT signing secret")
+    p_srv.add_argument("--debug", action="store_true")
+    p_srv.add_argument(
+        "--max-requests", type=int, default=None,
+        help="serve N requests then exit (testing)",
+    )
+
+    p_forget = sub.add_parser("forget")
+    p_forget.add_argument("keys", nargs="+", help="document keys to forget")
+    p_forget.add_argument("-d", "--dataset", required=True)
+    p_forget.add_argument("--lake", required=True)
+    p_forget.add_argument(
+        "--keep-blobs", action="store_true",
+        help="skip the orphan-blob sweep after the table delete",
+    )
+
+    p_gc = sub.add_parser("gc")
+    p_gc.add_argument("-d", "--dataset", required=True)
+    p_gc.add_argument("--lake", required=True)
+    p_gc.add_argument("--dry-run", action="store_true")
+
+    p_dq = sub.add_parser("dq")
+    dq_sub = p_dq.add_subparsers(dest="dq_cmd", required=True)
+    d_p = dq_sub.add_parser("profile")
+    d_p.add_argument("path", help="parquet table directory/file")
+    d_p.add_argument("--cols", required=True, help="comma-separated columns")
+    d_s = dq_sub.add_parser("skew")
+    d_s.add_argument("path")
+    d_s.add_argument("--key", required=True)
+    d_s.add_argument("--top", type=int, default=10)
+
     # Lakehouse table maintenance over plain parquet directories
     # (operators/layout): OPTIMIZE-style verbs.
     p_opt = sub.add_parser("optimize")
@@ -174,28 +217,78 @@ def _dispatch(spark, args) -> int:
     )
 
     if args.cmd == "crawl":
-        counters = crawl(
-            spark, args.source, args.dataset, args.lake,
-            include=args.include, exclude=args.exclude,
-        )
+        if args.source.startswith(("http://", "https://")):
+            # Remote HTTP store: same verb, same counters — the backend
+            # is routed by URI scheme like the reference's fsspec stores
+            from ftm_datalake_spark.sources.http_store import crawl_http
+
+            counters = crawl_http(
+                spark, args.source, args.dataset, args.lake,
+                include=args.include, exclude=args.exclude,
+            )
+        else:
+            counters = crawl(
+                spark, args.source, args.dataset, args.lake,
+                include=args.include, exclude=args.exclude,
+            )
         if args.archive:
+            import os
+
             from pyspark.sql import functions as F
 
-            from ftm_datalake_spark.sources.archive import archive_blobs
+            from ftm_datalake_spark.sources.archive import (
+                archive_blob_bytes,
+                archive_blobs,
+            )
 
             # Archive pass driven by the MERGED TABLE, not a fresh
             # content scan: the crawl already applied --include/--exclude
             # and computed every hash, so excluded files are never
             # archived and nothing is re-read or re-hashed here —
-            # archive_blobs itself skips shards that already exist, so
-            # only genuinely new blobs are copied.
+            # existing shards are skipped, so only genuinely new blobs
+            # move.
             docs = read_documents(spark, args.lake, args.dataset)
-            src_prefix = args.source.rstrip("/") + "/"
-            files = docs.select(
-                F.concat(F.lit(src_prefix), F.col("key")).alias("path"),
-                "content_hash",
-            )
-            archive_blobs(files, args.lake, args.dataset)
+            if args.source.startswith(("http://", "https://")):
+                from ftm_datalake_spark.functions.checksum import (
+                    content_checksum,
+                )
+                from ftm_datalake_spark.sources.http_store import (
+                    scan_http_store,
+                )
+
+                arch = os.path.join(args.lake, args.dataset, "archive")
+                # skip-archived on metadata: only keys whose shard is
+                # absent are fetched again (per-dataset metadata scale)
+                pending = [
+                    r["key"]
+                    for r in docs.select("key", "content_hash").collect()
+                    if not os.path.exists(
+                        os.path.join(
+                            arch,
+                            r["content_hash"][0:2],
+                            r["content_hash"][2:4],
+                            r["content_hash"][4:6],
+                            r["content_hash"],
+                        )
+                    )
+                ]
+                if pending:
+                    fetched = scan_http_store(
+                        spark, args.source, pending
+                    ).select(
+                        "content",
+                        content_checksum(F.col("content")).alias(
+                            "content_hash"
+                        ),
+                    )
+                    archive_blob_bytes(fetched, args.lake, args.dataset)
+            else:
+                src_prefix = args.source.rstrip("/") + "/"
+                files = docs.select(
+                    F.concat(F.lit(src_prefix), F.col("key")).alias("path"),
+                    "content_hash",
+                )
+                archive_blobs(files, args.lake, args.dataset)
         print(json.dumps(counters))
     elif args.cmd == "make":
         actions = make(spark, args.source, args.dataset, args.lake)
@@ -472,6 +565,59 @@ def _dispatch(spark, args) -> int:
             else:
                 for row in idx.orderBy("file", "column").collect():
                     print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "serve":
+        from ftm_datalake_spark.api import build_app_from_documents, serve
+
+        docs = spark.read.parquet(f"{args.lake}/documents")
+        app = build_app_from_documents(
+            docs, args.lake, args.secret, debug=args.debug
+        )
+        httpd = serve(app, args.host, args.port)
+        print(
+            json.dumps(
+                {"listening": f"http://{args.host}:{httpd.server_address[1]}"}
+            ),
+            flush=True,
+        )
+        if args.max_requests:
+            for _ in range(args.max_requests):
+                httpd.handle_request()
+        else:  # pragma: no cover - interactive server loop
+            httpd.serve_forever()
+    elif args.cmd == "forget":
+        from ftm_datalake_spark.pipelines.retention import (
+            forget_and_gc,
+            forget_keys,
+        )
+
+        keys_df = spark.createDataFrame(
+            [(k,) for k in args.keys], "key string"
+        )
+        if args.keep_blobs:
+            removed = forget_keys(spark, args.lake, args.dataset, keys_df)
+            print(json.dumps({"rows_removed": removed, "blobs_collected": 0}))
+        else:
+            print(
+                json.dumps(forget_and_gc(spark, args.lake, args.dataset, keys_df))
+            )
+    elif args.cmd == "gc":
+        from ftm_datalake_spark.pipelines.retention import gc_blobs
+
+        n = gc_blobs(spark, args.lake, args.dataset, dry_run=args.dry_run)
+        print(json.dumps({"orphan_blobs": n, "dry_run": args.dry_run}))
+    elif args.cmd == "dq":
+        from ftm_datalake_spark.operators.quality import (
+            key_skew_report,
+            table_profile,
+        )
+
+        table = spark.read.parquet(args.path)
+        if args.dq_cmd == "profile":
+            out = table_profile(table, args.cols.split(",")).orderBy("column")
+        else:
+            out = key_skew_report(table, args.key, top_n=args.top)
+        for row in out.collect():
+            print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "export-zip":
         import os
 

@@ -66,6 +66,40 @@ def archive_blobs(
     files.select(path_col, hash_col).foreachPartition(copy_partition)
 
 
+def archive_blob_bytes(
+    files: DataFrame,
+    archive_root: str,
+    dataset: str,
+    content_col: str = "content",
+    hash_col: str = "content_hash",
+) -> None:
+    """S10 for remote stores: write blob BYTES (already fetched
+    task-side, e.g. by the HTTP backend) into the sharded layout — no
+    local source path exists to copy from. Same idempotence and
+    temp+rename atomicity as archive_blobs; bytes flow executor→disk,
+    never through the driver."""
+    base = os.path.join(archive_root, dataset, "archive")
+
+    def write_partition(rows: Iterator) -> None:
+        import uuid
+
+        for row in rows:
+            target = os.path.join(base, _shard(row[hash_col]))
+            if os.path.exists(target):
+                continue
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            tmp = f"{target}.__tmp__{uuid.uuid4().hex}"
+            try:
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(row[content_col]))
+                os.rename(tmp, target)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+
+    files.select(content_col, hash_col).foreachPartition(write_partition)
+
+
 def open_blob(archive_root: str, dataset: str, content_hash: str) -> bytes:
     """S9: read one archived blob back (serving-layer point read)."""
     with open(os.path.join(archive_root, dataset, "archive", _shard(content_hash)), "rb") as fh:

@@ -162,6 +162,56 @@ def scan_http_store(
     return meta.mapInPandas(fetch, out_schema)
 
 
+def crawl_http(
+    spark: SparkSession,
+    base_url: str,
+    dataset: str,
+    lake_dir: str,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> dict:
+    """Full crawl of an HTTP store into the lake: list → skip-existing
+    anti-join → fetch only the delta → merge → write. The incremental
+    contract is the reference's key-existence skip
+    (ftm_datalake/crawl.py:67-71): an HTTP autoindex carries no
+    size/mtime, so a key already in the documents table is never
+    re-fetched (re-crawl of an unchanged store downloads ZERO bytes —
+    asserted by a fetch-spy test). Returns the crawl counters."""
+    import fnmatch
+
+    from ftm_datalake_spark.operators.documents import merge_documents
+    from ftm_datalake_spark.pipelines.ingest import (
+        read_documents,
+        write_documents,
+    )
+
+    base = base_url.rstrip("/") + "/"
+    keys = list_http_autoindex(base)
+    if include:
+        keys = [k for k in keys if re.match(r"\A" + fnmatch.translate(include), k)]
+    if exclude:
+        keys = [
+            k for k in keys if not re.match(r"\A" + fnmatch.translate(exclude), k)
+        ]
+    n_total = len(keys)
+    current = read_documents(spark, lake_dir, dataset)
+    # skip-existing as a Spark anti-join: the documents table side never
+    # collects — only the NEW-key delta (the work list, bounded like the
+    # reference's task queue) comes back to the driver
+    listing_df = spark.createDataFrame([(k,) for k in keys] or [], "key string")
+    new_keys = sorted(
+        r["key"]
+        for r in listing_df.join(
+            current.select("key"), "key", "left_anti"
+        ).collect()
+    )
+    if new_keys:
+        rows = crawl_scan_http(spark, base, dataset, keys=new_keys)
+        merged = merge_documents(current, rows)
+        write_documents(merged, lake_dir)
+    return {"files_total": n_total, "added_or_updated": len(new_keys)}
+
+
 def crawl_scan_http(
     spark: SparkSession,
     base_url: str,

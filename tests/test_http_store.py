@@ -150,3 +150,58 @@ def test_exclude_prunes_before_fetch(spark, http_store, monkeypatch):
     assert keys == {k for k in FILES if not k.startswith("sub/")}
     # excluded keys were never handed to the fetcher at all
     assert set(fetched) == keys
+
+
+def test_crawl_http_full_pipeline_and_incremental(spark, tmp_path, monkeypatch):
+    """crawl_http e2e: initial crawl lands every file in the documents
+    table; an unchanged re-crawl fetches ZERO keys (key-based
+    skip-existing); a new file fetches only itself."""
+    import http.server
+    import threading
+
+    from ftm_datalake_spark.pipelines.ingest import read_documents
+    from ftm_datalake_spark.sources import http_store as hs
+
+    root = tmp_path / "src"
+    root.mkdir()
+    (root / "one.txt").write_bytes(b"first")
+    (root / "two.txt").write_bytes(b"second")
+    handler_cls = type(
+        "Quiet", (http.server.SimpleHTTPRequestHandler,),
+        {"log_message": lambda self, *a: None},
+    )
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        lambda *a, **kw: handler_cls(*a, directory=str(root), **kw),
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    lake = str(tmp_path / "lake")
+
+    fetched: list[str] = []
+    real = hs.scan_http_store
+
+    def spy(spark_, base_, keys=None, **kw):
+        fetched.extend(keys or [])
+        return real(spark_, base_, keys, **kw)
+
+    monkeypatch.setattr(hs, "scan_http_store", spy)
+    try:
+        counters = hs.crawl_http(spark, base, "ds", lake)
+        assert counters == {"files_total": 2, "added_or_updated": 2}
+        assert sorted(fetched) == ["one.txt", "two.txt"]
+        docs = read_documents(spark, lake, "ds")
+        assert {r.key for r in docs.collect()} == {"one.txt", "two.txt"}
+
+        fetched.clear()
+        counters = hs.crawl_http(spark, base, "ds", lake)
+        assert counters == {"files_total": 2, "added_or_updated": 0}
+        assert fetched == []  # unchanged store: zero bytes downloaded
+
+        (root / "three.txt").write_bytes(b"third")
+        fetched.clear()
+        counters = hs.crawl_http(spark, base, "ds", lake)
+        assert counters == {"files_total": 3, "added_or_updated": 1}
+        assert fetched == ["three.txt"]  # only the delta
+    finally:
+        httpd.shutdown()
