@@ -51,10 +51,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
     """S3: documents.csv scan with the fixed 6-column header.
 
+    Reads BOTH interchange forms the sink writes
+    (sources/sinks.write_documents_csv): the single headered file, and
+    the large-table directory of headerless range-ordered parts (with
+    its `_header` sidecar, which Spark's scan skips as a `_`-hidden
+    file) — there, header=True would silently eat the first data row of
+    every part.
+
     Reference: ftm_datalake/archive/documents.py:45-50 (pandas read_csv).
     """
+    import os
+
+    directory_form = os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_header")
+    )
     return (
-        spark.read.option("header", True)
+        spark.read.option("header", not directory_form)
         .schema(DOCUMENTS_SCHEMA)
         .csv(path)
     )

@@ -72,6 +72,28 @@ def test_default_threshold_guards_million_rows(spark, tmp_path):
     assert total == n
 
 
+def test_directory_form_roundtrips_through_reader(spark, tmp_path):
+    """read_documents_csv must not eat the first row of each headerless
+    part when reading the large-table directory form."""
+    from ftm_datalake_spark.sources.sinks import write_documents_csv
+    from ftm_datalake_spark.sources.tables import read_documents_csv
+
+    n = 5_000
+    out = str(tmp_path / "rt")
+    target = write_documents_csv(
+        _big_documents(spark, n), out, snapshot=False, single_file_max_rows=1_000
+    )
+    assert os.path.isdir(target)
+    back = read_documents_csv(spark, target)
+    assert back.count() == n
+    assert back.where(back.key.isNull()).count() == 0
+    # and the single-file form still reads with its header consumed
+    single = write_documents_csv(
+        _big_documents(spark, 10), str(tmp_path / "small"), snapshot=False
+    )
+    assert read_documents_csv(spark, single).count() == 10
+
+
 def test_small_table_keeps_single_file(spark, tmp_path):
     from ftm_datalake_spark.sources.sinks import write_documents_csv
 
