@@ -256,6 +256,65 @@ def bloom_probe(
     )
 
 
+def bloom_semi_join(
+    big: DataFrame,
+    small_keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 4096,
+) -> DataFrame:
+    """Bloom-prefiltered semi-join — the runtime-filter pushdown shape:
+    rows of ``big`` whose ``key_col`` is in ``small_keys`` (column
+    ``key``), computed as
+
+    1. build the small side's Bloom bit set (≤ depth×width bits) and
+       collect it driver-side, PACKED into width/64-long words per hash
+       row — bounded metadata, like a broadcast var;
+    2. prefilter ``big`` with a zero-shuffle, whole-stage-codegen
+       row-local probe: all depth bits set ⇔ maybe-member (no false
+       negatives by construction, so no true match is lost);
+    3. exact broadcast semi-join on the survivors only.
+
+    At 100 TB the win is step 2: the fact table's non-matching rows die
+    in the scan stage and never reach the join exchange — Spark's own
+    InjectRuntimeFilter does this transparently for some joins; this is
+    the explicit, composable form. Result is EXACTLY the semi-join
+    (step 3 removes false positives), so the oracle is plain SQL."""
+    bits = bloom_bits(
+        small_keys.select(F.col("key").cast("string").alias("token")),
+        depth,
+        width,
+    )
+    # 32-bit words: values stay < 2^32, so the bit test below is exact
+    # double arithmetic (floor(word / 2^k) % 2) with no sign handling —
+    # Spark's shiftright() only takes a literal shift count.
+    words = width // 32
+    packed = [[0] * words for _ in range(depth)]
+    for row in bits.collect():  # ≤ depth×width rows: bounded metadata
+        packed[row["seed"]][row["bucket"] // 32] |= 1 << (row["bucket"] % 32)
+    pows = F.lit([1 << k for k in range(32)]).cast("array<bigint>")
+
+    key_s = F.col(key_col).cast("string")
+    cond = None
+    for seed in range(depth):
+        bucket = shingle_hash(
+            F.concat(F.lit(str(seed)), F.lit(":"), key_s)
+        ) % width
+        word = F.element_at(
+            F.lit(packed[seed]).cast("array<bigint>"),
+            F.floor(bucket / 32).cast("int") + 1,
+        )
+        divisor = F.element_at(pows, (bucket % 32).cast("int") + 1)
+        test = (F.floor(word / divisor) % 2) == 1
+        cond = test if cond is None else (cond & test)
+    prefiltered = big.where(cond)
+    return prefiltered.join(
+        F.broadcast(small_keys.select(F.col("key").alias(key_col)).distinct()),
+        key_col,
+        "left_semi",
+    )
+
+
 def hll_registers_by(
     keys: DataFrame,
     group_col: str | list[str],

@@ -93,3 +93,48 @@ def statement_aggregation_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(prop_strs, "|").alias("properties"),
         F.lit(4).cast("long").alias("n_props"),
     ).orderBy("canonical_id")
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (operators/sketches.bloom_semi_join): the
+# runtime-filter pushdown shape made explicit — high-balance suppliers'
+# lineitem revenue, where the fact side is prefiltered by a broadcast
+# packed bit set (zero-shuffle row-local probe, no false negatives)
+# before the exact broadcast semi-join. Result == plain semi-join, so
+# the oracle is plain SQL; the plan-shape test asserts the probe stays
+# in the scan stage.
+@register(
+    "bloom_semi_join_revenue",
+    oracle="""
+    SELECT l.l_suppkey,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    WHERE l.l_suppkey IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000.0)
+    GROUP BY l.l_suppkey
+    ORDER BY l.l_suppkey
+    """,
+    tags=("join", "sketch", "scale"),
+)
+def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.sketches import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000.0)
+        .select(F.col("s_suppkey").alias("key"))
+    )
+    joined = bloom_semi_join(li, supp, "l_suppkey")
+    return (
+        joined.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -59,3 +59,40 @@ def test_kmv_sketch_partition_independent(spark):
     dup = _keys(spark, 3000).union(_keys(spark, 3000))
     dup_sk = kmv_sketch(dup, 128).collect()
     assert sorted(r["h"] for r in dup_sk) == sorted(r["h"] for r in one)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import bloom_semi_join
+
+    big = spark.range(20_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(40).select((F.col("id") * 13 + 7).alias("key"))
+    got = bloom_semi_join(big, small, "k")
+    want = big.join(
+        small.select(F.col("key").alias("k")).distinct(), "k", "left_semi"
+    )
+    assert sorted(r.v for r in got.collect()) == sorted(
+        r.v for r in want.collect()
+    )
+    # the probe must prune: survivors of the bloom stage alone are far
+    # fewer than the table (width 4096, 40 keys -> tiny fp rate)
+    assert got.count() < 20_000 * 0.2
+
+
+def test_bloom_semi_join_no_false_negatives_randomized(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.sketches import bloom_semi_join
+
+    rng = random.Random(7)
+    keys = [rng.randint(0, 10_000) for _ in range(500)]
+    member = sorted(set(rng.sample(keys, 25)))
+    big = spark.createDataFrame([(k,) for k in keys], "k long")
+    small = spark.createDataFrame([(k,) for k in member], "key long")
+    got = {r.k for r in bloom_semi_join(big, small, "k").collect()}
+    assert got == set(member) & set(keys)
