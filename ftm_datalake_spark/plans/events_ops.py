@@ -1069,3 +1069,114 @@ def events_dau_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Offline change-point detection (round 5): per event_type, the hour
+# where the value series' mean shifts most — binary segmentation's first
+# split, scored with the integer CUSUM statistic
+#   D(t) = | S_t * (T - t)  -  (S - S_t) * t |
+# (= t*(T-t)*|mean_before - mean_after|, all in integer cents so the
+# argmax is bit-exact; ties break to the earliest hour). Scale shape:
+# the raw stream collapses to a per-(type, hour) frame FIRST (one
+# hash-agg); the prefix sums and the argmax run on that tiny series
+# frame via per-type windows (state bounded by hours-per-type), never
+# on raw events.
+@register(
+    "events_changepoint_meanshift",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, h, v, n,
+             SUM(v) OVER w AS s_t, SUM(n) OVER w AS n_t,
+             SUM(v) OVER p AS s_tot, SUM(n) OVER p AS n_tot,
+             ROW_NUMBER() OVER w AS t,
+             COUNT(*) OVER p AS big_t
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    ),
+    scored AS (
+      SELECT event_type, h, t,
+             abs(s_t * (n_tot - n_t) - (s_tot - s_t) * n_t) AS stat,
+             s_t, n_t, s_tot, n_tot
+      FROM pre WHERE t < big_t
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY stat DESC, h) AS rk
+        FROM scored) WHERE rk = 1
+    )
+    SELECT event_type, h AS change_hour, CAST(stat AS BIGINT) AS statistic,
+           CAST((s_t * 1000 - (s_t * 1000) % n_t) / n_t AS BIGINT)
+             AS mean_before_millicents,
+           CAST(((s_tot - s_t) * 1000 - ((s_tot - s_t) * 1000)
+                 % (n_tot - n_t)) / (n_tot - n_t) AS BIGINT)
+             AS mean_after_millicents
+    FROM best ORDER BY event_type
+    """,
+    tags=("events", "analytics", "window"),
+)
+def events_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(cents).alias("v"), F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    pre = hourly.select(
+        "event_type",
+        "h",
+        F.sum("v").over(w).alias("s_t"),
+        F.sum("n").over(w).alias("n_t"),
+        F.sum("v").over(p).alias("s_tot"),
+        F.sum("n").over(p).alias("n_tot"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")).alias(
+            "t"
+        ),
+        F.count("*").over(p).alias("big_t"),
+    )
+    scored = pre.where(F.col("t") < F.col("big_t")).select(
+        "event_type",
+        "h",
+        F.abs(
+            F.col("s_t") * (F.col("n_tot") - F.col("n_t"))
+            - (F.col("s_tot") - F.col("s_t")) * F.col("n_t")
+        ).alias("stat"),
+        "s_t",
+        "n_t",
+        "s_tot",
+        "n_tot",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("stat").desc(), "h")
+    )
+    best = scored.withColumn("rk", rk).where(F.col("rk") == 1)
+
+    def exact_div(num, den):  # integer millicents: exactly-divisible pair
+        scaled = num * F.lit(1000)
+        return ((scaled - scaled % den) / den).cast("long")
+
+    return best.select(
+        "event_type",
+        F.col("h").alias("change_hour"),
+        F.col("stat").cast("long").alias("statistic"),
+        exact_div(F.col("s_t"), F.col("n_t")).alias("mean_before_millicents"),
+        exact_div(
+            F.col("s_tot") - F.col("s_t"), F.col("n_tot") - F.col("n_t")
+        ).alias("mean_after_millicents"),
+    ).orderBy("event_type")

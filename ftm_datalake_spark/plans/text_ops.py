@@ -1344,3 +1344,96 @@ def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation mining (round 5): top-20 adjacent word pairs by pointwise
+# mutual information over the documents corpus. PMI = log(n_ab*N /
+# (n_a*n_b)) is monotone in the integer rational n_ab*N / (n_a*n_b), so
+# the RANKING never computes a log: the score is quantized to exact
+# integer ppm via the (s - s % d) / d identity and ties break on the
+# pair — bit-exact ordering in both engines. Scale shape: one corpus
+# scan explodes bigrams, then everything is hash-aggs over the
+# vocabulary-scale frames; the unigram marginals broadcast back.
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM toks)
+    ),
+    pair_n AS (SELECT a, b, COUNT(*) AS n_ab FROM bi GROUP BY a, b),
+    uni AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT a AS w FROM bi UNION ALL SELECT b FROM bi) GROUP BY w
+    ),
+    tot AS (SELECT COUNT(*) AS big_n FROM bi),
+    scored AS (
+      SELECT p.a, p.b, p.n_ab,
+             ua.n AS n_a, ub.n AS n_b,
+             (p.n_ab * t.big_n * 1000000
+              - (p.n_ab * t.big_n * 1000000) % (ua.n * ub.n))
+               / (ua.n * ub.n) AS score_ppm
+      FROM pair_n p
+      JOIN uni ua ON ua.w = p.a
+      JOIN uni ub ON ub.w = p.b
+      CROSS JOIN tot t
+      WHERE p.n_ab >= 5
+    )
+    SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM scored
+    ORDER BY score_ppm DESC, a, b
+    LIMIT 20
+    """,
+    tags=("text", "analytics"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(regexp_extract_all(lower(text),"
+                " '[a-z]+', 0)) - 1), i -> struct("
+                "regexp_extract_all(lower(text), '[a-z]+', 0)[i - 1] AS a,"
+                " regexp_extract_all(lower(text), '[a-z]+', 0)[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_n = bi.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    uni = (
+        bi.select(F.col("a").alias("w"))
+        .unionAll(bi.select(F.col("b").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    big_n = bi.agg(F.count("*").alias("big_n"))
+    ua = uni.select(F.col("w").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n").alias("n_b"))
+    scored = (
+        pair_n.where(F.col("n_ab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(big_n))
+    )
+    num = F.col("n_ab") * F.col("big_n") * F.lit(1_000_000)
+    den = F.col("n_a") * F.col("n_b")
+    score = ((num - num % den) / den).cast("long")
+    return (
+        scored.select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            score.alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), "a", "b")
+        .limit(20)
+    )
