@@ -168,3 +168,114 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage (round 5): within-brand
+# candidate pairs scored by the classic likelihood-ratio product —
+# per field, m/u if the values agree else (1-m)/(1-u) — with the
+# agreement weights as FIXED small-integer rationals, so the product is
+# two exact BIGINT products (numerator, denominator) and the match
+# score is the integer-ppm quantization of their ratio: bit-exact
+# ranking in both engines, no log-space floats anywhere. Blocking keeps
+# the pair space bounded (brand blocks, same as er_fuzzy_part_names);
+# the quadratic work never leaves a block.
+#
+# Field weights (m = P(agree | match), u = P(agree | non-match)):
+#   type:      m=9/10, u=1/10  -> agree 9/1,  disagree 1/9  (x9, /9)
+#   size:      m=4/5,  u=1/4   -> agree 16/5, disagree 4/15
+#   name head: m=7/10, u=1/8   -> agree 28/5, disagree 12/35
+# (the third field is the leading word of p_name — a name-prefix
+# agreement pattern, since the synthetic part table has no container)
+_FS_WEIGHTS = {
+    "type": ((9, 1), (1, 9)),
+    "size": ((16, 5), (4, 15)),
+    "name_head": ((28, 5), (12, 35)),
+}
+
+
+@register(
+    "er_fellegi_sunter_matches",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
+             CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS ag_size,
+             CASE WHEN string_split(a.p_name, ' ')[1]
+                       = string_split(b.p_name, ' ')[1] THEN 1 ELSE 0 END
+               AS ag_cont
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+      SELECT key_a, key_b, ag_type, ag_size, ag_cont,
+             CAST(CASE WHEN ag_type = 1 THEN 9 ELSE 1 END
+              * CASE WHEN ag_size = 1 THEN 16 ELSE 4 END
+              * CASE WHEN ag_cont = 1 THEN 28 ELSE 12 END AS BIGINT) AS num,
+             CAST(CASE WHEN ag_type = 1 THEN 1 ELSE 9 END
+              * CASE WHEN ag_size = 1 THEN 5 ELSE 15 END
+              * CASE WHEN ag_cont = 1 THEN 5 ELSE 35 END AS BIGINT) AS den
+      FROM pairs
+    )
+    SELECT key_a, key_b,
+           CAST(ag_type AS BIGINT) AS ag_type,
+           CAST(ag_size AS BIGINT) AS ag_size,
+           CAST(ag_cont AS BIGINT) AS ag_cont,
+           CAST((num * 1000000 - (num * 1000000) % den) / den AS BIGINT)
+             AS score_ppm
+    FROM scored
+    WHERE num * 1000000 >= den * 5000000  -- LR >= 5: probable match
+    ORDER BY score_ppm DESC, key_a, key_b
+    """,
+    tags=("er", "blocking", "join"),
+)
+def er_fellegi_sunter_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.split(F.col("p_name"), " ").getItem(0).alias("p_head"),
+    )
+    a = part.select(
+        F.col("p_brand").alias("b"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_type").alias("ta"),
+        F.col("p_size").alias("sa"),
+        F.col("p_head").alias("ca"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("b"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+        F.col("p_head").alias("cb"),
+    )
+    pairs = a.join(b, "b").where(F.col("key_a") < F.col("key_b"))
+    ag_type = F.when(F.col("ta") == F.col("tb"), 1).otherwise(0)
+    ag_size = F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)
+    ag_cont = F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+    num = (
+        F.when(ag_type == 1, 9).otherwise(1)
+        * F.when(ag_size == 1, 16).otherwise(4)
+        * F.when(ag_cont == 1, 28).otherwise(12)
+    ).cast("long")
+    den = (
+        F.when(ag_type == 1, 1).otherwise(9)
+        * F.when(ag_size == 1, 5).otherwise(15)
+        * F.when(ag_cont == 1, 5).otherwise(35)
+    ).cast("long")
+    scaled = num * F.lit(1_000_000)
+    score = ((scaled - scaled % den) / den).cast("long")
+    return (
+        pairs.select(
+            "key_a",
+            "key_b",
+            ag_type.cast("long").alias("ag_type"),
+            ag_size.cast("long").alias("ag_size"),
+            ag_cont.cast("long").alias("ag_cont"),
+            score.alias("score_ppm"),
+        )
+        .where(scaled >= den * F.lit(5_000_000))
+        .orderBy(F.col("score_ppm").desc(), "key_a", "key_b")
+    )
