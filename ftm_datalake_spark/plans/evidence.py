@@ -100,17 +100,22 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "statement_incremental_merge",
     # never-sampled: analytics batch
     "events_anomaly_mad",
+    # new in round 5 — brand new ops, so driver evidence is
+    # highest-value: lake-ops quality family, change-point detection,
+    # PMI collocations, Fellegi-Sunter linkage, Bloom semi-join
+    "dq_skew_report_orders",
+    "dq_table_profile_documents",
+    "dq_profile_drift_documents",
+    "events_changepoint_meanshift",
+    "text_pmi_collocations",
+    "er_fellegi_sunter_matches",
+    "bloom_semi_join_revenue",
+    # ---- 50-slot prefix boundary (driver samples ~50) ----
+    # never-sampled queue for round 6
     "events_dau_stickiness_hll",
     "events_rolling_7d_users",
     "customer_rfm_segments",
     "orders_revenue_pareto",
-    # new in round 5: lake-ops quality family (skew report, profile,
-    # drift) — brand new, so driver evidence is highest-value
-    "dq_skew_report_orders",
-    "dq_table_profile_documents",
-    "dq_profile_drift_documents",
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
-    # never-sampled queue for round 6
     "events_conversion_latency",
     "lineitem_yoy_growth",
     "supplier_concentration_hhi",
