@@ -328,6 +328,19 @@ def project_entities(documents: DataFrame) -> DataFrame:
     )
 
 
+def _source_scan(
+    spark: SparkSession, source_uri: str, dataset: str
+) -> DataFrame:
+    """Full content scan of a source, routed by URI scheme — integrity
+    passes re-read and re-hash every blob wherever it lives (local FS
+    via binaryFile; HTTP stores via the task-side fetcher)."""
+    if source_uri.startswith(("http://", "https://")):
+        from ftm_datalake_spark.sources.http_store import crawl_scan_http
+
+        return crawl_scan_http(spark, source_uri, dataset)
+    return crawl_scan(spark, source_uri, dataset)
+
+
 def make(
     spark: SparkSession, source_uri: str, dataset: str, lake_dir: str
 ) -> DataFrame:
@@ -335,10 +348,10 @@ def make(
 
     One full-outer join replaces the reference's twin task streams
     (ftm_datalake/make.py:52-111). Returns (key, action) with
-    add|delete|fix|ok."""
+    add|delete|fix|ok. Works over local and http(s) sources alike."""
     from ftm_datalake_spark.operators.documents import reconcile
 
-    source = crawl_scan(spark, source_uri, dataset)
+    source = _source_scan(spark, source_uri, dataset)
     current = read_documents(spark, lake_dir, dataset)
     return reconcile(source, current)
 
@@ -352,7 +365,7 @@ def repair(
 
     # one source scan (sha1 of every blob) serves both the action counts
     # and the rewrite
-    source = crawl_scan(spark, source_uri, dataset).persist()
+    source = _source_scan(spark, source_uri, dataset).persist()
     try:
         current = read_documents(spark, lake_dir, dataset)
         actions = reconcile(source, current)

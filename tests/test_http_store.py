@@ -205,3 +205,50 @@ def test_crawl_http_full_pipeline_and_incremental(spark, tmp_path, monkeypatch):
         assert fetched == ["three.txt"]  # only the delta
     finally:
         httpd.shutdown()
+
+
+def test_make_and_repair_over_http(spark, tmp_path):
+    """Integrity pass over an HTTP store: corrupting a remote blob is
+    detected as `fix` and repair rewrites the table with the new hash —
+    the reference's make semantics, scheme-routed."""
+    import hashlib
+    import http.server
+    import threading
+
+    from ftm_datalake_spark.pipelines.ingest import make, read_documents, repair
+    from ftm_datalake_spark.sources.http_store import crawl_http
+
+    root = tmp_path / "src"
+    root.mkdir()
+    (root / "ok.txt").write_bytes(b"stable")
+    (root / "mut.txt").write_bytes(b"original")
+    handler_cls = type(
+        "Quiet", (http.server.SimpleHTTPRequestHandler,),
+        {"log_message": lambda self, *a: None},
+    )
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        lambda *a, **kw: handler_cls(*a, directory=str(root), **kw),
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    lake = str(tmp_path / "lake")
+    try:
+        crawl_http(spark, base, "ds", lake)
+        # clean state: everything ok
+        actions = {r.key: r.action for r in make(spark, base, "ds", lake).collect()}
+        assert actions == {"ok.txt": "ok", "mut.txt": "ok"}
+
+        (root / "mut.txt").write_bytes(b"corrupted!")
+        actions = {r.key: r.action for r in make(spark, base, "ds", lake).collect()}
+        assert actions == {"ok.txt": "ok", "mut.txt": "fix"}
+
+        counters = repair(spark, base, "ds", lake)
+        assert counters.get("fix") == 1 and counters.get("ok") == 1
+        row = {
+            r.key: r.content_hash
+            for r in read_documents(spark, lake, "ds").collect()
+        }
+        assert row["mut.txt"] == hashlib.sha1(b"corrupted!").hexdigest()
+    finally:
+        httpd.shutdown()
