@@ -97,6 +97,9 @@ GLOBAL_SCALAR_OK = {
     "dq_skew_report_orders",
     "dq_table_profile_documents",
     "dq_profile_drift_documents",
+    # PMI normalizer: the total-bigram count N is a 1-row global scalar
+    # broadcast back into the scoring join
+    "text_pmi_collocations",
     "events_funnel",
     "gdpr_forget_users",
     "q11_important_parts",
