@@ -141,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
     p_zip.add_argument("--lake", required=True)
     p_zip.add_argument("--out", required=True)
 
+    p_pub = sub.add_parser("publish")
+    p_pub.add_argument("--lake", required=True)
+
     p_srv = sub.add_parser("serve")
     p_srv.add_argument("--lake", required=True)
     p_srv.add_argument("--host", default="127.0.0.1")
@@ -565,6 +568,10 @@ def _dispatch(spark, args) -> int:
             else:
                 for row in idx.orderBy("file", "column").collect():
                     print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "publish":
+        from ftm_datalake_spark.pipelines.ingest import publish
+
+        print(json.dumps(publish(spark, args.lake)))
     elif args.cmd == "serve":
         from ftm_datalake_spark.api import build_app_from_documents, serve
 

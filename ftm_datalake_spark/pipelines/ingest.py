@@ -301,6 +301,37 @@ def make_index_stats(spark: SparkSession, lake_dir: str, dataset: str) -> dict:
     }
 
 
+def publish(spark: SparkSession, lake_dir: str) -> dict:
+    """A5/S12 fan-in to FILES: write ``{dataset}/index.json`` for every
+    dataset in the lake plus the root ``catalog.json`` over all of them
+    (reference: make_index → ftm_datalake/archive/dataset.py:177-190,
+    catalog fan-in → archive/base.py:75-83, docs/rfc.md:154-158).
+
+    The per-dataset stats come from ONE pass over the partitioned
+    documents table (dataset_index groups by the partition column — no
+    per-dataset job loop); each index.json and the catalog are
+    driver-side JSON dumps of collected metadata rows, which is their
+    scale by construction. Returns {"datasets": n, "catalog": path}."""
+    import json as _json
+    import os as _os
+
+    from ftm_datalake_spark.operators.stats import dataset_index
+    from ftm_datalake_spark.sources.sinks import write_index_json
+
+    docs = spark.read.parquet(_os.path.join(lake_dir, "documents"))
+    rows = dataset_index(docs, project_entities(docs)).collect()
+    entries = []
+    for row in sorted(rows, key=lambda r: r["dataset"]):
+        index_row = row.asDict(recursive=True)
+        index_row["name"] = index_row.pop("dataset")
+        write_index_json(index_row, _os.path.join(lake_dir, index_row["name"]))
+        entries.append(index_row)
+    cat_path = _os.path.join(lake_dir, "catalog.json")
+    with open(cat_path, "w", encoding="utf-8") as fh:
+        _json.dump({"datasets": entries}, fh, default=str, sort_keys=True)
+    return {"datasets": len(entries), "catalog": cat_path}
+
+
 def project_entities(documents: DataFrame) -> DataFrame:
     """P7: file rows → FTM entity proxies (ENTITY_SCHEMA shape).
 

@@ -168,3 +168,32 @@ def test_forget_gc_dq_verbs(spark, tmp_path, capsys):
     )
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert lines[0]["key"] == "ds" and lines[0]["share_ppm"] == 1_000_000
+
+
+def test_publish_writes_index_and_catalog(spark, tmp_path, capsys):
+    """publish materializes {dataset}/index.json per dataset plus the
+    root catalog.json — the reference's make_index + catalog fan-in as
+    files, from ONE pass over the partitioned table."""
+    from ftm_datalake_spark.__main__ import _dispatch
+    from ftm_datalake_spark.pipelines.ingest import crawl
+
+    for ds, names in (("ds1", ["a.txt", "b.pdf"]), ("ds2", ["c.csv"])):
+        src = tmp_path / f"src_{ds}"
+        src.mkdir()
+        for n in names:
+            (src / n).write_bytes(f"body of {n}".encode())
+        crawl(spark, str(src), ds, str(tmp_path / "lake"))
+
+    _dispatch(spark, _args(cmd="publish", lake=str(tmp_path / "lake")))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["datasets"] == 2
+
+    idx1 = json.loads((tmp_path / "lake" / "ds1" / "index.json").read_text())
+    assert idx1["name"] == "ds1" and idx1["file_count"] == 2
+    assert idx1["entity_count"] == 2
+    schemata = {s["name"] for s in idx1["schemata"]}
+    assert schemata == {"PlainText", "Pages"}
+
+    cat = json.loads((tmp_path / "lake" / "catalog.json").read_text())
+    assert [d["name"] for d in cat["datasets"]] == ["ds1", "ds2"]
+    assert cat["datasets"][1]["file_count"] == 1
