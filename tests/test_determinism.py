@@ -24,6 +24,13 @@ RISKY = [
     "corpus_epoch_shards",
     "sketch_hll_distinct_users",
     "approx_distinct_users",
+    # round-5 late ops: integer argmax / quantized-rational ranks /
+    # bloom bit folds must not leak partitioning
+    "events_changepoint_meanshift",
+    "text_pmi_collocations",
+    "er_fellegi_sunter_matches",
+    "bloom_semi_join_revenue",
+    "dq_skew_report_orders",
     "sketch_cms_heavy_hitters",
     "sketch_theta_set_ops",
     "dedup_exact",
