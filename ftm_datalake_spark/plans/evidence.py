@@ -17,10 +17,12 @@ oracled row, so the whole r4 prefix rotates out. The new prefix is:
    relational-HLL path with a full DuckDB oracle (m=256 registers +
    linear-counting small-range branch via a driver-baked ln table), so
    the row should finally go green. It stays in slot 1 until it does.
-2. 49 queries with no driver evidence — 44 never-driver-sampled from
+2. 49 queries with no driver evidence — 40 never-driver-sampled from
    the 83 that remained after r4, the round-5-oracled BPE trained pair,
-   and the 3 brand-new round-5 lake-ops quality queries — ordered to
-   cover every untested family: the dedup family (exact, minhash,
+   and the 7 brand-new round-5 ops (lake-ops quality trio, change-point
+   detection, PMI collocations, Fellegi-Sunter linkage, Bloom
+   semi-join) — ordered to cover every untested family: the dedup
+   family (exact, minhash,
    simhash, ngram-jaccard, families, verified-pairs, prefix-filter,
    incremental, containment, CDC-chunks, canonical corpus), the text
    family (token count, BPE tokens, quality, langid, fingerprint,
