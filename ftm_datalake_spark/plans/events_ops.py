@@ -1180,3 +1180,138 @@ def events_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_tot") - F.col("s_t"), F.col("n_tot") - F.col("n_t")
         ).alias("mean_after_millicents"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Seasonality deviation profile (round 5): (hour-of-day × event_type)
+# observed counts vs the independence expectation, scored with the
+# exact-rational deviation |obs·total − row·col| quantized to ppm of
+# row·col — the χ² numerator shape without any float division, so the
+# ranking of hot/cold cells is bit-exact cross-engine. One hash-agg
+# over the stream plus two marginal rollups of the tiny cell frame.
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod, event_type,
+             COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT hod, SUM(obs) AS row_n FROM cells GROUP BY hod),
+    cols_m AS (SELECT event_type, SUM(obs) AS col_n FROM cells GROUP BY event_type),
+    tot AS (SELECT SUM(obs) AS n FROM cells)
+    SELECT c.hod, c.event_type, CAST(c.obs AS BIGINT) AS obs,
+           CAST(r.row_n AS BIGINT) AS row_n, CAST(co.col_n AS BIGINT) AS col_n,
+           CAST((abs(c.obs * t.n - r.row_n * co.col_n) * 1000000
+                 - (abs(c.obs * t.n - r.row_n * co.col_n) * 1000000)
+                   % (r.row_n * co.col_n))
+                / (r.row_n * co.col_n) AS BIGINT) AS dev_ppm
+    FROM cells c
+    JOIN rows_m r USING (hod)
+    JOIN cols_m co USING (event_type)
+    CROSS JOIN tot t
+    ORDER BY dev_ppm DESC, hod, event_type
+    LIMIT 25
+    """,
+    tags=("events", "analytics", "agg"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.hour("ts").cast("long").alias("hod"), "event_type"
+    ).agg(F.count("*").alias("obs"))
+    rows_m = cells.groupBy("hod").agg(F.sum("obs").alias("row_n"))
+    cols_m = cells.groupBy("event_type").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    j = (
+        cells.join(rows_m, "hod")
+        .join(F.broadcast(cols_m), "event_type")
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(F.col("obs") * F.col("n") - F.col("row_n") * F.col("col_n"))
+    den = F.col("row_n") * F.col("col_n")
+    scaled = diff * F.lit(1_000_000)
+    dev = ((scaled - scaled % den) / den).cast("long")
+    return (
+        j.select(
+            "hod",
+            "event_type",
+            F.col("obs").cast("long").alias("obs"),
+            F.col("row_n").cast("long").alias("row_n"),
+            F.col("col_n").cast("long").alias("col_n"),
+            dev.alias("dev_ppm"),
+        )
+        .orderBy(F.col("dev_ppm").desc(), "hod", "event_type")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort lifetime value (round 5): customers bucketed by first-order
+# month, cumulative revenue per cohort-age month in exact integer cents
+# — the running sum runs over the tiny (cohort, age) matrix, not the
+# fact table, so the window is frame-bounded at any scale.
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort,
+             CAST(date_diff('month', f.cohort,
+                            date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS age_months,
+             SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort, age_months,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(SUM(rev_cents) OVER (
+             PARTITION BY cohort ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rev_cents
+    FROM rev
+    WHERE age_months <= 6
+    ORDER BY cohort, age_months
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year(F.col("o_orderdate")) - F.year(F.col("cohort"))) * 12
+                + (F.month(F.col("o_orderdate")) - F.month(F.col("cohort")))
+            )
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.where(F.col("age_months") <= 6)
+        .select(
+            "cohort",
+            "age_months",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+        )
+        .orderBy("cohort", "age_months")
+    )

@@ -100,6 +100,8 @@ GLOBAL_SCALAR_OK = {
     # PMI normalizer: the total-bigram count N is a 1-row global scalar
     # broadcast back into the scoring join
     "text_pmi_collocations",
+    # seasonality: the grand-total cell count is the same 1-row scalar
+    "events_seasonality_profile",
     "events_funnel",
     "gdpr_forget_users",
     "q11_important_parts",
