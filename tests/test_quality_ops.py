@@ -63,3 +63,30 @@ def test_profile_drift_detects_changes_and_missing_columns(spark):
     assert rows["lang"].min_changed is False
     # column only in the old profile surfaces with negative deltas
     assert rows["n"].d_rows == -2 and rows["n"].min_changed is True
+
+
+def test_ppm_identity_bit_matches_duckdb_integer_division():
+    """The (s - s % d)/d exact-division idiom used across the quality /
+    PMI / seasonality / bloom queries must equal DuckDB's BIGINT //
+    for adversarial numerators and denominators (hypothesis sweep)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        num=st.integers(min_value=0, max_value=9_000_000_000),
+        den=st.integers(min_value=1, max_value=9_000_000),
+    )
+    def check(num, den):
+        scaled = num * 1_000_000
+        py = (scaled - scaled % den) // den
+        duck = con.execute(
+            f"SELECT CAST(({scaled} - {scaled} % {den}) / {den} AS BIGINT), "
+            f"{scaled} // {den}"
+        ).fetchone()
+        assert py == duck[0] == duck[1]
+
+    check()

@@ -166,3 +166,35 @@ def test_csv_lines_match_dictwriter(spark):
         r["line"] for r in documents_csv_lines(_docs_df(spark, rows)).collect()
     )
     assert ours == _reference_lines(rows)
+
+
+def test_randomized_parity_with_nasty_document_rows(spark, tmp_path):
+    """End-to-end diff parity on rows whose fields need CSV quoting
+    (commas, quotes, spaces) — the quoting path must round-trip through
+    the relational renderer identically to csv.DictWriter + difflib."""
+    import random
+
+    from ftm_datalake_spark.sources.sinks import write_documents_diff
+
+    rng = random.Random(99)
+    pool = [
+        "plain.txt", 'has,comma.txt', 'has"quote.txt', "two words.txt",
+        'both,"of".txt', "unicode-é.txt", "trailing.txt",
+    ]
+    for trial in range(4):
+        def rows(sample):
+            return [
+                {"key": k, "content_hash": f"h{i}", "size": i * 10,
+                 "mimetype": "text/plain" if i % 2 else None,
+                 "created_at": "2024-01-01 00:00:00",
+                 "updated_at": f"2024-01-0{1 + i % 5} 00:00:00"}
+                for i, k in enumerate(sample)
+            ]
+        old_rows = rows(sorted(rng.sample(pool, rng.randint(1, len(pool)))))
+        new_rows = rows(sorted(rng.sample(pool, rng.randint(1, len(pool)))))
+        expected = _reference_diff_bytes(old_rows, new_rows, "vA", "vB")
+        target = write_documents_diff(
+            _docs_df(spark, old_rows), _docs_df(spark, new_rows),
+            str(tmp_path / f"t{trial}.diff"), "vA", "vB",
+        )
+        assert open(target).read() == expected, f"trial {trial}"
