@@ -1437,3 +1437,64 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), "a", "b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation (round 5): confusion matrix of the marker-based
+# predictor against the table's ground-truth lang column, with exact
+# integer per-class recall in ppm — the standard classifier-evaluation
+# op, over the same zero-shuffle scoring path as text_langid.
+@register(
+    "text_langid_confusion",
+    oracle="""
+    WITH c AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|of)\\b')) AS BIGINT) AS n_en,
+             CAST(len(regexp_extract_all(text, '\\b(der|die|und)\\b')) AS BIGINT) AS n_de,
+             CAST(len(regexp_extract_all(text, '\\b(le|la|et)\\b')) AS BIGINT) AS n_fr,
+             CAST(len(regexp_extract_all(text, '\\b(el|los|y)\\b')) AS BIGINT) AS n_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS actual,
+             CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+                  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                  WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                  WHEN n_fr >= n_es THEN 'fr'
+                  ELSE 'es' END AS predicted
+      FROM c
+    ),
+    cells AS (
+      SELECT actual, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    ),
+    totals AS (SELECT actual, SUM(n) AS class_n FROM cells GROUP BY actual)
+    SELECT c.actual, c.predicted, CAST(c.n AS BIGINT) AS n,
+           CAST(t.class_n AS BIGINT) AS class_n,
+           CAST((c.n * 1000000 - (c.n * 1000000) % t.class_n) / t.class_n
+                AS BIGINT) AS share_ppm
+    FROM cells c JOIN totals t USING (actual)
+    ORDER BY actual, predicted
+    """,
+    tags=("text", "analytics", "agg"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        TX.predict_lang(F.col("text")).alias("predicted"),
+    )
+    cells = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    totals = cells.groupBy("actual").agg(F.sum("n").alias("class_n"))
+    scaled = F.col("n") * F.lit(1_000_000)
+    share = ((scaled - scaled % F.col("class_n")) / F.col("class_n")).cast("long")
+    return (
+        cells.join(totals, "actual")
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("long").alias("n"),
+            F.col("class_n").cast("long").alias("class_n"),
+            share.alias("share_ppm"),
+        )
+        .orderBy("actual", "predicted")
+    )
