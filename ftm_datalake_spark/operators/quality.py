@@ -30,7 +30,11 @@ def dq_rule_summary(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     row. Output: (rule, n_rows, n_violations), one row per rule.
     """
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__v_{i}")
+        # coalesce: SUM over zero rows is NULL; an empty table has zero
+        # violations, not unknown violations
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"__v_{i}")
         for i, pred in enumerate(rules.values())
     ]
     wide = df.agg(F.count("*").cast("long").alias("__n"), *aggs)
@@ -128,7 +132,10 @@ def table_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     for i, c in enumerate(columns):
         col = F.col(c)
         aggs += [
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null{i}"),
+            # empty table: zero nulls, not unknown nulls
+            F.coalesce(
+                F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__null{i}"),
             F.count_distinct(col).alias(f"__dist{i}"),
             F.min(col.cast("string")).alias(f"__min{i}"),
             F.max(col.cast("string")).alias(f"__max{i}"),

@@ -90,3 +90,23 @@ def test_ppm_identity_bit_matches_duckdb_integer_division():
         assert py == duck[0] == duck[1]
 
     check()
+
+
+def test_empty_table_edge_cases(spark):
+    """Empty inputs yield zeros, not NULLs (SUM-over-zero-rows guard)."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.quality import (
+        dq_rule_summary,
+        key_skew_report,
+        table_profile,
+    )
+
+    empty = spark.createDataFrame([], "k string, v long")
+    assert key_skew_report(empty, "k").collect() == []
+    prof = {r.column: r for r in table_profile(empty, ["k", "v"]).collect()}
+    assert prof["k"].n_rows == 0 and prof["k"].n_null == 0
+    assert prof["v"].n_distinct == 0 and prof["v"].min_s is None
+    rules = {r.rule: r for r in dq_rule_summary(
+        empty, {"neg": F.col("v") < 0}).collect()}
+    assert rules["neg"].n_rows == 0 and rules["neg"].n_violations == 0
