@@ -9,150 +9,75 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-5 curation: CORRECTNESS_r04 came back 49/49 green on every
-oracled row, so the whole r4 prefix rotates out. The new prefix is:
+Round-6 curation: CORRECTNESS_r05 came back a perfect 50/50 (zero err),
+so the whole r5 prefix rotates out. The union of driver samples across
+rounds 1-5 covers 171 of the 215 registry queries; the remaining 44 —
+every one already green in the builder's full-registry DuckDB sweeps at
+sf0.01 AND sf0.1 (VERIFY_LOCAL_r05 / VERIFY_LOCAL_SF01_r05) — fill this
+round's prefix, completing driver-green coverage of the entire registry.
+Ordering is round-robin across families (events, analytics, window,
+agg, text, join, similarity, training, corpus, pivot, projection,
+sketch) so a mid-sample truncation would still touch every family.
 
-1. ``approx_distinct_users`` — the one standing red row (err:
-   no_oracle in r1–r4). Re-registered this round on the deterministic
-   relational-HLL path with a full DuckDB oracle (m=256 registers +
-   linear-counting small-range branch via a driver-baked ln table), so
-   the row should finally go green. It stays in slot 1 until it does.
-2. 49 queries with no driver evidence — 40 never-driver-sampled from
-   the 83 that remained after r4, the round-5-oracled BPE trained pair,
-   and the 7 brand-new round-5 ops (lake-ops quality trio, change-point
-   detection, PMI collocations, Fellegi-Sunter linkage, Bloom
-   semi-join) — ordered to cover every untested family: the dedup
-   family (exact, minhash,
-   simhash, ngram-jaccard, families, verified-pairs, prefix-filter,
-   incremental, containment, CDC-chunks, canonical corpus), the text
-   family (token count, BPE tokens, quality, langid, fingerprint,
-   repetition, trigram novelty), sampling (stratified, reservoir,
-   importance, per-source cap, diverse-LSH, A-ES weighted ×2),
-   training-pipeline ops (sequence packing, epoch shards, source
-   mixing, sliding chunks, curriculum, decontaminate-benchmark,
-   quantize-int8), multimodal GIF/Y4M, BPE train/encode-trained,
-   per-group HLL + moments sketches, CDC/changefeed/incremental-merge,
-   and the round-4 analytics batch (anomaly MAD, RFM, pareto, YoY,
-   DAU stickiness ×2, autocorr, rolling-7d, conversion latency, HHI,
-   vocab overlap, basket associations, substitution candidates).
-
-Everything not listed keeps registration order after these. The 34
-never-sampled names that didn't fit the 50-slot prefix queue just below
-the boundary for round 6. Every prefix name is green in the builder's
-full-registry sf0.01 AND sf0.1 sweeps (VERIFY_LOCAL_r04/r05), so driver
-rows should come back green.
+Everything not listed keeps registration order after these; previously
+driver-green queries rotate behind the never-sampled block.
 """
 
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # 1. the last red driver row, now fully oracled (round-5 fix)
-    "approx_distinct_users",
-    # 2. never-sampled: dedup family
-    "dedup_exact",
+    # The final 44 never-driver-sampled queries (rounds 1-5 union =
+    # 171/215). Round-robin across registry families.
+    "events_dau_stickiness_hll",  # sketch
+    "events_rolling_7d_users",  # events
+    "customer_rfm_segments",  # analytics
+    "orders_revenue_pareto",  # window
+    "supplier_concentration_hhi",  # agg
+    "docs_source_vocab_overlap",  # text
+    "part_substitution_candidates",  # join
+    "ann_ivf_topk_nprobe2",  # similarity
+    "pit_labeled_examples",  # training
+    "corpus_report_card",  # corpus
+    "pivot_user_event_counts",  # pivot
+    "slugify_keys",  # projection
+    "events_conversion_latency",  # events
+    "orders_cohort_ltv",  # analytics
+    "lineitem_yoy_growth",  # window
+    "basket_brand_association",  # agg
+    "lm_surprisal_topdocs",  # text
+    "asof_next_purchase",  # join
+    "ann_hard_negatives",  # similarity
+    "corpus_curation_v2",  # training
+    "unpivot_event_matrix",  # pivot
+    "events_dau_stickiness",  # events
+    "events_interarrival",  # window
+    "orders_basket_size_distribution",  # agg
+    "tfidf_top_terms",  # text
+    "salted_hot_key_join",  # join
+    "embedding_centroids",  # similarity
+    "doc_commonness",  # training
+    "events_hourly_autocorr",  # events
+    "events_active_windows",  # window
+    "hypertable_daily_rollup",  # agg
+    "text_langid_confusion",  # text
+    "pii_redact",  # training
+    "events_ohlc_hourly",  # events
+    "mode_event_type",  # window
+    "cube_order_stats",  # agg
+    "events_ewma_smoothed",  # events
+    "ntile_customer_quartiles",  # window
+    "grouping_sets_orders",  # agg
+    "events_seasonality_profile",  # events
+    "rolling_7day_revenue",  # window
+    "salted_hot_key_agg",  # agg
+    "median_price_by_priority",  # window
+    "window_rank_functions",  # window
+    # ---- 44 never-sampled end here; slots 45-50 re-confirm the
+    # flagship + round-5 headliners so the sample stays anchored ----
+    "statement_aggregation",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_families",
-    "dedup_verified_pairs",
-    "dedup_prefix_filter_pairs",
-    "dedup_incremental",
-    "dedup_containment_pairs",
-    "dedup_cdc_chunks",
-    "dedup_canonical_corpus",
-    # never-sampled: text analysis
-    "text_token_count",
-    "text_bpe_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_repetition",
-    "text_trigram_novelty",
-    # never-sampled: sampling
-    "sample_stratified",
-    "sample_reservoir_k",
-    "sample_importance_weighted",
-    "sample_per_source_cap",
-    "sample_diverse_lsh",
-    "sample_weighted_aes",
-    "sample_weighted_per_lang",
-    # never-sampled: training-pipeline ops
-    "sequence_packing",
-    "decontaminate_benchmark",
-    "corpus_epoch_shards",
-    "corpus_source_mixing",
-    "corpus_sliding_chunks",
-    "corpus_curriculum_stages",
-    "embedding_quantize_int8",
-    # never-sampled: multimodal codecs not yet driver-seen
-    "multimodal_gif_features",
-    "multimodal_y4m_frames",
-    # never-sampled: the BPE trained pair — rows-only in rounds 1-4,
-    # fully oracled in round 5 via the unrolled 12-round training
-    # replay (_bpe_train_oracle_ctes), so a driver sample now records
-    # a real hash row instead of "err: no_oracle"
-    "bpe_train_merges",
-    "bpe_encode_trained",
-    # never-sampled: sketches
-    "sketch_hll_by_event_type",
-    "sketch_moments_quantiles",
-    # never-sampled: incremental / CDC
-    "cdc_apply_documents",
-    "changefeed_documents",
-    "statement_incremental_merge",
-    # never-sampled: analytics batch
-    "events_anomaly_mad",
-    # new in round 5 — brand new ops, so driver evidence is
-    # highest-value: lake-ops quality family, change-point detection,
-    # PMI collocations, Fellegi-Sunter linkage, Bloom semi-join
-    "dq_skew_report_orders",
-    "dq_table_profile_documents",
-    "dq_profile_drift_documents",
-    "events_changepoint_meanshift",
-    "text_pmi_collocations",
+    "corpus_pipeline_e2e",
     "er_fellegi_sunter_matches",
     "bloom_semi_join_revenue",
-    # ---- 50-slot prefix boundary (driver samples ~50) ----
-    # never-sampled queue for round 6
-    "events_dau_stickiness_hll",
-    "events_rolling_7d_users",
-    "customer_rfm_segments",
-    "orders_revenue_pareto",
-    "events_conversion_latency",
-    "lineitem_yoy_growth",
-    "supplier_concentration_hhi",
-    "basket_brand_association",
-    "docs_source_vocab_overlap",
-    "part_substitution_candidates",
-    "events_dau_stickiness",
-    "events_hourly_autocorr",
-    "events_ohlc_hourly",
-    "events_ewma_smoothed",
-    "events_interarrival",
-    "events_active_windows",
-    "orders_basket_size_distribution",
-    "ann_ivf_topk_nprobe2",
-    "ann_hard_negatives",
-    "pit_labeled_examples",
-    "asof_next_purchase",
-    "lm_surprisal_topdocs",
-    "corpus_report_card",
-    "corpus_curation_v2",
-    "doc_commonness",
-    "tfidf_top_terms",
-    "embedding_centroids",
-    "pii_redact",
-    "hypertable_daily_rollup",
-    "mode_event_type",
-    "pivot_user_event_counts",
-    "cube_order_stats",
-    "ntile_customer_quartiles",
-    "slugify_keys",
-    "grouping_sets_orders",
-    "rolling_7day_revenue",
-    "salted_hot_key_agg",
-    "median_price_by_priority",
-    "salted_hot_key_join",
-    "window_rank_functions",
-    "unpivot_event_matrix",
+    "approx_distinct_users",
 )
