@@ -249,7 +249,11 @@ def _dispatch(spark, args) -> int:
             # and computed every hash, so excluded files are never
             # archived and nothing is re-read or re-hashed here —
             # existing shards are skipped, so only genuinely new blobs
-            # move.
+            # move. Restricted to keys present in the CURRENT source
+            # listing: crawl never deletes table rows, so rows from
+            # earlier crawls whose source file has since been removed
+            # would otherwise produce dangling source paths (local) or
+            # 404s (HTTP).
             docs = read_documents(spark, args.lake, args.dataset)
             if args.source.startswith(("http://", "https://")):
                 from ftm_datalake_spark.functions.checksum import (
@@ -259,13 +263,21 @@ def _dispatch(spark, args) -> int:
                     scan_http_store,
                 )
 
+                from ftm_datalake_spark.sources.http_store import (
+                    list_http_autoindex,
+                )
+
                 arch = os.path.join(args.lake, args.dataset, "archive")
+                live = set(list_http_autoindex(args.source))
                 # skip-archived on metadata: only keys whose shard is
-                # absent are fetched again (per-dataset metadata scale)
+                # absent are fetched again (per-dataset metadata scale);
+                # stale table rows (key gone from the source) are
+                # skipped rather than 404-ing the job
                 pending = [
                     r["key"]
                     for r in docs.select("key", "content_hash").collect()
-                    if not os.path.exists(
+                    if r["key"] in live
+                    and not os.path.exists(
                         os.path.join(
                             arch,
                             r["content_hash"][0:2],

@@ -10,24 +10,50 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Exact mirror of the reference's MIME_SCHEMAS case map
+# (ftm_datalake/util.py:19-38, rigour.mime.types constants): notably the
+# OpenDocument types and non-listed image/* subtypes fall through to
+# Document — verified against the fixture corpus facet counts
+# (tests/fixtures/archive/test_dataset/.leakrfc/index.json: Pages=13,
+# Table=6, Image=5 requires ODT/ODS/jp2/svg/webp/vnd.djvu → Document).
 PAGES_MIMETYPES = (
     "application/pdf",
     "application/msword",
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
-    "application/vnd.oasis.opendocument.text",
 )
 TABLE_MIMETYPES = (
     "text/csv",
     "application/vnd.ms-excel",
+    "application/xls",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
-    "application/vnd.oasis.opendocument.spreadsheet",
 )
 EMAIL_MIMETYPES = (
     "message/rfc822",
     "application/vnd.ms-outlook",
+    "application/xml+opf",
 )
-PLAINTEXT_MIMETYPES = ("text/plain",)
-HYPERTEXT_MIMETYPES = ("text/html", "application/xhtml+xml")
+PLAINTEXT_MIMETYPES = ("text/plain", "application/rtf")
+HYPERTEXT_MIMETYPES = ("text/html", "text/xml")
+IMAGE_MIMETYPES = (
+    "image/png",
+    "image/gif",
+    "image/jpeg",
+    "image/tiff",
+    "image/x-djvu",
+    "image/x-photoshop",
+)
+
+# FTM schema display metadata for index.json things.schemata[] — from the
+# public followthemoney model (schema label/plural), fixture-verified.
+SCHEMA_LABELS = {
+    "Pages": ("Document", "Documents"),
+    "Document": ("File", "Files"),
+    "HyperText": ("Web page", "Web pages"),
+    "Table": ("Table", "Tables"),
+    "Email": ("E-Mail", "E-Mails"),
+    "PlainText": ("Text file", "Text files"),
+    "Image": ("Image", "Images"),
+}
 
 EXTENSION_MIMETYPES = {
     "pdf": "application/pdf",
@@ -58,7 +84,7 @@ def mimetype_to_schema(mimetype: Column) -> Column:
         .when(mt.isin(*EMAIL_MIMETYPES), F.lit("Email"))
         .when(mt.isin(*PLAINTEXT_MIMETYPES), F.lit("PlainText"))
         .when(mt.isin(*HYPERTEXT_MIMETYPES), F.lit("HyperText"))
-        .when(mt.startswith("image/"), F.lit("Image"))
+        .when(mt.isin(*IMAGE_MIMETYPES), F.lit("Image"))
         .otherwise(F.lit("Document"))
     )
 

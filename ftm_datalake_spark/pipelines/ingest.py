@@ -280,24 +280,56 @@ def crawl(
 
 
 def make_index_stats(spark: SparkSession, lake_dir: str, dataset: str) -> dict:
-    """A1-A3: stats row for index.json from the documents table."""
+    """A1-A3: the published index.json document from the documents table.
+
+    Field-level parity with the reference's make_index output
+    (ftm_datalake/archive/dataset.py:177-190; golden fixture
+    tests/fixtures/archive/test_dataset/.leakrfc/index.json): name /
+    prefix (slugified) / title (title-cased default), things.total and
+    things.schemata[] with the FTM label/plural per schema,
+    entity_count, total_file_size, coverage.frequency (default
+    "unknown"), content_type, updated_at (max document timestamp), and
+    the archive block (metadata_prefix / checksum_algorithm)."""
+    from ftm_datalake_spark.functions.mime import SCHEMA_LABELS
+
     docs = read_documents(spark, lake_dir, dataset)
     entities = project_entities(docs)
-    facets = [
-        {"name": r["schema"], "count": r["count"]}
-        for r in entities.groupBy("schema")
+    facets = []
+    for r in (
+        entities.groupBy("schema")
         .agg(F.count("*").alias("count"))
         .orderBy("schema")
         .collect()
-    ]
+    ):
+        label, plural = SCHEMA_LABELS.get(r["schema"], (r["schema"], r["schema"]))
+        facets.append(
+            {
+                "name": r["schema"],
+                "count": r["count"],
+                "label": label,
+                "plural": plural,
+            }
+        )
     totals = docs.agg(
-        F.count("*").alias("n"), F.sum("size").alias("total_file_size")
+        F.count("*").alias("n"),
+        F.sum("size").alias("total_file_size"),
+        F.max("updated_at").alias("updated_at"),
     ).first()
+    updated = totals["updated_at"]
     return {
         "name": dataset,
-        "entity_count": int(totals["n"]),
-        "total_file_size": int(totals["total_file_size"] or 0),
+        "prefix": dataset.replace("_", "-").lower(),
+        "title": dataset.title(),
+        "updated_at": updated.isoformat() if updated is not None else None,
+        "coverage": {"frequency": "unknown"},
         "things": {"total": int(totals["n"]), "schemata": facets},
+        "entity_count": int(totals["n"]),
+        "content_type": "structured",
+        "total_file_size": int(totals["total_file_size"] or 0),
+        "ftm_datalake": {
+            "metadata_prefix": ".ftm_datalake",
+            "checksum_algorithm": "sha1",
+        },
     }
 
 
@@ -318,13 +350,47 @@ def publish(spark: SparkSession, lake_dir: str) -> dict:
     from ftm_datalake_spark.operators.stats import dataset_index
     from ftm_datalake_spark.sources.sinks import write_index_json
 
+    from ftm_datalake_spark.functions.mime import SCHEMA_LABELS
+
     docs = spark.read.parquet(_os.path.join(lake_dir, "documents"))
     rows = dataset_index(docs, project_entities(docs)).collect()
     entries = []
     for row in sorted(rows, key=lambda r: r["dataset"]):
-        index_row = row.asDict(recursive=True)
-        index_row["name"] = index_row.pop("dataset")
-        write_index_json(index_row, _os.path.join(lake_dir, index_row["name"]))
+        r = row.asDict(recursive=True)
+        name = r["dataset"]
+        facets = []
+        for s in r.get("schemata") or []:
+            label, plural = SCHEMA_LABELS.get(s["name"], (s["name"], s["name"]))
+            facets.append({**s, "label": label, "plural": plural})
+        end = r.get("coverage_end")
+        start = r.get("coverage_start")
+        # reference index.json document shape (fixture-verified field
+        # set: .leakrfc/index.json) plus the coverage interval the
+        # one-pass dataset_index already computed
+        index_row = {
+            "name": name,
+            "prefix": name.replace("_", "-").lower(),
+            "title": name.title(),
+            "updated_at": end.isoformat() if end is not None else None,
+            "coverage": {
+                "frequency": "unknown",
+                "start": start.isoformat() if start is not None else None,
+                "end": end.isoformat() if end is not None else None,
+            },
+            "things": {
+                "total": int(r.get("entity_count") or 0),
+                "schemata": facets,
+            },
+            "entity_count": int(r.get("entity_count") or 0),
+            "content_type": "structured",
+            "total_file_size": int(r.get("total_file_size") or 0),
+            "file_count": int(r.get("file_count") or 0),
+            "ftm_datalake": {
+                "metadata_prefix": ".ftm_datalake",
+                "checksum_algorithm": "sha1",
+            },
+        }
+        write_index_json(index_row, _os.path.join(lake_dir, name))
         entries.append(index_row)
     cat_path = _os.path.join(lake_dir, "catalog.json")
     with open(cat_path, "w", encoding="utf-8") as fh:

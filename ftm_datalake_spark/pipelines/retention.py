@@ -45,6 +45,18 @@ def forget_keys(
     current = read_documents(spark, lake_dir, dataset)
     n_before = current.count()
     kept = merge_documents(current, deleted_keys=keys.select("key"))
+    n_kept = kept.count()
+    if n_kept == 0:
+        # write_documents uses dynamic partitionOverwriteMode, so an
+        # empty frame writes no partitions and the old dataset partition
+        # would survive intact — a forget-ALL-keys request would
+        # silently no-op. Drop the partition directory explicitly.
+        import shutil
+
+        part_dir = os.path.join(lake_dir, "documents", f"dataset={dataset}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+        return n_before
     write_documents(kept, lake_dir)
     n_after = read_documents(spark, lake_dir, dataset).count()
     return n_before - n_after

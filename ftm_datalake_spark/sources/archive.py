@@ -39,7 +39,11 @@ def archive_blobs(
 
     `files` carries (local source path, content hash); each partition
     copies its own blobs. Idempotent: existing target shards are kept
-    (content-addressing makes overwrites meaningless)."""
+    (content-addressing makes overwrites meaningless). Missing source
+    files are SKIPPED, not fatal: the archive pass is driven by the
+    merged documents table, which retains rows from earlier crawls whose
+    source file may since have been removed — one stale row must not
+    crash the whole job (same tolerance as gc_blobs' delete)."""
     base = os.path.join(archive_root, dataset, "archive")
 
     def copy_partition(rows: Iterator) -> None:
@@ -59,6 +63,8 @@ def archive_blobs(
             try:
                 shutil.copyfile(src, tmp)
                 os.rename(tmp, target)
+            except FileNotFoundError:
+                pass  # stale table row: source removed since its crawl
             finally:
                 if os.path.exists(tmp):
                     os.remove(tmp)

@@ -24,6 +24,7 @@ contract for streaming single blobs without full downloads."""
 from __future__ import annotations
 
 import datetime as dt
+import posixpath
 import re
 from email.utils import parsedate_to_datetime
 from html.parser import HTMLParser
@@ -45,10 +46,27 @@ class _HrefParser(HTMLParser):
                     self.hrefs.append(value)
 
 
+def _safe_key(key: str) -> bool:
+    """Reject autoindex-derived keys that could escape the base prefix:
+    a crafted page can serve hrefs like ``a/../../x`` (which pass a
+    naive leading-``../`` check) that the server then resolves OUTSIDE
+    the store root. A key is safe iff posixpath.normpath is the
+    identity (no ``..``/``.`` segments, no ``//``, no trailing
+    artifacts) and it stays relative."""
+    if not key or key.startswith("/"):
+        return False
+    norm = posixpath.normpath(key)
+    return norm == key and ".." not in key.split("/")
+
+
 def list_http_autoindex(base_url: str, timeout: float = 30.0) -> list[str]:
     """Recursively walk an HTML autoindex (http.server / nginx style)
     and return sorted relative keys. Driver-side metadata traversal —
-    one small HTML page per directory, no blob bytes."""
+    one small HTML page per directory, no blob bytes. Candidate keys
+    are normalized: any href whose resolved path contains ``..``/``.``
+    segments or collapses under posixpath.normpath is discarded, so a
+    hostile autoindex page cannot yield keys that escape the base
+    prefix when the server resolves the GET."""
     base_url = base_url.rstrip("/") + "/"
     keys: list[str] = []
     stack = [""]
@@ -63,14 +81,15 @@ def list_http_autoindex(base_url: str, timeout: float = 30.0) -> list[str]:
         parser = _HrefParser()
         parser.feed(html)
         for href in parser.hrefs:
-            if href.startswith(("?", "#", "../")) or "://" in href:
+            if href.startswith(("?", "#")) or "://" in href:
                 continue
             rel = unquote(href)
             if rel.startswith("/"):  # absolute within server: keep subtree only
                 continue
             if rel.endswith("/"):
-                stack.append(prefix + rel)
-            else:
+                if _safe_key(prefix + rel.rstrip("/")):
+                    stack.append(prefix + rel)
+            elif _safe_key(prefix + rel):
                 keys.append(prefix + rel)
     return sorted(keys)
 
@@ -110,7 +129,13 @@ def scan_http_store(
     """binaryFile-shaped scan of an HTTP store: (path, modificationTime,
     length, content). ``keys`` defaults to an autoindex walk. Fetches
     run task-side, Arrow-batched; Last-Modified becomes
-    modificationTime (fetch time when the server sends none)."""
+    modificationTime (fetch time when the server sends none).
+
+    Path-column convention: ``path`` is the LOGICAL store path —
+    ``base + raw_key`` (unquoted) — chosen so ``path_to_key`` strips the
+    base prefix and round-trips to the exact table key. The wire URL is
+    ``base + quote(key)``; the two differ only by percent-encoding and
+    the raw-key form is the single convention recorded everywhere."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,

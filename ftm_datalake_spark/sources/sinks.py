@@ -74,6 +74,8 @@ def write_documents_csv(
     ordered = documents.select(*DOCUMENT_COLUMNS)
     n_rows = ordered.count()
     if n_rows <= single_file_max_rows:
+        if os.path.isdir(target):
+            shutil.rmtree(target)  # switching forms: directory -> file
         _single_file_write(
             ordered.orderBy("key", "updated_at"), target, "csv", header=True
         )
@@ -104,13 +106,25 @@ def documents_csv_lines(documents: DataFrame) -> DataFrame:
     document row rendered as one stripped CSV line (QUOTE_MINIMAL — a
     field is quoted iff it contains a comma, quote, CR or LF, quotes
     doubled; None renders empty), distinct-ed like the reference's set
-    (archive/documents.py:129-136). Timestamps render via Spark's
-    timestamp→string cast ('yyyy-MM-dd HH:mm:ss[.ffffff]'), which
-    matches pandas' str(Timestamp) used by the reference."""
+    (archive/documents.py:129-136). Timestamp-typed columns render via
+    an explicit 6-digit-microsecond format to match pandas'
+    str(Timestamp) used by the reference: pandas pads the fraction to 6
+    digits when non-zero ('00:00:00.500000') and omits it entirely at
+    exactly .000000, while Spark's plain string cast trims trailing
+    fractional zeros ('00:00:00.5') — so the cast alone would break
+    byte parity of documents.csv.{ts}.diff."""
+    ts_cols = {
+        f.name for f in documents.schema.fields
+        if f.dataType.typeName() == "timestamp"
+    }
+
     def fld(c: str):
-        s = F.when(F.col(c).isNull(), F.lit("")).otherwise(
-            F.col(c).cast("string")
-        )
+        if c in ts_cols:
+            full = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            rendered = F.regexp_replace(full, r"\.000000$", "")
+        else:
+            rendered = F.col(c).cast("string")
+        s = F.when(F.col(c).isNull(), F.lit("")).otherwise(rendered)
         quoted = F.concat(
             F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"')
         )

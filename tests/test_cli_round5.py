@@ -191,8 +191,12 @@ def test_publish_writes_index_and_catalog(spark, tmp_path, capsys):
     idx1 = json.loads((tmp_path / "lake" / "ds1" / "index.json").read_text())
     assert idx1["name"] == "ds1" and idx1["file_count"] == 2
     assert idx1["entity_count"] == 2
-    schemata = {s["name"] for s in idx1["schemata"]}
+    schemata = {s["name"] for s in idx1["things"]["schemata"]}
     assert schemata == {"PlainText", "Pages"}
+    # reference index.json document shape (label/plural, coverage)
+    labels = {s["name"]: s["label"] for s in idx1["things"]["schemata"]}
+    assert labels == {"PlainText": "Text file", "Pages": "Document"}
+    assert idx1["coverage"]["frequency"] == "unknown"
 
     cat = json.loads((tmp_path / "lake" / "catalog.json").read_text())
     assert [d["name"] for d in cat["datasets"]] == ["ds1", "ds2"]
