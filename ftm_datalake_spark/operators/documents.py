@@ -126,6 +126,90 @@ def unified_diff_changes(
     return _anchored(o, dels), _anchored(n, adds)
 
 
+def unified_diff_hunks(dels: DataFrame, adds: DataFrame) -> DataFrame:
+    """Render unified-diff HUNKS distributed: (anchor, text) rows whose
+    texts, concatenated in anchor order after the two header lines,
+    reproduce difflib.unified_diff(n=0) byte-for-byte — the fully
+    distributed twin of the driver-side render_unified_diff
+    (sources/sinks.py), for deltas too large to collect.
+
+    Inputs are the (line, anchor) change sets from
+    :func:`unified_diff_changes`. Per difflib's n=0 grouping, one hunk
+    per distinct anchor, deletions (sorted) before insertions (sorted);
+    the hunk header ranges need the RUNNING totals of deletions and
+    insertions before each hunk, which come from the two-phase global
+    cumsum (operators/rank.py) — no single-partition stage anywhere.
+    Hunk texts contain their interior newlines but NOT the final one
+    (the text sink's line separator supplies it)."""
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    d = dels.groupBy("anchor").agg(
+        F.sort_array(F.collect_list("line")).alias("d_lines"),
+        F.count("*").alias("d_n"),
+    )
+    a = adds.groupBy("anchor").agg(
+        F.sort_array(F.collect_list("line")).alias("a_lines"),
+        F.count("*").alias("a_n"),
+    )
+    hunks = d.join(a, "anchor", "full_outer").select(
+        "anchor",
+        F.coalesce("d_lines", F.array().cast("array<string>")).alias("d_lines"),
+        F.coalesce("a_lines", F.array().cast("array<string>")).alias("a_lines"),
+        F.coalesce("d_n", F.lit(0)).cast("long").alias("n_d"),
+        F.coalesce("a_n", F.lit(0)).cast("long").alias("n_a"),
+    )
+    counts = with_global_cumsum(
+        hunks.select("anchor", "n_d", "n_a"), ["anchor"], "n_d", "cum_d_end"
+    )
+    counts = with_global_cumsum(
+        counts.select("anchor", "n_d", "n_a", "cum_d_end"),
+        ["anchor"],
+        "n_a",
+        "cum_a_end",
+    ).select(
+        "anchor",
+        (F.col("cum_d_end") - F.col("n_d")).alias("cum_d"),
+        (F.col("cum_a_end") - F.col("n_a")).alias("cum_a"),
+    )
+
+    def fr(start, length):
+        # difflib._format_range_unified on 0-based [start, start+length)
+        beginning = start + F.lit(1)
+        return (
+            F.when(length == 1, beginning.cast("string"))
+            .when(
+                length == 0,
+                F.concat((beginning - 1).cast("string"), F.lit(",0")),
+            )
+            .otherwise(
+                F.concat(
+                    beginning.cast("string"), F.lit(","), length.cast("string")
+                )
+            )
+        )
+
+    hx = hunks.join(counts, "anchor")
+    fr1 = fr(F.col("anchor") + F.col("cum_d"), F.col("n_d"))
+    fr2 = fr(F.col("anchor") + F.col("cum_a"), F.col("n_a"))
+    render_body = lambda col, sign: F.array_join(  # noqa: E731
+        F.transform(col, lambda x: F.concat(F.lit(sign), x)), "\n"
+    )
+    # elements joined by '\n': header (with its difflib-carried trailing
+    # blank line), then '-' lines, then '+' lines; empty sides drop out
+    body = F.array_join(
+        F.filter(
+            F.array(
+                F.concat(F.lit("@@ -"), fr1, F.lit(" +"), fr2, F.lit(" @@\n")),
+                F.when(F.col("n_d") > 0, render_body(F.col("d_lines"), "-")),
+                F.when(F.col("n_a") > 0, render_body(F.col("a_lines"), "+")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        "\n",
+    )
+    return hx.select("anchor", body.alias("text"))
+
+
 def reconcile(
     source_files: DataFrame,
     metadata: DataFrame,

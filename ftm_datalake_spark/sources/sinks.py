@@ -190,35 +190,102 @@ def render_unified_diff(
     return "".join(e + "\n" for e in elements)
 
 
+# Above this many changed lines the diff switches from one collected
+# file to a directory of anchor-range-ordered hunk parts, rendered fully
+# distributed — the same guard pattern as SINGLE_FILE_MAX_ROWS: a
+# snapshot pair differing by 100M rows must never materialize its delta
+# on the driver.
+DIFF_SINGLE_FILE_MAX_CHANGES = 1_000_000
+
+
+def _diff_header(from_version: str, to_version: str) -> str:
+    fromdate = f"\t{from_version}" if from_version else ""
+    todate = f"\t{to_version}" if to_version else ""
+    return f"--- {fromdate}\n\n+++ {todate}\n\n"
+
+
 def write_documents_diff(
     old: DataFrame,
     new: DataFrame,
     target: str,
     from_version: str = "",
     to_version: str = "",
+    single_file_max_changes: int = DIFF_SINGLE_FILE_MAX_CHANGES,
 ) -> str:
     """documents.csv.{ts}.diff with reference byte parity
     (ftm_datalake/archive/documents.py:96-117).
 
     The diff is COMPUTED relationally (operators/documents.
     unified_diff_changes — anti-joins + two-phase ranks, no
-    single-partition stage, no full-snapshot collect); only the changed
-    lines reach the driver, where render_unified_diff reproduces
-    difflib.unified_diff's exact output bytes (n=0 hunks, header
-    dates, the reference's extra newline per yielded element)."""
-    from ftm_datalake_spark.operators.documents import unified_diff_changes
+    single-partition stage, no full-snapshot collect). Up to
+    ``single_file_max_changes`` changed lines, only the delta reaches
+    the driver, where render_unified_diff reproduces
+    difflib.unified_diff's exact output bytes (n=0 hunks, header dates,
+    the reference's extra newline per yielded element). Above it, the
+    diff becomes a DIRECTORY: a ``_header`` sidecar with the two header
+    lines plus text parts of whole hunks in global anchor-range order
+    (operators/documents.unified_diff_hunks — rendered distributed);
+    concatenating ``_header`` + parts in filename order reproduces the
+    same bytes. ``read_diff_text`` reads either form."""
+    from ftm_datalake_spark.operators.documents import (
+        unified_diff_changes,
+        unified_diff_hunks,
+    )
 
     dels, adds = unified_diff_changes(
         documents_csv_lines(old), documents_csv_lines(new)
     )
-    del_rows = dels.collect()
-    add_rows = adds.collect()
-    os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
-    with open(target, "w", encoding="utf-8") as fh:
-        fh.write(
-            render_unified_diff(del_rows, add_rows, from_version, to_version)
+    dels = dels.persist()
+    adds = adds.persist()
+    try:
+        n_changes = dels.count() + adds.count()
+        os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+        if n_changes <= single_file_max_changes:
+            if os.path.isdir(target):
+                shutil.rmtree(target)  # switching forms: directory -> file
+            with open(target, "w", encoding="utf-8") as fh:
+                fh.write(
+                    render_unified_diff(
+                        dels.collect(), adds.collect(), from_version, to_version
+                    )
+                )
+            return target
+        parts = max(2, min(2048, n_changes // single_file_max_changes + 1))
+        if os.path.isfile(target):
+            os.remove(target)  # switching forms: file -> directory
+        (
+            unified_diff_hunks(dels, adds)
+            .repartitionByRange(parts, "anchor")
+            .sortWithinPartitions("anchor")
+            .select("text")
+            .write.mode("overwrite")
+            .text(target)
         )
-    return target
+        with open(os.path.join(target, "_header"), "w", encoding="utf-8") as fh:
+            fh.write(_diff_header(from_version, to_version))
+        return target
+    finally:
+        dels.unpersist()
+        adds.unpersist()
+
+
+def read_diff_text(path: str) -> str:
+    """Read a documents diff back as its exact byte string — either the
+    single-file form or the distributed directory form (``_header`` +
+    parts concatenated in filename order)."""
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+    chunks = []
+    header = os.path.join(path, "_header")
+    if os.path.exists(header):
+        with open(header, encoding="utf-8") as fh:
+            chunks.append(fh.read())
+    for name in sorted(os.listdir(path)):
+        if name.startswith("part-") and not name.endswith(".crc"):
+            with open(os.path.join(path, name), encoding="utf-8") as fh:
+                chunks.append(fh.read())
+    return "".join(chunks)
 
 
 def write_index_json(index_row: dict, out_dir: str) -> str:

@@ -198,3 +198,62 @@ def test_randomized_parity_with_nasty_document_rows(spark, tmp_path):
             str(tmp_path / f"t{trial}.diff"), "vA", "vB",
         )
         assert open(target).read() == expected, f"trial {trial}"
+
+
+def test_distributed_diff_directory_byte_parity(spark, tmp_path):
+    """Above the changed-line threshold the diff renders as a DIRECTORY
+    of hunk parts (no driver-side delta materialization); _header +
+    parts concatenated must equal difflib's bytes exactly."""
+    from ftm_datalake_spark.sources.sinks import (
+        read_diff_text,
+        write_documents_diff,
+    )
+
+    rng = random.Random(7)
+
+    def mk(i, tag):
+        return {
+            "key": f"{tag}{i:05d}.txt", "content_hash": f"h{tag}{i}",
+            "size": i, "mimetype": "text/plain",
+            "created_at": "2024-01-01 00:00:00",
+            "updated_at": "2024-01-01 00:00:00",
+        }
+
+    common = [mk(i, "c") for i in range(120)]
+    old_only = [mk(i, "d") for i in range(60)]
+    new_only = [mk(i, "a") for i in range(60)]
+    # interleave so hunks land at many distinct anchors
+    old_rows = common + old_only
+    new_rows = common + new_only
+    rng.shuffle(old_rows)
+    rng.shuffle(new_rows)
+
+    from_ver, to_ver = "2024-02-01T00:00:00", "2024-02-02T00:00:00"
+    expected = _reference_diff_bytes(old_rows, new_rows, from_ver, to_ver)
+
+    target = write_documents_diff(
+        _docs_df(spark, old_rows),
+        _docs_df(spark, new_rows),
+        str(tmp_path / "documents.csv.diff"),
+        from_ver,
+        to_ver,
+        single_file_max_changes=10,  # force the distributed form
+    )
+    import os
+
+    assert os.path.isdir(target)
+    assert read_diff_text(target) == expected
+
+    # and the form transition back: a tiny delta overwrites the
+    # directory with the single-file form
+    target2 = write_documents_diff(
+        _docs_df(spark, old_rows),
+        _docs_df(spark, old_rows[:-1]),
+        str(tmp_path / "documents.csv.diff"),
+        from_ver,
+        to_ver,
+    )
+    assert os.path.isfile(target2)
+    assert read_diff_text(target2) == _reference_diff_bytes(
+        old_rows, old_rows[:-1], from_ver, to_ver
+    )
