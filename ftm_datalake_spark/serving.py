@@ -28,6 +28,97 @@ def lookup_file(documents: DataFrame, dataset: str, key: str) -> dict | None:
     return rows[0].asDict() if rows else None
 
 
+LOOKUP_SHARDS_DEFAULT = 256
+DICT_SNAPSHOT_MAX_ROWS = 1_000_000
+
+
+def _py_key_shard(key: str, num_shards: int) -> int:
+    import zlib
+
+    return zlib.crc32(key.encode("utf-8")) % num_shards
+
+
+def build_lookup_projection(
+    documents: DataFrame, out_dir: str, num_shards: int = LOOKUP_SHARDS_DEFAULT
+) -> str:
+    """Materialize the documents table into an O(1)-per-GET lookup form:
+    parquet partitioned by (dataset, shard) where ``shard =
+    crc32(key) % num_shards``. A point GET prunes to exactly ONE
+    partition directory via PartitionFilters (dataset + shard are both
+    partition columns), then pushes the key predicate into that file's
+    row groups — at 100 TB the per-GET read is one small parquet file,
+    not a table scan. crc32 is used (not xxhash64) because the serving
+    front-end must compute the same shard in plain Python
+    (zlib.crc32 == Spark's crc32 on UTF-8 bytes)."""
+    shard = F.pmod(
+        F.crc32(F.col("key").cast("binary")), F.lit(num_shards)
+    ).alias("shard")
+    (
+        documents.select("*", shard)
+        .repartition("dataset", "shard")
+        .write.mode("overwrite")
+        .partitionBy("dataset", "shard")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def projection_frame(
+    spark, proj_dir: str, dataset: str, key: str,
+    num_shards: int = LOOKUP_SHARDS_DEFAULT,
+) -> DataFrame:
+    """The pruned single-GET scan over a built lookup projection —
+    exposed separately so tests can assert the PartitionFilters."""
+    shard = _py_key_shard(key, num_shards)
+    return spark.read.parquet(proj_dir).where(
+        (F.col("dataset") == dataset)
+        & (F.col("shard") == shard)
+        & (F.col("key") == key)
+    )
+
+
+def make_projection_lookup(
+    spark, proj_dir: str, num_shards: int = LOOKUP_SHARDS_DEFAULT
+):
+    """Q1 at production shape: a ``lookup(dataset, key)`` callable for
+    DatalakeApi backed by the partition-pruned projection."""
+
+    def lookup(dataset: str, key: str) -> dict | None:
+        rows = projection_frame(
+            spark, proj_dir, dataset, key, num_shards
+        ).limit(1).collect()
+        if not rows:
+            return None
+        info = rows[0].asDict()
+        info.pop("shard", None)
+        return info
+
+    return lookup
+
+
+def make_dict_snapshot_lookup(
+    documents: DataFrame, max_rows: int = DICT_SNAPSHOT_MAX_ROWS
+):
+    """Q1 for small/medium lakes: collect the documents table ONCE into
+    an in-memory dict keyed (dataset, key) — true O(1) per GET with no
+    Spark job on the request path. Guarded: refuses to collect above
+    ``max_rows`` (use the parquet projection there instead)."""
+    n = documents.count()
+    if n > max_rows:
+        raise ValueError(
+            f"documents table has {n} rows > max_rows={max_rows}; "
+            "use build_lookup_projection + make_projection_lookup instead"
+        )
+    snapshot = {
+        (r["dataset"], r["key"]): r.asDict() for r in documents.collect()
+    }
+
+    def lookup(dataset: str, key: str) -> dict | None:
+        return snapshot.get((dataset, key))
+
+    return lookup
+
+
 def file_headers(info: dict) -> dict[str, str]:
     """Q1: HTTP header projection of a metadata row
     (reference: api/util.py:19-31)."""
