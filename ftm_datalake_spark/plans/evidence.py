@@ -72,12 +72,13 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "salted_hot_key_agg",  # agg
     "median_price_by_priority",  # window
     "window_rank_functions",  # window
-    # ---- 44 never-sampled end here; slots 45-50 re-confirm the
-    # flagship + round-5 headliners so the sample stays anchored ----
+    # ---- 44 never-sampled end here; slots 45-47 carry the brand-new
+    # round-6 eval family (driver evidence is highest-value for new
+    # ops), 48-50 re-confirm the flagship + round-6-rewritten wide agg
+    "eval_auc_quality",
+    "eval_cohens_kappa",
+    "eval_calibration_bins",
     "statement_aggregation",
+    "statement_aggregation_wide",
     "dedup_minhash_lsh",
-    "corpus_pipeline_e2e",
-    "er_fellegi_sunter_matches",
-    "bloom_semi_join_revenue",
-    "approx_distinct_users",
 )

@@ -55,6 +55,7 @@ def get_registry() -> dict[str, QuerySpec]:
         curation,
         dq_ops,
         er_ops,
+        eval_ops,
         events_ops,
         extra_ops,
         graph_ops,
