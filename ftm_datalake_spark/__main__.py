@@ -109,12 +109,17 @@ def main(argv: list[str] | None = None) -> int:
     p_al.add_argument("-d", "--dataset", required=True)
     p_al.add_argument("--lake", required=True)
     p_al.add_argument("-o", "--out", help="write upload payload JSONL here (default: stdout)")
+    p_al.add_argument("--host", help="live Aleph API base URL (omit for dry-run payload)")
+    p_al.add_argument("--api-key", help="Aleph ApiKey for --host")
 
     p_ald = sub.add_parser("aleph-load-dataset")
     p_ald.add_argument("uri", help="dataset index.json uri")
     p_ald.add_argument(
-        "--out", required=True, help="dry-run sink dir (one JSON file per pushed batch)"
+        "--out", help="dry-run sink dir (one JSON file per pushed batch)"
     )
+    p_ald.add_argument("--host", help="live Aleph API base URL (instead of --out)")
+    p_ald.add_argument("--api-key", help="Aleph ApiKey for --host")
+    p_ald.add_argument("--foreign-id", help="collection foreign_id for --host")
     p_ald.add_argument("--ledger", help="task-ledger dir for incremental resource skip")
     p_ald.add_argument("--batch-size", type=int, default=1000)
 
@@ -462,6 +467,19 @@ def _dispatch(spark, args) -> int:
         )
 
         docs = read_documents(spark, args.lake, args.dataset)
+        if getattr(args, "host", None):
+            # Live sync over HTTP (connectors/aleph_http): collection
+            # get-or-create, folder tree once, task-side _bulk batches.
+            from ftm_datalake_spark.connectors.aleph_http import (
+                sync_to_aleph_http,
+            )
+
+            cid = sync_to_aleph_http(
+                docs, args.host, foreign_id=args.dataset,
+                api_key=args.api_key,
+            )
+            print(json.dumps({"collection_id": cid}))
+            return 0
         # Dry-run sync: deterministic folder ids (no live Aleph API from
         # the CLI); the payload written here is exactly what
         # sync_to_aleph would push batch-wise.
@@ -489,16 +507,34 @@ def _dispatch(spark, args) -> int:
             load_entities_dataset,
         )
 
-        outdir = args.out
-        os.makedirs(outdir, exist_ok=True)
+        if getattr(args, "host", None):
+            # Live _bulk loads over HTTP (connectors/aleph_http)
+            from ftm_datalake_spark.connectors.aleph_http import (
+                AlephHTTPClient,
+                make_bulk_sender,
+            )
 
-        def send(batch: list[dict]) -> None:
-            # Dry-run sink (no live Aleph API): one file per pushed batch,
-            # named by content hash so re-pushes are idempotent on disk.
-            blob = json.dumps(batch, default=str, sort_keys=True)
-            name = hashlib.sha1(blob.encode()).hexdigest()[:16]
-            with open(os.path.join(outdir, name + ".json"), "w") as fh:
-                fh.write(blob)
+            client = AlephHTTPClient(args.host, args.api_key)
+            fid = args.foreign_id or os.path.splitext(
+                os.path.basename(args.uri.rstrip("/"))
+            )[0]
+            col = client.load_collection_by_foreign_id(fid)
+            send = make_bulk_sender(client, str(col["id"]))
+        else:
+            if not args.out:
+                print("either --out or --host is required", file=sys.stderr)
+                return 2
+            outdir = args.out
+            os.makedirs(outdir, exist_ok=True)
+
+            def send(batch: list[dict]) -> None:
+                # Dry-run sink (no live Aleph API): one file per pushed
+                # batch, named by content hash so re-pushes are
+                # idempotent on disk.
+                blob = json.dumps(batch, default=str, sort_keys=True)
+                name = hashlib.sha1(blob.encode()).hexdigest()[:16]
+                with open(os.path.join(outdir, name + ".json"), "w") as fh:
+                    fh.write(blob)
 
         if args.cmd == "aleph-load-dataset":
             res = load_entities_dataset(

@@ -215,3 +215,35 @@ def test_load_entities_dataset_to_http_bulk(spark, aleph, tmp_path):
         ledger_dir=str(tmp_path / "ledger"),
     )
     assert len(aleph.bulks) == n_bulks
+
+
+def test_cli_aleph_sync_live_host(spark, aleph, tmp_path):
+    """`aleph-sync --host` drives the real HTTP path end-to-end from the
+    CLI: collection created, folders ingested once, rows bulk-pushed."""
+    import argparse
+    import json as _json
+
+    from ftm_datalake_spark.__main__ import _dispatch
+    from ftm_datalake_spark.pipelines.ingest import crawl
+
+    src = tmp_path / "src"
+    (src / "nested").mkdir(parents=True)
+    (src / "nested" / "a.txt").write_bytes(b"cli doc a")
+    (src / "b.txt").write_bytes(b"cli doc b")
+    lake = str(tmp_path / "lake")
+    crawl(spark, str(src), "clids", lake)
+
+    rc = _dispatch(
+        spark,
+        argparse.Namespace(
+            cmd="aleph-sync", dataset="clids", lake=lake, out=None,
+            host=aleph.base_url, api_key="cli-key",
+        ),
+    )
+    assert rc in (0, None)
+    assert "clids" in aleph.collections
+    assert [i["foreign_id"] for i in aleph.ingests] == ["nested"]
+    keys = sorted(
+        r["key"] for _c, batch, _a in aleph.bulks for r in batch
+    )
+    assert keys == ["b.txt", "nested/a.txt"]
