@@ -102,6 +102,12 @@ GLOBAL_SCALAR_OK = {
     "text_pmi_collocations",
     # seasonality: the grand-total cell count is the same 1-row scalar
     "events_seasonality_profile",
+    # round-6 eval family: AUC's rank-sum total and kappa's contingency
+    # table are 1-row global metric summaries — the data term is
+    # map-side-combined to per-score tallies (AUC) / four counters
+    # (kappa) before the final SinglePartition agg
+    "eval_auc_quality",
+    "eval_cohens_kappa",
     "events_funnel",
     "gdpr_forget_users",
     "q11_important_parts",
