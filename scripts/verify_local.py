@@ -58,7 +58,11 @@ def main() -> int:
             fails.append(name)
             print(f"{name}: FAIL {str(exc)[:300]}", flush=True)
 
-    out = os.path.join(ROOT, f"VERIFY_LOCAL_r{rnd:02d}.json")
+    out = os.environ.get("VERIFY_OUT") or os.path.join(
+        ROOT, f"VERIFY_LOCAL_r{rnd:02d}.json"
+    )
+    if not os.path.isabs(out):
+        out = os.path.join(ROOT, out)
     payload = {
         "sf": float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
         or sf_dir,
