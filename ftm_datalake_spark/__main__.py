@@ -230,9 +230,14 @@ def _dispatch(spark, args) -> int:
             # is routed by URI scheme like the reference's fsspec stores
             from ftm_datalake_spark.sources.http_store import crawl_http
 
+            # The crawl's own autoindex walk is captured so a follow-up
+            # --archive pass reuses it (one HTTP GET per directory,
+            # once — not twice per command invocation).
+            http_listing: list[str] = []
             counters = crawl_http(
                 spark, args.source, args.dataset, args.lake,
                 include=args.include, exclude=args.exclude,
+                listing_out=http_listing,
             )
         else:
             counters = crawl(
@@ -268,12 +273,9 @@ def _dispatch(spark, args) -> int:
                     scan_http_store,
                 )
 
-                from ftm_datalake_spark.sources.http_store import (
-                    list_http_autoindex,
-                )
-
                 arch = os.path.join(args.lake, args.dataset, "archive")
-                live = set(list_http_autoindex(args.source))
+                # Reuse the crawl step's walk instead of re-listing.
+                live = set(http_listing)
                 # skip-archived on metadata: only keys whose shard is
                 # absent are fetched again (per-dataset metadata scale);
                 # stale table rows (key gone from the source) are
@@ -515,9 +517,21 @@ def _dispatch(spark, args) -> int:
             )
 
             client = AlephHTTPClient(args.host, args.api_key)
-            fid = args.foreign_id or os.path.splitext(
-                os.path.basename(args.uri.rstrip("/"))
-            )[0]
+            fid = args.foreign_id
+            if not fid:
+                # The uri points at the dataset's index.json, so its
+                # basename is 'index' for EVERY dataset — the right
+                # default foreign_id is the index document's own name
+                # (falling back to the parent directory).
+                from ftm_datalake_spark.pipelines.sync import _read_json_uri
+
+                try:
+                    fid = _read_json_uri(args.uri).get("name")
+                except Exception:
+                    fid = None
+                fid = fid or os.path.basename(
+                    os.path.dirname(args.uri.rstrip("/"))
+                )
             col = client.load_collection_by_foreign_id(fid)
             send = make_bulk_sender(client, str(col["id"]))
         else:

@@ -279,6 +279,50 @@ def crawl(
     return {"files_total": n_total, "added_or_updated": n_changed}
 
 
+def _index_document(
+    name: str,
+    *,
+    entity_count: int,
+    total_file_size: int,
+    updated_at,
+    facets: list[dict],
+    coverage_start=None,
+    coverage_end=None,
+    file_count: int | None = None,
+) -> dict:
+    """The single source of truth for the published index.json document
+    shape (reference: make_index, ftm_datalake/archive/dataset.py:177-190;
+    golden fixture tests/fixtures/archive/test_dataset/.leakrfc/index.json)
+    — both make_index_stats and publish render through here, so a field
+    change can never drift between the two outputs."""
+    coverage: dict = {"frequency": "unknown"}
+    if coverage_start is not None or coverage_end is not None:
+        coverage["start"] = (
+            coverage_start.isoformat() if coverage_start is not None else None
+        )
+        coverage["end"] = (
+            coverage_end.isoformat() if coverage_end is not None else None
+        )
+    doc = {
+        "name": name,
+        "prefix": name.replace("_", "-").lower(),
+        "title": name.title(),
+        "updated_at": updated_at.isoformat() if updated_at is not None else None,
+        "coverage": coverage,
+        "things": {"total": entity_count, "schemata": facets},
+        "entity_count": entity_count,
+        "content_type": "structured",
+        "total_file_size": total_file_size,
+        "ftm_datalake": {
+            "metadata_prefix": ".ftm_datalake",
+            "checksum_algorithm": "sha1",
+        },
+    }
+    if file_count is not None:
+        doc["file_count"] = file_count
+    return doc
+
+
 def make_index_stats(spark: SparkSession, lake_dir: str, dataset: str) -> dict:
     """A1-A3: the published index.json document from the documents table.
 
@@ -315,22 +359,13 @@ def make_index_stats(spark: SparkSession, lake_dir: str, dataset: str) -> dict:
         F.sum("size").alias("total_file_size"),
         F.max("updated_at").alias("updated_at"),
     ).first()
-    updated = totals["updated_at"]
-    return {
-        "name": dataset,
-        "prefix": dataset.replace("_", "-").lower(),
-        "title": dataset.title(),
-        "updated_at": updated.isoformat() if updated is not None else None,
-        "coverage": {"frequency": "unknown"},
-        "things": {"total": int(totals["n"]), "schemata": facets},
-        "entity_count": int(totals["n"]),
-        "content_type": "structured",
-        "total_file_size": int(totals["total_file_size"] or 0),
-        "ftm_datalake": {
-            "metadata_prefix": ".ftm_datalake",
-            "checksum_algorithm": "sha1",
-        },
-    }
+    return _index_document(
+        dataset,
+        entity_count=int(totals["n"]),
+        total_file_size=int(totals["total_file_size"] or 0),
+        updated_at=totals["updated_at"],
+        facets=facets,
+    )
 
 
 def publish(spark: SparkSession, lake_dir: str) -> dict:
@@ -364,32 +399,18 @@ def publish(spark: SparkSession, lake_dir: str) -> dict:
             facets.append({**s, "label": label, "plural": plural})
         end = r.get("coverage_end")
         start = r.get("coverage_start")
-        # reference index.json document shape (fixture-verified field
-        # set: .leakrfc/index.json) plus the coverage interval the
-        # one-pass dataset_index already computed
-        index_row = {
-            "name": name,
-            "prefix": name.replace("_", "-").lower(),
-            "title": name.title(),
-            "updated_at": end.isoformat() if end is not None else None,
-            "coverage": {
-                "frequency": "unknown",
-                "start": start.isoformat() if start is not None else None,
-                "end": end.isoformat() if end is not None else None,
-            },
-            "things": {
-                "total": int(r.get("entity_count") or 0),
-                "schemata": facets,
-            },
-            "entity_count": int(r.get("entity_count") or 0),
-            "content_type": "structured",
-            "total_file_size": int(r.get("total_file_size") or 0),
-            "file_count": int(r.get("file_count") or 0),
-            "ftm_datalake": {
-                "metadata_prefix": ".ftm_datalake",
-                "checksum_algorithm": "sha1",
-            },
-        }
+        # Shared document shape plus the coverage interval the one-pass
+        # dataset_index already computed.
+        index_row = _index_document(
+            name,
+            entity_count=int(r.get("entity_count") or 0),
+            total_file_size=int(r.get("total_file_size") or 0),
+            updated_at=end,
+            facets=facets,
+            coverage_start=start,
+            coverage_end=end,
+            file_count=int(r.get("file_count") or 0),
+        )
         write_index_json(index_row, _os.path.join(lake_dir, name))
         entries.append(index_row)
     cat_path = _os.path.join(lake_dir, "catalog.json")

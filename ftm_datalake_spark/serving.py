@@ -66,11 +66,16 @@ def build_lookup_projection(
 def projection_frame(
     spark, proj_dir: str, dataset: str, key: str,
     num_shards: int = LOOKUP_SHARDS_DEFAULT,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """The pruned single-GET scan over a built lookup projection —
-    exposed separately so tests can assert the PartitionFilters."""
+    exposed separately so tests can assert the PartitionFilters. Pass
+    ``base`` (a pre-built ``spark.read.parquet(proj_dir)``) to skip
+    per-call partition discovery; without it each call re-lists every
+    dataset=*/shard=* leaf directory on the driver."""
     shard = _py_key_shard(key, num_shards)
-    return spark.read.parquet(proj_dir).where(
+    frame = base if base is not None else spark.read.parquet(proj_dir)
+    return frame.where(
         (F.col("dataset") == dataset)
         & (F.col("shard") == shard)
         & (F.col("key") == key)
@@ -81,11 +86,15 @@ def make_projection_lookup(
     spark, proj_dir: str, num_shards: int = LOOKUP_SHARDS_DEFAULT
 ):
     """Q1 at production shape: a ``lookup(dataset, key)`` callable for
-    DatalakeApi backed by the partition-pruned projection."""
+    DatalakeApi backed by the partition-pruned projection. The base
+    DataFrame (and its file index) is built ONCE here — per GET only
+    the pruned filter plan runs, so the request path never repeats
+    partition discovery."""
+    base = spark.read.parquet(proj_dir)
 
     def lookup(dataset: str, key: str) -> dict | None:
         rows = projection_frame(
-            spark, proj_dir, dataset, key, num_shards
+            spark, proj_dir, dataset, key, num_shards, base=base
         ).limit(1).collect()
         if not rows:
             return None
@@ -102,16 +111,17 @@ def make_dict_snapshot_lookup(
     """Q1 for small/medium lakes: collect the documents table ONCE into
     an in-memory dict keyed (dataset, key) — true O(1) per GET with no
     Spark job on the request path. Guarded: refuses to collect above
-    ``max_rows`` (use the parquet projection there instead)."""
-    n = documents.count()
-    if n > max_rows:
+    ``max_rows`` (use the parquet projection there instead). One scan:
+    collect ``max_rows + 1`` rows and check the overflow sentinel —
+    a separate count() job would double build time and race with
+    concurrent appends between the two jobs."""
+    rows = documents.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"documents table has {n} rows > max_rows={max_rows}; "
+            f"documents table has > max_rows={max_rows} rows; "
             "use build_lookup_projection + make_projection_lookup instead"
         )
-    snapshot = {
-        (r["dataset"], r["key"]): r.asDict() for r in documents.collect()
-    }
+    snapshot = {(r["dataset"], r["key"]): r.asDict() for r in rows}
 
     def lookup(dataset: str, key: str) -> dict | None:
         return snapshot.get((dataset, key))

@@ -56,7 +56,12 @@ def _safe_key(key: str) -> bool:
     if not key or key.startswith("/"):
         return False
     norm = posixpath.normpath(key)
-    return norm == key and ".." not in key.split("/")
+    # Reject '.' segments explicitly: normpath('.') == '.' is the
+    # identity, so a bare './' href would otherwise re-queue the same
+    # directory under a new prefix string (one wasted GET per page).
+    return norm == key and not any(
+        seg in ("..", ".") for seg in key.split("/")
+    )
 
 
 def list_http_autoindex(base_url: str, timeout: float = 30.0) -> list[str]:
@@ -194,6 +199,7 @@ def crawl_http(
     lake_dir: str,
     include: str | None = None,
     exclude: str | None = None,
+    listing_out: list | None = None,
 ) -> dict:
     """Full crawl of an HTTP store into the lake: list → skip-existing
     anti-join → fetch only the delta → merge → write. The incremental
@@ -201,7 +207,10 @@ def crawl_http(
     (ftm_datalake/crawl.py:67-71): an HTTP autoindex carries no
     size/mtime, so a key already in the documents table is never
     re-fetched (re-crawl of an unchanged store downloads ZERO bytes —
-    asserted by a fetch-spy test). Returns the crawl counters."""
+    asserted by a fetch-spy test). Returns the crawl counters. Pass
+    ``listing_out`` (a list) to receive the UNFILTERED autoindex
+    listing, so a follow-up pass (e.g. ``crawl --archive``) can reuse
+    it instead of walking the store a second time."""
     import fnmatch
 
     from ftm_datalake_spark.operators.documents import merge_documents
@@ -212,6 +221,8 @@ def crawl_http(
 
     base = base_url.rstrip("/") + "/"
     keys = list_http_autoindex(base)
+    if listing_out is not None:
+        listing_out.extend(keys)
     if include:
         keys = [k for k in keys if re.match(r"\A" + fnmatch.translate(include), k)]
     if exclude:

@@ -100,18 +100,33 @@ def _merge_statements_batch(
     spark: SparkSession, batch: DataFrame, entities_dir: str
 ) -> None:
     """One stage-3 micro-batch: aggregate the increment, merge into the
-    persistent entity table, swap atomically (write to a sibling temp
-    dir, then replace — the read of the old table happens while writing
-    the new one, never in place)."""
+    persistent entity table, swap via rename (write to a sibling temp
+    dir, rename the old table aside, rename the new one into place,
+    then drop the old). Every crash window is recoverable: the only
+    moment ``entities_dir`` is absent is between the two renames, and
+    then ``tmp`` holds a COMPLETE table (``_SUCCESS`` present) that the
+    next batch's recovery preamble renames into place — the old
+    rmtree-then-rename order could silently lose the whole table."""
     from ftm_datalake_spark.operators.statements import merge_entity_increment
+
+    tmp = entities_dir.rstrip("/") + ".__stage__"
+    old = entities_dir.rstrip("/") + ".__old__"
+    # Crash recovery from a previous interrupted swap.
+    if not os.path.isdir(entities_dir):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, entities_dir)  # forward: finish the swap
+        elif os.path.isdir(old):
+            os.rename(old, entities_dir)  # backward: roll back
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     existing = read_entities(spark, entities_dir)
     merged = merge_entity_increment(existing, batch)
-    tmp = entities_dir.rstrip("/") + ".__stage__"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(entities_dir):
-        shutil.rmtree(entities_dir)
+        os.rename(entities_dir, old)
     os.rename(tmp, entities_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def run_rfc_pipeline(
