@@ -244,3 +244,165 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n", "mean_pred_x1e6", "obs_rate_x1e6", "brier_contrib")
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Precision/recall/F1 sweep: the quality signal evaluated at 10
+# thresholds at once. Scale shape: the corpus collapses to per-DISTINCT-
+# score tallies first (metadata cardinality), and only THAT small frame
+# is crossed with the broadcast 10-row threshold dim — the sweep never
+# re-scans the data once per threshold, and no row-level frame is ever
+# multiplied.
+@register(
+    "eval_pr_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    per_score AS (
+      SELECT score, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ),
+    thr AS (SELECT CAST(10000 * i AS BIGINT) AS thr
+            FROM generate_series(0, 9) g(i)),
+    agg AS (
+      SELECT thr,
+             SUM(CASE WHEN score >= thr THEN pos ELSE 0 END) AS tp,
+             SUM(CASE WHEN score >= thr THEN cnt - pos ELSE 0 END) AS fp,
+             SUM(CASE WHEN score < thr THEN pos ELSE 0 END) AS fn
+      FROM per_score, thr GROUP BY thr
+    )
+    SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+             AS precision_x1e6,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+                ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+             AS recall_x1e6,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT)
+             AS f1_x1e6
+    FROM agg ORDER BY thr
+    """,
+    tags=("eval", "measurement"),
+)
+def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_docs(spark, sf_dir)
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    thr = spark.range(0, 10).select((F.col("id") * 10000).cast("long").alias("thr"))
+    agg = per_score.crossJoin(F.broadcast(thr)).groupBy("thr").agg(
+        F.sum(
+            F.when(F.col("score") >= F.col("thr"), F.col("pos")).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("score") >= F.col("thr"), F.col("cnt") - F.col("pos"))
+            .otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("score") < F.col("thr"), F.col("pos")).otherwise(0)
+        ).alias("fn"),
+    )
+    return agg.selectExpr(
+        "CAST(thr AS LONG) AS thr",
+        "CAST(tp AS LONG) AS tp",
+        "CAST(fp AS LONG) AS fp",
+        "CAST(fn AS LONG) AS fn",
+        "CAST(CASE WHEN tp + fp = 0 THEN 0"
+        " ELSE (tp * 1000000) div (tp + fp) END AS LONG) AS precision_x1e6",
+        "CAST(CASE WHEN tp + fn = 0 THEN 0"
+        " ELSE (tp * 1000000) div (tp + fn) END AS LONG) AS recall_x1e6",
+        "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0"
+        " ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END AS LONG)"
+        " AS f1_x1e6",
+    ).orderBy("thr")
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift table: rank the corpus by the quality signal
+# (descending), split into 10 deciles, and report per decile the capture
+# rate of true positives and the lift over random. The decile of a
+# score GROUP is decided by the group's exclusive-end position in the
+# global descending order — computed with the two-phase cumsum over
+# per-distinct-score tallies, so the only SinglePartition exchange is
+# the 1-row (n_total, pos_total) scalar frame (allowlisted with the
+# other eval-family global finals).
+@register(
+    "eval_lift_deciles",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    per_score AS (
+      SELECT score, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT SUM(cnt) AS n_total, SUM(pos) AS pos_total FROM per_score),
+    cum AS (
+      SELECT cnt, pos, SUM(cnt) OVER (ORDER BY score DESC) AS cum_end
+      FROM per_score
+    ),
+    dec AS (
+      SELECT LEAST((cum_end - 1) * 10 // n_total, 9) AS decile, cnt, pos
+      FROM cum, tot
+    ),
+    g AS (SELECT decile, SUM(cnt) AS n, SUM(pos) AS pos
+          FROM dec GROUP BY decile),
+    c AS (
+      SELECT decile, n, pos,
+             SUM(n) OVER (ORDER BY decile) AS cum_n,
+             SUM(pos) OVER (ORDER BY decile) AS cum_pos
+      FROM g
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS pos, CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(CASE WHEN pos_total = 0 THEN 0
+                ELSE cum_pos * 1000000 // pos_total END AS BIGINT)
+             AS cum_capture_x1e6,
+           CAST(CASE WHEN cum_n = 0 OR pos_total = 0 THEN 0
+                ELSE (cum_pos * n_total * 1000000) // (cum_n * pos_total)
+                END AS BIGINT) AS lift_x1e6
+    FROM c, tot ORDER BY decile
+    """,
+    tags=("eval", "measurement"),
+)
+def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    scored = _scored_docs(spark, sf_dir)
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    # descending order == ascending on the negated score
+    cum = with_global_cumsum(
+        per_score.withColumn("neg", -F.col("score")), ["neg"], "cnt", "cum_end"
+    )
+    tot = per_score.agg(
+        F.sum("cnt").alias("n_total"), F.sum("pos").alias("pos_total")
+    )
+    dec = cum.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.expr("((cum_end - 1) * 10) div n_total"), F.lit(9).cast("long")
+        ).alias("decile"),
+        "cnt",
+        "pos",
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("pos")
+    )
+    # <=10 decile rows: the two running sums reuse the same two-phase
+    # cumsum (no global window even here, so the gate stays clean)
+    c = with_global_cumsum(g, ["decile"], "n", "cum_n")
+    c = with_global_cumsum(c, ["decile"], "pos", "cum_pos")
+    return c.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(decile AS LONG) AS decile",
+        "CAST(n AS LONG) AS n",
+        "CAST(pos AS LONG) AS pos",
+        "CAST(cum_n AS LONG) AS cum_n",
+        "CAST(cum_pos AS LONG) AS cum_pos",
+        "CAST(CASE WHEN pos_total = 0 THEN 0"
+        " ELSE (cum_pos * 1000000) div pos_total END AS LONG)"
+        " AS cum_capture_x1e6",
+        "CAST(CASE WHEN cum_n = 0 OR pos_total = 0 THEN 0"
+        " ELSE (cum_pos * n_total * 1000000) div (cum_n * pos_total)"
+        " END AS LONG) AS lift_x1e6",
+    ).orderBy("decile")

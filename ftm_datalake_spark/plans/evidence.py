@@ -72,13 +72,13 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "salted_hot_key_agg",  # agg
     "median_price_by_priority",  # window
     "window_rank_functions",  # window
-    # ---- 44 never-sampled end here; slots 45-47 carry the brand-new
+    # ---- 44 never-sampled end here; slots 45-49 carry the brand-new
     # round-6 eval family (driver evidence is highest-value for new
-    # ops), 48-50 re-confirm the flagship + round-6-rewritten wide agg
+    # ops), slot 50 re-confirms the round-6-rewritten wide agg
     "eval_auc_quality",
     "eval_cohens_kappa",
     "eval_calibration_bins",
-    "statement_aggregation",
+    "eval_pr_threshold_sweep",
+    "eval_lift_deciles",
     "statement_aggregation_wide",
-    "dedup_minhash_lsh",
 )

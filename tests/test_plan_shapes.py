@@ -108,6 +108,9 @@ GLOBAL_SCALAR_OK = {
     # (kappa) before the final SinglePartition agg
     "eval_auc_quality",
     "eval_cohens_kappa",
+    # lift table: the (n_total, pos_total) normalizer is the same 1-row
+    # global scalar, broadcast back into the decile assignment
+    "eval_lift_deciles",
     "events_funnel",
     "gdpr_forget_users",
     "q11_important_parts",
