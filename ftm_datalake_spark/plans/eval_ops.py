@@ -93,33 +93,9 @@ def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("eval", "measurement"),
 )
 def eval_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_datalake_spark.operators.rank import with_global_cumsum
+    from ftm_datalake_spark.operators.evalmetrics import auc_exact
 
-    scored = _scored_docs(spark, sf_dir)
-    per_score = scored.groupBy("score").agg(
-        F.count("*").alias("cnt"), F.sum("y").alias("pos")
-    )
-    # exclusive running count over distinct scores — two-phase cumsum,
-    # never a global single-partition window
-    cum = with_global_cumsum(per_score, ["score"], "cnt", "cum_end").select(
-        "score", "cnt", "pos", (F.col("cum_end") - F.col("cnt")).alias("n_below")
-    )
-    tot = cum.agg(
-        F.sum("pos").alias("n_pos"),
-        (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
-        F.sum(
-            F.col("pos") * (2 * F.col("n_below") + F.col("cnt") + 1)
-        ).alias("r_pos_x2"),
-    )
-    return tot.select(
-        F.col("n_pos").cast("long").alias("n_pos"),
-        F.col("n_neg").cast("long").alias("n_neg"),
-        F.col("r_pos_x2").cast("long").alias("rank_sum_pos_x2"),
-        F.expr(
-            "CAST(((r_pos_x2 - n_pos * (n_pos + 1)) * 1000000)"
-            " div (2 * n_pos * n_neg) AS LONG)"
-        ).alias("auc_x1e6"),
-    )
+    return auc_exact(_scored_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -146,46 +122,23 @@ def eval_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n AS BIGINT) AS n,
            CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
            CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
-           CAST((n * (n11 + n00)
+           CAST(CASE WHEN n * n
+                 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0
+                THEN 0
+                ELSE (n * (n11 + n00)
                  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
                 * 1000000 //
                 (n * n
                  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
-                AS BIGINT) AS kappa_x1e6
+                END AS BIGINT) AS kappa_x1e6
     FROM c
     """,
     tags=("eval", "measurement"),
 )
 def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored_docs(spark, sf_dir)
-    labeled = scored.select(
-        F.when(F.col("score") >= 30000, 1).otherwise(0).alias("a"),
-        F.col("y").alias("b"),
-    )
-    c = labeled.agg(
-        F.count("*").alias("n"),
-        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long")).alias("n11"),
-        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long")).alias("n10"),
-        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long")).alias("n01"),
-        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("long")).alias("n00"),
-    )
-    chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
-        F.col("n01") + F.col("n00")
-    ) * (F.col("n10") + F.col("n00"))
-    return c.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("n11").cast("long").alias("n11"),
-        F.col("n10").cast("long").alias("n10"),
-        F.col("n01").cast("long").alias("n01"),
-        F.col("n00").cast("long").alias("n00"),
-        (
-            (F.col("n") * (F.col("n11") + F.col("n00")) - chance) * 1000000
-        ).alias("__kn"),
-        (F.col("n") * F.col("n") - chance).alias("__kd"),
-    ).selectExpr(
-        "n", "n11", "n10", "n01", "n00",
-        "CAST(__kn div __kd AS LONG) AS kappa_x1e6",
-    )
+    from ftm_datalake_spark.operators.evalmetrics import cohens_kappa_exact
+
+    return cohens_kappa_exact(_scored_docs(spark, sf_dir), threshold=30000)
 
 
 # --------------------------------------------------------------------------
@@ -216,34 +169,9 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("eval", "measurement"),
 )
 def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored_docs(spark, sf_dir)
-    p = scored.select(
-        "y", F.least(F.expr("score div 100"), F.lit(1000).cast("long")).alias("p_milli")
-    )
-    return (
-        p.groupBy(
-            F.least(F.expr("p_milli div 100"), F.lit(9).cast("long"))
-            .cast("long")
-            .alias("bin")
-        )
-        .agg(
-            F.count("*").alias("n"),
-            (F.sum("p_milli") * 1000).alias("__sp"),
-            (F.sum("y") * 1000000).alias("__sy"),
-            F.sum(
-                (F.col("p_milli") - 1000 * F.col("y"))
-                * (F.col("p_milli") - 1000 * F.col("y"))
-            ).cast("long").alias("brier_contrib"),
-        )
-        .selectExpr(
-            "bin", "n",
-            "CAST(__sp div n AS LONG) AS mean_pred_x1e6",
-            "CAST(__sy div n AS LONG) AS obs_rate_x1e6",
-            "brier_contrib",
-        )
-        .select("bin", "n", "mean_pred_x1e6", "obs_rate_x1e6", "brier_contrib")
-        .orderBy("bin")
-    )
+    from ftm_datalake_spark.operators.evalmetrics import calibration_bins_exact
+
+    return calibration_bins_exact(_scored_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -286,36 +214,13 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("eval", "measurement"),
 )
 def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored_docs(spark, sf_dir)
-    per_score = scored.groupBy("score").agg(
-        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    from ftm_datalake_spark.operators.evalmetrics import (
+        pr_threshold_sweep_exact,
     )
-    thr = spark.range(0, 10).select((F.col("id") * 10000).cast("long").alias("thr"))
-    agg = per_score.crossJoin(F.broadcast(thr)).groupBy("thr").agg(
-        F.sum(
-            F.when(F.col("score") >= F.col("thr"), F.col("pos")).otherwise(0)
-        ).alias("tp"),
-        F.sum(
-            F.when(F.col("score") >= F.col("thr"), F.col("cnt") - F.col("pos"))
-            .otherwise(0)
-        ).alias("fp"),
-        F.sum(
-            F.when(F.col("score") < F.col("thr"), F.col("pos")).otherwise(0)
-        ).alias("fn"),
+
+    return pr_threshold_sweep_exact(
+        _scored_docs(spark, sf_dir), [10000 * i for i in range(10)]
     )
-    return agg.selectExpr(
-        "CAST(thr AS LONG) AS thr",
-        "CAST(tp AS LONG) AS tp",
-        "CAST(fp AS LONG) AS fp",
-        "CAST(fn AS LONG) AS fn",
-        "CAST(CASE WHEN tp + fp = 0 THEN 0"
-        " ELSE (tp * 1000000) div (tp + fp) END AS LONG) AS precision_x1e6",
-        "CAST(CASE WHEN tp + fn = 0 THEN 0"
-        " ELSE (tp * 1000000) div (tp + fn) END AS LONG) AS recall_x1e6",
-        "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0"
-        " ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END AS LONG)"
-        " AS f1_x1e6",
-    ).orderBy("thr")
 
 
 # --------------------------------------------------------------------------
@@ -366,43 +271,6 @@ def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("eval", "measurement"),
 )
 def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_datalake_spark.operators.rank import with_global_cumsum
+    from ftm_datalake_spark.operators.evalmetrics import lift_deciles_exact
 
-    scored = _scored_docs(spark, sf_dir)
-    per_score = scored.groupBy("score").agg(
-        F.count("*").alias("cnt"), F.sum("y").alias("pos")
-    )
-    # descending order == ascending on the negated score
-    cum = with_global_cumsum(
-        per_score.withColumn("neg", -F.col("score")), ["neg"], "cnt", "cum_end"
-    )
-    tot = per_score.agg(
-        F.sum("cnt").alias("n_total"), F.sum("pos").alias("pos_total")
-    )
-    dec = cum.crossJoin(F.broadcast(tot)).select(
-        F.least(
-            F.expr("((cum_end - 1) * 10) div n_total"), F.lit(9).cast("long")
-        ).alias("decile"),
-        "cnt",
-        "pos",
-    )
-    g = dec.groupBy("decile").agg(
-        F.sum("cnt").alias("n"), F.sum("pos").alias("pos")
-    )
-    # <=10 decile rows: the two running sums reuse the same two-phase
-    # cumsum (no global window even here, so the gate stays clean)
-    c = with_global_cumsum(g, ["decile"], "n", "cum_n")
-    c = with_global_cumsum(c, ["decile"], "pos", "cum_pos")
-    return c.crossJoin(F.broadcast(tot)).selectExpr(
-        "CAST(decile AS LONG) AS decile",
-        "CAST(n AS LONG) AS n",
-        "CAST(pos AS LONG) AS pos",
-        "CAST(cum_n AS LONG) AS cum_n",
-        "CAST(cum_pos AS LONG) AS cum_pos",
-        "CAST(CASE WHEN pos_total = 0 THEN 0"
-        " ELSE (cum_pos * 1000000) div pos_total END AS LONG)"
-        " AS cum_capture_x1e6",
-        "CAST(CASE WHEN cum_n = 0 OR pos_total = 0 THEN 0"
-        " ELSE (cum_pos * n_total * 1000000) div (cum_n * pos_total)"
-        " END AS LONG) AS lift_x1e6",
-    ).orderBy("decile")
+    return lift_deciles_exact(_scored_docs(spark, sf_dir))
