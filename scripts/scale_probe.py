@@ -33,6 +33,10 @@ HEADLINERS = [
     "dedup_minhash_lsh",
     "dedup_common_segments",
     "er_blocked_matches",
+    # round-6 eval family: the two order-dependent ones (two-phase
+    # global cumsum over per-distinct-score tallies)
+    "eval_auc_quality",
+    "eval_lift_deciles",
 ]
 COPIES = 10
 PROBE_DIR = "/tmp/sfprobe/sf1.0"
