@@ -509,6 +509,7 @@ def _dispatch(spark, args) -> int:
             load_entities_dataset,
         )
 
+        index_doc = None
         if getattr(args, "host", None):
             # Live _bulk loads over HTTP (connectors/aleph_http)
             from ftm_datalake_spark.connectors.aleph_http import (
@@ -521,17 +522,30 @@ def _dispatch(spark, args) -> int:
             if not fid:
                 # The uri points at the dataset's index.json, so its
                 # basename is 'index' for EVERY dataset — the right
-                # default foreign_id is the index document's own name
-                # (falling back to the parent directory).
+                # default foreign_id is the index document's own name.
+                # Fallback chain: parent-directory name (resolved, so a
+                # bare relative 'index.json' still yields a real name),
+                # then the filename stem as a last resort. The index
+                # read here is handed to load_entities_dataset so the
+                # document is fetched exactly once.
                 from ftm_datalake_spark.pipelines.sync import _read_json_uri
 
                 try:
-                    fid = _read_json_uri(args.uri).get("name")
+                    index_doc = _read_json_uri(args.uri)
+                    fid = index_doc.get("name")
                 except Exception:
-                    fid = None
-                fid = fid or os.path.basename(
-                    os.path.dirname(args.uri.rstrip("/"))
-                )
+                    index_doc = None
+                if not fid:
+                    u = args.uri.rstrip("/")
+                    parent = (
+                        os.path.dirname(u)
+                        if "://" in u
+                        else os.path.dirname(os.path.abspath(u))
+                    )
+                    fid = (
+                        os.path.basename(parent)
+                        or os.path.splitext(os.path.basename(u))[0]
+                    )
             col = client.load_collection_by_foreign_id(fid)
             send = make_bulk_sender(client, str(col["id"]))
         else:
@@ -557,6 +571,7 @@ def _dispatch(spark, args) -> int:
                 send,
                 ledger_dir=args.ledger,
                 batch_size=args.batch_size,
+                index_doc=index_doc,
             )
         else:
             res = load_entities_catalog(

@@ -48,9 +48,12 @@ def auc_exact(scored: DataFrame) -> DataFrame:
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         F.col("r_pos_x2").cast("long").alias("rank_sum_pos_x2"),
+        # single-class input leaves AUC undefined — explicitly NULL (not
+        # a div-by-zero artifact, so the result is ANSI-mode-proof)
         F.expr(
-            "CAST(((r_pos_x2 - n_pos * (n_pos + 1)) * 1000000)"
-            " div (2 * n_pos * n_neg) AS LONG)"
+            "CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+            " ELSE ((r_pos_x2 - n_pos * (n_pos + 1)) * 1000000)"
+            " div (2 * n_pos * n_neg) END AS LONG)"
         ).alias("auc_x1e6"),
     )
 
@@ -164,13 +167,20 @@ def lift_deciles_exact(scored: DataFrame) -> DataFrame:
     Columns: decile, n, pos, cum_n, cum_pos, cum_capture_x1e6,
     lift_x1e6. A whole distinct-score group lands in the decile of its
     exclusive-end global position (ties never straddle engines)."""
-    from ftm_datalake_spark.operators.rank import with_global_cumsum
-
-    per_score = _per_score(scored)
-    cum = with_global_cumsum(
-        per_score.withColumn("neg", -F.col("score")), ["neg"], "cnt", "cum_end"
+    from ftm_datalake_spark.operators.rank import (
+        with_global_cumsum,
+        with_global_cumsums,
     )
-    tot = per_score.agg(
+
+    cum = with_global_cumsum(
+        _per_score(scored).withColumn("neg", -F.col("score")),
+        ["neg"],
+        "cnt",
+        "cum_end",
+    )
+    # totals come from the CHECKPOINTED tally frame — re-aggregating the
+    # raw scored frame here would rescan + reshuffle the row-level data
+    tot = cum.agg(
         F.sum("cnt").alias("n_total"), F.sum("pos").alias("pos_total")
     )
     dec = cum.crossJoin(F.broadcast(tot)).select(
@@ -183,8 +193,8 @@ def lift_deciles_exact(scored: DataFrame) -> DataFrame:
     g = dec.groupBy("decile").agg(
         F.sum("cnt").alias("n"), F.sum("pos").alias("pos")
     )
-    c = with_global_cumsum(g, ["decile"], "n", "cum_n")
-    c = with_global_cumsum(c, ["decile"], "pos", "cum_pos")
+    # both running sums over the <=10 decile rows in ONE two-phase pass
+    c = with_global_cumsums(g, ["decile"], [("n", "cum_n"), ("pos", "cum_pos")])
     return c.crossJoin(F.broadcast(tot)).selectExpr(
         "CAST(decile AS LONG) AS decile",
         "CAST(n AS LONG) AS n",

@@ -79,6 +79,21 @@ def with_global_cumsum(
     driver-side partial-sum offsets), so no single-partition Exchange
     appears in the plan. ``out_col`` is the INCLUSIVE running sum (the
     value of the current row is included)."""
+    return with_global_cumsums(
+        df, order_cols, [(value_col, out_col)], num_partitions
+    )
+
+
+def with_global_cumsums(
+    df: DataFrame,
+    order_cols: list[str],
+    cols: list[tuple[str, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column form of :func:`with_global_cumsum`: attach one exact
+    global running sum per ``(value_col, out_col)`` pair over the SAME
+    total order, sharing a single range shuffle + checkpoint + driver
+    offset pass instead of one per column."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     parted = (
@@ -86,29 +101,38 @@ def with_global_cumsum(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    sums = {
-        r["__pid"]: r["s"]
+    partials = {
+        r["__pid"]: [r[f"s{i}"] for i in range(len(cols))]
         for r in parted.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
+        .agg(
+            *[
+                F.sum(value_col).alias(f"s{i}")
+                for i, (value_col, _) in enumerate(cols)
+            ]
+        )
         .collect()
     }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in range(p):
-        offsets[pid] = acc
-        acc += sums.get(pid) or 0
-    off_expr = F.create_map(
-        *[x for pid in range(p) for x in (F.lit(pid), F.lit(offsets[pid]))]
-    )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return parted.withColumn(
-        out_col,
-        F.sum(F.col(value_col)).over(w).cast("long") + off_expr[F.col("__pid")],
-    ).drop("__pid")
+    out = parted
+    for i, (value_col, out_col) in enumerate(cols):
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in range(p):
+            offsets[pid] = acc
+            acc += (partials.get(pid) or [0] * len(cols))[i] or 0
+        off_expr = F.create_map(
+            *[x for pid in range(p) for x in (F.lit(pid), F.lit(offsets[pid]))]
+        )
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            out_col,
+            F.sum(F.col(value_col)).over(w).cast("long")
+            + off_expr[F.col("__pid")],
+        )
+    return out.drop("__pid")
 
 
 def ntile_by_rank(rank: F.Column, n_rows: int, n_buckets: int) -> F.Column:

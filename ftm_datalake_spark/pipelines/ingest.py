@@ -288,6 +288,7 @@ def _index_document(
     facets: list[dict],
     coverage_start=None,
     coverage_end=None,
+    with_interval: bool = False,
     file_count: int | None = None,
 ) -> dict:
     """The single source of truth for the published index.json document
@@ -296,7 +297,10 @@ def _index_document(
     — both make_index_stats and publish render through here, so a field
     change can never drift between the two outputs."""
     coverage: dict = {"frequency": "unknown"}
-    if coverage_start is not None or coverage_end is not None:
+    if with_interval:
+        # publish() ALWAYS carries the start/end keys (null when the
+        # dataset has no timestamps) — consumers index into them, so
+        # the keys may not disappear on an all-null dataset
         coverage["start"] = (
             coverage_start.isoformat() if coverage_start is not None else None
         )
@@ -409,6 +413,7 @@ def publish(spark: SparkSession, lake_dir: str) -> dict:
             facets=facets,
             coverage_start=start,
             coverage_end=end,
+            with_interval=True,
             file_count=int(r.get("file_count") or 0),
         )
         write_index_json(index_row, _os.path.join(lake_dir, name))

@@ -246,6 +246,7 @@ def load_entities_dataset(
     batch_size: int = 1000,
     max_concurrency: int = 10,
     update_metadata: Callable[[dict], None] | None = None,
+    index_doc: dict | None = None,
 ) -> dict:
     """Load a dataset's FTM entities into an Aleph-style API from its
     published index.json (reference: sync/aleph_entities.py:90-108).
@@ -268,7 +269,9 @@ def load_entities_dataset(
     from ftm_datalake_spark.schemas import ENTITY_SCHEMA
     from ftm_datalake_spark.streaming.ledger import read_ledger, record_completed
 
-    index = _read_json_uri(index_uri)
+    # ``index_doc`` lets a caller that already fetched the index (e.g.
+    # the CLI deriving the default foreign_id) avoid a second GET
+    index = index_doc if index_doc is not None else _read_json_uri(index_uri)
     if update_metadata is not None:
         update_metadata(index)
     resources = [

@@ -86,8 +86,9 @@ def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
            CAST(r_pos_x2 AS BIGINT) AS rank_sum_pos_x2,
-           CAST((r_pos_x2 - n_pos * (n_pos + 1)) * 1000000 //
-                (2 * n_pos * n_neg) AS BIGINT) AS auc_x1e6
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE (r_pos_x2 - n_pos * (n_pos + 1)) * 1000000 //
+                (2 * n_pos * n_neg) END AS BIGINT) AS auc_x1e6
     FROM tot
     """,
     tags=("eval", "measurement"),

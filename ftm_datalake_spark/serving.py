@@ -89,13 +89,26 @@ def make_projection_lookup(
     DatalakeApi backed by the partition-pruned projection. The base
     DataFrame (and its file index) is built ONCE here — per GET only
     the pruned filter plan runs, so the request path never repeats
-    partition discovery."""
-    base = spark.read.parquet(proj_dir)
+    partition discovery. If the projection is REBUILT underneath a
+    running server (build_lookup_projection overwrites the part files),
+    the stale file index surfaces as a read failure — the lookup
+    rebuilds the base frame once and retries, so a refresh never needs
+    a server restart."""
+    state = {"base": spark.read.parquet(proj_dir)}
+
+    def _scan(dataset: str, key: str) -> list:
+        return projection_frame(
+            spark, proj_dir, dataset, key, num_shards, base=state["base"]
+        ).limit(1).collect()
 
     def lookup(dataset: str, key: str) -> dict | None:
-        rows = projection_frame(
-            spark, proj_dir, dataset, key, num_shards, base=base
-        ).limit(1).collect()
+        try:
+            rows = _scan(dataset, key)
+        except Exception:
+            # projection rebuilt since the file index was cached —
+            # re-list once and retry; a second failure propagates
+            state["base"] = spark.read.parquet(proj_dir)
+            rows = _scan(dataset, key)
         if not rows:
             return None
         info = rows[0].asDict()

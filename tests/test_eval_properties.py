@@ -176,3 +176,36 @@ def test_lift_deciles_match_bruteforce(spark, rows):
         for r in lift_deciles_exact(_df(spark, rows)).collect()
     }
     assert got == want
+
+
+def test_auc_single_class_is_null(spark):
+    from ftm_datalake_spark.operators.evalmetrics import auc_exact
+
+    row = auc_exact(_df(spark, [(1, 10), (1, 20)])).first()
+    assert row["n_neg"] == 0 and row["auc_x1e6"] is None
+    row = auc_exact(_df(spark, [(0, 10)])).first()
+    assert row["n_pos"] == 0 and row["auc_x1e6"] is None
+
+
+def test_cumsums_multi_matches_two_single_passes(spark):
+    from ftm_datalake_spark.operators.rank import (
+        with_global_cumsum,
+        with_global_cumsums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 7) % 5) for i in range(40)], "k long, a long, b long"
+    )
+    multi = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in with_global_cumsums(
+            df, ["k"], [("a", "ca"), ("b", "cb")]
+        ).collect()
+    }
+    single_a = {
+        r["k"]: r["ca"] for r in with_global_cumsum(df, ["k"], "a", "ca").collect()
+    }
+    single_b = {
+        r["k"]: r["cb"] for r in with_global_cumsum(df, ["k"], "b", "cb").collect()
+    }
+    assert multi == {k: (single_a[k], single_b[k]) for k in single_a}

@@ -191,3 +191,54 @@ def test_aleph_load_default_foreign_id_is_dataset_name(spark, tmp_path):
         assert created == ["my_dataset"]  # not 'index'
     finally:
         srv.shutdown()
+
+
+def test_projection_lookup_survives_rebuild(spark, tmp_path):
+    """A projection rebuilt underneath a live lookup closure must not
+    kill the server: the cached file index goes stale, the lookup
+    re-lists once and keeps serving."""
+    from ftm_datalake_spark.serving import (
+        build_lookup_projection,
+        make_projection_lookup,
+    )
+
+    docs = spark.createDataFrame(
+        [("ds", "a.txt", "h1", 1), ("ds", "b.txt", "h2", 2)],
+        "dataset string, key string, content_hash string, size long",
+    )
+    proj = str(tmp_path / "proj")
+    build_lookup_projection(docs, proj, num_shards=4)
+    lookup = make_projection_lookup(spark, proj, num_shards=4)
+    assert lookup("ds", "a.txt")["content_hash"] == "h1"
+
+    docs2 = spark.createDataFrame(
+        [("ds", "a.txt", "h1-new", 1)],
+        "dataset string, key string, content_hash string, size long",
+    )
+    build_lookup_projection(docs2, proj, num_shards=4)
+    assert lookup("ds", "a.txt")["content_hash"] == "h1-new"
+    assert lookup("ds", "b.txt") is None
+
+
+def test_publish_coverage_keys_survive_all_null_timestamps(spark, tmp_path):
+    """publish() must always emit coverage.start/end (null, not absent)
+    — consumers index into those keys."""
+    import json as _json
+    import os as _os
+
+    from ftm_datalake_spark.pipelines.ingest import publish, write_documents
+
+    docs = spark.createDataFrame(
+        [("ds", "k1", "h1", 5, "text/plain", None, None, None)],
+        "dataset string, key string, content_hash string, size long, "
+        "mimetype string, created_at timestamp, updated_at timestamp, "
+        "origin string",
+    )
+    lake = str(tmp_path / "lake")
+    write_documents(docs, lake)
+    publish(spark, lake)
+    with open(_os.path.join(lake, "ds", "index.json")) as fh:
+        doc = _json.load(fh)
+    assert doc["coverage"]["start"] is None
+    assert doc["coverage"]["end"] is None
+    assert doc["coverage"]["frequency"] == "unknown"
