@@ -146,6 +146,22 @@ def main(argv: list[str] | None = None) -> int:
     p_zip.add_argument("--lake", required=True)
     p_zip.add_argument("--out", required=True)
 
+    p_exp = sub.add_parser("export-training")
+    p_exp.add_argument(
+        "source", help="documents parquet path (or a sf dir containing one)"
+    )
+    p_exp.add_argument("--out", required=True)
+    p_exp.add_argument("--seq-len", type=int, default=2048)
+    p_exp.add_argument("--shards", type=int, default=8)
+    p_exp.add_argument("--seed", default="epoch0")
+    p_exp.add_argument(
+        "--benchmark", help="benchmark parquet to decontaminate against"
+    )
+    p_exp.add_argument(
+        "--no-quality-gate", action="store_true",
+        help="skip the Gopher quality gate",
+    )
+
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
 
@@ -716,6 +732,33 @@ def _dispatch(spark, args) -> int:
         )
         export_dataset_zip(staging, args.out)
         print(args.out)
+    elif args.cmd == "export-training":
+        import os
+
+        from ftm_datalake_spark.pipelines.training_export import (
+            export_training,
+        )
+
+        src = args.source
+        if os.path.isdir(src) and os.path.exists(
+            os.path.join(src, "documents.parquet")
+        ):
+            src = os.path.join(src, "documents.parquet")
+        docs = spark.read.parquet(src)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        manifest = export_training(
+            spark,
+            docs,
+            args.out,
+            seq_len=args.seq_len,
+            n_shards=args.shards,
+            seed=args.seed,
+            benchmark=bench,
+            quality_gate=not args.no_quality_gate,
+        )
+        print(json.dumps(manifest, sort_keys=True))
     return 0
 
 
