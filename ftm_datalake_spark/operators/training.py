@@ -170,6 +170,7 @@ def pack_sequences(
     budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid end-to-end on
     one global token stream (ordered by id) and the stream is cut every
@@ -178,7 +179,11 @@ def pack_sequences(
 
     This is the packing most pretraining loaders use (no padding waste,
     docs may straddle chunk boundaries). The global token offsets come
-    from the two-phase cumsum, so the plan has no single-partition stage."""
+    from the two-phase cumsum, so the plan has no single-partition stage.
+
+    ``with_offsets`` adds ``cum_end`` (the doc's exclusive global token
+    end) so a reader can slice each doc's tokens back into its chunks
+    (pipelines/training_export.read_training_chunks)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
@@ -186,11 +191,11 @@ def pack_sequences(
     cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", out_col="cum_end")
     first_chunk = F.expr(f"(cum_end - n_tokens) div {budget}")
     last_chunk = F.expr(f"(cum_end - 1) div {budget}")
+    cols = ["doc_id", "n_tokens"] + (["cum_end"] if with_offsets else [])
     return (
         cum.where(F.col("n_tokens") > 0)
         .select(
-            "doc_id",
-            "n_tokens",
+            *cols,
             F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
         )
     )

@@ -16,7 +16,9 @@ Stages (each one an operator this engine already oracles individually):
 
 Outputs under ``out_dir``:
 - ``docs/shard=K/*.parquet``   — surviving docs, in-shard order by pos
-- ``chunks/*.parquet``         — (doc_id, n_tokens, chunk_id) packing map
+- ``chunks/*.parquet``         — (doc_id, n_tokens, cum_end, chunk_id)
+                                 packing map (offsets let the reader
+                                 slice docs back into chunks)
 - ``manifest.json``            — per-stage counts + config (the export
                                  is a pure function of (corpus, config,
                                  seed): same inputs, same manifest)
@@ -109,7 +111,7 @@ def export_training(
         .parquet(os.path.join(out_dir, "docs"))
     )
 
-    packed = pack_sequences(kept, seq_len)
+    packed = pack_sequences(kept, seq_len, with_offsets=True)
     packed.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
 
     totals = kept.agg(
@@ -125,3 +127,45 @@ def export_training(
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def read_training_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Reader twin of :func:`export_training`: materialize each packed
+    chunk's text pieces from the exported docs + chunk map.
+
+    Returns one row per (chunk_id, doc_id) span — ``piece_start`` /
+    ``piece_end`` are 0-based token offsets within the doc, ``piece``
+    the corresponding whitespace-token slice. Concatenating pieces in
+    (chunk_id, doc_id) order reconstructs the exact global token stream
+    the packer cut (law-tested in tests/test_training_export.py); a
+    loader groups by chunk_id to get fixed-budget sequences. The join is
+    doc_id-keyed (both sides shuffle once on an 8-byte key); token
+    slicing is codegen'd array slice — no Python row boundary."""
+    from ftm_datalake_spark.operators.textops import tokens
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        seq_len = json.load(fh)["config"]["seq_len"]
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    j = chunks.join(docs.select("doc_id", "text"), "doc_id")
+    start_global = F.col("cum_end") - F.col("n_tokens")
+    piece_start = F.greatest(
+        F.col("chunk_id") * seq_len - start_global, F.lit(0).cast("long")
+    )
+    piece_end = F.least(
+        (F.col("chunk_id") + 1) * seq_len - start_global, F.col("n_tokens")
+    )
+    return j.select(
+        "chunk_id",
+        "doc_id",
+        piece_start.alias("piece_start"),
+        piece_end.alias("piece_end"),
+        F.array_join(
+            F.slice(
+                tokens(F.col("text")),  # the packer's exact tokenization
+                (piece_start + 1).cast("int"),
+                (piece_end - piece_start).cast("int"),
+            ),
+            " ",
+        ).alias("piece"),
+    ).orderBy("chunk_id", "doc_id")

@@ -145,3 +145,44 @@ def test_export_training_cli(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "manifest.json"))
     assert os.path.isdir(os.path.join(out, "docs"))
     assert os.path.isdir(os.path.join(out, "chunks"))
+
+
+def test_reader_reconstructs_exact_token_stream(spark, tmp_path):
+    """Law: concatenating the reader's pieces in (chunk_id, doc_id)
+    order reproduces the packer's global token stream — every doc's
+    tokens, in doc_id order, nothing lost or duplicated at chunk
+    boundaries; and no chunk exceeds the token budget."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.pipelines.training_export import (
+        read_training_chunks,
+    )
+
+    _, out = _export(spark, tmp_path, "rt", seq_len=64, n_shards=2)
+    pieces = read_training_chunks(spark, out).collect()
+
+    # per-chunk token budget respected (last chunk may be short)
+    per_chunk: dict[int, int] = {}
+    for r in pieces:
+        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + (
+            r["piece_end"] - r["piece_start"]
+        )
+    max_chunk = max(per_chunk)
+    for cid, n in per_chunk.items():
+        assert n == 64 or (cid == max_chunk and 0 < n <= 64)
+    assert set(per_chunk) == set(range(max_chunk + 1))  # dense ids
+
+    # stream equality: pieces in (chunk, doc) order == docs in doc order
+    stream = " ".join(
+        r["piece"] for r in sorted(
+            pieces, key=lambda r: (r["chunk_id"], r["doc_id"])
+        ) if r["piece"]
+    ).split()
+    docs = (
+        spark.read.parquet(os.path.join(out, "docs"))
+        .orderBy("doc_id")
+        .select("text")
+        .collect()
+    )
+    want = " ".join(r["text"].strip() for r in docs).split()
+    assert stream == want
