@@ -100,6 +100,7 @@ def segment_dedup(
     max_freq: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_text: bool = False,
 ) -> DataFrame:
     """CCNet-style common-segment removal (Wenzek et al. 2020 dedup by
     paragraph hash, adapted to fixed `seg_len`-word segments because the
@@ -113,7 +114,9 @@ def segment_dedup(
     shape: map-side partial counts, then an equi-join on the 16-byte
     hash — never on raw segment text.
 
-    Output per doc: (doc_id, n_segs, n_dropped, clean_sig, clean_len).
+    Output per doc: (doc_id, n_segs, n_dropped, clean_sig, clean_len);
+    ``keep_text`` adds the reassembled ``clean_text`` itself (used by
+    the training export, which SHIPS the boilerplate-stripped text).
     """
     tk = tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
@@ -135,6 +138,13 @@ def segment_dedup(
         ),
         " ",
     )
+    out_cols = [
+        "doc_id",
+        "n_segs",
+        "n_dropped",
+        F.md5("clean_text").alias("clean_sig"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    ] + (["clean_text"] if keep_text else [])
     return (
         joined.groupBy("doc_id")
         .agg(
@@ -142,13 +152,7 @@ def segment_dedup(
             F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
             clean.alias("clean_text"),
         )
-        .select(
-            "doc_id",
-            "n_segs",
-            "n_dropped",
-            F.md5("clean_text").alias("clean_sig"),
-            F.length("clean_text").cast("long").alias("clean_len"),
-        )
+        .select(*out_cols)
     )
 
 

@@ -4,29 +4,43 @@ composed into ONE product verb that writes loader-ready artifacts.
 Stages (each one an operator this engine already oracles individually):
 
 1. quality gate  — Gopher rules (operators/textops.gopher_rules)
-2. dedup         — CCNet segment-dedup canonicalization: boilerplate
-                   segments stripped, one survivor per cleaned signature
-                   (operators/textops.segment_dedup)
+2. dedup + clean — CCNet segment-dedup canonicalization: boilerplate
+                   segments are STRIPPED FROM THE SHIPPED TEXT, docs
+                   whose content is entirely boilerplate are dropped,
+                   and one survivor is kept per cleaned signature
+                   (operators/textops.segment_dedup +
+                   operators/training.sample_per_group_cap)
 3. decontaminate — optional: drop docs sharing word k-grams with a
                    benchmark corpus (operators/training.decontaminate)
 4. shard         — deterministic seeded shuffle into n_shards epoch
                    shards (operators/training.epoch_shards)
-5. pack          — concat-and-chunk sequence packing index at seq_len
-                   tokens (operators/training.pack_sequences)
+5. pack          — concat-and-chunk sequence packing PER SHARD, in
+                   epoch (shuffle) order: every chunk is assembled from
+                   one shard's own docs, so a per-shard loader never
+                   reads across shards, and a different seed yields
+                   different packed sequences (a new epoch), not just a
+                   relabeled shard split
 
 Outputs under ``out_dir``:
-- ``docs/shard=K/*.parquet``   — surviving docs, in-shard order by pos
-- ``chunks/*.parquet``         — (doc_id, n_tokens, cum_end, chunk_id)
-                                 packing map (offsets let the reader
-                                 slice docs back into chunks)
+- ``docs/shard=K/*.parquet``   — surviving docs (CLEANED text), in
+                                 epoch order by pos within each shard
+- ``chunks/*.parquet``         — (shard, doc_id, n_tokens, cum_end,
+                                 chunk_id) per-shard packing map
+                                 (offsets let the reader slice docs
+                                 back into chunks)
 - ``manifest.json``            — per-stage counts + config (the export
                                  is a pure function of (corpus, config,
                                  seed): same inputs, same manifest)
 
 Everything is hash-deterministic (md5 shuffle keys, no RNG state), so a
 re-run over the same corpus produces byte-stable shard membership — the
-property a 100 TB pipeline needs to resume/verify an export. No stage
-collects data to the driver; the manifest counts are 1-row aggregates.
+property a 100 TB pipeline needs to resume/verify an export. Each
+curation stage is localCheckpoint-ed BEFORE its manifest count, so the
+expensive chain (gopher gate, segment explode + two shuffles) executes
+once, not once per downstream count. The per-shard packing cumsum is a
+window partitioned by shard — each task holds corpus/n_shards rows, the
+same scale contract as epoch_shards itself. No stage collects data to
+the driver; the manifest counts are 1-row aggregates.
 """
 
 from __future__ import annotations
@@ -58,8 +72,13 @@ def export_training(
     from ftm_datalake_spark.operators.training import (
         decontaminate,
         epoch_shards,
-        pack_sequences,
+        sample_per_group_cap,
     )
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
 
     manifest: dict = {
         "config": {
@@ -77,49 +96,87 @@ def export_training(
     kept = docs
     if quality_gate:
         passes = gopher_rules(kept).where(F.col("passes")).select("doc_id")
-        kept = kept.join(passes, "doc_id")
+        kept = kept.join(passes, "doc_id").localCheckpoint()
         stages["after_quality"] = kept.count()
 
-    # canonical survivor per cleaned (boilerplate-stripped) signature —
-    # exact dedup falls out as the clean_sig collision case
-    cleaned = segment_dedup(kept).select("doc_id", "clean_sig")
-    w_dedup = Window.partitionBy("clean_sig").orderBy("doc_id")
-    canon = (
-        cleaned.withColumn("rn", F.row_number().over(w_dedup))
-        .where(F.col("rn") == 1)
-        .select("doc_id")
+    # CCNet canonicalization: the SHIPPED text is the boilerplate-
+    # stripped reassembly; docs cleaned down to nothing carry no novel
+    # content and are dropped (they would otherwise all collide on
+    # md5('') and collapse into one arbitrary survivor); one survivor
+    # per cleaned signature (exact dup == clean_sig collision)
+    cleaned = segment_dedup(kept, keep_text=True).where(F.col("clean_len") > 0)
+    canon = sample_per_group_cap(
+        cleaned.select("doc_id", "clean_sig", "clean_text"),
+        "clean_sig",
+        [F.col("doc_id")],
+        cap=1,
     )
-    kept = kept.join(canon, "doc_id")
+    kept = (
+        kept.drop("text")
+        .join(
+            canon.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
+        .localCheckpoint()
+    )
     stages["after_dedup"] = kept.count()
 
     if benchmark is not None:
         contaminated = decontaminate(kept, benchmark).select("doc_id")
-        kept = kept.join(contaminated, "doc_id", "left_anti")
+        kept = kept.join(
+            contaminated, "doc_id", "left_anti"
+        ).localCheckpoint()
         stages["after_decontaminate"] = kept.count()
 
-    # pin the survivor set once: shards and chunks must see the SAME
-    # rows even though they traverse it twice
-    kept = kept.localCheckpoint()
-
-    sharded = epoch_shards(kept, seed, n_shards)
+    # shards and chunks must see the SAME rows and epoch order
+    sharded = epoch_shards(kept, seed, n_shards).drop(
+        "shuffle_key"
+    ).localCheckpoint()
     (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
-        .drop("shuffle_key")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(out_dir, "docs"))
     )
 
-    packed = pack_sequences(kept, seq_len, with_offsets=True)
+    # per-shard concat-and-chunk packing in EPOCH order: the token
+    # stream of shard K is its docs laid end-to-end by pos, cut every
+    # seq_len tokens — chunk ids are local to the shard
+    toks = sharded.select(
+        "shard",
+        "pos",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn(
+        "cum_end", F.sum("n_tokens").over(w).cast("long")
+    )
+    first_chunk = F.expr(f"(cum_end - n_tokens) div {seq_len}")
+    last_chunk = F.expr(f"(cum_end - 1) div {seq_len}")
+    packed = cum.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "cum_end",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
     packed.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
 
-    totals = kept.agg(
-        F.sum(token_count(F.col("text"))).cast("long").alias("tokens")
+    totals = toks.agg(
+        F.sum("n_tokens").cast("long").alias("tokens")
     ).first()
-    n_chunks = packed.agg(
-        (F.max("chunk_id") + 1).cast("long").alias("n")
-    ).first()
+    n_chunks = (
+        packed.groupBy("shard")
+        .agg((F.max("chunk_id") + 1).alias("n"))
+        .agg(F.sum("n").cast("long").alias("n"))
+        .first()
+    )
     stages["total_tokens"] = int(totals["tokens"] or 0)
     stages["chunks"] = int(n_chunks["n"] or 0)
     stages["shards"] = n_shards
@@ -133,14 +190,16 @@ def read_training_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     """Reader twin of :func:`export_training`: materialize each packed
     chunk's text pieces from the exported docs + chunk map.
 
-    Returns one row per (chunk_id, doc_id) span — ``piece_start`` /
-    ``piece_end`` are 0-based token offsets within the doc, ``piece``
-    the corresponding whitespace-token slice. Concatenating pieces in
-    (chunk_id, doc_id) order reconstructs the exact global token stream
-    the packer cut (law-tested in tests/test_training_export.py); a
-    loader groups by chunk_id to get fixed-budget sequences. The join is
-    doc_id-keyed (both sides shuffle once on an 8-byte key); token
-    slicing is codegen'd array slice — no Python row boundary."""
+    Returns one row per (shard, chunk_id, doc_id) span — ``piece_start``
+    / ``piece_end`` are 0-based token offsets within the doc, ``piece``
+    the corresponding whitespace-token slice, ``cum_end`` the doc's
+    exclusive token end in the shard stream (the in-chunk piece order
+    key). Concatenating pieces in (chunk_id, cum_end) order within a
+    shard reproduces that shard's exact epoch token stream (law-tested
+    in tests/test_training_export.py); a per-shard loader reads only its
+    own shard's docs. The join is doc_id-keyed (one shuffle on an 8-byte
+    key); slicing is codegen'd — no Python row boundary; no global sort
+    is imposed (a loader groups by (shard, chunk_id) anyway)."""
     from ftm_datalake_spark.operators.textops import tokens
 
     with open(os.path.join(out_dir, "manifest.json")) as fh:
@@ -156,8 +215,10 @@ def read_training_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
         (F.col("chunk_id") + 1) * seq_len - start_global, F.col("n_tokens")
     )
     return j.select(
+        "shard",
         "chunk_id",
         "doc_id",
+        "cum_end",
         piece_start.alias("piece_start"),
         piece_end.alias("piece_end"),
         F.array_join(
@@ -168,4 +229,4 @@ def read_training_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("piece"),
-    ).orderBy("chunk_id", "doc_id")
+    )

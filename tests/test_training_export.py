@@ -1,13 +1,16 @@
 """End-to-end training-data export (pipelines/training_export.py):
-stage counts are consistent, the packing map conserves tokens, shard
-membership is hash-deterministic across runs, and the CLI verb wires it
-all up."""
+stage counts are consistent, the shipped text is boilerplate-stripped,
+the per-shard packing map conserves tokens in epoch order, shard AND
+chunk membership are hash-deterministic across runs (and seed-
+sensitive), and the CLI verb wires it all up."""
 
 from __future__ import annotations
 
 import argparse
 import json
 import os
+
+import pytest
 
 
 def _export(spark, tmp_path, name, **kw):
@@ -28,75 +31,110 @@ def test_export_manifest_and_artifacts(spark, tmp_path):
     )
     st = manifest["stages"]
     assert (
-        st["input_docs"]
-        >= st["after_quality"]
-        >= st["after_dedup"]
-        > 0
+        st["input_docs"] >= st["after_quality"] >= st["after_dedup"] > 0
     )
     assert st["shards"] == 4
 
     docs = spark.read.parquet(os.path.join(out, "docs"))
     assert docs.count() == st["after_dedup"]
-    # every shard partition exists and in-shard positions are dense 1..n
+    # every shard's in-shard positions are dense 1..n
     per_shard = {
-        r["shard"]: (r["n"], r["maxp"])
+        r["shard"]: (r["n"], r["maxp"], r["tokens"])
         for r in docs.groupBy("shard")
-        .agg(F.count("*").alias("n"), F.max("pos").alias("maxp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("pos").alias("maxp"),
+            F.sum(token_count(F.col("text"))).alias("tokens"),
+        )
         .collect()
     }
     assert set(per_shard) <= set(range(4))
-    for n, maxp in per_shard.values():
+    for n, maxp, _ in per_shard.values():
         assert n == maxp
 
-    # packing map: chunk ids dense from 0, token totals conserved
+    # packing map: per-shard chunk count arithmetic, token conservation
+    assert st["total_tokens"] == sum(t for _, _, t in per_shard.values())
+    assert st["chunks"] == sum(
+        (t + 511) // 512 for _, _, t in per_shard.values()
+    )
     chunks = spark.read.parquet(os.path.join(out, "chunks"))
-    total_tokens = (
-        docs.agg(F.sum(token_count(F.col("text"))).alias("t")).first()["t"]
-    )
-    assert st["total_tokens"] == total_tokens
-    assert st["chunks"] == (total_tokens + 511) // 512
-    # each doc's token count appears identically in every chunk it spans
-    spans = chunks.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"), F.first("n_tokens").alias("n_tokens")
-    )
-    # a doc spans at most ceil(n_tokens/512) + 1 chunks
-    bad = spans.where(
-        F.col("n_spans") > (F.col("n_tokens") + 511) / 512 + 1
-    ).count()
-    assert bad == 0
+    got_chunks = {
+        r["shard"]: r["n"]
+        for r in chunks.groupBy("shard")
+        .agg((F.max("chunk_id") + 1).alias("n"))
+        .collect()
+    }
+    for shard, (_, _, t) in per_shard.items():
+        assert got_chunks[shard] == (t + 511) // 512
 
     with open(os.path.join(out, "manifest.json")) as fh:
         assert json.load(fh) == manifest
 
 
-def test_export_is_deterministic(spark, tmp_path):
+def test_export_ships_cleaned_text_and_drops_all_boilerplate_docs(
+    spark, tmp_path
+):
+    """The exported text is the boilerplate-stripped reassembly; a doc
+    whose every segment is shared boilerplate is dropped entirely (not
+    collapsed into an arbitrary md5('') survivor)."""
+    from ftm_datalake_spark.pipelines.training_export import export_training
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # one 8-word segment
+    rows = [
+        (1, boiler + " " + " ".join(f"u{i}" for i in range(8))),
+        (2, boiler + " " + " ".join(f"v{i}" for i in range(8))),
+        (3, boiler),  # all boilerplate -> dropped
+        (4, boiler),  # all boilerplate -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = export_training(
+        spark,
+        docs,
+        str(tmp_path / "clean"),
+        seq_len=16,
+        n_shards=2,
+        quality_gate=False,
+    )
+    assert m["stages"]["after_dedup"] == 2
+    exported = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "clean/docs")).collect()
+    }
+    assert set(exported) == {1, 2}
+    for text in exported.values():
+        assert "b0" not in text  # boilerplate stripped from shipped text
+    assert exported[1] == " ".join(f"u{i}" for i in range(8))
+
+
+def test_export_is_deterministic_and_seed_sensitive(spark, tmp_path):
+    def _docs_map(out):
+        return {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in spark.read.parquet(os.path.join(out, "docs"))
+            .select("doc_id", "shard", "pos")
+            .collect()
+        }
+
+    def _chunks_map(out):
+        return {
+            (r["shard"], r["doc_id"], r["chunk_id"])
+            for r in spark.read.parquet(os.path.join(out, "chunks")).collect()
+        }
+
     m1, out1 = _export(spark, tmp_path, "a", seq_len=256, n_shards=2, seed="s")
     m2, out2 = _export(spark, tmp_path, "b", seq_len=256, n_shards=2, seed="s")
     assert m1 == m2
-    d1 = {
-        (r["doc_id"]): (r["shard"], r["pos"])
-        for r in spark.read.parquet(os.path.join(out1, "docs"))
-        .select("doc_id", "shard", "pos")
-        .collect()
-    }
-    d2 = {
-        (r["doc_id"]): (r["shard"], r["pos"])
-        for r in spark.read.parquet(os.path.join(out2, "docs"))
-        .select("doc_id", "shard", "pos")
-        .collect()
-    }
-    assert d1 == d2
-    # a different seed reshuffles: some doc moves shard or position
+    assert _docs_map(out1) == _docs_map(out2)
+    assert _chunks_map(out1) == _chunks_map(out2)
+
+    # a different seed is a different epoch: shard placement AND the
+    # packed sequences change (packing follows the shuffle order)
     m3, out3 = _export(
         spark, tmp_path, "c", seq_len=256, n_shards=2, seed="other"
     )
-    d3 = {
-        (r["doc_id"]): (r["shard"], r["pos"])
-        for r in spark.read.parquet(os.path.join(out3, "docs"))
-        .select("doc_id", "shard", "pos")
-        .collect()
-    }
-    assert set(d3) == set(d1) and d3 != d1
+    assert set(_docs_map(out3)) == set(_docs_map(out1))  # same survivors
+    assert _docs_map(out3) != _docs_map(out1)
+    assert _chunks_map(out3) != _chunks_map(out1)
 
 
 def test_export_decontaminate_drops_hits(spark, tmp_path):
@@ -124,6 +162,16 @@ def test_export_decontaminate_drops_hits(spark, tmp_path):
     assert st["after_decontaminate"] < st["after_dedup"]
 
 
+def test_export_rejects_bad_config(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.training_export import export_training
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seq_len"):
+        export_training(spark, docs, str(tmp_path / "x"), seq_len=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        export_training(spark, docs, str(tmp_path / "y"), n_shards=0)
+
+
 def test_export_training_cli(spark, tmp_path):
     from ftm_datalake_spark.__main__ import _dispatch
 
@@ -147,42 +195,43 @@ def test_export_training_cli(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "chunks"))
 
 
-def test_reader_reconstructs_exact_token_stream(spark, tmp_path):
-    """Law: concatenating the reader's pieces in (chunk_id, doc_id)
-    order reproduces the packer's global token stream — every doc's
-    tokens, in doc_id order, nothing lost or duplicated at chunk
-    boundaries; and no chunk exceeds the token budget."""
-    from pyspark.sql import functions as F
-
+def test_reader_reconstructs_exact_epoch_stream_per_shard(spark, tmp_path):
+    """Law: within each shard, concatenating the reader's pieces in
+    (chunk_id, cum_end) order reproduces the shard's epoch token stream
+    — every doc's tokens in shuffle order, nothing lost or duplicated at
+    chunk boundaries; chunk budgets hold; ids are dense per shard."""
     from ftm_datalake_spark.pipelines.training_export import (
         read_training_chunks,
     )
 
     _, out = _export(spark, tmp_path, "rt", seq_len=64, n_shards=2)
     pieces = read_training_chunks(spark, out).collect()
+    docs = spark.read.parquet(os.path.join(out, "docs")).collect()
 
-    # per-chunk token budget respected (last chunk may be short)
-    per_chunk: dict[int, int] = {}
-    for r in pieces:
-        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + (
-            r["piece_end"] - r["piece_start"]
-        )
-    max_chunk = max(per_chunk)
-    for cid, n in per_chunk.items():
-        assert n == 64 or (cid == max_chunk and 0 < n <= 64)
-    assert set(per_chunk) == set(range(max_chunk + 1))  # dense ids
-
-    # stream equality: pieces in (chunk, doc) order == docs in doc order
-    stream = " ".join(
-        r["piece"] for r in sorted(
-            pieces, key=lambda r: (r["chunk_id"], r["doc_id"])
-        ) if r["piece"]
-    ).split()
-    docs = (
-        spark.read.parquet(os.path.join(out, "docs"))
-        .orderBy("doc_id")
-        .select("text")
-        .collect()
-    )
-    want = " ".join(r["text"].strip() for r in docs).split()
-    assert stream == want
+    shards = {r["shard"] for r in docs}
+    for shard in shards:
+        mine = [r for r in pieces if r["shard"] == shard]
+        # budget per chunk: == 64 except the shard's last chunk
+        per_chunk: dict[int, int] = {}
+        for r in mine:
+            per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + (
+                r["piece_end"] - r["piece_start"]
+            )
+        last = max(per_chunk)
+        assert set(per_chunk) == set(range(last + 1))
+        for cid, n in per_chunk.items():
+            assert n == 64 or (cid == last and 0 < n <= 64)
+        # stream equality in epoch order
+        stream = " ".join(
+            r["piece"]
+            for r in sorted(mine, key=lambda r: (r["chunk_id"], r["cum_end"]))
+            if r["piece"]
+        ).split()
+        want = " ".join(
+            r["text"].strip()
+            for r in sorted(
+                (d for d in docs if d["shard"] == shard),
+                key=lambda d: d["pos"],
+            )
+        ).split()
+        assert stream == want
