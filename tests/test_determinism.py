@@ -44,6 +44,11 @@ RISKY = [
     "changefeed_documents",
     "asof_next_purchase",
     "lm_surprisal_topdocs",
+    # round-6 eval family: rank-statistic cumsums and decile splits run
+    # on range-partitioned tallies — results must not leak partitioning
+    "eval_auc_quality",
+    "eval_lift_deciles",
+    "eval_pr_threshold_sweep",
 ]
 
 

@@ -235,3 +235,31 @@ def test_reader_reconstructs_exact_epoch_stream_per_shard(spark, tmp_path):
             )
         ).split()
         assert stream == want
+
+
+def test_export_partitioning_invariant(spark, tmp_path):
+    """The export is bit-identical under a different shuffle-partition
+    setting — shard membership, positions, and chunk map all derive
+    from total orders / hash keys, never physical placement."""
+    def _maps(out):
+        docs = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in spark.read.parquet(os.path.join(out, "docs"))
+            .select("doc_id", "shard", "pos")
+            .collect()
+        }
+        chunks = {
+            (r["shard"], r["doc_id"], r["chunk_id"], r["cum_end"])
+            for r in spark.read.parquet(os.path.join(out, "chunks")).collect()
+        }
+        return docs, chunks
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        _, out_a = _export(spark, tmp_path, "p7", seq_len=128, n_shards=3)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        _, out_b = _export(spark, tmp_path, "p32", seq_len=128, n_shards=3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert _maps(out_a) == _maps(out_b)
