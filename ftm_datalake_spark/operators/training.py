@@ -201,6 +201,45 @@ def pack_sequences(
     )
 
 
+def pack_epoch_shards(
+    sharded: DataFrame,
+    budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard concat-and-chunk packing in EPOCH order: shard K's
+    token stream is its docs laid end-to-end by ``pos`` (the
+    :func:`epoch_shards` shuffle order), cut every ``budget`` tokens.
+    Chunk ids are LOCAL to the shard, so a per-shard loader is
+    self-contained and a new seed (a new epoch) yields new sequences.
+
+    Input: an :func:`epoch_shards` output (shard, pos + the text).
+    Output: (shard, doc_id, n_tokens, cum_end, chunk_id), one row per
+    (doc, chunk) span. The cumsum window partitions by shard — each
+    task holds corpus/n_shards rows, the same scale contract as
+    epoch_shards itself."""
+    toks = sharded.select(
+        "shard",
+        "pos",
+        "doc_id",
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_end", F.sum("n_tokens").over(w).cast("long"))
+    first_chunk = F.expr(f"(cum_end - n_tokens) div {budget}")
+    last_chunk = F.expr(f"(cum_end - 1) div {budget}")
+    return cum.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "cum_end",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted"
 ) -> DataFrame:

@@ -48,7 +48,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -72,6 +72,7 @@ def export_training(
     from ftm_datalake_spark.operators.training import (
         decontaminate,
         epoch_shards,
+        pack_epoch_shards,
         sample_per_group_cap,
     )
 
@@ -140,36 +141,13 @@ def export_training(
         .parquet(os.path.join(out_dir, "docs"))
     )
 
-    # per-shard concat-and-chunk packing in EPOCH order: the token
-    # stream of shard K is its docs laid end-to-end by pos, cut every
-    # seq_len tokens — chunk ids are local to the shard
-    toks = sharded.select(
-        "shard",
-        "pos",
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = toks.withColumn(
-        "cum_end", F.sum("n_tokens").over(w).cast("long")
-    )
-    first_chunk = F.expr(f"(cum_end - n_tokens) div {seq_len}")
-    last_chunk = F.expr(f"(cum_end - 1) div {seq_len}")
-    packed = cum.select(
-        "shard",
-        "doc_id",
-        "n_tokens",
-        "cum_end",
-        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
-    )
+    # per-shard concat-and-chunk packing in EPOCH order (chunk ids are
+    # local to the shard) — the oracled operator
+    packed = pack_epoch_shards(sharded, seq_len)
     packed.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
 
-    totals = toks.agg(
-        F.sum("n_tokens").cast("long").alias("tokens")
+    totals = sharded.agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("tokens")
     ).first()
     n_chunks = (
         packed.groupBy("shard")

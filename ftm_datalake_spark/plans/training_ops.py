@@ -861,3 +861,53 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_cols=["doc_id"],
         group_cols=["lang"],
     ).select("doc_id", "lang", "wt", "race_key").orderBy("lang", "race_key")
+
+
+# --------------------------------------------------------------------------
+# Per-shard epoch-order sequence packing (the export-training chunk
+# map): each shard's docs laid end-to-end in SHUFFLE order and cut
+# every 256 tokens — chunk ids local to the shard, so a per-shard
+# loader is self-contained and a new seed is a new epoch. The oracle
+# replays the md5 shard fold, the per-shard running token total, and
+# the doc→chunk span explosion (constant-bound series + BETWEEN, the
+# dedup_common_segments idiom).
+@register(
+    "corpus_epoch_packing",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens, shuffle_key,
+             CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % 4 AS shard
+      FROM k),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard
+               ORDER BY shuffle_key, doc_id) AS BIGINT) AS cum_end
+      FROM s)
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, cum_end,
+           CAST(g.i AS BIGINT) AS chunk_id
+    FROM c, LATERAL (SELECT i FROM generate_series(0, 8191) t(i)) g
+    WHERE g.i BETWEEN (cum_end - n_tokens) // 256 AND (cum_end - 1) // 256
+    ORDER BY shard, cum_end, chunk_id
+    """,
+    tags=("training", "shuffle", "packing"),
+)
+def corpus_epoch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = TR.epoch_shards(docs, seed="epoch0", n_shards=4)
+    return (
+        TR.pack_epoch_shards(sharded, budget=256)
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "doc_id",
+            "n_tokens",
+            "cum_end",
+            "chunk_id",
+        )
+        .orderBy("shard", "cum_end", "chunk_id")
+    )
