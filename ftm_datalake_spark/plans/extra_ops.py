@@ -1022,3 +1022,61 @@ def basket_brand_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: per-doc out-of-vocabulary rate against the
+# corpus top-1000 vocabulary (tokenizer-coverage staple — high OOV
+# flags noise/foreign docs before training). The vocab is a global
+# sort + LIMIT (TakeOrdered, never a single-partition window) with the
+# deterministic (freq DESC, token) tie order, then broadcast into a
+# left join; the rate is exact scaled-integer division.
+@register(
+    "text_vocab_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        ORDER BY freq DESC, token LIMIT 1000)),
+    j AS (
+      SELECT t.doc_id,
+             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v USING (token))
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_rate_x1e6
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "training", "agg"),
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(1000)
+        .select("token", F.lit(1).alias("iv"))
+    )
+    j = tok.join(F.broadcast(vocab), "token", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .selectExpr(
+            "doc_id", "n_tokens", "n_oov",
+            "CAST((n_oov * 1000000) div n_tokens AS LONG) AS oov_rate_x1e6",
+        )
+        .orderBy("doc_id")
+    )
