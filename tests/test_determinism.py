@@ -49,6 +49,10 @@ RISKY = [
     "eval_auc_quality",
     "eval_lift_deciles",
     "eval_pr_threshold_sweep",
+    # per-shard epoch packing (window by pos) and the top-K vocab
+    # boundary (global sort+limit) must not leak partitioning
+    "corpus_epoch_packing",
+    "text_vocab_oov_rate",
 ]
 
 
