@@ -189,15 +189,23 @@ def pack_sequences(
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", out_col="cum_end")
+    cols = ["doc_id", "n_tokens"] + (["cum_end"] if with_offsets else [])
+    return _explode_chunk_spans(cum, budget, cols)
+
+
+def _explode_chunk_spans(cum, budget: int, out_cols: list) -> DataFrame:
+    """Shared doc→chunk span explosion for both packers: a doc whose
+    token span is [cum_end - n_tokens, cum_end) overlaps every chunk in
+    [span_start div budget, (cum_end - 1) div budget]. Rows with zero
+    or null token counts are dropped — explode(sequence(null, ..)) would
+    silently drop them anyway, and a 0-count row landing exactly on a
+    chunk boundary would emit a DESCENDING phantom span (sequence
+    auto-steps -1), corrupting the dense-chunk-id invariant."""
     first_chunk = F.expr(f"(cum_end - n_tokens) div {budget}")
     last_chunk = F.expr(f"(cum_end - 1) div {budget}")
-    cols = ["doc_id", "n_tokens"] + (["cum_end"] if with_offsets else [])
-    return (
-        cum.where(F.col("n_tokens") > 0)
-        .select(
-            *cols,
-            F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
-        )
+    return cum.where(F.col("n_tokens") > 0).select(
+        *out_cols,
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
     )
 
 
@@ -229,14 +237,8 @@ def pack_epoch_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = toks.withColumn("cum_end", F.sum("n_tokens").over(w).cast("long"))
-    first_chunk = F.expr(f"(cum_end - n_tokens) div {budget}")
-    last_chunk = F.expr(f"(cum_end - 1) div {budget}")
-    return cum.select(
-        "shard",
-        "doc_id",
-        "n_tokens",
-        "cum_end",
-        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    return _explode_chunk_spans(
+        cum, budget, ["shard", "doc_id", "n_tokens", "cum_end"]
     )
 
 

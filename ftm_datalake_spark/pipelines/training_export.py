@@ -106,16 +106,21 @@ def export_training(
     # md5('') and collapse into one arbitrary survivor); one survivor
     # per cleaned signature (exact dup == clean_sig collision)
     cleaned = segment_dedup(kept, keep_text=True).where(F.col("clean_len") > 0)
-    canon = sample_per_group_cap(
-        cleaned.select("doc_id", "clean_sig", "clean_text"),
+    # cap on (doc_id, clean_sig) ONLY — the survivor window must not
+    # shuffle the full cleaned-text payload; the text moves once, in
+    # the winner join below
+    winner_ids = sample_per_group_cap(
+        cleaned.select("doc_id", "clean_sig"),
         "clean_sig",
         [F.col("doc_id")],
         cap=1,
-    )
+    ).select("doc_id")
     kept = (
         kept.drop("text")
         .join(
-            canon.select("doc_id", F.col("clean_text").alias("text")),
+            cleaned.select(
+                "doc_id", F.col("clean_text").alias("text")
+            ).join(winner_ids, "doc_id"),
             "doc_id",
         )
         .localCheckpoint()
@@ -149,14 +154,21 @@ def export_training(
     totals = sharded.agg(
         F.sum(token_count(F.col("text"))).cast("long").alias("tokens")
     ).first()
-    n_chunks = (
-        packed.groupBy("shard")
-        .agg((F.max("chunk_id") + 1).alias("n"))
-        .agg(F.sum("n").cast("long").alias("n"))
-        .first()
-    )
+    # chunk count from the parquet just written — re-aggregating
+    # `packed` would re-run the whole window+explode plan a second time
+    try:
+        n_chunks = int(
+            spark.read.parquet(os.path.join(out_dir, "chunks"))
+            .groupBy("shard")
+            .agg((F.max("chunk_id") + 1).alias("n"))
+            .agg(F.sum("n").cast("long").alias("n"))
+            .first()["n"]
+            or 0
+        )
+    except Exception:  # empty corpus: no part files to infer from
+        n_chunks = 0
     stages["total_tokens"] = int(totals["tokens"] or 0)
-    stages["chunks"] = int(n_chunks["n"] or 0)
+    stages["chunks"] = n_chunks
     stages["shards"] = n_shards
 
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:

@@ -870,7 +870,10 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loader is self-contained and a new seed is a new epoch. The oracle
 # replays the md5 shard fold, the per-shard running token total, and
 # the doc→chunk span explosion (constant-bound series + BETWEEN, the
-# dedup_common_segments idiom).
+# dedup_common_segments idiom). The series bound 8191 caps the ORACLE
+# at 8192 chunks/shard = ~2.1M tokens per shard at budget 256 — safe
+# through ~sf10 on this corpus (sf0.1 peaks near chunk 270); raise it
+# together with any larger parity scale.
 @register(
     "corpus_epoch_packing",
     oracle="""
