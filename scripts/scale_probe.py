@@ -37,6 +37,10 @@ HEADLINERS = [
     # global cumsum over per-distinct-score tallies)
     "eval_auc_quality",
     "eval_lift_deciles",
+    # round-6 late ops: per-shard epoch packing (window by pos) and the
+    # top-K vocab broadcast join
+    "corpus_epoch_packing",
+    "text_vocab_oov_rate",
 ]
 COPIES = 10
 PROBE_DIR = "/tmp/sfprobe/sf1.0"
