@@ -72,13 +72,16 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "salted_hot_key_agg",  # agg
     "median_price_by_priority",  # window
     "window_rank_functions",  # window
-    # ---- 44 never-sampled end here; slots 45-49 carry the brand-new
-    # round-6 eval family (driver evidence is highest-value for new
-    # ops), slot 50 re-confirms the round-6-rewritten wide agg
+    # ---- 44 never-sampled end here; slots 45-50 carry the brand-new
+    # round-6 ops (driver evidence is highest-value for new ops). With
+    # 51 never-sampled candidates and 50 slots, eval_lift_deciles sits
+    # out: it shares the property-tested evalmetrics core with the
+    # pr-sweep and is green in both full local sweeps
+    # (VERIFY_LOCAL_r06 / VERIFY_LOCAL_SF01_r06).
     "eval_auc_quality",
     "eval_cohens_kappa",
     "eval_calibration_bins",
     "eval_pr_threshold_sweep",
-    "eval_lift_deciles",
-    "statement_aggregation_wide",
+    "corpus_epoch_packing",
+    "text_vocab_oov_rate",
 )
