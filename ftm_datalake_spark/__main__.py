@@ -162,6 +162,14 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the Gopher quality gate",
     )
 
+    p_epo = sub.add_parser("export-epochs")
+    p_epo.add_argument("export_dir", help="an existing export-training dir")
+    p_epo.add_argument(
+        "--seeds", required=True,
+        help="comma-separated epoch seeds (e.g. epoch1,epoch2)",
+    )
+    p_epo.add_argument("--shards", type=int, help="override manifest n_shards")
+
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
 
@@ -759,6 +767,18 @@ def _dispatch(spark, args) -> int:
             quality_gate=not args.no_quality_gate,
         )
         print(json.dumps(manifest, sort_keys=True))
+    elif args.cmd == "export-epochs":
+        from ftm_datalake_spark.pipelines.training_export import (
+            export_epoch_maps,
+        )
+
+        res = export_epoch_maps(
+            spark,
+            args.export_dir,
+            [s for s in args.seeds.split(",") if s],
+            n_shards=args.shards,
+        )
+        print(json.dumps(res, sort_keys=True))
     return 0
 
 

@@ -31,6 +31,11 @@ Outputs under ``out_dir``:
 - ``manifest.json``            — per-stage counts + config (the export
                                  is a pure function of (corpus, config,
                                  seed): same inputs, same manifest)
+- ``epochs/epoch=S/...``       — optional extra epochs
+                                 (:func:`export_epoch_maps`): per-seed
+                                 assignment + chunk maps over the SAME
+                                 doc bytes — O(docs + spans) per epoch,
+                                 the text is never copied
 
 Everything is hash-deterministic (md5 shuffle keys, no RNG state), so a
 re-run over the same corpus produces byte-stable shard membership — the
@@ -220,3 +225,79 @@ def read_training_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
             " ",
         ).alias("piece"),
     )
+
+
+def export_epoch_maps(
+    spark: SparkSession,
+    out_dir: str,
+    seeds: list[str],
+    n_shards: int | None = None,
+) -> dict:
+    """Additional training epochs over an EXISTING export without
+    copying the corpus: each seed yields a fresh shard assignment
+    (doc_id, shard, pos) and per-shard chunk map, written under
+    ``epochs/epoch=<seed>/{assignment,chunks}``. Storage per epoch is
+    O(docs + spans) — text bytes are written once by export_training;
+    a loader joins the epoch's assignment to ``docs/`` by doc_id (the
+    8-byte-key shuffle) or re-reads docs/shard=K for epoch 0.
+
+    Returns {"epochs": {seed: {"chunks": n, "total_tokens": n}}} and
+    appends the same block to manifest.json. Deterministic like the
+    base export: same (corpus, seed, config) ⇒ identical maps."""
+    from ftm_datalake_spark.operators.training import (
+        epoch_shards,
+        pack_epoch_shards,
+    )
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path) as fh:
+        manifest = json.load(fh)
+    seq_len = manifest["config"]["seq_len"]
+    n_shards = n_shards or manifest["config"]["n_shards"]
+
+    docs = spark.read.parquet(os.path.join(out_dir, "docs")).select(
+        "doc_id", "text"
+    )
+    stats: dict = {}
+    for seed in seeds:
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in seed)
+        epoch_dir = os.path.join(out_dir, "epochs", f"epoch={safe}")
+        sharded = epoch_shards(docs, seed, n_shards).drop("shuffle_key")
+        # pin once: assignment and chunks must agree on shard/pos
+        sharded = sharded.localCheckpoint()
+        (
+            sharded.select("doc_id", "shard", "pos")
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "pos")
+            .write.mode("overwrite")
+            .parquet(os.path.join(epoch_dir, "assignment"))
+        )
+        packed = pack_epoch_shards(sharded, seq_len)
+        packed.write.mode("overwrite").parquet(
+            os.path.join(epoch_dir, "chunks")
+        )
+        row = (
+            spark.read.parquet(os.path.join(epoch_dir, "chunks"))
+            .groupBy("shard")
+            .agg(
+                (F.max("chunk_id") + 1).alias("n"),
+                F.sum("n_tokens").alias("t"),
+            )
+            .agg(
+                F.sum("n").cast("long").alias("chunks"),
+                F.sum("t").cast("long").alias("tokens"),
+            )
+            .first()
+        )
+        stats[seed] = {
+            "chunks": int(row["chunks"] or 0),
+            # NOTE: summed over spans, so boundary-straddling docs count
+            # once per chunk — loaders use it as a span checksum, not a
+            # corpus token total (that lives in stages.total_tokens)
+            "span_tokens": int(row["tokens"] or 0),
+        }
+
+    manifest.setdefault("epochs", {}).update(stats)
+    with open(man_path, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return {"epochs": stats}

@@ -263,3 +263,80 @@ def test_export_partitioning_invariant(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert _maps(out_a) == _maps(out_b)
+
+
+def test_epoch_maps_permutation_and_conservation(spark, tmp_path):
+    """export_epoch_maps: each extra epoch's assignment is a permutation
+    of the SAME survivor set into dense per-shard positions, its chunk
+    map conserves the corpus token total (counting straddlers once),
+    different seeds give different maps, and the manifest records it."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.textops import token_count
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_epoch_maps,
+    )
+
+    manifest, out = _export(spark, tmp_path, "base", seq_len=128, n_shards=2)
+    res = export_epoch_maps(spark, out, ["epoch1", "epoch2"])
+    assert set(res["epochs"]) == {"epoch1", "epoch2"}
+
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    doc_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    base_map = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in docs.select("doc_id", "shard", "pos").collect()
+    }
+    for seed in ["epoch1", "epoch2"]:
+        ep = os.path.join(out, "epochs", f"epoch={seed}")
+        assign = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in spark.read.parquet(
+                os.path.join(ep, "assignment")
+            ).collect()
+        }
+        assert set(assign) == doc_ids  # same survivors, reshuffled
+        assert assign != base_map
+        chunks = spark.read.parquet(os.path.join(ep, "chunks"))
+        # token conservation: each doc appears with its n_tokens in >=1
+        # span; summing ONE span per doc gives the corpus total
+        per_doc = chunks.groupBy("doc_id").agg(
+            F.first("n_tokens").alias("n_tokens")
+        )
+        got = per_doc.agg(F.sum("n_tokens").alias("t")).first()["t"]
+        want = docs.agg(
+            F.sum(token_count(F.col("text"))).alias("t")
+        ).first()["t"]
+        assert got == want
+    ep1 = {
+        (r["shard"], r["doc_id"], r["chunk_id"])
+        for r in spark.read.parquet(
+            os.path.join(out, "epochs", "epoch=epoch1", "chunks")
+        ).collect()
+    }
+    ep2 = {
+        (r["shard"], r["doc_id"], r["chunk_id"])
+        for r in spark.read.parquet(
+            os.path.join(out, "epochs", "epoch=epoch2", "chunks")
+        ).collect()
+    }
+    assert ep1 != ep2
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        man2 = json.load(fh)
+    assert set(man2["epochs"]) == {"epoch1", "epoch2"}
+    assert man2["stages"] == manifest["stages"]  # base stages untouched
+
+
+def test_export_epochs_cli(spark, tmp_path):
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    _, out = _export(spark, tmp_path, "cli_e", seq_len=256, n_shards=2)
+    rc = _dispatch(
+        spark,
+        argparse.Namespace(
+            cmd="export-epochs", export_dir=out, seeds="e1", shards=None
+        ),
+    )
+    assert rc in (0, None)
+    assert os.path.isdir(os.path.join(out, "epochs", "epoch=e1", "chunks"))
