@@ -181,7 +181,9 @@ def export_training(
     return manifest
 
 
-def read_training_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_training_chunks(
+    spark: SparkSession, out_dir: str, epoch: str | None = None
+) -> DataFrame:
     """Reader twin of :func:`export_training`: materialize each packed
     chunk's text pieces from the exported docs + chunk map.
 
@@ -200,7 +202,14 @@ def read_training_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         seq_len = json.load(fh)["config"]["seq_len"]
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    # ``epoch`` selects an export_epoch_maps chunk map (same doc bytes,
+    # different shard/packing); default is the base export's map
+    chunk_dir = (
+        os.path.join(out_dir, "epochs", f"epoch={epoch}", "chunks")
+        if epoch
+        else os.path.join(out_dir, "chunks")
+    )
+    chunks = spark.read.parquet(chunk_dir)
     j = chunks.join(docs.select("doc_id", "text"), "doc_id")
     start_global = F.col("cum_end") - F.col("n_tokens")
     piece_start = F.greatest(

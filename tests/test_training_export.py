@@ -340,3 +340,42 @@ def test_export_epochs_cli(spark, tmp_path):
     )
     assert rc in (0, None)
     assert os.path.isdir(os.path.join(out, "epochs", "epoch=e1", "chunks"))
+
+
+def test_reader_reconstructs_extra_epoch_stream(spark, tmp_path):
+    """The reconstruction law holds for an export_epoch_maps epoch too:
+    reading chunks for epoch=e1 reproduces e1's shuffle-order token
+    stream (ordered by the epoch's assignment positions)."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_epoch_maps,
+        read_training_chunks,
+    )
+
+    _, out = _export(spark, tmp_path, "re", seq_len=64, n_shards=2)
+    export_epoch_maps(spark, out, ["e1"])
+    pieces = read_training_chunks(spark, out, epoch="e1").collect()
+
+    docs_text = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    assign = spark.read.parquet(
+        os.path.join(out, "epochs", "epoch=e1", "assignment")
+    ).collect()
+    for shard in {r["shard"] for r in assign}:
+        stream = " ".join(
+            r["piece"]
+            for r in sorted(
+                (p for p in pieces if p["shard"] == shard),
+                key=lambda p: (p["chunk_id"], p["cum_end"]),
+            )
+            if r["piece"]
+        ).split()
+        want = " ".join(
+            docs_text[r["doc_id"]].strip()
+            for r in sorted(
+                (a for a in assign if a["shard"] == shard),
+                key=lambda a: a["pos"],
+            )
+        ).split()
+        assert stream == want
