@@ -775,7 +775,7 @@ def _dispatch(spark, args) -> int:
         res = export_epoch_maps(
             spark,
             args.export_dir,
-            [s for s in args.seeds.split(",") if s],
+            [s.strip() for s in args.seeds.split(",") if s.strip()],
             n_shards=args.shards,
         )
         print(json.dumps(res, sort_keys=True))

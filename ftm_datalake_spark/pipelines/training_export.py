@@ -110,7 +110,14 @@ def export_training(
     # content and are dropped (they would otherwise all collide on
     # md5('') and collapse into one arbitrary survivor); one survivor
     # per cleaned signature (exact dup == clean_sig collision)
-    cleaned = segment_dedup(kept, keep_text=True).where(F.col("clean_len") > 0)
+    # pinned once: the winner window and the text branch below both
+    # read `cleaned` — without the checkpoint Spark would re-run the
+    # whole segment explode + shuffle chain for each branch
+    cleaned = (
+        segment_dedup(kept, keep_text=True)
+        .where(F.col("clean_len") > 0)
+        .localCheckpoint()
+    )
     # cap on (doc_id, clean_sig) ONLY — the survivor window must not
     # shuffle the full cleaned-text payload; the text moves once, in
     # the winner join below
@@ -160,25 +167,46 @@ def export_training(
         F.sum(token_count(F.col("text"))).cast("long").alias("tokens")
     ).first()
     # chunk count from the parquet just written — re-aggregating
-    # `packed` would re-run the whole window+explode plan a second time
-    try:
-        n_chunks = int(
-            spark.read.parquet(os.path.join(out_dir, "chunks"))
-            .groupBy("shard")
-            .agg((F.max("chunk_id") + 1).alias("n"))
-            .agg(F.sum("n").cast("long").alias("n"))
-            .first()["n"]
-            or 0
-        )
-    except Exception:  # empty corpus: no part files to infer from
-        n_chunks = 0
+    # `packed` would re-run the whole window+explode plan a second time.
+    # An empty corpus writes no part files (nothing to infer a schema
+    # from), detected explicitly — any OTHER read failure must surface,
+    # not silently become chunks=0 in a "successful" manifest.
+    n_chunks = _count_chunks(spark, os.path.join(out_dir, "chunks"))
     stages["total_tokens"] = int(totals["tokens"] or 0)
     stages["chunks"] = n_chunks
     stages["shards"] = n_shards
 
-    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _write_manifest(os.path.join(out_dir, "manifest.json"), manifest)
     return manifest
+
+
+def _count_chunks(spark: SparkSession, chunk_dir: str) -> int:
+    """Total chunk count across shards from a written chunk map; 0 for
+    an empty map (no part files). Real read failures propagate."""
+    if not any(
+        n.endswith(".parquet") for n in os.listdir(chunk_dir)
+    ) and not any(
+        os.path.isdir(os.path.join(chunk_dir, n)) for n in os.listdir(chunk_dir)
+    ):
+        return 0
+    return int(
+        spark.read.parquet(chunk_dir)
+        .groupBy("shard")
+        .agg((F.max("chunk_id") + 1).alias("n"))
+        .agg(F.sum("n").cast("long").alias("n"))
+        .first()["n"]
+        or 0
+    )
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Write-aside + atomic rename: a crash mid-write must never leave
+    the export's only manifest truncated (same pattern as the
+    streaming entity-table swap)."""
+    tmp = path + ".__stage__"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def read_training_chunks(
@@ -250,27 +278,42 @@ def export_epoch_maps(
     a loader joins the epoch's assignment to ``docs/`` by doc_id (the
     8-byte-key shuffle) or re-reads docs/shard=K for epoch 0.
 
-    Returns {"epochs": {seed: {"chunks": n, "total_tokens": n}}} and
-    appends the same block to manifest.json. Deterministic like the
-    base export: same (corpus, seed, config) ⇒ identical maps."""
+    Returns {"epochs": {seed: {"chunks": n, "span_tokens": n}}} and
+    appends the same block to manifest.json (``span_tokens`` counts a
+    boundary-straddling doc once per chunk — a span checksum, not a
+    corpus token total). Deterministic like the base export: same
+    (corpus, seed, config) ⇒ identical maps. Seeds double as directory
+    names, so only ``[A-Za-z0-9._-]`` seeds are accepted — silent
+    sanitization could alias two distinct seeds onto one directory."""
     from ftm_datalake_spark.operators.training import (
         epoch_shards,
         pack_epoch_shards,
     )
 
+    for seed in seeds:
+        if not seed or not all(
+            c.isalnum() or c in "-_." for c in seed
+        ):
+            raise ValueError(
+                f"epoch seed {seed!r} is not a safe directory name "
+                "(use [A-Za-z0-9._-] only)"
+            )
+    if n_shards is not None and n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
     man_path = os.path.join(out_dir, "manifest.json")
     with open(man_path) as fh:
         manifest = json.load(fh)
     seq_len = manifest["config"]["seq_len"]
-    n_shards = n_shards or manifest["config"]["n_shards"]
+    if n_shards is None:
+        n_shards = manifest["config"]["n_shards"]
 
     docs = spark.read.parquet(os.path.join(out_dir, "docs")).select(
         "doc_id", "text"
     )
     stats: dict = {}
     for seed in seeds:
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in seed)
-        epoch_dir = os.path.join(out_dir, "epochs", f"epoch={safe}")
+        epoch_dir = os.path.join(out_dir, "epochs", f"epoch={seed}")
         sharded = epoch_shards(docs, seed, n_shards).drop("shuffle_key")
         # pin once: assignment and chunks must agree on shard/pos
         sharded = sharded.localCheckpoint()
@@ -285,8 +328,15 @@ def export_epoch_maps(
         packed.write.mode("overwrite").parquet(
             os.path.join(epoch_dir, "chunks")
         )
+        chunk_dir = os.path.join(epoch_dir, "chunks")
+        if not os.listdir(chunk_dir) or not any(
+            n.endswith(".parquet") or os.path.isdir(os.path.join(chunk_dir, n))
+            for n in os.listdir(chunk_dir)
+        ):
+            stats[seed] = {"chunks": 0, "span_tokens": 0}  # empty corpus
+            continue
         row = (
-            spark.read.parquet(os.path.join(epoch_dir, "chunks"))
+            spark.read.parquet(chunk_dir)
             .groupBy("shard")
             .agg(
                 (F.max("chunk_id") + 1).alias("n"),
@@ -307,6 +357,5 @@ def export_epoch_maps(
         }
 
     manifest.setdefault("epochs", {}).update(stats)
-    with open(man_path, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _write_manifest(man_path, manifest)
     return {"epochs": stats}

@@ -379,3 +379,32 @@ def test_reader_reconstructs_extra_epoch_stream(spark, tmp_path):
             )
         ).split()
         assert stream == want
+
+
+def test_epoch_maps_reject_unsafe_seed_and_bad_shards(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_epoch_maps,
+    )
+
+    _, out = _export(spark, tmp_path, "guard", seq_len=256, n_shards=2)
+    with pytest.raises(ValueError, match="safe directory"):
+        export_epoch_maps(spark, out, ["run/2024"])
+    with pytest.raises(ValueError, match="safe directory"):
+        export_epoch_maps(spark, out, ["e 1"])
+    with pytest.raises(ValueError, match="n_shards"):
+        export_epoch_maps(spark, out, ["e1"], n_shards=0)
+    # nothing was written by the rejected calls
+    assert not os.path.exists(os.path.join(out, "epochs"))
+
+
+def test_manifest_write_is_atomic(tmp_path):
+    """_write_manifest never leaves a truncated manifest: the stage file
+    is fully written before the rename."""
+    from ftm_datalake_spark.pipelines.training_export import _write_manifest
+
+    path = str(tmp_path / "manifest.json")
+    _write_manifest(path, {"a": 1})
+    _write_manifest(path, {"a": 2, "b": [1, 2, 3]})
+    with open(path) as fh:
+        assert json.load(fh) == {"a": 2, "b": [1, 2, 3]}
+    assert not os.path.exists(path + ".__stage__")
