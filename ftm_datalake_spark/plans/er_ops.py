@@ -279,3 +279,125 @@ def er_fellegi_sunter_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(scaled >= den * F.lit(5_000_000))
         .orderBy(F.col("score_ppm").desc(), "key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Golden-record survivorship: the product end of the ER pipeline —
+# verified matches → connected-component families → ONE merged record
+# per family under deterministic survivorship rules (most-complete text
+# wins ties by min id; modal language wins ties alphabetically; sources
+# union sorted). The oracle replays the same rules through windows over
+# the recursive-CTE family closure.
+@register(
+    "er_golden_record",
+    oracle=_ORACLE_BLOCK_CTES.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+    cand AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM b a JOIN b b2 ON a.block_key = b2.block_key
+           AND a.doc_id < b2.doc_id AND a.source <> b2.source
+    ),
+    tsize AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
+      FROM cand
+      JOIN tok ta ON ta.doc_id = cand.doc_a
+      JOIN tok tb ON tb.doc_id = cand.doc_b AND tb.token = ta.token
+      GROUP BY cand.doc_a, cand.doc_b
+    ),
+    m AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN tsize sa ON sa.doc_id = doc_a
+      JOIN tsize sb ON sb.doc_id = doc_b
+      WHERE n_inter * 100 >= (sa.n_tok + sb.n_tok - n_inter) * 80
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b2 FROM m
+          UNION SELECT doc_b AS a, doc_a AS b2 FROM m),
+    reach AS (
+      SELECT a AS n, a AS r FROM e
+      UNION
+      SELECT reach.n, e.b2 AS r FROM reach JOIN e ON reach.r = e.a
+    ),
+    fam AS (SELECT n AS doc_id, MIN(r) AS family FROM reach GROUP BY n),
+    mem AS (
+      SELECT fam.family, d.doc_id, d.lang, d.source, d.n_chars
+      FROM fam JOIN documents d USING (doc_id)
+    ),
+    rep AS (
+      SELECT family, doc_id AS rep_id, n_chars AS rep_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY family ORDER BY n_chars DESC, doc_id) AS rn
+      FROM mem
+    ),
+    lmode AS (
+      SELECT family, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY family ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM mem GROUP BY family, lang
+    ),
+    base AS (
+      SELECT family, COUNT(*) AS n_members,
+             STRING_AGG(DISTINCT source, '|' ORDER BY source) AS sources
+      FROM mem GROUP BY family
+    )
+    SELECT CAST(base.family AS BIGINT) AS family,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(rep.rep_id AS BIGINT) AS rep_id,
+           CAST(rep.rep_chars AS BIGINT) AS rep_chars,
+           lmode.lang AS top_lang,
+           base.sources AS sources
+    FROM base
+    JOIN rep ON rep.family = base.family AND rep.rn = 1
+    JOIN lmode ON lmode.family = base.family AND lmode.rn = 1
+    ORDER BY family
+    """,
+    tags=("er", "blocking", "graph"),
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matches → families → one survivor row per family. Family labels
+    come from the log-round star CC (operators/components.py); the
+    survivorship aggregates are max_by over a total-order struct key
+    (longest text, tie min id), a two-level modal-language agg, and a
+    sorted collect_set — every rule a deterministic total order, so the
+    merged record is engine- and partitioning-independent."""
+    from ftm_datalake_spark.operators.components import dedup_families
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = entity_match(
+        docs, k=2, max_block_size=100, threshold_pct=80
+    ).select("doc_a", "doc_b")
+    fam = dedup_families(pairs)
+    mem = fam.join(
+        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    )
+    # most-complete representative: max (n_chars, -doc_id) struct key
+    repkey = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+    base = mem.groupBy("family").agg(
+        F.count("*").alias("n_members"),
+        F.max_by("doc_id", repkey).alias("rep_id"),
+        F.max_by("n_chars", repkey).alias("rep_chars"),
+        F.array_join(F.sort_array(F.collect_set("source")), "|").alias(
+            "sources"
+        ),
+    )
+    from pyspark.sql import Window
+
+    lang_counts = mem.groupBy("family", "lang").agg(F.count("*").alias("c"))
+    lw = Window.partitionBy("family").orderBy(F.col("c").desc(), F.col("lang"))
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(lw))
+        .where(F.col("rn") == 1)
+        .select("family", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(top_lang, "family")
+        .select(
+            F.col("family").cast("long"),
+            F.col("n_members").cast("long"),
+            F.col("rep_id").cast("long"),
+            F.col("rep_chars").cast("long"),
+            "top_lang",
+            "sources",
+        )
+        .orderBy("family")
+    )

@@ -185,3 +185,144 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     return bfs_distances(edges, seed=0, max_depth=4).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Weighted SSSP: Bellman–Ford from nation 0 over the weighted trade
+# graph — edge weight = cheapest observed lineitem between the two
+# nations in exact integer cents. operators/sssp.py generalizes the BFS
+# frontier loop; the oracle replays the identical recurrence as
+# unrolled CTEs (min() over exact BIGINTs is order-free, so both
+# engines are bit-identical).
+_SSSP_ROUNDS = 4
+
+
+def _oracle_weighted_sssp(rounds: int) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+             GREATEST(c.c_nationkey, s.s_nationkey) AS v,
+             CAST(ROUND(MIN(l.l_extendedprice) * 100) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT u AS src, v AS dst, w FROM e0
+              UNION ALL SELECT v AS src, u AS dst, w FROM e0),
+    r0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""
+    steps = "".join(
+        f""",
+    r{k + 1} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM r{k}
+        UNION ALL
+        SELECT e.dst AS node, r{k}.dist + e.w AS dist
+        FROM r{k} JOIN edges e ON e.src = r{k}.node
+      ) GROUP BY node)"""
+        for k in range(rounds)
+    )
+    return head + steps + f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM r{rounds} ORDER BY node
+    """
+
+
+@register(
+    "graph_weighted_sssp",
+    oracle=_oracle_weighted_sssp(_SSSP_ROUNDS),
+    tags=("graph", "iterative"),
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum trade-path cost from nation 0 using ≤ 4 edges. Each
+    relaxation round is one equi-join + one min hash-agg on the 8-byte
+    node key (operators/sssp.py) — the Pregel-on-relational shape."""
+    from ftm_datalake_spark.operators.sssp import bellman_ford
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").cast("long").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").cast("long").alias("v"),
+        )
+        .agg(F.round(F.min("l_extendedprice") * 100).cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    return bellman_ford(edges, seed=0, rounds=_SSSP_ROUNDS).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# k-core peeling on the supplier↔customer bipartite trade graph: nodes
+# are suppliers (2·suppkey) and customers (2·custkey+1); each peel
+# round drops nodes whose current degree is < k and re-induces the
+# subgraph — the graph-dedup / dense-subgraph primitive. A fixed
+# 3-round budget keeps the oracle expressible as unrolled CTEs; the
+# Spark loop (operators/kcore.py) is the same recurrence.
+_KCORE_K = 5
+_KCORE_ROUNDS = 3
+
+
+def _oracle_kcore(k: int, rounds: int) -> str:
+    head = """
+    WITH p0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    g0 AS (SELECT a AS src, b AS dst FROM p0
+           UNION ALL SELECT b AS src, a AS dst FROM p0)"""
+    steps = "".join(
+        f""",
+    d{r} AS (SELECT src AS node, COUNT(*) AS deg FROM g{r} GROUP BY src),
+    k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+    g{r + 1} AS (
+      SELECT g{r}.src, g{r}.dst FROM g{r}
+      JOIN k{r} x ON x.node = g{r}.src
+      JOIN k{r} y ON y.node = g{r}.dst)"""
+        for r in range(rounds)
+    )
+    return head + steps + f"""
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM g{rounds} GROUP BY src ORDER BY node
+    """
+
+
+@register(
+    "graph_kcore_trade",
+    oracle=_oracle_kcore(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph", "iterative"),
+)
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving nodes + induced degree after 3 peel rounds at k=5.
+    Each round is one degree hash-agg + two semi-joins on the node key
+    (operators/kcore.py); the edge table shrinks monotonically, so the
+    loop cost is bounded by the first round's |edges| shuffle."""
+    from ftm_datalake_spark.operators.kcore import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).cast("long").alias("a"),
+            (F.col("o_custkey") * 2 + 1).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")

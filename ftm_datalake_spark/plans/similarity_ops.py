@@ -423,3 +423,184 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "nid", F.col("rank").cast("long").alias("rank"), "cosine"
     ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion: the lexical ranking
+# (integer-idf tf scoring, as text_ranked_search) and the vector
+# ranking (exact integer-quantized cosine vs the vec_id-0 query) each
+# produce a top-100 list; RRF fuses them as
+#   score = Σ_lists 10⁹ div (60 + rank)
+# — integer division, so fusion is exact arithmetic and the fused
+# order is a total order (ties broken by doc_id). The standard
+# RAG-retrieval shape: both lists are top-k-bounded BEFORE the join,
+# so the fuse step touches ≤ 200 rows regardless of corpus size.
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+_HYBRID_TERMS = ("merge", "vector", "stream")
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token IN {str(tuple(_HYBRID_TERMS))}
+      GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    idf AS (
+      SELECT token, (((SELECT n FROM n) - df) * 1000) // df AS idf_q FROM df
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN {str(tuple(_HYBRID_TERMS))}
+      GROUP BY doc_id, token
+    ),
+    scored AS (
+      SELECT t.doc_id, SUM(t.tf * i.idf_q) AS score
+      FROM tf t JOIN idf i USING (token)
+      GROUP BY t.doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM scored QUALIFY lex_rank <= 100
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    comp AS (
+      SELECT e.vec_id AS nid,
+             CAST(SUM(t.qq * t.nq) AS BIGINT) AS dot,
+             CAST(SUM(t.qq * t.qq) AS BIGINT) AS qn,
+             CAST(SUM(t.nq * t.nq) AS BIGINT) AS nn
+      FROM embeddings e, q, LATERAL (
+        SELECT {_QUANT.format(x='qe[i]')} AS qq,
+               {_QUANT.format(x='e.embedding[i]')} AS nq
+        FROM generate_series(1, 64) g(i)
+      ) t
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    ann AS (
+      SELECT nid,
+             row_number() OVER (
+               ORDER BY CAST(dot AS DOUBLE)
+                        / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) DESC,
+                        nid) AS ann_rank
+      FROM comp QUALIFY ann_rank <= 100
+    )
+    SELECT CAST(COALESCE(l.doc_id, a.nid) AS BIGINT) AS doc_id,
+           CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(a.ann_rank, 0) AS BIGINT) AS ann_rank,
+           CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_K} + a.ann_rank), 0)
+             AS BIGINT) AS rrf_score
+    FROM lex l FULL JOIN ann a ON a.nid = l.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    tags=("similarity", "search", "text"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused top-20 of lexical and vector retrieval. Both arms end in
+    TakeOrderedAndProject (orderBy+limit — no global sort), the fuse is
+    a full outer join over ≤ 100+100 rows, and every score is integer
+    arithmetic (`div`), so the fused list is bit-stable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # lexical arm (text_ranked_search's integer-idf scoring, k=100)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token").isin(*_HYBRID_TERMS))
+    n = docs.count()  # driver-side scalar (a count, not data)
+    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_t.select(
+        "token",
+        F.floor(((F.lit(n) - F.col("df")) * 1000) / F.col("df")).alias("idf_q"),
+    )
+    scored = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_q")).alias("score"))
+    )
+    lex_top = scored.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    lw = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(lw).cast("long").alias("lex_rank")
+    )
+
+    # vector arm (brute-force exact cosine vs vec_id 0, k=100)
+    ann = (
+        S.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=100)
+        .select(F.col("nid"), F.col("rank").cast("long").alias("ann_rank"))
+    )
+
+    fused = lex.join(ann, lex.doc_id == ann.nid, "full")
+    rrf = F.coalesce(
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0)
+    ) + F.coalesce(
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + ann_rank)"), F.lit(0)
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("nid")).cast("long").alias(
+                "doc_id"
+            ),
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias(
+                "lex_rank"
+            ),
+            F.coalesce(F.col("ann_rank"), F.lit(0)).cast("long").alias(
+                "ann_rank"
+            ),
+            rrf.cast("long").alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Top principal direction by matrix-free power iteration — see
+# operators/pca.py for the exact-integer scheme (quantize → v' = Xᵀ(Xv)
+# in one pass per step → renormalize by exact floor division). The
+# oracle replays both steps with the pmod floor-division identity,
+# which is `//`-semantics-proof because its numerator is an exact
+# multiple of the divisor.
+@register(
+    "embedding_pca_power",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, g.i, {_QUANT.format(x='embedding[g.i]')} AS q
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    s1 AS (SELECT vec_id, SUM(q) AS s FROM e GROUP BY vec_id),
+    m1 AS (SELECT e.i, CAST(SUM(s1.s * e.q) AS BIGINT) AS m
+           FROM e JOIN s1 USING (vec_id) GROUP BY e.i),
+    d1 AS (SELECT GREATEST(1, (MAX(ABS(m)) - (MAX(ABS(m)) % 1024)) // 1024)
+             AS d FROM m1),
+    v1 AS (SELECT i, (m - (((m % d) + d) % d)) // d AS v FROM m1, d1),
+    s2 AS (SELECT e.vec_id, SUM(e.q * v1.v) AS s
+           FROM e JOIN v1 USING (i) GROUP BY e.vec_id),
+    m2 AS (SELECT e.i, CAST(SUM(s2.s * e.q) AS BIGINT) AS m
+           FROM e JOIN s2 USING (vec_id) GROUP BY e.i),
+    d2 AS (SELECT GREATEST(1, (MAX(ABS(m)) - (MAX(ABS(m)) % 1024)) // 1024)
+             AS d FROM m2)
+    SELECT CAST(i AS BIGINT) AS dim_idx,
+           CAST((m - (((m % d) + d) % d)) // d AS BIGINT) AS v
+    FROM m2, d2 ORDER BY dim_idx
+    """,
+    tags=("similarity", "embedding", "iterative"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.pca import power_iteration_top
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top(emb, dims=64, steps=2).orderBy("dim_idx")

@@ -1042,3 +1042,107 @@ def orders_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing) with dyadic
+# gains α=1/2, β=1/4 over each user's last 12 events. The recurrence
+#   l_t = α·x_t + (1-α)(l_{t-1}+b_{t-1});  b_t = β(l_t-l_{t-1}) + (1-β)b_{t-1}
+# is LINEAR in the inputs, so 12 steps from (l,b)=(0,0) collapse to a
+# closed-form weighted sum Σ c_m·lag_m whose coefficients are exact
+# dyadic rationals — computed once at import via Fractions, emitted as
+# integer numerators over the common denominator 2³⁶. Like
+# events_ewma_smoothed, the whole smoother is then exact 64-bit
+# arithmetic: one window pass per user, bit-identical in any engine.
+# Forecast(next) = l_12 + b_12; missing lags contribute 0 (cold-start
+# ramp, same convention as the EWMA).
+def _holt_coefficients(steps: int = 12):
+    from fractions import Fraction
+    from math import gcd
+
+    level: dict[int, Fraction] = {}
+    trend: dict[int, Fraction] = {}
+    for t in range(steps):
+        l_new = {t: Fraction(1, 2)}
+        for k, v in level.items():
+            l_new[k] = l_new.get(k, Fraction(0)) + v / 2
+        for k, v in trend.items():
+            l_new[k] = l_new.get(k, Fraction(0)) + v / 2
+        b_new: dict[int, Fraction] = {}
+        for k, v in l_new.items():
+            b_new[k] = b_new.get(k, Fraction(0)) + v / 4
+        for k, v in level.items():
+            b_new[k] = b_new.get(k, Fraction(0)) - v / 4
+        for k, v in trend.items():
+            b_new[k] = b_new.get(k, Fraction(0)) + 3 * v / 4
+        level, trend = l_new, b_new
+    forecast = {
+        k: level.get(k, Fraction(0)) + trend.get(k, Fraction(0))
+        for k in set(level) | set(trend)
+    }
+    den = 1
+    for v in forecast.values():
+        den = den * v.denominator // gcd(den, v.denominator)
+    # lag m multiplies x_{steps-1-m}; m=0 is the current row
+    coef = {steps - 1 - t: int(forecast[t] * den) for t in forecast}
+    assert den <= 1 << 40 and max(abs(c) for c in coef.values()) < 1 << 40
+    return coef, den
+
+
+_HOLT_COEF, _HOLT_DEN = _holt_coefficients(12)
+
+
+@register(
+    "events_holt_linear",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    l AS (
+      SELECT user_id, ts, event_id, cents,
+             """
+    + ",\n             ".join(
+        f"LAG(cents, {m}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS lag{m}"
+        for m in sorted(_HOLT_COEF)
+        if m > 0
+    )
+    + """
+      FROM c)
+    SELECT user_id, event_id,
+           CAST("""
+    + " + ".join(
+        f"COALESCE({'cents' if m == 0 else f'lag{m}'}, 0) * ({_HOLT_COEF[m]})"
+        for m in sorted(_HOLT_COEF)
+    )
+    + f""" AS BIGINT) AS holt_num,
+           CAST({_HOLT_DEN} AS BIGINT) AS holt_den
+    FROM l
+    ORDER BY user_id, event_id
+    """,
+    tags=("events", "timeseries", "window", "forecast"),
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-value forecast per event = holt_num / holt_den (exact
+    integers). All 11 lags share ONE window pass (single Window node),
+    the same shuffle shape as events_ewma_smoothed."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = events.select("user_id", "ts", "event_id", cents.alias("cents"))
+    num = None
+    for m in sorted(_HOLT_COEF):
+        x = F.col("cents") if m == 0 else F.coalesce(
+            F.lag("cents", m).over(w), F.lit(0)
+        )
+        term = x * F.lit(_HOLT_COEF[m])
+        num = term if num is None else num + term
+    return c.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("holt_num"),
+        F.lit(_HOLT_DEN).cast("long").alias("holt_den"),
+    ).orderBy("user_id", "event_id")

@@ -111,6 +111,11 @@ GLOBAL_SCALAR_OK = {
     # lift table: the (n_total, pos_total) normalizer is the same 1-row
     # global scalar, broadcast back into the decile assignment
     "eval_lift_deciles",
+    # power iteration: each step's v' = Xᵀ(Xv) ends in ONE 64-column
+    # global sum (map-side-combined partials → 1-row direction vector)
+    # — the matrix-free PCA shape; the data term never reaches the
+    # single partition
+    "embedding_pca_power",
     "events_funnel",
     "gdpr_forget_users",
     "q11_important_parts",
