@@ -53,6 +53,16 @@ RISKY = [
     # boundary (global sort+limit) must not leak partitioning
     "corpus_epoch_packing",
     "text_vocab_oov_rate",
+    # round-6 iterative family: frontier loops fold mins/degrees across
+    # rounds, power iteration folds 64 global sums per step, RRF fuses
+    # two rank lists, survivorship picks max_by struct keys — all must
+    # be partitioning-invariant
+    "graph_weighted_sssp",
+    "graph_kcore_trade",
+    "embedding_pca_power",
+    "search_hybrid_rrf",
+    "er_golden_record",
+    "events_holt_linear",
 ]
 
 
