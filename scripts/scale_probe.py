@@ -41,6 +41,13 @@ HEADLINERS = [
     # top-K vocab broadcast join
     "corpus_epoch_packing",
     "text_vocab_oov_rate",
+    # round-6 iterative family: Pregel-on-relational loops (fixed node
+    # set, 10× edge-derivation rows) and the one-pass-per-step
+    # matrix-free power iteration over 10× embeddings
+    "graph_weighted_sssp",
+    "graph_kcore_trade",
+    "embedding_pca_power",
+    "er_golden_record",
 ]
 COPIES = 10
 PROBE_DIR = "/tmp/sfprobe/sf1.0"
@@ -77,6 +84,45 @@ def generate(spark, src_dir: str) -> None:
     dout.write.mode("overwrite").parquet(
         os.path.join(PROBE_DIR, "documents.parquet")
     )
+
+    # orders scales WITH lineitem (shifted o_orderkey keeps the 1:n
+    # lineitem join intact per copy; o_custkey fixed — same customer
+    # dictionary, 10× orders per customer), so the graph ops' edge
+    # derivation sees 10× join rows over the same node set.
+    orders = spark.read.parquet(os.path.join(src_dir, "orders.parquet"))
+    oparts = [
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(c * 10_000_000)
+        )
+        for c in range(COPIES)
+    ]
+    oout = oparts[0]
+    for p in oparts[1:]:
+        oout = oout.unionByName(p)
+    oout.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "orders.parquet")
+    )
+
+    # embeddings: 10× corpus with shifted vec_ids (vec_id 0 stays the
+    # designated query vector in copy 0 only — top-k probes keep one
+    # query against a 10× corpus, the realistic growth axis).
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    eparts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * 1_000_000))
+        for c in range(COPIES)
+    ]
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "embeddings.parquet")
+    )
+
+    # fixed dimension dictionaries the probed queries join against
+    for dim in ("customer", "supplier"):
+        spark.read.parquet(os.path.join(src_dir, f"{dim}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(PROBE_DIR, f"{dim}.parquet"))
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
