@@ -9,79 +9,33 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-6 curation: CORRECTNESS_r05 came back a perfect 50/50 (zero err),
-so the whole r5 prefix rotates out. The union of driver samples across
-rounds 1-5 covers 171 of the 215 registry queries; the remaining 44 —
-every one already green in the builder's full-registry DuckDB sweeps at
-sf0.01 AND sf0.1 (VERIFY_LOCAL_r05 / VERIFY_LOCAL_SF01_r05) — fill this
-round's prefix, completing driver-green coverage of the entire registry.
-Ordering is round-robin across families (events, analytics, window,
-agg, text, join, similarity, training, corpus, pivot, projection,
-sketch) so a mid-sample truncation would still touch every family.
+Round-7 curation: CORRECTNESS_r06 came back a perfect 50/50 (zero err),
+lifting the driver-sample union across rounds 1-6 to 221 of the 228
+registry queries. The remaining 7 — the six ops that landed after the
+round-6 evidence prefix was frozen, plus ``eval_lift_deciles`` which
+sat out the 50-slot r6 prefix — lead this round's prefix so that
+CORRECTNESS_r07 completes driver-green coverage of the whole registry.
+All seven are already green in the builder's full-registry DuckDB
+sweeps at sf0.01 AND sf0.1 (VERIFY_LOCAL_r06 / VERIFY_LOCAL_SF01_r06)
+and were independently re-run bit-exact by the round-6 judge at both
+scales; the driver scoreboard is the one missing signal.
 
-Everything not listed keeps registration order after these; previously
-driver-green queries rotate behind the never-sampled block.
+Slots 8+ carry any brand-new round-7 queries (driver evidence is
+highest-value for new ops); everything not listed keeps registration
+order after these.
 """
 
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # The final 44 never-driver-sampled queries (rounds 1-5 union =
-    # 171/215). Round-robin across registry families.
-    "events_dau_stickiness_hll",  # sketch
-    "events_rolling_7d_users",  # events
-    "customer_rfm_segments",  # analytics
-    "orders_revenue_pareto",  # window
-    "supplier_concentration_hhi",  # agg
-    "docs_source_vocab_overlap",  # text
-    "part_substitution_candidates",  # join
-    "ann_ivf_topk_nprobe2",  # similarity
-    "pit_labeled_examples",  # training
-    "corpus_report_card",  # corpus
-    "pivot_user_event_counts",  # pivot
-    "slugify_keys",  # projection
-    "events_conversion_latency",  # events
-    "orders_cohort_ltv",  # analytics
-    "lineitem_yoy_growth",  # window
-    "basket_brand_association",  # agg
-    "lm_surprisal_topdocs",  # text
-    "asof_next_purchase",  # join
-    "ann_hard_negatives",  # similarity
-    "corpus_curation_v2",  # training
-    "unpivot_event_matrix",  # pivot
-    "events_dau_stickiness",  # events
-    "events_interarrival",  # window
-    "orders_basket_size_distribution",  # agg
-    "tfidf_top_terms",  # text
-    "salted_hot_key_join",  # join
-    "embedding_centroids",  # similarity
-    "doc_commonness",  # training
-    "events_hourly_autocorr",  # events
-    "events_active_windows",  # window
-    "hypertable_daily_rollup",  # agg
-    "text_langid_confusion",  # text
-    "pii_redact",  # training
-    "events_ohlc_hourly",  # events
-    "mode_event_type",  # window
-    "cube_order_stats",  # agg
-    "events_ewma_smoothed",  # events
-    "ntile_customer_quartiles",  # window
-    "grouping_sets_orders",  # agg
-    "events_seasonality_profile",  # events
-    "rolling_7day_revenue",  # window
-    "salted_hot_key_agg",  # agg
-    "median_price_by_priority",  # window
-    "window_rank_functions",  # window
-    # ---- 44 never-sampled end here; slots 45-50 carry the brand-new
-    # round-6 ops (driver evidence is highest-value for new ops). With
-    # 51 never-sampled candidates and 50 slots, eval_lift_deciles sits
-    # out: it shares the property-tested evalmetrics core with the
-    # pr-sweep and is green in both full local sweeps
-    # (VERIFY_LOCAL_r06 / VERIFY_LOCAL_SF01_r06).
-    "eval_auc_quality",
-    "eval_cohens_kappa",
-    "eval_calibration_bins",
-    "eval_pr_threshold_sweep",
-    "corpus_epoch_packing",
-    "text_vocab_oov_rate",
+    # The final 7 never-driver-sampled queries (rounds 1-6 union =
+    # 221/228). CORRECTNESS_r07 green on these ==> 228/228.
+    "embedding_pca_power",
+    "er_golden_record",
+    "eval_lift_deciles",
+    "events_holt_linear",
+    "graph_kcore_trade",
+    "graph_weighted_sssp",
+    "search_hybrid_rrf",
+    # ---- brand-new round-7 queries follow (appended as they land) ----
 )
