@@ -54,7 +54,7 @@ def main() -> None:
         return round(time.perf_counter() - start, 3)
 
     canary()  # warm
-    canary_sec = min(canary(), canary())
+    canary_sec = min(canary(), canary())  # pre-suite canary (kept name: round comparability)
 
     bench_specs = [s for s in REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
@@ -89,6 +89,11 @@ def main() -> None:
             "n": len(samples),
         }
 
+    # Post-suite canary: paired with the pre-suite one, this separates
+    # "host slowed down during the run" (pre != post) from a stable-host
+    # round-over-round comparison (pre ≈ post → normalize by either).
+    canary_post_sec = min(canary(), canary())
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_sec",
@@ -97,6 +102,7 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "canary_sec": canary_sec,
+        "canary_post_sec": canary_post_sec,
         "sf": sf,
     }
     if errors:

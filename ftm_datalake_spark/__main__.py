@@ -183,6 +183,18 @@ def main(argv: list[str] | None = None) -> int:
         "--max-requests", type=int, default=None,
         help="serve N requests then exit (testing)",
     )
+    p_srv.add_argument(
+        "--lookup-mode", default="auto",
+        choices=["auto", "snapshot", "projection", "spark"],
+        help="hot-GET lookup backend (default auto: O(1) snapshot, or "
+        "the parquet projection when --projection-dir is given; 'spark' "
+        "is the explicit per-GET scan fallback)",
+    )
+    p_srv.add_argument(
+        "--projection-dir", default=None,
+        help="directory for the (dataset, shard)-partitioned O(1) lookup "
+        "projection (enables projection mode)",
+    )
 
     p_forget = sub.add_parser("forget")
     p_forget.add_argument("keys", nargs="+", help="document keys to forget")
@@ -678,7 +690,8 @@ def _dispatch(spark, args) -> int:
 
         docs = spark.read.parquet(f"{args.lake}/documents")
         app = build_app_from_documents(
-            docs, args.lake, args.secret, debug=args.debug
+            docs, args.lake, args.secret, debug=args.debug,
+            lookup_mode=args.lookup_mode, projection_dir=args.projection_dir,
         )
         httpd = serve(app, args.host, args.port)
         print(

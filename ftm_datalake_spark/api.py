@@ -162,15 +162,62 @@ def build_app_from_documents(
     archive_root: str,
     secret: str,
     debug: bool = False,
+    lookup_mode: str = "auto",
+    projection_dir: str | None = None,
+    snapshot_max_rows: int | None = None,
 ) -> DatalakeApi:
-    """Wire the WSGI app to a Spark documents DataFrame (Q1 point lookup
-    prunes to the dataset partition, serving.py:21) and the
-    content-addressed blob layout (Q2, serving.py:46) — blob bytes
-    stream straight from storage, never through Spark."""
-    from ftm_datalake_spark.serving import blob_shard_uri, lookup_file
+    """Wire the WSGI app to a Spark documents DataFrame (Q1 point
+    lookup) and the content-addressed blob layout (Q2, serving.py:160)
+    — blob bytes stream straight from storage, never through Spark.
 
-    def lookup(dataset: str, key: str) -> dict | None:
-        return lookup_file(documents, dataset, key)
+    The hot GET path runs NO Spark job by default: ``lookup_mode``
+
+    - ``"auto"`` (default): ``projection_dir`` given → build the
+      (dataset, shard)-partitioned parquet projection once and serve
+      partition-pruned point reads (serving.py:85); otherwise collect a
+      guarded in-memory dict snapshot (serving.py:121) — true O(1) per
+      GET. If the table exceeds the snapshot guard the builder raises
+      with instructions rather than silently degrading to a per-GET
+      table scan.
+    - ``"snapshot"`` / ``"projection"``: force one of the above.
+    - ``"spark"``: the per-GET Spark scan (lookup_file, serving.py:21)
+      — the explicit fallback for always-fresh reads over a mutating
+      table, not a default.
+    """
+    from ftm_datalake_spark.serving import (
+        DICT_SNAPSHOT_MAX_ROWS,
+        blob_shard_uri,
+        build_lookup_projection,
+        lookup_file,
+        make_dict_snapshot_lookup,
+        make_projection_lookup,
+    )
+
+    if snapshot_max_rows is None:
+        snapshot_max_rows = DICT_SNAPSHOT_MAX_ROWS
+    if lookup_mode == "auto":
+        lookup_mode = "projection" if projection_dir else "snapshot"
+
+    if lookup_mode == "snapshot":
+        try:
+            lookup = make_dict_snapshot_lookup(documents, max_rows=snapshot_max_rows)
+        except ValueError as exc:
+            raise ValueError(
+                f"{exc}; pass projection_dir= (O(1) partition-pruned parquet "
+                "lookup) or lookup_mode='spark' (per-GET scan) explicitly"
+            ) from exc
+    elif lookup_mode == "projection":
+        if not projection_dir:
+            raise ValueError("lookup_mode='projection' requires projection_dir")
+        build_lookup_projection(documents, projection_dir)
+        lookup = make_projection_lookup(documents.sparkSession, projection_dir)
+    elif lookup_mode == "spark":
+
+        def lookup(dataset: str, key: str) -> dict | None:
+            return lookup_file(documents, dataset, key)
+
+    else:
+        raise ValueError(f"unknown lookup_mode: {lookup_mode!r}")
 
     def stream(info: dict, chunk: int = 1 << 16) -> Iterable[bytes]:
         uri = blob_shard_uri(archive_root, info["dataset"], info["content_hash"])

@@ -15,17 +15,22 @@ oracle can replay the exact recurrence:
 Scale shape per iteration: edges ⋈ ranks on src (shuffle keyed by node,
 uniform), hash-agg on dst — the canonical distributed PageRank step.
 
-Plan diet (round 7): the degree table is joined into the edge frame
-ONCE, before the loop, and the combined (src, dst, outdeg) frame is
-repartitioned on src and persisted — so each unrolled iteration reads
-an InMemoryTableScan that already satisfies the join's hashpartitioning
-requirement instead of re-deriving edges⋈deg from scratch. This cut
-the static plan from 73 exchanges / 46 broadcasts to a third of that
-at sf0.001 (see tests/test_plan_shapes.py::test_pagerank_plan_budget).
-The rank agg keys on dst aliased to node, so iteration k+1's join on
-node reuses iteration k's output partitioning — one shuffle per round
-in steady state. At higher K, localCheckpoint ranks every few rounds
-to truncate lineage (same policy as components.py).
+Plan diet (round 7, hardened round 8): the degree table is joined into
+the edge frame ONCE, before the loop, and the combined (src, dst,
+outdeg) frame is explicitly repartitioned on src and localCheckpointed
+— the repartition guarantees the checkpointed scan satisfies the
+per-iteration join's hashpartitioning(src) requirement even when the
+degree join chose a broadcast (which would otherwise leave the edge
+frame's original partitioning in place). Each unrolled iteration then
+reads the checkpointed scan instead of re-deriving distinct+degree+join
+from scratch. This cut the static plan from 85 exchanges / 46
+broadcasts (pre-rewrite, PLAN_AUDIT.md r6) to 12 exchanges / 1
+broadcast at sf0.001 (regenerated PLAN_AUDIT.md r8); the budget is
+CI-locked in tests/test_plan_shapes.py::test_pagerank_plan_budget. The rank agg
+keys on dst aliased to node, so iteration k+1's join on node reuses
+iteration k's output partitioning — one shuffle per round in steady
+state. At higher K, localCheckpoint ranks every few rounds to truncate
+lineage (same policy as components.py).
 """
 
 from __future__ import annotations
@@ -46,12 +51,16 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
     """
     edges = edges.select("src", "dst").distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Pin (src, dst, outdeg) once: localCheckpoint materializes the
-    # degree-joined edge frame and truncates its lineage, so every
-    # unrolled iteration scans the checkpointed RDD instead of
-    # re-deriving distinct+degree+join — the static plan stops
-    # repeating that subtree K times (same policy as sssp.py/kcore.py).
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    # Pin (src, dst, outdeg) once: repartition on src so the pinned
+    # frame provably carries hashpartitioning(src) (the degree join may
+    # broadcast deg, which would otherwise preserve edges' original
+    # partitioning), then localCheckpoint to materialize it and truncate
+    # lineage. Every unrolled iteration scans the checkpointed RDD
+    # shuffle-free on its side of the join instead of re-deriving
+    # distinct+degree+join (same policy as sssp.py/kcore.py).
+    edges_deg = (
+        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    )
     nodes = edges_deg.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()
     base = (SCALE * 15 // 100) // n

@@ -138,6 +138,68 @@ def test_token_for_unknown_file_404(server):
     assert status == 404
 
 
+def test_lookup_mode_wiring(spark, tmp_path):
+    """All four lookup_mode settings of build_app_from_documents: the
+    guarded snapshot default raises with guidance on overflow; the
+    projection and explicit-spark backends resolve the same row."""
+    from ftm_datalake_spark.api import build_app_from_documents
+
+    docs = spark.createDataFrame(
+        [(KEY, SHA1, len(CONTENT), "text/plain", DATASET),
+         ("other.txt", SHA1, 1, "text/plain", DATASET)],
+        "key string, content_hash string, size long, mimetype string, dataset string",
+    )
+    with pytest.raises(ValueError, match="projection_dir"):
+        build_app_from_documents(docs, str(tmp_path), SECRET, snapshot_max_rows=1)
+    with pytest.raises(ValueError, match="requires projection_dir"):
+        build_app_from_documents(
+            docs, str(tmp_path), SECRET, lookup_mode="projection"
+        )
+    for kwargs in (
+        {"projection_dir": str(tmp_path / "proj")},  # auto -> projection
+        {"lookup_mode": "spark"},
+        {},  # auto -> snapshot
+    ):
+        app = build_app_from_documents(docs, str(tmp_path), SECRET, **kwargs)
+        info = app.lookup(DATASET, KEY)
+        assert info and info["content_hash"] == SHA1, kwargs
+        assert app.lookup(DATASET, "nope.txt") is None, kwargs
+
+
+def test_hot_get_runs_no_spark_job(server, spark):
+    """The default lookup_mode collects a dict snapshot at build time, so
+    the request path must never touch Spark: tag a job group around a
+    burst of GETs and assert no job landed in it (round-8 brief #3)."""
+    base, _ = server
+    sc = spark.sparkContext
+    sc.setJobGroup("hot-get-spy", "api hot path must be Spark-free")
+    try:
+        for _ in range(5):
+            status, _, body = _request(f"{base}/{DATASET}/{KEY}")
+            assert status == 200 and body == CONTENT
+            status, _, _ = _request(f"{base}/{DATASET}/missing.txt", "HEAD")
+            assert status == 404
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("hot-get-spy")
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"Spark jobs ran on the hot GET path: {jobs}"
+
+
+def test_hot_get_latency_smoke(server):
+    """Latency smoke: 50 sequential loopback GETs through wsgiref must
+    average well under 50 ms — a per-GET Spark scan would be ~100×."""
+    import time
+
+    base, _ = server
+    start = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        status, _, _ = _request(f"{base}/{DATASET}/{KEY}", "HEAD")
+        assert status == 200
+    avg = (time.perf_counter() - start) / n
+    assert avg < 0.05, f"hot GET averaged {avg * 1000:.1f} ms"
+
+
 def test_non_debug_hides_token_endpoint(server):
     base, app = server
     app.debug = False

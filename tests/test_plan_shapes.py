@@ -181,6 +181,23 @@ SHUFFLE_BUDGET = {
 }
 
 
+def test_pagerank_plan_budget(spark, sf_dir):
+    """Lock in the round-7 pagerank plan diet (85 exchanges / 46
+    broadcasts -> mid-teens / low-single-digits after pinning the
+    degree-joined edge frame once before the unrolled loop — see
+    operators/pagerank.py). A regression back toward re-deriving
+    distinct+degree+join per iteration must fail loudly here."""
+    plan = _plan(spark, sf_dir, "pagerank_trade_graph")
+    exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("+-:* ").startswith("Exchange ")
+    )
+    broadcasts = plan.count("BroadcastExchange")
+    assert exchanges <= 20, f"pagerank static exchange count regressed: {exchanges}"
+    assert broadcasts <= 8, f"pagerank broadcast count regressed: {broadcasts}"
+
+
 def test_bench_queries_within_shuffle_budget(spark, sf_dir):
     from ftm_datalake_spark.plans import REGISTRY
 
