@@ -101,6 +101,7 @@ def segment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_text: bool = False,
+    extra_freq_docs: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style common-segment removal (Wenzek et al. 2020 dedup by
     paragraph hash, adapted to fixed `seg_len`-word segments because the
@@ -114,21 +115,38 @@ def segment_dedup(
     shape: map-side partial counts, then an equi-join on the 16-byte
     hash — never on raw segment text.
 
+    ``extra_freq_docs`` adds a reference corpus to the FREQUENCY count
+    only — its docs are segmented and counted but never reassembled or
+    returned. This is the incremental-export shape: clean a delta batch
+    against (delta ∪ already-exported) segment frequencies without
+    re-cleaning the exported corpus (pipelines/training_export.py).
+
     Output per doc: (doc_id, n_segs, n_dropped, clean_sig, clean_len);
     ``keep_text`` adds the reassembled ``clean_text`` itself (used by
     the training export, which SHIPS the boilerplate-stripped text).
     """
-    tk = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
-    n_segs = F.ceil(F.size("tk") / F.lit(float(seg_len))).cast("int")
-    seg_arr = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(F.slice(F.col("tk"), i * seg_len + 1, seg_len), " "),
-    )
-    segs = base.select(
-        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
-    ).withColumn("seg_key", F.md5("seg"))
-    freq = segs.groupBy("seg_key").agg(F.count("*").alias("n"))
+
+    def _segments(frame: DataFrame) -> DataFrame:
+        tk = tokens(F.col(text_col))
+        base = frame.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+        n_segs = F.ceil(F.size("tk") / F.lit(float(seg_len))).cast("int")
+        seg_arr = F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("tk"), i * seg_len + 1, seg_len), " "
+            ),
+        )
+        return base.select(
+            "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+        ).withColumn("seg_key", F.md5("seg"))
+
+    segs = _segments(docs)
+    freq_src = segs.select("seg_key")
+    if extra_freq_docs is not None:
+        freq_src = freq_src.unionByName(
+            _segments(extra_freq_docs).select("seg_key")
+        )
+    freq = freq_src.groupBy("seg_key").agg(F.count("*").alias("n"))
     joined = segs.join(freq, "seg_key")
     keep = F.col("n") <= max_freq
     kept_struct = F.when(keep, F.struct(F.col("seg_idx"), F.col("seg")))

@@ -914,3 +914,51 @@ def corpus_epoch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "cum_end", "chunk_id")
     )
+
+
+# Scale-honest variant of corpus_epoch_packing (VERDICT r6/r7 carry:
+# the 4-shard demo was the one >2x decade ratio in SCALE_PROBE_r06 —
+# its per-shard cumsum window held corpus/4 rows per task). n_shards=32
+# matches the local[32] test parallelism and stands in for "n_shards >=
+# cluster parallelism" at 100 TB: the packing window's per-task state
+# shrinks 8x, and the decade ratio should track data growth.
+@register(
+    "corpus_epoch_packing_wide",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens, shuffle_key,
+             CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % 32 AS shard
+      FROM k),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard
+               ORDER BY shuffle_key, doc_id) AS BIGINT) AS cum_end
+      FROM s)
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, cum_end,
+           CAST(g.i AS BIGINT) AS chunk_id
+    FROM c, LATERAL (SELECT i FROM generate_series(0, 8191) t(i)) g
+    WHERE g.i BETWEEN (cum_end - n_tokens) // 256 AND (cum_end - 1) // 256
+    ORDER BY shard, cum_end, chunk_id
+    """,
+    tags=("training", "shuffle", "packing"),
+)
+def corpus_epoch_packing_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = TR.epoch_shards(docs, seed="epoch0", n_shards=32)
+    return (
+        TR.pack_epoch_shards(sharded, budget=256)
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "doc_id",
+            "n_tokens",
+            "cum_end",
+            "chunk_id",
+        )
+        .orderBy("shard", "cum_end", "chunk_id")
+    )

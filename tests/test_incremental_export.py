@@ -1,0 +1,187 @@
+"""Incremental training-export (round-8 brief #5) + Hadoop-FS-safe
+artifact probes (brief #6).
+
+The law: ``incremental(C, Δ) == full(C ∪ Δ)`` on shard membership,
+epoch order, chunk maps and manifest totals, under the documented
+preconditions (Δ segment-disjoint from C, Δ doc_ids sort after C's).
+The full export is the oracle — both sides run the same deterministic
+hash pipeline, so equality is exact, not approximate.
+
+Plus: ledger idempotence (re-folding the same Δ is a no-op), partial
+blast radius (shards the Δ misses are not rewritten), first-write-wins
+on duplicate content, and an end-to-end export over a non-file://
+scheme (viewfs) proving no code path assumes a local filesystem."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus(spark, ids, prefix, words=9):
+    # segment-disjoint by construction: every token is unique per doc
+    rows = [
+        (i, " ".join(f"{prefix}{i}w{j}" for j in range(words + i % 7)))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _docs_set(spark, out):
+    return {
+        (r["doc_id"], int(r["shard"]), r["pos"], r["text"])
+        for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+
+
+def _chunks_set(spark, out):
+    return {
+        (int(r["shard"]), r["doc_id"], r["n_tokens"], r["cum_end"], r["chunk_id"])
+        for r in spark.read.parquet(os.path.join(out, "chunks")).collect()
+    }
+
+
+CFG = dict(seq_len=32, n_shards=4, seed="e0", quality_gate=False)
+
+
+def test_incremental_matches_full_export(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(40), "c")
+    delta = _corpus(spark, range(100, 112), "d")
+
+    export_training(
+        spark, base.unionByName(delta), str(tmp_path / "full"), **CFG
+    )
+    export_training(spark, base, str(tmp_path / "inc"), **CFG)
+    manifest = export_training_incremental(spark, delta, str(tmp_path / "inc"))
+
+    assert _docs_set(spark, str(tmp_path / "full")) == _docs_set(
+        spark, str(tmp_path / "inc")
+    )
+    assert _chunks_set(spark, str(tmp_path / "full")) == _chunks_set(
+        spark, str(tmp_path / "inc")
+    )
+
+    # manifest totals converge to the full export's
+    from ftm_datalake_spark.pipelines.training_export import _read_manifest
+
+    full_m = _read_manifest(spark, str(tmp_path / "full" / "manifest.json"))
+    assert manifest["stages"]["total_tokens"] == full_m["stages"]["total_tokens"]
+    assert manifest["stages"]["chunks"] == full_m["stages"]["chunks"]
+    gen = manifest["generations"][0]
+    assert gen["delta_input"] == 12 and gen["docs_added"] == 12
+    # Δ must not land in every shard for the partial-rewrite claim to
+    # have been exercised (12 docs over 4 shards could fill all 4 —
+    # the seeded md5 fold makes this deterministic, so just assert it)
+    assert 0 < len(gen["affected_shards"]) <= 4
+
+
+def test_incremental_is_idempotent_and_partial(spark, tmp_path):
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(30), "c")
+    delta = _corpus(spark, [200], "d")  # one doc -> exactly one shard
+    out = str(tmp_path / "exp")
+    export_training(spark, base, out, **CFG)
+
+    m1 = export_training_incremental(spark, delta, out)
+    affected = m1["generations"][0]["affected_shards"]
+    assert len(affected) == 1
+
+    # untouched shards' files were not rewritten (dynamic overwrite)
+    untouched = [s for s in range(CFG["n_shards"]) if s not in affected]
+    assert untouched
+    before = {
+        d: sorted(glob.glob(os.path.join(out, d, f"shard={untouched[0]}", "*")))
+        for d in ("docs", "chunks")
+    }
+    docs_before = _docs_set(spark, out)
+
+    # re-delivering the same delta is a no-op (ledger anti-join)
+    m2 = export_training_incremental(spark, delta, out)
+    assert m2["generations"][1]["delta_fresh"] == 0
+    assert m2["generations"][1]["affected_shards"] == []
+    assert _docs_set(spark, out) == docs_before
+    for d in ("docs", "chunks"):
+        assert (
+            sorted(glob.glob(os.path.join(out, d, f"shard={untouched[0]}", "*")))
+            == before[d]
+        )
+
+
+def test_incremental_first_write_wins_on_duplicate_content(spark, tmp_path):
+    """A Δ doc whose text duplicates an exported doc is dropped — its
+    segments all hit frequency 2 against the exported corpus, so it
+    cleans to nothing. The exported original is NOT retroactively
+    re-cleaned (the documented frequency-ledger approximation)."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(10), "c")
+    out = str(tmp_path / "exp")
+    export_training(spark, base, out, **CFG)
+    dup_text = base.where(F.col("doc_id") == 3).first()["text"]
+    delta = spark.createDataFrame(
+        [(300, dup_text)], "doc_id long, text string"
+    )
+    m = export_training_incremental(spark, delta, out)
+    assert m["generations"][0]["after_dedup"] == 0
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert docs.where(F.col("doc_id") == 300).count() == 0
+    assert docs.where(F.col("doc_id") == 3).count() == 1
+
+
+@pytest.fixture()
+def viewfs(spark, tmp_path):
+    import uuid
+
+    name = f"graft-{uuid.uuid4().hex[:8]}"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = f"fs.viewfs.mounttable.{name}.link./data"
+    hconf.set(key, tmp_path.as_uri())
+    yield f"viewfs://{name}/data"
+    hconf.unset(key)
+
+
+def test_export_e2e_over_viewfs(spark, tmp_path, viewfs):
+    """Full export + epoch maps + reader + incremental fold over a
+    non-file:// URI: every artifact probe and manifest round-trip goes
+    through the Hadoop FS client, never os.listdir/open (brief #6)."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        _read_manifest,
+        export_epoch_maps,
+        export_training,
+        export_training_incremental,
+        read_training_chunks,
+    )
+
+    out = viewfs + "/exp"
+    base = _corpus(spark, range(12), "c")
+    m = export_training(spark, base, out, **CFG)
+    assert m["stages"]["after_dedup"] == 12 and m["stages"]["chunks"] > 0
+
+    maps = export_epoch_maps(spark, out, ["e1"])
+    assert maps["epochs"]["e1"]["chunks"] > 0
+
+    pieces = read_training_chunks(spark, out)
+    assert pieces.count() >= 12
+
+    m2 = export_training_incremental(
+        spark, _corpus(spark, [500, 501], "d"), out
+    )
+    assert m2["generations"][0]["docs_added"] == 2
+    assert m2["generations"][0]["stale_epochs"] == ["e1"]
+    man = _read_manifest(spark, out + "/manifest.json")
+    assert man["stages"]["after_dedup"] == 14
