@@ -9,33 +9,81 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-7 curation: CORRECTNESS_r06 came back a perfect 50/50 (zero err),
-lifting the driver-sample union across rounds 1-6 to 221 of the 228
-registry queries. The remaining 7 — the six ops that landed after the
-round-6 evidence prefix was frozen, plus ``eval_lift_deciles`` which
-sat out the 50-slot r6 prefix — lead this round's prefix so that
-CORRECTNESS_r07 completes driver-green coverage of the whole registry.
-All seven are already green in the builder's full-registry DuckDB
-sweeps at sf0.01 AND sf0.1 (VERIFY_LOCAL_r06 / VERIFY_LOCAL_SF01_r06)
-and were independently re-run bit-exact by the round-6 judge at both
-scales; the driver scoreboard is the one missing signal.
+Round-8 curation (VERDICT r7 brief #7): with the r1–r7 sample union at
+228/228 — every registry query driver-green at least once — the 50
+slots now buy FRESHNESS, not coverage. Priority order:
 
-Slots 8+ carry any brand-new round-7 queries (driver evidence is
-highest-value for new ops); everything not listed keeps registration
-order after these.
+1. ``corpus_epoch_packing_wide`` — brand-new this round (the 32-shard
+   scale-honest packing variant), zero driver evidence.
+2. ``pagerank_trade_graph`` — re-planned in r7 (85→13 exchanges) and
+   hardened in r8 (explicit repartition('src')); its last driver
+   sample is r4, i.e. the PRE-rewrite implementation. Judge evidence
+   exists, driver evidence doesn't.
+3. The segment-dedup family — ``segment_dedup`` was refactored this
+   round (extra_freq_docs for the incremental export), so every query
+   through it needs fresh evidence.
+4. The 23 r1-era queries (last driver sample: round 1) — the oldest
+   evidence in the scoreboard; the plan-diet rounds (r4–r5) touched
+   most of their builders after that sample.
+5. Remaining slots: the r3-era stragglers, oldest first.
+
+Everything not listed keeps registration order after these.
 """
 
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # The final 7 never-driver-sampled queries (rounds 1-6 union =
-    # 221/228). CORRECTNESS_r07 green on these ==> 228/228.
-    "embedding_pca_power",
-    "er_golden_record",
-    "eval_lift_deciles",
-    "events_holt_linear",
-    "graph_kcore_trade",
-    "graph_weighted_sssp",
-    "search_hybrid_rrf",
-    # ---- brand-new round-7 queries follow (appended as they land) ----
+    # 1. brand-new round-8 query
+    "corpus_epoch_packing_wide",
+    # 2. rewritten since its last (r4) driver sample
+    "pagerank_trade_graph",
+    # 3. segment_dedup changed this round (incremental-export refactor)
+    "dedup_common_segments",
+    "corpus_curation",
+    "corpus_curation_v2",
+    "corpus_pipeline_e2e",
+    "corpus_epoch_packing",
+    "corpus_epoch_shards",
+    # 4. r1-era evidence (last driver sample: round 1)
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "coalesce_source_url",
+    "coverage_intervals",
+    "dataset_stats",
+    "distinct_line_set",
+    "docs_latest_wins",
+    "docs_merge_upsert",
+    "embedding_neardup",
+    "entity_projection",
+    "events_hourly_rollup",
+    "folders_dim",
+    "glob_filter_sources",
+    "median_order_value",
+    "schema_facets",
+    "set_equality_check",
+    "snapshot_diff_added",
+    "snapshot_diff_deleted",
+    "statement_aggregation",
+    "statement_aggregation_wide",
+    "task_ledger_skip",
+    # 5. r3-era evidence, filling the ~50-slot prefix
+    "above_type_average_parts",
+    "events_p90_value_by_type",
+    "gdpr_forget_users",
+    "histogram_order_value",
+    "inverted_index",
+    "json_props_extract",
+    "make_reconcile",
+    "null_semantics_check",
+    "part_copurchase_topk",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "rollup_order_stats",
+    "scd2_event_history",
+    "stats_qty_price_regression",
+    "token_vocabulary",
+    "topk_per_group",
+    "trigram_freq_top100",
 )

@@ -40,6 +40,10 @@ HEADLINERS = [
     # round-6 late ops: per-shard epoch packing (window by pos) and the
     # top-K vocab broadcast join
     "corpus_epoch_packing",
+    # round-8: the scale-honest 32-shard packing variant (the 4-shard
+    # demo's 2.77x decade ratio was per-task window state, not plan
+    # shape — n_shards >= parallelism is the 100 TB configuration)
+    "corpus_epoch_packing_wide",
     "text_vocab_oov_rate",
     # round-6 iterative family: Pregel-on-relational loops (fixed node
     # set, 10× edge-derivation rows) and the one-pass-per-step
