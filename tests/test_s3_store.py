@@ -1,0 +1,158 @@
+"""S3 store backend e2e against a LIVE moto S3 server — the reference's
+mocked-S3 crawl shape (tests/conftest.py:83-171). The sandbox grew
+moto+boto3 in round 8, so the long-standing s3a waiver is upgraded to a
+real protocol-level test: a ThreadedMotoServer speaks the actual S3
+REST API over a socket, which matters here because the fetchers run in
+Python WORKER processes (mapInPandas) that an in-process moto mock
+would never patch.
+
+Gates: listing parity, crawl parity vs the local-FS path (identical
+key/checksum/size/mimetype), prefix scoping, glob pruning before any
+GET, and the zero-refetch incremental contract."""
+
+from __future__ import annotations
+
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+FILES = {
+    "a.txt": b"alpha",
+    "b.csv": b"k,v\n1,2\n",
+    "sub/nested.txt": b"nested bytes",
+    "sub/deep/leaf.bin": bytes(range(256)) * 4,
+    "space name.txt": b"with space",
+}
+BUCKET = "graft-test"
+
+
+@pytest.fixture(scope="module")
+def s3_store(tmp_path_factory):
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    conn = {
+        "endpoint_url": f"http://{host}:{port}",
+        "region_name": "us-east-1",
+        "access_key": "testing",
+        "secret_key": "testing",
+    }
+    client = boto3.client(
+        "s3",
+        endpoint_url=conn["endpoint_url"],
+        region_name=conn["region_name"],
+        aws_access_key_id=conn["access_key"],
+        aws_secret_access_key=conn["secret_key"],
+    )
+    client.create_bucket(Bucket=BUCKET)
+    for key, body in FILES.items():
+        client.put_object(Bucket=BUCKET, Key=key, Body=body)
+        client.put_object(Bucket=BUCKET, Key=f"scoped/{key}", Body=body)
+
+    # the same corpus on local disk, for the parity gate
+    root = tmp_path_factory.mktemp("s3src")
+    for key, body in FILES.items():
+        full = root / key
+        full.parent.mkdir(parents=True, exist_ok=True)
+        full.write_bytes(body)
+
+    yield conn, client, str(root)
+    server.stop()
+
+
+def test_listing(s3_store):
+    from ftm_datalake_spark.sources.s3_store import list_s3_objects
+
+    conn, _client, _root = s3_store
+    assert list_s3_objects(BUCKET, "", conn) == sorted(
+        list(FILES) + [f"scoped/{k}" for k in FILES]
+    )
+    # prefix scoping returns RELATIVE keys
+    assert list_s3_objects(BUCKET, "scoped", conn) == sorted(FILES)
+    assert list_s3_objects(BUCKET, "scoped/sub", conn) == sorted(
+        k[len("sub/"):] for k in FILES if k.startswith("sub/")
+    )
+
+
+def test_scan_streams_bytes_task_side(spark, s3_store):
+    from ftm_datalake_spark.sources.s3_store import scan_s3_store
+
+    conn, _client, _root = s3_store
+    rows = {
+        r["path"]: r
+        for r in scan_s3_store(spark, BUCKET, prefix="scoped", conn=conn).collect()
+    }
+    assert len(rows) == len(FILES)
+    for key, body in FILES.items():
+        row = rows[f"s3://{BUCKET}/scoped/{key}"]
+        assert bytes(row["content"]) == body
+        assert row["length"] == len(body)
+        assert row["modificationTime"] is not None
+
+
+def test_s3_crawl_matches_local_crawl(spark, s3_store):
+    """The parity gate: the same corpus crawled from S3 and from the
+    local FS yields identical (key, content_hash, size, mimetype)."""
+    from ftm_datalake_spark.pipelines.ingest import crawl_scan
+    from ftm_datalake_spark.sources.s3_store import crawl_scan_s3
+
+    conn, _client, root = s3_store
+    cols = ["key", "content_hash", "size", "mimetype"]
+    via_s3 = {
+        tuple(r)
+        for r in crawl_scan_s3(spark, BUCKET, "ds", prefix="scoped", conn=conn)
+        .select(*cols)
+        .collect()
+    }
+    via_local = {
+        tuple(r) for r in crawl_scan(spark, root, "ds").select(*cols).collect()
+    }
+    assert via_s3 == via_local
+    assert len(via_s3) == len(FILES)
+
+
+def test_exclude_prunes_before_fetch(spark, s3_store, monkeypatch):
+    from ftm_datalake_spark.sources import s3_store as ss
+
+    conn, _client, _root = s3_store
+    fetched: list[str] = []
+    real = ss.scan_s3_store
+
+    def spy(spark_, bucket_, keys=None, *a, **kw):
+        fetched.extend(keys or [])
+        return real(spark_, bucket_, keys, *a, **kw)
+
+    monkeypatch.setattr(ss, "scan_s3_store", spy)
+    out = ss.crawl_scan_s3(
+        spark, BUCKET, "ds", prefix="scoped", exclude="sub/*", conn=conn
+    )
+    keys = {r["key"] for r in out.select("key").collect()}
+    assert keys == {k for k in FILES if not k.startswith("sub/")}
+    assert set(fetched) == keys
+
+
+def test_crawl_s3_full_pipeline_and_incremental(spark, tmp_path, s3_store):
+    """crawl_s3 e2e: initial crawl lands every file in the documents
+    table; an unchanged re-crawl fetches ZERO objects (key-based
+    skip-existing); a new object fetches only itself."""
+    from ftm_datalake_spark.pipelines.ingest import read_documents
+    from ftm_datalake_spark.sources.s3_store import crawl_s3
+
+    conn, client, _root = s3_store
+    lake = str(tmp_path / "lake")
+
+    stats = crawl_s3(spark, BUCKET, "ds", lake, prefix="scoped", conn=conn)
+    assert stats == {"files_total": len(FILES), "added_or_updated": len(FILES)}
+    docs = read_documents(spark, lake, "ds")
+    assert docs.count() == len(FILES)
+
+    stats = crawl_s3(spark, BUCKET, "ds", lake, prefix="scoped", conn=conn)
+    assert stats["added_or_updated"] == 0
+
+    client.put_object(Bucket=BUCKET, Key="scoped/new.txt", Body=b"late arrival")
+    stats = crawl_s3(spark, BUCKET, "ds", lake, prefix="scoped", conn=conn)
+    assert stats == {"files_total": len(FILES) + 1, "added_or_updated": 1}
+    assert read_documents(spark, lake, "ds").count() == len(FILES) + 1
