@@ -162,6 +162,20 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the Gopher quality gate",
     )
 
+    p_inc = sub.add_parser(
+        "export-training-delta",
+        help="fold a delta batch into an existing export-training dir "
+        "(ledger skip, delta-only curation, affected-shards repack)",
+    )
+    p_inc.add_argument(
+        "source", help="delta documents parquet path (or a sf dir)"
+    )
+    p_inc.add_argument("--out", required=True, help="existing export dir")
+    p_inc.add_argument(
+        "--benchmark", help="benchmark parquet (required if the export "
+        "was built with decontamination)"
+    )
+
     p_epo = sub.add_parser("export-epochs")
     p_epo.add_argument("export_dir", help="an existing export-training dir")
     p_epo.add_argument(
@@ -778,6 +792,26 @@ def _dispatch(spark, args) -> int:
             seed=args.seed,
             benchmark=bench,
             quality_gate=not args.no_quality_gate,
+        )
+        print(json.dumps(manifest, sort_keys=True))
+    elif args.cmd == "export-training-delta":
+        import os
+
+        from ftm_datalake_spark.pipelines.training_export import (
+            export_training_incremental,
+        )
+
+        src = args.source
+        if os.path.isdir(src) and os.path.exists(
+            os.path.join(src, "documents.parquet")
+        ):
+            src = os.path.join(src, "documents.parquet")
+        delta = spark.read.parquet(src)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        manifest = export_training_incremental(
+            spark, delta, args.out, benchmark=bench
         )
         print(json.dumps(manifest, sort_keys=True))
     elif args.cmd == "export-epochs":

@@ -185,3 +185,31 @@ def test_export_e2e_over_viewfs(spark, tmp_path, viewfs):
     assert m2["generations"][0]["stale_epochs"] == ["e1"]
     man = _read_manifest(spark, out + "/manifest.json")
     assert man["stages"]["after_dedup"] == 14
+
+
+def test_export_training_delta_cli(spark, tmp_path):
+    import argparse
+
+    from ftm_datalake_spark.__main__ import _dispatch
+    from ftm_datalake_spark.pipelines.training_export import export_training
+
+    out = str(tmp_path / "cliexp")
+    export_training(spark, _corpus(spark, range(8), "c"), out, **CFG)
+    delta_path = str(tmp_path / "delta.parquet")
+    _corpus(spark, [900, 901], "d").write.parquet(delta_path)
+
+    rc = _dispatch(
+        spark,
+        argparse.Namespace(
+            cmd="export-training-delta",
+            source=delta_path,
+            out=out,
+            benchmark=None,
+        ),
+    )
+    assert rc in (0, None)
+    from ftm_datalake_spark.pipelines.training_export import _read_manifest
+
+    man = _read_manifest(spark, os.path.join(out, "manifest.json"))
+    assert man["generations"][0]["docs_added"] == 2
+    assert man["stages"]["after_dedup"] == 10
