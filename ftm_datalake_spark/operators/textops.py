@@ -94,6 +94,47 @@ def rolling_fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) 
     )
 
 
+def segment_table(
+    docs: DataFrame,
+    seg_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, seg_idx, seg, seg_key) — fixed-width word segments via
+    zero-shuffle sequence+slice, keyed by md5. The shared first stage of
+    segment_dedup / segment_frequencies."""
+    tk = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    n_segs = F.ceil(F.size("tk") / F.lit(float(seg_len))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("tk"), i * seg_len + 1, seg_len), " "
+        ),
+    )
+    return base.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    ).withColumn("seg_key", F.md5("seg"))
+
+
+def segment_frequencies(
+    docs: DataFrame,
+    seg_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(seg_key, n) global segment counts — the boilerplate-removal
+    frequency table as a standalone, PERSISTABLE artifact. A 100 TB
+    export writes this once as its segment ledger; each delta batch
+    then folds its own counts in instead of re-scanning the corpus
+    (pipelines/training_export.py segledger)."""
+    return (
+        segment_table(docs, seg_len, text_col, id_col)
+        .groupBy("seg_key")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def segment_dedup(
     docs: DataFrame,
     seg_len: int = 8,
@@ -102,6 +143,7 @@ def segment_dedup(
     id_col: str = "doc_id",
     keep_text: bool = False,
     extra_freq_docs: DataFrame | None = None,
+    freq_table: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style common-segment removal (Wenzek et al. 2020 dedup by
     paragraph hash, adapted to fixed `seg_len`-word segments because the
@@ -117,36 +159,30 @@ def segment_dedup(
 
     ``extra_freq_docs`` adds a reference corpus to the FREQUENCY count
     only — its docs are segmented and counted but never reassembled or
-    returned. This is the incremental-export shape: clean a delta batch
-    against (delta ∪ already-exported) segment frequencies without
-    re-cleaning the exported corpus (pipelines/training_export.py).
+    returned. ``freq_table`` goes further: a PRE-COMPUTED (seg_key, n)
+    count table (e.g. a persisted ledger merged with the delta's own
+    counts via :func:`segment_frequencies`) that REPLACES internal
+    counting entirely — the caller owns making it include ``docs``' own
+    segments. Both are the incremental-export shape: clean a delta
+    batch against corpus-wide frequencies without re-cleaning (or, with
+    ``freq_table``, without even re-scanning) the exported corpus
+    (pipelines/training_export.py).
 
     Output per doc: (doc_id, n_segs, n_dropped, clean_sig, clean_len);
     ``keep_text`` adds the reassembled ``clean_text`` itself (used by
     the training export, which SHIPS the boilerplate-stripped text).
     """
-
-    def _segments(frame: DataFrame) -> DataFrame:
-        tk = tokens(F.col(text_col))
-        base = frame.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
-        n_segs = F.ceil(F.size("tk") / F.lit(float(seg_len))).cast("int")
-        seg_arr = F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(
-                F.slice(F.col("tk"), i * seg_len + 1, seg_len), " "
-            ),
-        )
-        return base.select(
-            "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
-        ).withColumn("seg_key", F.md5("seg"))
-
-    segs = _segments(docs)
-    freq_src = segs.select("seg_key")
-    if extra_freq_docs is not None:
-        freq_src = freq_src.unionByName(
-            _segments(extra_freq_docs).select("seg_key")
-        )
-    freq = freq_src.groupBy("seg_key").agg(F.count("*").alias("n"))
+    segs = segment_table(docs, seg_len, text_col, id_col)
+    if freq_table is not None:
+        freq = freq_table.select("seg_key", F.col("n").cast("long").alias("n"))
+    else:
+        freq_src = segs.select("seg_key")
+        if extra_freq_docs is not None:
+            freq_src = freq_src.unionByName(
+                segment_table(extra_freq_docs, seg_len, text_col, id_col)
+                .select("seg_key")
+            )
+        freq = freq_src.groupBy("seg_key").agg(F.count("*").alias("n"))
     joined = segs.join(freq, "seg_key")
     keep = F.col("n") <= max_freq
     kept_struct = F.when(keep, F.struct(F.col("seg_idx"), F.col("seg")))

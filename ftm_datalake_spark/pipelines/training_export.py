@@ -112,9 +112,18 @@ def export_training(
     # per cleaned signature (exact dup == clean_sig collision)
     # pinned once: the winner window and the text branch below both
     # read `cleaned` — without the checkpoint Spark would re-run the
-    # whole segment explode + shuffle chain for each branch
+    # whole segment explode + shuffle chain for each branch.
+    # The frequency table is computed ONCE, pinned, fed to the dedup
+    # AND persisted as the export's segment LEDGER (segledger/): a
+    # later delta fold counts only its own segments and sums them into
+    # this table instead of re-scanning the corpus —
+    # export_training_incremental's O(|delta|) path.
+    from ftm_datalake_spark.operators.textops import segment_frequencies
+
+    freq = segment_frequencies(kept).localCheckpoint(eager=True)
+    freq.write.mode("overwrite").parquet(os.path.join(out_dir, "segledger"))
     cleaned = (
-        segment_dedup(kept, keep_text=True)
+        segment_dedup(kept, keep_text=True, freq_table=freq)
         .where(F.col("clean_len") > 0)
         .localCheckpoint()
     )
@@ -437,9 +446,13 @@ def export_training_incremental(
     chain as the full export:
 
     - quality gate: per-doc, delta-only (no global state);
-    - segment dedup: delta segments are counted against
-      (delta ∪ exported corpus) frequencies (segment_dedup's
-      ``extra_freq_docs``), and the cleaned delta is dropped when its
+    - segment dedup: the delta's own segment counts are SUMMED INTO the
+      export's persisted segment ledger (``segledger/``, written by
+      export_training) and the delta is cleaned against the combined
+      table — O(|delta|) with no corpus rescan; the updated ledger is
+      written back for the next fold. Exports predating the ledger fall
+      back to one segmentation scan over the exported text
+      (``extra_freq_docs``). The cleaned delta is dropped when its
       clean_sig already exists in the export (first-write-wins);
     - decontaminate: per-doc vs the static benchmark, delta-only;
     - shard + pack: the delta's deterministic shard set is computed
@@ -449,15 +462,15 @@ def export_training_incremental(
       ``chunks/`` are replaced (dynamic partition overwrite). Shards
       the delta misses are never read or written.
 
-    Exactness contract (law-tested in tests/test_training_export.py):
+    Exactness contract (law-tested in tests/test_incremental_export.py):
     ``incremental(C, Δ) == full(C ∪ Δ)`` on shard membership, epoch
-    order, and chunk maps whenever (a) Δ shares no ``seg_len``-word
-    segments with C — the usual frequency-ledger approximation: the
-    already-shipped corpus text is not re-cleaned retroactively — and
+    order, and chunk maps whenever (a) Δ does not change C's CLEANED
+    text — the already-shipped corpus is never re-cleaned
+    retroactively (with the ledger, Δ's own cleaning sees the exact
+    full-corpus frequencies; the approximation is one-sided) — and
     (b) Δ's doc_ids sort after C's in the dedup winner order (the
-    append-only case). Scale: one metadata-free scan of the exported
-    text for segment counting (16-byte-hash shuffle), then all heavy
-    work is proportional to |Δ| + |affected shards|, not |C|.
+    append-only case). Scale: with the ledger every stage is
+    proportional to |Δ| + |affected shards|, not |C|.
 
     Extra epoch maps (``epochs/``) are derived from the pre-delta
     corpus and become stale — re-run :func:`export_epoch_maps` after
@@ -504,17 +517,36 @@ def export_training_incremental(
         kept = kept.join(passes, "doc_id").localCheckpoint()
         gen["after_quality"] = kept.count()
 
-    # clean the delta against (delta ∪ exported) segment frequencies;
-    # exported text is already cleaned, so its md5 IS its clean_sig
-    cleaned = (
-        segment_dedup(
+    # clean the delta against corpus-wide segment frequencies. Fast
+    # path: the export's segment LEDGER (segledger/, written by
+    # export_training) holds the post-quality corpus counts, so the
+    # delta only counts ITS OWN segments and sums them in — O(|delta|),
+    # no corpus rescan; the updated ledger is written back for the next
+    # fold (eager checkpoint first: the new counts must be materialized
+    # before overwriting the files they lazily derive from). Fallback
+    # for pre-ledger exports: segment the exported (cleaned) text as
+    # extra frequency evidence — one corpus scan, no text reassembly.
+    from ftm_datalake_spark.operators.textops import segment_frequencies
+
+    ledger_dir = os.path.join(out_dir, "segledger")
+    if _dir_has_data(spark, ledger_dir):
+        freq = (
+            spark.read.parquet(ledger_dir)
+            .unionByName(segment_frequencies(kept))
+            .groupBy("seg_key")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if gen["delta_fresh"]:
+            freq.write.mode("overwrite").parquet(ledger_dir)
+        cleaned = segment_dedup(kept, keep_text=True, freq_table=freq)
+    else:
+        cleaned = segment_dedup(
             kept,
             keep_text=True,
             extra_freq_docs=existing.select("doc_id", "text"),
         )
-        .where(F.col("clean_len") > 0)
-        .localCheckpoint()
-    )
+    cleaned = cleaned.where(F.col("clean_len") > 0).localCheckpoint()
     winner_ids = sample_per_group_cap(
         cleaned.select("doc_id", "clean_sig"),
         "clean_sig",

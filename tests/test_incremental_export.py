@@ -213,3 +213,96 @@ def test_export_training_delta_cli(spark, tmp_path):
     man = _read_manifest(spark, os.path.join(out, "manifest.json"))
     assert man["generations"][0]["docs_added"] == 2
     assert man["stages"]["after_dedup"] == 10
+
+
+def test_segment_ledger_written_and_exact(spark, tmp_path):
+    """The full export persists segledger/ == segment_frequencies of
+    the post-quality corpus, and the delta fold sums its counts in."""
+    from ftm_datalake_spark.operators.textops import segment_frequencies
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(10), "c")
+    out = str(tmp_path / "exp")
+    export_training(spark, base, out, **CFG)
+
+    ledger = {
+        (r["seg_key"], r["n"])
+        for r in spark.read.parquet(os.path.join(out, "segledger")).collect()
+    }
+    expect = {
+        (r["seg_key"], r["n"]) for r in segment_frequencies(base).collect()
+    }
+    assert ledger == expect
+
+    export_training_incremental(spark, _corpus(spark, [700], "d"), out)
+    after = {
+        (r["seg_key"], r["n"])
+        for r in spark.read.parquet(os.path.join(out, "segledger")).collect()
+    }
+    combined = base.unionByName(_corpus(spark, [700], "d"))
+    assert after == {
+        (r["seg_key"], r["n"]) for r in segment_frequencies(combined).collect()
+    }
+
+
+def test_ledger_beats_cleaned_text_fallback(spark, tmp_path):
+    """Differential case: a boilerplate segment stripped from the
+    exported CLEANED text survives only in the ledger. A delta doc
+    carrying that segment must still have it stripped (full-export
+    semantics: corpus frequency 3), which re-scanning the cleaned text
+    could never know."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    u1 = " ".join(f"u{i}" for i in range(8))
+    u2 = " ".join(f"v{i}" for i in range(8))
+    u3 = " ".join(f"w{i}" for i in range(8))
+    base = spark.createDataFrame(
+        [(1, f"{boiler} {u1}"), (2, f"{boiler} {u2}")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "exp")
+    export_training(spark, base, out, seq_len=16, n_shards=2, quality_gate=False)
+    # boiler stripped from the shipped text of both docs
+    shipped = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    assert shipped == {1: u1, 2: u2}
+
+    delta = spark.createDataFrame(
+        [(300, f"{boiler} {u3}")], "doc_id long, text string"
+    )
+    m = export_training_incremental(spark, delta, out)
+    assert m["generations"][0]["docs_added"] == 1
+    shipped = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    assert shipped[300] == u3  # boiler stripped via the ledger counts
+
+
+def test_ledger_chains_across_folds(spark, tmp_path):
+    """Fold 2 sees fold 1's segments: a doc duplicating a FOLD-1 doc
+    cleans to nothing and is dropped, exactly like one duplicating the
+    original corpus."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    out = str(tmp_path / "exp")
+    export_training(spark, _corpus(spark, range(8), "c"), out, **CFG)
+    d1 = _corpus(spark, [400], "d")
+    export_training_incremental(spark, d1, out)
+    dup = spark.createDataFrame(
+        [(500, d1.first()["text"])], "doc_id long, text string"
+    )
+    m = export_training_incremental(spark, dup, out)
+    assert m["generations"][1]["after_dedup"] == 0
