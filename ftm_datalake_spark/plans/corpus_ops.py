@@ -683,3 +683,31 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# The persisted boilerplate ledger of the incremental training export
+# (pipelines/training_export.py segledger/): global (seg_key, n)
+# counts as a standalone artifact. One explode + ONE shuffle on the
+# 16-byte hash; at 100 TB this is the mergeable state a delta batch
+# sums its own counts into instead of re-scanning the corpus.
+@register(
+    "corpus_segment_ledger",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, s.i AS seg_idx,
+             array_to_string(tk[(s.i*8+1):(s.i*8+8)], ' ') AS seg
+      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
+      WHERE s.i < ceil(len(tk) / 8.0)
+    )
+    SELECT md5(seg) AS seg_key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM segs GROUP BY md5(seg)
+    ORDER BY seg_key
+    """,
+    tags=("dedup", "text", "training"),
+)
+def corpus_segment_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.segment_frequencies(docs, seg_len=8).orderBy("seg_key")

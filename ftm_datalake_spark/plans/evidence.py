@@ -33,8 +33,9 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # 1. brand-new round-8 query
+    # 1. brand-new round-8 queries
     "corpus_epoch_packing_wide",
+    "corpus_segment_ledger",
     # 2. rewritten since its last (r4) driver sample
     "pagerank_trade_graph",
     # 3. segment_dedup changed this round (incremental-export refactor)
