@@ -705,7 +705,8 @@ def _dispatch(spark, args) -> int:
         docs = spark.read.parquet(f"{args.lake}/documents")
         app = build_app_from_documents(
             docs, args.lake, args.secret, debug=args.debug,
-            lookup_mode=args.lookup_mode, projection_dir=args.projection_dir,
+            lookup_mode=getattr(args, "lookup_mode", "auto"),
+            projection_dir=getattr(args, "projection_dir", None),
         )
         httpd = serve(app, args.host, args.port)
         print(
