@@ -519,26 +519,28 @@ def export_training_incremental(
 
     # clean the delta against corpus-wide segment frequencies. Fast
     # path: the export's segment LEDGER (segledger/, written by
-    # export_training) holds the post-quality corpus counts, so the
-    # delta only counts ITS OWN segments and sums them in — O(|delta|),
-    # no corpus rescan; the updated ledger is written back for the next
-    # fold (eager checkpoint first: the new counts must be materialized
-    # before overwriting the files they lazily derive from). Fallback
-    # for pre-ledger exports: segment the exported (cleaned) text as
-    # extra frequency evidence — one corpus scan, no text reassembly.
+    # export_training) holds the post-quality corpus counts as
+    # MERGEABLE GENERATIONS — reads sum them (read_segment_ledger), and
+    # this fold APPENDS only the delta's own counts, so the per-fold
+    # ledger write is O(|delta|), not O(|corpus segments|); run
+    # compact_segment_ledger when the generation count grows. The
+    # append happens at the END of the fold (after the shard writes):
+    # a crash mid-fold re-runs the whole delta and the ledger is only
+    # ever advanced by a completed fold. Fallback for pre-ledger
+    # exports: segment the exported (cleaned) text as extra frequency
+    # evidence — one corpus scan, no text reassembly.
     from ftm_datalake_spark.operators.textops import segment_frequencies
 
     ledger_dir = os.path.join(out_dir, "segledger")
+    delta_freq = None
     if _dir_has_data(spark, ledger_dir):
+        delta_freq = segment_frequencies(kept).localCheckpoint(eager=True)
         freq = (
-            spark.read.parquet(ledger_dir)
-            .unionByName(segment_frequencies(kept))
+            read_segment_ledger(spark, out_dir)
+            .unionByName(delta_freq)
             .groupBy("seg_key")
             .agg(F.sum("n").cast("long").alias("n"))
-            .localCheckpoint(eager=True)
         )
-        if gen["delta_fresh"]:
-            freq.write.mode("overwrite").parquet(ledger_dir)
         cleaned = segment_dedup(kept, keep_text=True, freq_table=freq)
     else:
         cleaned = segment_dedup(
@@ -614,6 +616,13 @@ def export_training_incremental(
             .parquet(os.path.join(out_dir, "chunks"))
         )
 
+    # advance the ledger LAST: a completed fold appends exactly one
+    # generation of delta counts; a crashed fold appends none
+    if delta_freq is not None and gen.get(
+        "after_quality", gen["delta_fresh"]
+    ):
+        delta_freq.write.mode("append").parquet(ledger_dir)
+
     # refresh corpus-wide totals from the updated artifacts (one scan)
     docs_now = spark.read.parquet(os.path.join(out_dir, "docs"))
     totals = docs_now.agg(
@@ -628,3 +637,27 @@ def export_training_incremental(
     manifest.setdefault("generations", []).append(gen)
     _write_manifest(man_path, manifest, spark)
     return manifest
+
+
+def read_segment_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Canonical (seg_key, n) view of the export's segment ledger.
+    The ledger is stored as mergeable GENERATIONS (the full export's
+    base counts plus one appended parquet generation per delta fold),
+    so the read sums them — one shuffle on the 16-byte hash. Segment
+    counts are additive, which is what makes O(|delta|) appends sound."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "segledger"))
+        .groupBy("seg_key")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def compact_segment_ledger(spark: SparkSession, out_dir: str) -> int:
+    """Fold all ledger generations into one (read → sum → eager
+    checkpoint → overwrite). Run when the generation count grows —
+    reads stay correct without it, just with more files to merge.
+    Returns the distinct segment count."""
+    ledger_dir = os.path.join(out_dir, "segledger")
+    merged = read_segment_ledger(spark, out_dir).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(ledger_dir)
+    return merged.count()

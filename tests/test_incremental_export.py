@@ -237,15 +237,32 @@ def test_segment_ledger_written_and_exact(spark, tmp_path):
     }
     assert ledger == expect
 
+    from ftm_datalake_spark.pipelines.training_export import (
+        compact_segment_ledger,
+        read_segment_ledger,
+    )
+
     export_training_incremental(spark, _corpus(spark, [700], "d"), out)
-    after = {
-        (r["seg_key"], r["n"])
-        for r in spark.read.parquet(os.path.join(out, "segledger")).collect()
-    }
     combined = base.unionByName(_corpus(spark, [700], "d"))
-    assert after == {
+    want = {
         (r["seg_key"], r["n"]) for r in segment_frequencies(combined).collect()
     }
+    # the fold APPENDED one generation of delta counts (O(|delta|)
+    # write); the summed view equals the full-corpus frequencies
+    assert {
+        (r["seg_key"], r["n"])
+        for r in read_segment_ledger(spark, out).collect()
+    } == want
+    raw = spark.read.parquet(os.path.join(out, "segledger"))
+    assert raw.count() > len(want) - 1  # base + delta generations coexist
+
+    # compaction folds the generations into one; the view is unchanged
+    n = compact_segment_ledger(spark, out)
+    assert n == len(want)
+    assert {
+        (r["seg_key"], r["n"])
+        for r in spark.read.parquet(os.path.join(out, "segledger")).collect()
+    } == want
 
 
 def test_ledger_beats_cleaned_text_fallback(spark, tmp_path):
