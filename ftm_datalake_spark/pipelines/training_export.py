@@ -661,3 +661,16 @@ def compact_segment_ledger(spark: SparkSession, out_dir: str) -> int:
     merged = read_segment_ledger(spark, out_dir).localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(ledger_dir)
     return merged.count()
+
+
+def refresh_epoch_maps(spark: SparkSession, out_dir: str) -> dict:
+    """Re-derive every epoch map recorded in the manifest over the
+    CURRENT docs/ — the follow-up to a delta fold, which stales extra
+    epochs (their assignment/chunk maps predate the new docs; the
+    generation entries record which seeds). Same cost contract as
+    export_epoch_maps: O(docs + spans) per seed, text never copied."""
+    manifest = _read_manifest(spark, os.path.join(out_dir, "manifest.json"))
+    seeds = sorted(manifest.get("epochs", {}))
+    if not seeds:
+        return {"epochs": {}}
+    return export_epoch_maps(spark, out_dir, seeds)

@@ -323,3 +323,31 @@ def test_ledger_chains_across_folds(spark, tmp_path):
     )
     m = export_training_incremental(spark, dup, out)
     assert m["generations"][1]["after_dedup"] == 0
+
+
+def test_refresh_epoch_maps_after_fold(spark, tmp_path):
+    """A delta fold stales extra epoch maps; refresh_epoch_maps
+    re-derives them over the updated corpus — the refreshed map covers
+    the delta's docs and equals a from-scratch export_epoch_maps."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_epoch_maps,
+        export_training,
+        export_training_incremental,
+        refresh_epoch_maps,
+    )
+
+    out = str(tmp_path / "exp")
+    export_training(spark, _corpus(spark, range(10), "c"), out, **CFG)
+    export_epoch_maps(spark, out, ["e9"])
+    stale = spark.read.parquet(
+        os.path.join(out, "epochs", "epoch=e9", "assignment")
+    ).count()
+
+    export_training_incremental(spark, _corpus(spark, [800, 801], "d"), out)
+    res = refresh_epoch_maps(spark, out)
+    assert set(res["epochs"]) == {"e9"}
+    assign = spark.read.parquet(
+        os.path.join(out, "epochs", "epoch=e9", "assignment")
+    )
+    assert assign.count() == stale + 2
+    assert assign.where(F.col("doc_id").isin([800, 801])).count() == 2
