@@ -184,6 +184,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_epo.add_argument("--shards", type=int, help="override manifest n_shards")
 
+    p_ann = sub.add_parser(
+        "ann-index",
+        help="persisted IVF index over an embeddings parquet: build / "
+        "append a delta / probe top-k",
+    )
+    p_ann.add_argument("action", choices=["build", "append", "probe"])
+    p_ann.add_argument("source", help="embeddings/delta/queries parquet")
+    p_ann.add_argument("--index", required=True, help="index directory")
+    p_ann.add_argument("-k", type=int, default=3)
+    p_ann.add_argument("--nprobe", type=int, default=1)
+
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
 
@@ -695,6 +706,24 @@ def _dispatch(spark, args) -> int:
             else:
                 for row in idx.orderBy("file", "column").collect():
                     print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "ann-index":
+        from ftm_datalake_spark.operators.ann_index import (
+            append_ivf_index,
+            build_ivf_index,
+            ivf_index_topk,
+        )
+
+        frame = spark.read.parquet(args.source)
+        if args.action == "build":
+            print(json.dumps(build_ivf_index(spark, frame, args.index)))
+        elif args.action == "append":
+            print(json.dumps(append_ivf_index(spark, frame, args.index)))
+        else:
+            hits = ivf_index_topk(
+                spark, args.index, frame, k=args.k, nprobe=args.nprobe
+            )
+            for row in hits.orderBy("qid", "rank").collect():
+                print(json.dumps(row.asDict()))
     elif args.cmd == "publish":
         from ftm_datalake_spark.pipelines.ingest import publish
 

@@ -5,7 +5,8 @@
 2. build(C) + append(Δ) == build(C ∪ Δ under C's frozen codebook) on
    both postings and probe results (FAISS add() semantics).
 3. Re-appending the same delta is a no-op (vec_id ledger anti-join).
-4. The probe reads ONLY the probed cluster partitions (inputFiles).
+4. The probe reads ONLY the probed cluster partitions (asserted on
+   the physical plan's PartitionFilters).
 """
 
 from __future__ import annotations
@@ -128,3 +129,26 @@ def test_probe_reads_only_probed_partitions(spark, corpus, tmp_path):
     assert any(
         re.search(r"cluster#\d+ = \d+", f) for f in cluster_filters
     ), cluster_filters
+
+
+def test_ann_index_cli(spark, corpus, tmp_path):
+    import argparse
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    base, delta = _split(corpus)
+    src, dsrc = str(tmp_path / "base.parquet"), str(tmp_path / "delta.parquet")
+    base.write.parquet(src)
+    delta.write.parquet(dsrc)
+    idx = str(tmp_path / "idx")
+
+    def ns(action, source, **kw):
+        return argparse.Namespace(
+            cmd="ann-index", action=action, source=source, index=idx,
+            k=kw.get("k", 3), nprobe=kw.get("nprobe", 1),
+        )
+
+    assert _dispatch(spark, ns("build", src)) in (0, None)
+    assert _dispatch(spark, ns("append", dsrc)) in (0, None)
+    assert _dispatch(spark, ns("probe", src, k=2, nprobe=2)) in (0, None)
+    assert os.path.isdir(os.path.join(idx, "postings"))
