@@ -590,7 +590,10 @@ def export_training_incremental(
 
     if affected:
         combined = (
-            existing.where(F.col("shard").cast("long").isin(affected))
+            # bare column in the filter: wrapping the PARTITION column
+            # in a cast would defeat partition pruning and list-scan
+            # every shard directory of a 100 TB export
+            existing.where(F.col("shard").isin(affected))
             .drop("shard", "pos")
             .unionByName(kept)
         )
