@@ -229,3 +229,17 @@ def crawl_s3(
         merged = merge_documents(current, rows)
         write_documents(merged, lake_dir)
     return {"files_total": n_total, "added_or_updated": len(new_keys)}
+
+
+def read_s3_range(
+    bucket: str, key: str, start: int, length: int, conn: dict | None = None
+) -> bytes:
+    """Ranged object read (bytes [start, start+length)) — S3's native
+    Range GET; the twin of http_store.read_http_range for streaming a
+    slice of a large blob without fetching the object."""
+    _require_boto3()
+    client = _client(conn or {})
+    res = client.get_object(
+        Bucket=bucket, Key=key, Range=f"bytes={start}-{start + length - 1}"
+    )
+    return res["Body"].read()

@@ -156,3 +156,12 @@ def test_crawl_s3_full_pipeline_and_incremental(spark, tmp_path, s3_store):
     stats = crawl_s3(spark, BUCKET, "ds", lake, prefix="scoped", conn=conn)
     assert stats == {"files_total": len(FILES) + 1, "added_or_updated": 1}
     assert read_documents(spark, lake, "ds").count() == len(FILES) + 1
+
+
+def test_ranged_read(s3_store):
+    from ftm_datalake_spark.sources.s3_store import read_s3_range
+
+    conn, _client, _root = s3_store
+    blob = FILES["sub/deep/leaf.bin"]
+    assert read_s3_range(BUCKET, "sub/deep/leaf.bin", 100, 50, conn) == blob[100:150]
+    assert read_s3_range(BUCKET, "a.txt", 0, 3, conn) == b"alp"
