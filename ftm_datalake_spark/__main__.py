@@ -17,8 +17,11 @@
     python -m ftm_datalake_spark dq profile PATH --cols a,b  |  dq skew PATH --key k
 
 `crawl` routes by URI scheme: a local path scans via binaryFile, an
-http(s):// source lists/fetches through sources/http_store (key-based
-skip-existing; --archive fetches only blobs whose shard is absent).
+http(s):// source lists/fetches through sources/http_store, an
+s3://bucket/prefix source through sources/s3_store (ListObjectsV2 +
+per-task boto3 GETs; --s3-endpoint for moto/MinIO) — all with the same
+key-based skip-existing contract; --archive fetches only blobs whose
+shard is absent.
 
 Reference: ftm_datalake/cli.py:96-283 (config/catalog/versions/diff/make/
 get/head/ls/crawl/export) plus aleph-load-dataset / aleph-load-catalog
@@ -50,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     p_crawl.add_argument(
         "--archive", action="store_true",
         help="also copy blob bytes into the content-addressed archive",
+    )
+    p_crawl.add_argument(
+        "--s3-endpoint", default=None,
+        help="custom S3 endpoint URL for s3:// sources (e.g. a moto or "
+        "MinIO server); credentials/region come from the boto3 default "
+        "chain unless FTM_DATALAKE_S3_* env vars are set",
     )
 
     p_make = sub.add_parser("make")
@@ -286,6 +295,68 @@ def _dispatch(spark, args) -> int:
     )
 
     if args.cmd == "crawl":
+        if args.source.startswith("s3://"):
+            # S3 object store: routed by URI scheme like the HTTP
+            # backend; creds via the boto3 default chain or
+            # FTM_DATALAKE_S3_{KEY,SECRET} (moto/MinIO endpoints via
+            # --s3-endpoint)
+            import os as _os
+
+            from ftm_datalake_spark.sources.s3_store import crawl_s3
+
+            bucket, _, s3_prefix = args.source[len("s3://"):].partition("/")
+            s3_conn = {
+                "endpoint_url": args.s3_endpoint,
+                "access_key": _os.environ.get("FTM_DATALAKE_S3_KEY"),
+                "secret_key": _os.environ.get("FTM_DATALAKE_S3_SECRET"),
+            }
+            counters = crawl_s3(
+                spark, bucket, args.dataset, args.lake, prefix=s3_prefix,
+                include=args.include, exclude=args.exclude, conn=s3_conn,
+            )
+            if args.archive:
+                from pyspark.sql import functions as F
+
+                from ftm_datalake_spark.functions.checksum import (
+                    content_checksum,
+                )
+                from ftm_datalake_spark.sources.archive import (
+                    archive_blob_bytes,
+                )
+                from ftm_datalake_spark.sources.s3_store import (
+                    list_s3_objects,
+                    scan_s3_store,
+                )
+
+                docs = read_documents(spark, args.lake, args.dataset)
+                arch = _os.path.join(args.lake, args.dataset, "archive")
+                live = set(list_s3_objects(bucket, s3_prefix, s3_conn))
+                pending = [
+                    r["key"]
+                    for r in docs.select("key", "content_hash").collect()
+                    if r["key"] in live
+                    and not _os.path.exists(
+                        _os.path.join(
+                            arch,
+                            r["content_hash"][0:2],
+                            r["content_hash"][2:4],
+                            r["content_hash"][4:6],
+                            r["content_hash"],
+                        )
+                    )
+                ]
+                if pending:
+                    fetched = scan_s3_store(
+                        spark, bucket, pending, s3_prefix, conn=s3_conn
+                    ).select(
+                        "content",
+                        content_checksum(F.col("content")).alias(
+                            "content_hash"
+                        ),
+                    )
+                    archive_blob_bytes(fetched, args.lake, args.dataset)
+            print(json.dumps(counters))
+            return 0
         if args.source.startswith(("http://", "https://")):
             # Remote HTTP store: same verb, same counters — the backend
             # is routed by URI scheme like the reference's fsspec stores

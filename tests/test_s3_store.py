@@ -165,3 +165,39 @@ def test_ranged_read(s3_store):
     blob = FILES["sub/deep/leaf.bin"]
     assert read_s3_range(BUCKET, "sub/deep/leaf.bin", 100, 50, conn) == blob[100:150]
     assert read_s3_range(BUCKET, "a.txt", 0, 3, conn) == b"alp"
+
+
+def test_crawl_cli_routes_s3_scheme(spark, tmp_path, s3_store, monkeypatch, capsys):
+    """`crawl s3://bucket/prefix` routes through the S3 backend with the
+    same counters contract, including the --archive blob pass."""
+    import argparse
+    import json
+    import os
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    conn, _client, _root = s3_store
+    monkeypatch.setenv("FTM_DATALAKE_S3_KEY", conn["access_key"])
+    monkeypatch.setenv("FTM_DATALAKE_S3_SECRET", conn["secret_key"])
+    lake = str(tmp_path / "lake")
+    ns = argparse.Namespace(
+        cmd="crawl", source=f"s3://{BUCKET}/scoped", dataset="ds",
+        lake=lake, include=None, exclude=None, archive=True,
+        s3_endpoint=conn["endpoint_url"],
+    )
+    assert _dispatch(spark, ns) in (0, None)
+    counters = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # expected count from a live listing: earlier tests in this module
+    # may have added objects to the shared bucket
+    from ftm_datalake_spark.sources.s3_store import list_s3_objects
+
+    n = len(list_s3_objects(BUCKET, "scoped", conn))
+    assert n >= len(FILES)
+    assert counters == {"files_total": n, "added_or_updated": n}
+    # blobs landed in the content-addressed archive
+    import hashlib
+
+    sha = hashlib.sha1(FILES["a.txt"]).hexdigest()
+    assert os.path.exists(
+        os.path.join(lake, "ds", "archive", sha[0:2], sha[2:4], sha[4:6], sha)
+    )
