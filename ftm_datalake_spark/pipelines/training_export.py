@@ -677,3 +677,57 @@ def refresh_epoch_maps(spark: SparkSession, out_dir: str) -> dict:
     if not seeds:
         return {"epochs": {}}
     return export_epoch_maps(spark, out_dir, seeds)
+
+
+def stream_training_deltas(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    *,
+    benchmark: DataFrame | None = None,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous corpus ingestion: fold document deltas landing in
+    ``source_dir`` (a parquet drop directory) into an existing export.
+
+    Structured Streaming file source → foreachBatch →
+    :func:`export_training_incremental`. Exactly-once per document
+    WITHOUT relying on the sink checkpoint alone: the fold's ledger
+    anti-join makes a replayed micro-batch a no-op, so checkpoint
+    recovery (which may re-deliver the in-flight batch) cannot
+    double-ingest — the same idempotence contract as the RFC stage
+    pipeline (streaming/stages.py). The delta schema is taken from the
+    export's own docs (minus the derived shard/pos), so a drop file
+    with a drifted schema fails loudly at the source, not mid-fold.
+
+    ``available_now=True`` (default) drains the backlog and stops — the
+    cron-driven refresh shape; pass False for a long-running query.
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from pyspark.sql.types import StructType
+
+    docs_schema = StructType(
+        [
+            f
+            for f in spark.read.parquet(os.path.join(out_dir, "docs")).schema
+            if f.name not in ("shard", "pos")
+        ]
+    )
+    stream = spark.readStream.schema(docs_schema)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    frames = stream.parquet(source_dir)
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        export_training_incremental(
+            spark, batch, out_dir, benchmark=benchmark
+        )
+
+    writer = frames.writeStream.foreachBatch(fold).option(
+        "checkpointLocation",
+        checkpoint or os.path.join(out_dir, "_delta_stream_checkpoint"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
