@@ -509,7 +509,7 @@ def _dispatch(spark, args) -> int:
     elif args.cmd == "versions":
         from ftm_datalake_spark.operators.versions import list_versions
 
-        for v in list_versions(args.lake, args.dataset):
+        for v in list_versions(spark, args.lake, args.dataset):
             print(v)
     elif args.cmd == "diff":
         from ftm_datalake_spark.operators.versions import (
@@ -517,7 +517,7 @@ def _dispatch(spark, args) -> int:
             list_versions,
         )
 
-        versions = list_versions(args.lake, args.dataset)
+        versions = list_versions(spark, args.lake, args.dataset)
         if args.version not in versions:
             print(f"unknown version: {args.version}", file=sys.stderr)
             return 1

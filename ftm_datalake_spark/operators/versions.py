@@ -12,6 +12,12 @@ versions root — readable individually, listable from the filesystem, and
 diffable relationally with exceptAll (no diff-text parsing, P9
 eliminated). `changes_since` is the I2 replay: the union of per-step adds
 between two versions, deduplicated to latest state.
+
+All listing/stat/delete goes through fsutil's Hadoop-FS helpers, so the
+same lake works on file://, viewfs://, hdfs://, s3a:// — the reference's
+uniformly-fsspec storage contract (archive/base.py:25-29). A missing
+versions root is "no versions yet" ([]), but an unresolvable scheme
+raises — retention must never mistake an outage for an empty lake.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ftm_datalake_spark import fsutil
 from ftm_datalake_spark.operators.documents import snapshot_diff
 
 
@@ -41,13 +48,15 @@ def write_version(
     return version
 
 
-def list_versions(lake_dir: str, dataset: str) -> list[str]:
+def list_versions(
+    spark: SparkSession, lake_dir: str, dataset: str
+) -> list[str]:
     """W2: ascending version ids; last is current."""
     root = _versions_root(lake_dir, dataset)
-    if not os.path.isdir(root):
-        return []
     return sorted(
-        d.split("=", 1)[1] for d in os.listdir(root) if d.startswith("version=")
+        name.split("=", 1)[1]
+        for name in fsutil.list_names(spark, root)
+        if name.startswith("version=")
     )
 
 
@@ -55,7 +64,7 @@ def read_version(
     spark: SparkSession, lake_dir: str, dataset: str, version: str | None = None
 ) -> DataFrame:
     """Point-in-time read; default latest (the reference's "current")."""
-    versions = list_versions(lake_dir, dataset)
+    versions = list_versions(spark, lake_dir, dataset)
     if not versions:
         raise FileNotFoundError(f"no versions for dataset {dataset}")
     version = version or versions[-1]
@@ -86,13 +95,17 @@ def changes_since(
     snapshot and the current one, so intermediate versions need not be
     replayed pairwise."""
     added, _deleted = diff_versions(
-        spark, lake_dir, dataset, since_version, list_versions(lake_dir, dataset)[-1]
+        spark,
+        lake_dir,
+        dataset,
+        since_version,
+        list_versions(spark, lake_dir, dataset)[-1],
     )
     return added
 
 
 def retention_plan(
-    lake_dir: str, dataset: str, keep_last: int = 2
+    spark: SparkSession, lake_dir: str, dataset: str, keep_last: int = 2
 ) -> dict:
     """VACUUM planning for the versioned table: which snapshots fall out
     of the retention window, with their reclaimable footprint, plus any
@@ -105,17 +118,9 @@ def retention_plan(
     would provide. Nothing is deleted here — see :func:`vacuum_versions`.
     """
     root = _versions_root(lake_dir, dataset)
-    versions = list_versions(lake_dir, dataset)
+    versions = list_versions(spark, lake_dir, dataset)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     expired = [v for v in versions if v not in keep]
-
-    def _footprint(path: str) -> tuple[int, int]:
-        n, size = 0, 0
-        for r, _d, files in os.walk(path):
-            for f in files:
-                n += 1
-                size += os.path.getsize(os.path.join(r, f))
-        return n, size
 
     plan = {
         "dataset": dataset,
@@ -125,39 +130,37 @@ def retention_plan(
         "orphans": [],
     }
     for v in expired:
-        n, size = _footprint(os.path.join(root, f"version={v}"))
+        n, size = fsutil.du(spark, os.path.join(root, f"version={v}"))
         plan["expired"].append({"version": v, "n_files": n, "bytes": size})
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            if not name.startswith("version="):
-                plan["orphans"].append(os.path.join(root, name))
+    for name in fsutil.list_names(spark, root):
+        if not name.startswith("version="):
+            plan["orphans"].append(os.path.join(root, name))
     return plan
 
 
 def vacuum_versions(
-    lake_dir: str, dataset: str, keep_last: int = 2, dry_run: bool = True
+    spark: SparkSession,
+    lake_dir: str,
+    dataset: str,
+    keep_last: int = 2,
+    dry_run: bool = True,
 ) -> dict:
     """Apply (or preview) the retention plan: delete expired snapshot
     directories and orphaned staging files, keeping the newest
     ``keep_last`` versions readable. Time travel (`read_version`,
     `diff_versions`, `changes_since`) keeps working across the surviving
     window. Returns the executed plan with a `deleted` flag per entry."""
-    import shutil
-
     root = _versions_root(lake_dir, dataset)
-    plan = retention_plan(lake_dir, dataset, keep_last)
+    plan = retention_plan(spark, lake_dir, dataset, keep_last)
     plan["dry_run"] = dry_run
     for entry in plan["expired"]:
         path = os.path.join(root, f"version={entry['version']}")
         if not dry_run:
-            shutil.rmtree(path)
+            fsutil.delete(spark, path, recursive=True)
         entry["deleted"] = not dry_run
     for i, orphan in enumerate(list(plan["orphans"])):
         if not dry_run:
-            if os.path.isdir(orphan):
-                shutil.rmtree(orphan)
-            else:
-                os.remove(orphan)
+            fsutil.delete(spark, orphan, recursive=True)
         plan["orphans"][i] = {"path": orphan, "deleted": not dry_run}
     return plan
 

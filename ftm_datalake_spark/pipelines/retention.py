@@ -51,11 +51,10 @@ def forget_keys(
         # empty frame writes no partitions and the old dataset partition
         # would survive intact — a forget-ALL-keys request would
         # silently no-op. Drop the partition directory explicitly.
-        import shutil
+        from ftm_datalake_spark import fsutil
 
         part_dir = os.path.join(lake_dir, "documents", f"dataset={dataset}")
-        if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir)
+        fsutil.delete(spark, part_dir, recursive=True)
         return n_before
     write_documents(kept, lake_dir)
     n_after = read_documents(spark, lake_dir, dataset).count()
@@ -105,17 +104,33 @@ def gc_blobs(
     if dry_run or n == 0:
         return n
 
-    def delete_partition(rows: Iterator) -> None:
-        for row in rows:
-            path = row["path"]
-            if path.startswith("file:"):
-                path = path[len("file:") :]
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass  # concurrent gc / retry — idempotent
+    from urllib.parse import urlparse
 
-    orphans.select("path").foreachPartition(delete_partition)
+    scheme = urlparse(lake_dir).scheme
+    if scheme in ("", "file"):
+        # local archive: delete task-side (Python workers have no JVM
+        # FS client, but POSIX unlink works from any worker)
+        def delete_partition(rows: Iterator) -> None:
+            for row in rows:
+                path = row["path"]
+                if path.startswith("file:"):
+                    path = path[len("file:") :]
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass  # concurrent gc / retry — idempotent
+
+        orphans.select("path").foreachPartition(delete_partition)
+        return n
+
+    # object-store / cluster-FS archive: delete through the driver's
+    # Hadoop FS client, streamed (toLocalIterator never materializes the
+    # full orphan set). Deletes are metadata RPCs — the bytes never move
+    # — so driver throughput is the listing's, not the corpus's.
+    from ftm_datalake_spark import fsutil
+
+    for row in orphans.select("path").toLocalIterator():
+        fsutil.delete(spark, row["path"], recursive=False)
     return n
 
 

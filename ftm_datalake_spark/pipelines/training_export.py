@@ -196,30 +196,12 @@ def export_training(
     return manifest
 
 
-def _hadoop_fs(spark: SparkSession, uri: str):
-    """(FileSystem, Path, jvm) for any Hadoop-FS URI — file://, viewfs://,
-    s3a://, hdfs://. The export must not assume a local filesystem
-    (VERDICT r7 carry: os.listdir breaks on object-store URIs)."""
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(uri)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs, path, jvm
+from ftm_datalake_spark import fsutil
 
-
-def _dir_has_data(spark: SparkSession, uri: str) -> bool:
-    """True iff the directory exists and contains a part file or a
-    partition subdirectory — the 'did the write produce any rows' probe,
-    valid on any Hadoop scheme (an empty-corpus parquet write creates
-    nothing to infer a schema from)."""
-    fs, path, _ = _hadoop_fs(spark, uri)
-    if not fs.exists(path):
-        return False
-    for status in fs.listStatus(path):
-        if status.isDirectory() or status.getPath().getName().endswith(
-            ".parquet"
-        ):
-            return True
-    return False
+# Promoted to the shared fsutil module (VERDICT r8 #1) — these aliases
+# keep the export's internal call sites and tests stable.
+_hadoop_fs = fsutil.hadoop_fs
+_dir_has_data = fsutil.dir_has_data
 
 
 def _count_chunks(spark: SparkSession, chunk_dir: str) -> int:
@@ -239,44 +221,25 @@ def _count_chunks(spark: SparkSession, chunk_dir: str) -> int:
 
 def _read_manifest(spark: SparkSession, path: str) -> dict:
     """Manifest read through the Hadoop FS client, so exports on
-    non-file schemes (viewfs/s3a/hdfs) round-trip."""
-    fs, p, jvm = _hadoop_fs(spark, path)
-    stream = fs.open(p)
-    try:
-        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    return json.loads(data.decode("utf-8"))
+    non-file schemes (viewfs/s3a/hdfs) round-trip. Falls back to the
+    ``.__bak__`` copy a crashed atomic swap may have left — at least one
+    complete manifest always exists (ADVICE r8 #2)."""
+    return json.loads(
+        fsutil.read_bytes_with_fallback(spark, path).decode("utf-8")
+    )
 
 
 def _write_manifest(path: str, manifest: dict, spark: SparkSession | None = None) -> None:
-    """Write-aside + rename: a crash mid-write must never leave the
-    export's only manifest truncated (same pattern as the streaming
-    entity-table swap). Local paths use os.replace (atomic); other
-    Hadoop schemes stage + delete + rename through the FS client —
-    rename is atomic per directory on HDFS-like stores, best-effort on
-    object stores (where the whole manifest PUT is atomic anyway)."""
-    from urllib.parse import urlparse
+    """Crash-safe manifest replace (fsutil.write_bytes_atomic): local
+    paths os.replace; other Hadoop schemes swap through a ``.__bak__``
+    so no crash window leaves the export with ZERO complete manifests
+    (the old delete-then-rename had exactly that window — ADVICE r8
+    #2); the matching reader fallback is in :func:`_read_manifest`."""
+    from pyspark.sql import SparkSession as _S
 
-    scheme = urlparse(path).scheme
-    payload = json.dumps(manifest, indent=1, sort_keys=True)
-    if spark is None or scheme in ("", "file"):
-        local = path[len("file://"):] if scheme == "file" else path
-        tmp = local + ".__stage__"
-        with open(tmp, "w") as fh:
-            fh.write(payload)
-        os.replace(tmp, local)
-        return
-    fs, p, jvm = _hadoop_fs(spark, path)
-    stage = jvm.org.apache.hadoop.fs.Path(path + ".__stage__")
-    out = fs.create(stage, True)
-    try:
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
-    fs.delete(p, False)
-    if not fs.rename(stage, p):
-        raise IOError(f"manifest rename failed: {stage} -> {p}")
+    payload = json.dumps(manifest, indent=1, sort_keys=True).encode("utf-8")
+    spark = spark or _S.getActiveSession()
+    fsutil.write_bytes_atomic(spark, path, payload)
 
 
 def read_training_chunks(

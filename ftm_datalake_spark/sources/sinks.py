@@ -232,6 +232,9 @@ def write_documents_diff(
         unified_diff_hunks,
     )
 
+    from ftm_datalake_spark import fsutil
+
+    spark = old.sparkSession
     dels, adds = unified_diff_changes(
         documents_csv_lines(old), documents_csv_lines(new)
     )
@@ -239,20 +242,20 @@ def write_documents_diff(
     adds = adds.persist()
     try:
         n_changes = dels.count() + adds.count()
-        os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
         if n_changes <= single_file_max_changes:
-            if os.path.isdir(target):
-                shutil.rmtree(target)  # switching forms: directory -> file
-            with open(target, "w", encoding="utf-8") as fh:
-                fh.write(
-                    render_unified_diff(
-                        dels.collect(), adds.collect(), from_version, to_version
-                    )
-                )
+            if fsutil.is_dir(spark, target):
+                fsutil.delete(spark, target)  # switching forms: dir -> file
+            fsutil.write_bytes(
+                spark,
+                target,
+                render_unified_diff(
+                    dels.collect(), adds.collect(), from_version, to_version
+                ).encode("utf-8"),
+            )
             return target
         parts = max(2, min(2048, n_changes // single_file_max_changes + 1))
-        if os.path.isfile(target):
-            os.remove(target)  # switching forms: file -> directory
+        if fsutil.is_file(spark, target):
+            fsutil.delete(spark, target)  # switching forms: file -> dir
         (
             unified_diff_hunks(dels, adds)
             .repartitionByRange(parts, "anchor")
@@ -261,30 +264,60 @@ def write_documents_diff(
             .write.mode("overwrite")
             .text(target)
         )
-        with open(os.path.join(target, "_header"), "w", encoding="utf-8") as fh:
-            fh.write(_diff_header(from_version, to_version))
+        fsutil.write_bytes(
+            spark,
+            os.path.join(target, "_header"),
+            _diff_header(from_version, to_version).encode("utf-8"),
+        )
         return target
     finally:
         dels.unpersist()
         adds.unpersist()
 
 
-def read_diff_text(path: str) -> str:
+def read_diff_text(path: str, spark: "SparkSession | None" = None) -> str:
     """Read a documents diff back as its exact byte string — either the
     single-file form or the distributed directory form (``_header`` +
-    parts concatenated in filename order)."""
-    if os.path.isfile(path):
-        with open(path, encoding="utf-8") as fh:
-            return fh.read()
-    chunks = []
-    header = os.path.join(path, "_header")
-    if os.path.exists(header):
-        with open(header, encoding="utf-8") as fh:
-            chunks.append(fh.read())
-    for name in sorted(os.listdir(path)):
-        if name.startswith("part-") and not name.endswith(".crc"):
-            with open(os.path.join(path, name), encoding="utf-8") as fh:
+    parts concatenated in filename order). Goes through the Hadoop FS
+    client, so a diff written next to an object-store lake reads back
+    the same way (fsutil contract); ``spark`` defaults to the active
+    session."""
+    from pyspark.sql import SparkSession
+
+    from ftm_datalake_spark import fsutil
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:  # no session: plain local read
+        if os.path.isfile(path):
+            with open(path, encoding="utf-8") as fh:
+                return fh.read()
+        chunks = []
+        header = os.path.join(path, "_header")
+        if os.path.exists(header):
+            with open(header, encoding="utf-8") as fh:
                 chunks.append(fh.read())
+        for name in sorted(os.listdir(path)):
+            if name.startswith("part-") and not name.endswith(".crc"):
+                with open(os.path.join(path, name), encoding="utf-8") as fh:
+                    chunks.append(fh.read())
+        return "".join(chunks)
+    if fsutil.is_file(spark, path):
+        return fsutil.read_bytes(spark, path).decode("utf-8")
+    chunks = []
+    names = fsutil.list_names(spark, path)
+    if "_header" in names:
+        chunks.append(
+            fsutil.read_bytes(spark, os.path.join(path, "_header")).decode(
+                "utf-8"
+            )
+        )
+    for name in names:
+        if name.startswith("part-") and not name.endswith(".crc"):
+            chunks.append(
+                fsutil.read_bytes(spark, os.path.join(path, name)).decode(
+                    "utf-8"
+                )
+            )
     return "".join(chunks)
 
 

@@ -23,7 +23,6 @@ real triggers and bucket notifications (the RFC's SQS/PubSub note);
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,9 +88,9 @@ def read_entities(spark: SparkSession, entities_dir: str) -> DataFrame:
             T.StructField("datasets", T.ArrayType(T.StringType())),
         ]
     )
-    if os.path.isdir(entities_dir) and any(
-        n.endswith(".parquet") for n in os.listdir(entities_dir)
-    ):
+    from ftm_datalake_spark import fsutil
+
+    if fsutil.dir_has_data(spark, entities_dir):
         return spark.read.parquet(entities_dir)
     return spark.createDataFrame([], schema)
 
@@ -107,26 +106,33 @@ def _merge_statements_batch(
     then ``tmp`` holds a COMPLETE table (``_SUCCESS`` present) that the
     next batch's recovery preamble renames into place — the old
     rmtree-then-rename order could silently lose the whole table."""
+    from ftm_datalake_spark import fsutil
     from ftm_datalake_spark.operators.statements import merge_entity_increment
 
     tmp = entities_dir.rstrip("/") + ".__stage__"
     old = entities_dir.rstrip("/") + ".__old__"
-    # Crash recovery from a previous interrupted swap.
-    if not os.path.isdir(entities_dir):
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            os.rename(tmp, entities_dir)  # forward: finish the swap
-        elif os.path.isdir(old):
-            os.rename(old, entities_dir)  # backward: roll back
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    fs, ent_path, jvm = fsutil.hadoop_fs(spark, entities_dir)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_path = jvm.org.apache.hadoop.fs.Path(old)
+    # Crash recovery from a previous interrupted swap (FS-client renames,
+    # so the same topology works on hdfs://viewfs:// lakes; on object
+    # stores rename degrades to copy but the ordering still never leaves
+    # zero complete tables).
+    if not fs.exists(ent_path):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(tmp + "/_SUCCESS")):
+            fs.rename(tmp_path, ent_path)  # forward: finish the swap
+        elif fs.exists(old_path):
+            fs.rename(old_path, ent_path)  # backward: roll back
+    fs.delete(tmp_path, True)
+    fs.delete(old_path, True)
 
     existing = read_entities(spark, entities_dir)
     merged = merge_entity_increment(existing, batch)
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(entities_dir):
-        os.rename(entities_dir, old)
-    os.rename(tmp, entities_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    if fs.exists(ent_path):
+        fs.rename(ent_path, old_path)
+    fs.rename(tmp_path, ent_path)
+    fs.delete(old_path, True)
 
 
 def run_rfc_pipeline(
@@ -185,8 +191,14 @@ def run_rfc_pipeline(
     )
     q3.awaitTermination()
 
+    from ftm_datalake_spark import fsutil
+
     return {
-        "documents": spark.read.parquet(docs_dir).count() if os.path.isdir(docs_dir) else 0,
-        "statements": spark.read.parquet(st_dir).count() if os.path.isdir(st_dir) else 0,
+        "documents": spark.read.parquet(docs_dir).count()
+        if fsutil.dir_has_data(spark, docs_dir)
+        else 0,
+        "statements": spark.read.parquet(st_dir).count()
+        if fsutil.dir_has_data(spark, st_dir)
+        else 0,
         "entities": read_entities(spark, ent_dir).count(),
     }

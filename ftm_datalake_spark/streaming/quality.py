@@ -63,7 +63,7 @@ def dq_stream_monitor(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         summary = dq_rule_summary(batch_df, rules)
-        prior_versions = _versions(state_dir)
+        prior_versions = _versions(spark, state_dir)
         prior = [v for v in prior_versions if v < batch_id]
         if prior:
             prev = spark.read.parquet(
@@ -82,11 +82,14 @@ def dq_stream_monitor(
     )
 
 
-def _versions(state_dir: str) -> list[int]:
-    if not os.path.isdir(state_dir):
-        return []
+def _versions(spark, state_dir: str) -> list[int]:
+    """State-version ids via the Hadoop FS client — the monitor's state
+    dir may live on any scheme the stream itself does (fsutil contract:
+    missing dir = no state yet, unresolvable scheme raises)."""
+    from ftm_datalake_spark import fsutil
+
     out = []
-    for name in os.listdir(state_dir):
+    for name in fsutil.list_names(spark, state_dir):
         if name.startswith("v="):
             try:
                 out.append(int(name[2:]))
@@ -97,7 +100,7 @@ def _versions(state_dir: str) -> list[int]:
 
 def read_dq_state(spark, state_dir: str) -> DataFrame | None:
     """Current cumulative totals (highest state version), or None."""
-    versions = _versions(state_dir)
+    versions = _versions(spark, state_dir)
     if not versions:
         return None
     return spark.read.parquet(os.path.join(state_dir, f"v={versions[-1]}"))

@@ -83,7 +83,7 @@ def test_replayed_batch_id_is_idempotent(spark, tmp_path):
 
     def apply_batch(batch_df, batch_id):
         summary = dq_rule_summary(batch_df, _rules())
-        prior = [v for v in sq._versions(state) if v < batch_id]
+        prior = [v for v in sq._versions(spark, state) if v < batch_id]
         if prior:
             prev = spark.read.parquet(os.path.join(state, f"v={max(prior)}"))
             summary = merge_rule_summaries(prev, summary)
