@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
         "MinIO server); credentials/region come from the boto3 default "
         "chain unless FTM_DATALAKE_S3_* env vars are set",
     )
+    p_crawl.add_argument(
+        "--inventory", default=None,
+        help="S3 Inventory manifest URI (parquet, `key` column): crawl "
+        "keys from the manifest instead of ListObjectsV2 — the "
+        "manifest-scale path; keys never visit the driver",
+    )
 
     p_make = sub.add_parser("make")
     p_make.add_argument("source")
@@ -310,9 +316,19 @@ def _dispatch(spark, args) -> int:
                 "access_key": _os.environ.get("FTM_DATALAKE_S3_KEY"),
                 "secret_key": _os.environ.get("FTM_DATALAKE_S3_SECRET"),
             }
+            inv_keys = None
+            if getattr(args, "inventory", None):
+                from ftm_datalake_spark.sources.s3_store import (
+                    read_s3_inventory,
+                )
+
+                inv_keys = read_s3_inventory(
+                    spark, args.inventory, prefix=s3_prefix
+                )
             counters = crawl_s3(
                 spark, bucket, args.dataset, args.lake, prefix=s3_prefix,
                 include=args.include, exclude=args.exclude, conn=s3_conn,
+                keys=inv_keys,
             )
             if args.archive:
                 from pyspark.sql import functions as F

@@ -145,7 +145,7 @@ def test_crawl_s3_full_pipeline_and_incremental(spark, tmp_path, s3_store):
     lake = str(tmp_path / "lake")
 
     stats = crawl_s3(spark, BUCKET, "ds", lake, prefix="scoped", conn=conn)
-    assert stats == {"files_total": len(FILES), "added_or_updated": len(FILES)}
+    assert stats == {"files_total": len(FILES), "added_or_updated": len(FILES), "not_found": 0}
     docs = read_documents(spark, lake, "ds")
     assert docs.count() == len(FILES)
 
@@ -154,7 +154,7 @@ def test_crawl_s3_full_pipeline_and_incremental(spark, tmp_path, s3_store):
 
     client.put_object(Bucket=BUCKET, Key="scoped/new.txt", Body=b"late arrival")
     stats = crawl_s3(spark, BUCKET, "ds", lake, prefix="scoped", conn=conn)
-    assert stats == {"files_total": len(FILES) + 1, "added_or_updated": 1}
+    assert stats == {"files_total": len(FILES) + 1, "added_or_updated": 1, "not_found": 0}
     assert read_documents(spark, lake, "ds").count() == len(FILES) + 1
 
 
@@ -193,11 +193,141 @@ def test_crawl_cli_routes_s3_scheme(spark, tmp_path, s3_store, monkeypatch, caps
 
     n = len(list_s3_objects(BUCKET, "scoped", conn))
     assert n >= len(FILES)
-    assert counters == {"files_total": n, "added_or_updated": n}
+    assert counters == {"files_total": n, "added_or_updated": n, "not_found": 0}
     # blobs landed in the content-addressed archive
     import hashlib
 
     sha = hashlib.sha1(FILES["a.txt"]).hexdigest()
     assert os.path.exists(
         os.path.join(lake, "ds", "archive", sha[0:2], sha[2:4], sha[4:6], sha)
+    )
+
+
+def test_inventory_manifest_crawl_matches_listing_crawl(spark, tmp_path):
+    """The law (VERDICT r8 #2): crawling from an S3 Inventory manifest
+    DataFrame yields the exact same documents table as the
+    ListObjectsV2 crawl — and the manifest path never collects keys to
+    the driver (DataFrame.collect is poisoned for the duration)."""
+    from moto.server import ThreadedMotoServer
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ftm_datalake_spark.pipelines.ingest import read_documents
+    from ftm_datalake_spark.sources.s3_store import (
+        crawl_s3,
+        read_s3_inventory,
+    )
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        conn = {
+            "endpoint_url": f"http://{host}:{port}",
+            "region_name": "us-east-1",
+            "access_key": "t",
+            "secret_key": "t",
+        }
+        client = boto3.client(
+            "s3",
+            endpoint_url=conn["endpoint_url"],
+            region_name="us-east-1",
+            aws_access_key_id="t",
+            aws_secret_access_key="t",
+        )
+        client.create_bucket(Bucket="inv-bucket")
+        for key, body in FILES.items():
+            client.put_object(Bucket="inv-bucket", Key=f"corp/{key}", Body=body)
+
+        # the Inventory manifest: one parquet of ABSOLUTE keys, as S3
+        # Inventory delivers it (bucket-relative, prefix included)
+        inv_dir = str(tmp_path / "inventory")
+        spark.createDataFrame(
+            [(f"corp/{k}",) for k in FILES] + [("corp/sub/",)],  # dir marker
+            "key string",
+        ).write.parquet(inv_dir)
+
+        lake_listing = str(tmp_path / "lake_listing")
+        lake_manifest = str(tmp_path / "lake_manifest")
+        stats_listing = crawl_s3(
+            spark, "inv-bucket", "ds", lake_listing, prefix="corp", conn=conn
+        )
+
+        inv_keys = read_s3_inventory(spark, inv_dir, prefix="corp")
+        assert isinstance(inv_keys, SparkDF)
+        # poison collect: the manifest crawl must be driver-collect-free
+        real_collect = SparkDF.collect
+        SparkDF.collect = lambda self: (_ for _ in ()).throw(
+            AssertionError("driver-side collect in the manifest crawl path")
+        )
+        try:
+            stats_manifest = crawl_s3(
+                spark,
+                "inv-bucket",
+                "ds",
+                lake_manifest,
+                prefix="corp",
+                conn=conn,
+                keys=inv_keys,
+            )
+        finally:
+            SparkDF.collect = real_collect
+
+        assert stats_manifest == stats_listing
+        cols = ["key", "content_hash", "size", "mimetype"]
+        a = {tuple(r) for r in read_documents(spark, lake_listing, "ds").select(*cols).collect()}
+        b = {tuple(r) for r in read_documents(spark, lake_manifest, "ds").select(*cols).collect()}
+        assert a == b and len(a) == len(FILES)
+
+        # include/exclude prune in-plan on the manifest path too
+        lake_glob = str(tmp_path / "lake_glob")
+        stats_glob = crawl_s3(
+            spark, "inv-bucket", "ds", lake_glob, prefix="corp", conn=conn,
+            keys=read_s3_inventory(spark, inv_dir, prefix="corp"),
+            exclude="sub/*",
+        )
+        got = {r["key"] for r in read_documents(spark, lake_glob, "ds").select("key").collect()}
+        assert got == {k for k in FILES if not k.startswith("sub/")}
+        assert stats_glob["files_total"] == len(got)
+    finally:
+        server.stop()
+
+
+def test_deleted_between_list_and_fetch_skips_and_counts(spark, tmp_path, s3_store):
+    """At 100 TB listings are always stale: an object deleted after the
+    listing must not fail the crawl — it is skipped and surfaces in the
+    not_found counter (reference memorious semantics, sync/memorious.py:
+    29-33). VERDICT r8 #7."""
+    import pytest as _pytest
+
+    from ftm_datalake_spark.pipelines.ingest import read_documents
+    from ftm_datalake_spark.sources.s3_store import crawl_s3, scan_s3_store
+
+    conn, client, _root = s3_store
+    client.put_object(Bucket=BUCKET, Key="stale/keep.txt", Body=b"keep")
+    client.put_object(Bucket=BUCKET, Key="stale/gone.txt", Body=b"gone")
+    lake = str(tmp_path / "lake")
+
+    # a stale key source: gone.txt listed but deleted before the fetch
+    stale_keys = ["keep.txt", "gone.txt"]
+    client.delete_object(Bucket=BUCKET, Key="stale/gone.txt")
+
+    stats = crawl_s3(
+        spark, BUCKET, "ds", lake, prefix="stale", conn=conn, keys=stale_keys
+    )
+    assert stats == {"files_total": 2, "added_or_updated": 1, "not_found": 1}
+    docs = read_documents(spark, lake, "ds")
+    assert {r["key"] for r in docs.select("key").collect()} == {"keep.txt"}
+
+    # the default scan policy stays loud
+    with _pytest.raises(Exception):
+        scan_s3_store(
+            spark, BUCKET, keys=["gone.txt"], prefix="stale", conn=conn
+        ).collect()
+    # and the skip policy is explicit opt-in
+    assert (
+        scan_s3_store(
+            spark, BUCKET, keys=["gone.txt"], prefix="stale", conn=conn,
+            on_missing="skip",
+        ).count()
+        == 0
     )
