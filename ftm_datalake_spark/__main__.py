@@ -204,11 +204,20 @@ def main(argv: list[str] | None = None) -> int:
         help="persisted IVF index over an embeddings parquet: build / "
         "append a delta / probe top-k",
     )
-    p_ann.add_argument("action", choices=["build", "append", "probe"])
-    p_ann.add_argument("source", help="embeddings/delta/queries parquet")
+    p_ann.add_argument(
+        "action", choices=["build", "append", "probe", "stats", "compact"]
+    )
+    p_ann.add_argument(
+        "source", nargs="?", default=None,
+        help="embeddings/delta/queries parquet (build/append/probe only)",
+    )
     p_ann.add_argument("--index", required=True, help="index directory")
     p_ann.add_argument("-k", type=int, default=3)
     p_ann.add_argument("--nprobe", type=int, default=1)
+    p_ann.add_argument(
+        "--min-files", type=int, default=2,
+        help="compact: rewrite clusters with at least this many part files",
+    )
 
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
@@ -797,20 +806,36 @@ def _dispatch(spark, args) -> int:
         from ftm_datalake_spark.operators.ann_index import (
             append_ivf_index,
             build_ivf_index,
+            compact_ivf_postings,
+            ivf_index_stats,
             ivf_index_topk,
         )
 
-        frame = spark.read.parquet(args.source)
-        if args.action == "build":
-            print(json.dumps(build_ivf_index(spark, frame, args.index)))
-        elif args.action == "append":
-            print(json.dumps(append_ivf_index(spark, frame, args.index)))
-        else:
-            hits = ivf_index_topk(
-                spark, args.index, frame, k=args.k, nprobe=args.nprobe
+        if args.action == "stats":
+            print(json.dumps(ivf_index_stats(spark, args.index)))
+        elif args.action == "compact":
+            print(
+                json.dumps(
+                    compact_ivf_postings(
+                        spark, args.index, min_files=args.min_files
+                    )
+                )
             )
-            for row in hits.orderBy("qid", "rank").collect():
-                print(json.dumps(row.asDict()))
+        else:
+            if not args.source:
+                print(f"{args.action} needs a source parquet", file=sys.stderr)
+                return 2
+            frame = spark.read.parquet(args.source)
+            if args.action == "build":
+                print(json.dumps(build_ivf_index(spark, frame, args.index)))
+            elif args.action == "append":
+                print(json.dumps(append_ivf_index(spark, frame, args.index)))
+            else:
+                hits = ivf_index_topk(
+                    spark, args.index, frame, k=args.k, nprobe=args.nprobe
+                )
+                for row in hits.orderBy("qid", "rank").collect():
+                    print(json.dumps(row.asDict()))
     elif args.cmd == "publish":
         from ftm_datalake_spark.pipelines.ingest import publish
 

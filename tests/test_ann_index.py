@@ -152,3 +152,150 @@ def test_ann_index_cli(spark, corpus, tmp_path):
     assert _dispatch(spark, ns("append", dsrc)) in (0, None)
     assert _dispatch(spark, ns("probe", src, k=2, nprobe=2)) in (0, None)
     assert os.path.isdir(os.path.join(idx, "postings"))
+
+
+def test_append_antijoin_reads_only_touched_partitions(spark, corpus, tmp_path):
+    """ADVICE r8 #4: the re-delivery anti-join must scan only the
+    delta's own cluster partitions, not every inverted list — under a
+    frozen codebook a vid can only collide in its assigned cluster.
+    Asserted on the physical plan's PartitionFilters (``inputFiles()``
+    lists the relation before pruning, same as the probe test)."""
+    import re
+
+    from ftm_datalake_spark.operators.ann_index import (
+        _existing_vids,
+        build_ivf_index,
+    )
+
+    out = str(tmp_path / "idx")
+    stats = build_ivf_index(spark, corpus, out)
+    assert stats["clusters"] > 1
+    postings = os.path.join(out, "postings")
+    all_clusters = sorted(
+        int(r["cluster"])
+        for r in spark.read.parquet(postings).select("cluster").distinct().collect()
+    )
+    one = all_clusters[:1]
+    restricted = _existing_vids(spark, postings, one)
+    plan = restricted._jdf.queryExecution().executedPlan().toString()
+    filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cluster" in f
+    ]
+    assert filters, plan  # the isin IS a static partition filter
+    # the restricted read returns exactly the one cluster's vids
+    posted = spark.read.parquet(postings)
+    want = posted.where(F.col("cluster") == one[0]).count()
+    assert restricted.count() == want < posted.count()
+
+
+def test_compact_postings_bit_identical(spark, corpus, tmp_path):
+    """Compaction heals small-file decay without changing a single row:
+    postings set and probe results are bit-identical, part-file count
+    drops, untouched clusters keep their files (VERDICT r8 #3)."""
+    from ftm_datalake_spark.operators.ann_index import (
+        _cluster_file_counts,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_postings,
+        ivf_index_topk,
+    )
+
+    base, delta = _split(corpus)
+    out = str(tmp_path / "idx")
+    build_ivf_index(spark, base, out)
+    # several folds -> several part files per touched cluster
+    d1 = delta.where(F.col("vec_id") % 20 == 0)
+    d2 = delta.where(F.col("vec_id") % 20 != 0)
+    append_ivf_index(spark, d1, out)
+    append_ivf_index(spark, d2, out)
+
+    postings = os.path.join(out, "postings")
+    before_files = _cluster_file_counts(spark, postings)
+    assert max(before_files.values()) >= 2, before_files
+    before_rows = _postings_set(spark, out)
+    queries = corpus.where(F.col("vec_id") < 5)
+    before_topk = _topk_set(ivf_index_topk(spark, out, queries, k=3, nprobe=2))
+
+    res = compact_ivf_postings(spark, out, min_files=2)
+    assert res["clusters_compacted"]
+    assert res["files_after"] < res["files_before"]
+    after_files = _cluster_file_counts(spark, postings)
+    assert all(after_files[c] == 1 for c in res["clusters_compacted"])
+    # untouched partitions still have their original files
+    for c, n in before_files.items():
+        if c not in res["clusters_compacted"]:
+            assert after_files[c] == n
+
+    assert _postings_set(spark, out) == before_rows
+    assert (
+        _topk_set(ivf_index_topk(spark, out, queries, k=3, nprobe=2))
+        == before_topk
+    )
+    # idempotent: a second compaction finds nothing to do
+    res2 = compact_ivf_postings(spark, out, min_files=2)
+    assert res2["clusters_compacted"] == []
+    assert res2["files_after"] == res["files_after"]
+
+
+def test_index_stats_reports_drift_and_decay(spark, corpus, tmp_path):
+    from ftm_datalake_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_postings,
+        ivf_index_stats,
+    )
+
+    base, delta = _split(corpus)
+    out = str(tmp_path / "idx")
+    build_ivf_index(spark, base, out)
+    s0 = ivf_index_stats(spark, out)
+    assert s0["vectors"] == base.count()
+    assert s0["appended_fraction"] == 0.0
+    assert s0["max_list"] >= s0["min_list"] > 0
+    assert s0["skew"] >= 1.0
+
+    append_ivf_index(spark, delta, out)
+    s1 = ivf_index_stats(spark, out)
+    assert s1["vectors"] == base.count() + delta.count()
+    assert s1["built_vectors"] == base.count()
+    assert 0 < s1["appended_fraction"] < 1
+    assert s1["max_files_per_cluster"] >= 2  # decay visible
+
+    compact_ivf_postings(spark, out, min_files=2)
+    s2 = ivf_index_stats(spark, out)
+    assert s2["max_files_per_cluster"] == 1
+    assert s2["vectors"] == s1["vectors"]  # stats-only, rows unchanged
+
+
+def test_ann_index_cli_stats_and_compact(spark, corpus, tmp_path, capsys):
+    import argparse
+    import json as _json
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    base, delta = _split(corpus)
+    src, dsrc = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    base.write.parquet(src)
+    delta.write.parquet(dsrc)
+    idx = str(tmp_path / "idx")
+
+    def ns(action, source=None, **kw):
+        return argparse.Namespace(
+            cmd="ann-index", action=action, source=source, index=idx,
+            k=kw.get("k", 3), nprobe=kw.get("nprobe", 1),
+            min_files=kw.get("min_files", 2),
+        )
+
+    assert _dispatch(spark, ns("build", src)) in (0, None)
+    assert _dispatch(spark, ns("append", dsrc)) in (0, None)
+    capsys.readouterr()
+    assert _dispatch(spark, ns("stats")) in (0, None)
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["appended_fraction"] > 0
+    assert _dispatch(spark, ns("compact")) in (0, None)
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["files_after"] <= res["files_before"]
+    # a data action without a source exits loudly
+    assert _dispatch(spark, ns("probe")) == 2
