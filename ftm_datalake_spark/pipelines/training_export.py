@@ -121,7 +121,12 @@ def export_training(
     from ftm_datalake_spark.operators.textops import segment_frequencies
 
     freq = segment_frequencies(kept).localCheckpoint(eager=True)
-    freq.write.mode("overwrite").parquet(os.path.join(out_dir, "segledger"))
+    (
+        freq.withColumn("gen", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("gen")
+        .parquet(os.path.join(out_dir, "segledger"))
+    )
     cleaned = (
         segment_dedup(kept, keep_text=True, freq_table=freq)
         .where(F.col("clean_len") > 0)
@@ -159,6 +164,32 @@ def export_training(
     sharded = epoch_shards(kept, seed, n_shards).drop(
         "shuffle_key"
     ).localCheckpoint()
+
+    # sig LEDGER (sigledger/gen=base): one row per INPUT doc — its
+    # cleaned signature (null if it never reached dedup) and whether it
+    # shipped. Incremental folds anti-join doc_ids against this (so
+    # re-delivered docs, including ones dedup DROPPED, are exactly-once
+    # — ADVICE r8 #1a) and take first-write-wins sigs from its exported
+    # rows instead of re-hashing the whole corpus text every fold
+    # (ADVICE r8 #3). Same mergeable-generation layout as segledger.
+    (
+        docs.select("doc_id")
+        .join(cleaned.select("doc_id", "clean_sig"), "doc_id", "left")
+        .join(
+            sharded.select("doc_id").withColumn("__exp", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "clean_sig",
+            F.coalesce("__exp", F.lit(False)).alias("exported"),
+        )
+        .withColumn("gen", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("gen")
+        .parquet(os.path.join(out_dir, "sigledger"))
+    )
     (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
@@ -182,14 +213,19 @@ def export_training(
     totals = sharded.agg(
         F.sum(token_count(F.col("text"))).cast("long").alias("tokens")
     ).first()
-    # chunk count from the parquet just written — re-aggregating
+    # chunk counts from the parquet just written — re-aggregating
     # `packed` would re-run the whole window+explode plan a second time.
     # An empty corpus writes no part files (nothing to infer a schema
     # from), detected explicitly — any OTHER read failure must surface,
-    # not silently become chunks=0 in a "successful" manifest.
-    n_chunks = _count_chunks(spark, os.path.join(out_dir, "chunks"))
+    # not silently become chunks=0 in a "successful" manifest. The
+    # per-shard map (bounded: n_shards entries) is what lets a delta
+    # fold update the total from only its affected shards, replay-safe
+    # (the manifest — not possibly-crash-rewritten files — is the
+    # authoritative pre-fold state).
+    per_shard = _chunks_per_shard(spark, os.path.join(out_dir, "chunks"))
     stages["total_tokens"] = int(totals["tokens"] or 0)
-    stages["chunks"] = n_chunks
+    stages["chunks"] = sum(per_shard.values())
+    stages["chunks_per_shard"] = per_shard
     stages["shards"] = n_shards
 
     _write_manifest(os.path.join(out_dir, "manifest.json"), manifest, spark)
@@ -207,16 +243,28 @@ _dir_has_data = fsutil.dir_has_data
 def _count_chunks(spark: SparkSession, chunk_dir: str) -> int:
     """Total chunk count across shards from a written chunk map; 0 for
     an empty map (no part files). Real read failures propagate."""
+    return sum(_chunks_per_shard(spark, chunk_dir).values())
+
+
+def _chunks_per_shard(
+    spark: SparkSession, chunk_dir: str, shards: list[int] | None = None
+) -> dict:
+    """{shard(str): chunk_count} from a written chunk map — JSON-string
+    keys so the map round-trips through manifest.json. ``shards``
+    restricts the scan to those partitions (partition-pruned)."""
     if not _dir_has_data(spark, chunk_dir):
-        return 0
-    return int(
-        spark.read.parquet(chunk_dir)
-        .groupBy("shard")
-        .agg((F.max("chunk_id") + 1).alias("n"))
-        .agg(F.sum("n").cast("long").alias("n"))
-        .first()["n"]
-        or 0
-    )
+        return {}
+    df = spark.read.parquet(chunk_dir)
+    if shards is not None:
+        if not shards:
+            return {}
+        df = df.where(F.col("shard").isin(shards))
+    return {
+        str(int(r["shard"])): int(r["n"])
+        for r in df.groupBy("shard")
+        .agg((F.max("chunk_id") + 1).cast("long").alias("n"))
+        .collect()
+    }
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict:
@@ -391,6 +439,36 @@ def export_epoch_maps(
     return {"epochs": stats}
 
 
+def _delta_id(delta_docs: DataFrame) -> str:
+    """Deterministic, order-independent identity of a delta batch:
+    row count + xor of per-doc_id 64-bit hashes (one 1-row aggregate,
+    O(|delta|) compute, O(1) driver). doc_id is the document identity —
+    the corpus contract is append-only (content updates arrive under
+    new ids; existing docs never move shards) — so the id set IS the
+    delta's identity, and a re-delivered batch maps to the same
+    delta_id however it is partitioned or ordered."""
+    from pyspark.sql import functions as F
+
+    row = (
+        delta_docs.select(
+            F.xxhash64(F.col("doc_id").cast("string")).alias("h")
+        )
+        .agg(F.count("*").alias("n"), F.bit_xor("h").alias("x"))
+        .first()
+    )
+    x = (row["x"] or 0) & 0xFFFFFFFFFFFFFFFF
+    return f"{int(row['n'])}x{x:016x}"
+
+
+def _read_sig_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(doc_id, clean_sig, exported) across all sigledger generations."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(out_dir, "sigledger"))
+        .select("doc_id", "clean_sig", "exported")
+    )
+
+
 def export_training_incremental(
     spark: SparkSession,
     delta_docs: DataFrame,
@@ -403,10 +481,26 @@ def export_training_incremental(
     lands in (VERDICT r6 #6 / r7 brief #5).
 
     Ledger pattern (streaming/ledger.py:19 and the reference's cache-
-    skip crawl, /root/reference/ftm_datalake/crawl.py:64-65): doc_ids
-    already exported are dropped by a left-anti join, so re-delivering
-    the same delta is a no-op. Fresh docs then run the SAME curation
-    chain as the full export:
+    skip crawl, /root/reference/ftm_datalake/crawl.py:64-65), with
+    per-delta idempotence (ADVICE r8 #1): every fold has a
+    deterministic ``delta_id`` (order-independent hash of its doc_id
+    set); the manifest generation entry carrying that id is the fold's
+    COMMIT RECORD, and both ledgers append under ``gen=<delta_id>``
+    partitions. Replay at every crash point is exactly-once:
+
+    - delta_id already committed in the manifest → pure no-op (even
+      when the original fold's docs were ALL dropped by dedup — the
+      old docs/-membership anti-join could not see those);
+    - crash before the ledger appends → the sig ledger lacks the
+      delta's ids, so the replay re-runs the whole deterministic fold
+      (shard rewrites are dynamic-overwrite idempotent);
+    - crash between ledger appends and the manifest commit → the
+      ``gen=<delta_id>`` partitions exist, so the replay recovers the
+      generation entry from them instead of double-appending counts.
+
+    Fresh docs (anti-joined against the sig ledger's ALL-processed ids,
+    not docs/ membership) run the SAME curation chain as the full
+    export:
 
     - quality gate: per-doc, delta-only (no global state);
     - segment dedup: the delta's own segment counts are SUMMED INTO the
@@ -432,8 +526,12 @@ def export_training_incremental(
     retroactively (with the ledger, Δ's own cleaning sees the exact
     full-corpus frequencies; the approximation is one-sided) — and
     (b) Δ's doc_ids sort after C's in the dedup winner order (the
-    append-only case). Scale: with the ledger every stage is
-    proportional to |Δ| + |affected shards|, not |C|.
+    append-only case). Scale: with the ledgers every stage — including
+    the first-write-wins sig check (sigledger/, no corpus-text rehash;
+    ADVICE r8 #3) and the manifest totals (maintained incrementally:
+    token/doc deltas plus only the affected shards' chunk recount) —
+    reads O(|Δ| + |affected shards| + |ledgers|), never the corpus
+    text.
 
     Extra epoch maps (``epochs/``) are derived from the pre-delta
     corpus and become stale — re-run :func:`export_epoch_maps` after
@@ -466,11 +564,89 @@ def export_training_incremental(
         )
 
     existing = spark.read.parquet(os.path.join(out_dir, "docs"))
+    stages = manifest["stages"]
+    delta_id = _delta_id(delta_docs)
+    n_input = delta_docs.count()
 
-    gen: dict = {"delta_input": delta_docs.count()}
-    # ledger skip: already-exported doc_ids never re-enter
+    # commit-record check: a delta_id already in the manifest was fully
+    # folded AND committed — pure no-op replay (records an audit entry)
+    if any(
+        g.get("delta_id") == delta_id
+        for g in manifest.get("generations", [])
+    ):
+        gen = {
+            "delta_id": delta_id,
+            "delta_input": n_input,
+            "delta_fresh": 0,
+            "affected_shards": [],
+            "docs_added": 0,
+            "replayed": True,
+        }
+        manifest.setdefault("generations", []).append(gen)
+        _write_manifest(man_path, manifest, spark)
+        return manifest
+
+    sig_dir = os.path.join(out_dir, "sigledger")
+    sig_gen_dir = os.path.join(sig_dir, f"gen={delta_id}")
+    seg_gen_dir = os.path.join(out_dir, "segledger", f"gen={delta_id}")
+    if _dir_has_data(spark, sig_gen_dir):
+        # crash window: ledgers advanced, manifest commit lost. Docs and
+        # ledgers are complete (ledger appends happen after the shard
+        # writes); reconstruct the generation entry from the ledger gen
+        # instead of re-counting the delta into the ledgers (ADVICE r8
+        # #1b's dual: counts must land exactly once).
+        gen_rows = spark.read.parquet(sig_gen_dir).localCheckpoint()
+        exported_ids = gen_rows.where(F.col("exported")).select("doc_id")
+        gen = {
+            "delta_id": delta_id,
+            "delta_input": n_input,
+            "delta_fresh": gen_rows.count(),
+            "docs_added": exported_ids.count(),
+            "affected_shards": sorted(
+                int(r["shard"])
+                for r in existing.join(exported_ids, "doc_id")
+                .select("shard")
+                .distinct()
+                .collect()
+            ),
+            "recovered": True,
+            "stale_epochs": sorted(manifest.get("epochs", {})),
+        }
+        totals = existing.agg(
+            F.sum(token_count(F.col("text"))).cast("long").alias("tokens"),
+            F.count("*").alias("docs"),
+        ).first()
+        stages["total_tokens"] = int(totals["tokens"] or 0)
+        stages["after_dedup"] = int(totals["docs"] or 0)
+        per_shard = _chunks_per_shard(spark, os.path.join(out_dir, "chunks"))
+        stages["chunks"] = sum(per_shard.values())
+        stages["chunks_per_shard"] = per_shard
+        manifest.setdefault("generations", []).append(gen)
+        _write_manifest(man_path, manifest, spark)
+        return manifest
+
+    # sig-ledger bootstrap for exports predating it: one corpus pass
+    # (ids + shipped-text hash), after which every fold is ledger-only
+    if not _dir_has_data(spark, sig_dir):
+        (
+            existing.select(
+                "doc_id",
+                F.md5("text").alias("clean_sig"),
+                F.lit(True).alias("exported"),
+            )
+            .withColumn("gen", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("gen")
+            .parquet(sig_dir)
+        )
+    sig = _read_sig_ledger(spark, out_dir)
+
+    gen: dict = {"delta_id": delta_id, "delta_input": n_input}
+    # ledger skip: doc_ids already PROCESSED (exported or dropped)
+    # never re-enter — re-delivered dropped docs must not re-count
+    # their segments into the ledger (ADVICE r8 #1a)
     fresh = delta_docs.join(
-        existing.select("doc_id"), "doc_id", "left_anti"
+        sig.select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint()
     gen["delta_fresh"] = fresh.count()
 
@@ -518,7 +694,14 @@ def export_training_incremental(
         [F.col("doc_id")],
         cap=1,
     ).select("doc_id", "clean_sig")
-    existing_sigs = existing.select(F.md5("text").alias("clean_sig")).distinct()
+    # first-write-wins against the SIG LEDGER's exported signatures —
+    # never a rehash of the corpus text column (ADVICE r8 #3)
+    existing_sigs = (
+        sig.where(F.col("exported"))
+        .select("clean_sig")
+        .where(F.col("clean_sig").isNotNull())
+        .distinct()
+    )
     new_ids = winner_ids.join(
         existing_sigs, "clean_sig", "left_anti"
     ).select("doc_id")
@@ -551,12 +734,26 @@ def export_training_incremental(
     gen["affected_shards"] = affected
     gen["docs_added"] = gen["after_decontaminate" if benchmark is not None else "after_dedup"]
 
+    # per-shard chunk map: the manifest's copy is the authoritative
+    # PRE-fold state (a crashed prior attempt may have rewritten the
+    # affected shards' files already — counting those would double the
+    # delta); legacy manifests derive it from the files once
+    chunks_dir = os.path.join(out_dir, "chunks")
+    chunks_per_shard = dict(
+        stages.get("chunks_per_shard")
+        or _chunks_per_shard(spark, chunks_dir)
+    )
+
     if affected:
         combined = (
             # bare column in the filter: wrapping the PARTITION column
             # in a cast would defeat partition pruning and list-scan
-            # every shard directory of a 100 TB export
+            # every shard directory of a 100 TB export. The anti-join
+            # on the delta's ids makes a replay over a crashed partial
+            # shard write idempotent (the crashed write may already
+            # hold delta docs; the re-fold must not duplicate them).
             existing.where(F.col("shard").isin(affected))
+            .join(kept.select("doc_id"), "doc_id", "left_anti")
             .drop("shard", "pos")
             .unionByName(kept)
         )
@@ -582,23 +779,62 @@ def export_training_incremental(
             .parquet(os.path.join(out_dir, "chunks"))
         )
 
-    # advance the ledger LAST: a completed fold appends exactly one
-    # generation of delta counts; a crashed fold appends none
-    if delta_freq is not None and gen.get(
-        "after_quality", gen["delta_fresh"]
-    ):
-        delta_freq.write.mode("append").parquet(ledger_dir)
+    # advance the ledgers after the shard writes, each under its
+    # gen=<delta_id> partition, skipped when already present — so a
+    # crash at ANY point replays to exactly one generation of counts
+    # (ADVICE r8 #1b), and the manifest write below is the commit
+    if gen["delta_fresh"]:
+        if delta_freq is not None and not _dir_has_data(spark, seg_gen_dir):
+            (
+                delta_freq.withColumn("gen", F.lit(delta_id))
+                .write.mode("append")
+                .partitionBy("gen")
+                .parquet(ledger_dir)
+            )
+        if not _dir_has_data(spark, sig_gen_dir):
+            (
+                fresh.select("doc_id")
+                .join(
+                    cleaned.select("doc_id", "clean_sig"), "doc_id", "left"
+                )
+                .join(
+                    kept.select("doc_id").withColumn("__exp", F.lit(True)),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    "clean_sig",
+                    F.coalesce("__exp", F.lit(False)).alias("exported"),
+                )
+                .withColumn("gen", F.lit(delta_id))
+                .write.mode("append")
+                .partitionBy("gen")
+                .parquet(sig_dir)
+            )
 
-    # refresh corpus-wide totals from the updated artifacts (one scan)
-    docs_now = spark.read.parquet(os.path.join(out_dir, "docs"))
-    totals = docs_now.agg(
-        F.sum(token_count(F.col("text"))).cast("long").alias("tokens"),
-        F.count("*").alias("docs"),
-    ).first()
-    stages = manifest["stages"]
-    stages["total_tokens"] = int(totals["tokens"] or 0)
-    stages["after_dedup"] = int(totals["docs"] or 0)
-    stages["chunks"] = _count_chunks(spark, os.path.join(out_dir, "chunks"))
+    # manifest totals maintained INCREMENTALLY — O(|Δ| + affected
+    # shards), never a corpus rescan (ADVICE r8 #3): disjoint docs make
+    # token/doc counts additive, and re-packing only changes the
+    # affected shards' chunk counts (counted partition-pruned).
+    delta_tokens = 0
+    if gen["docs_added"]:
+        delta_tokens = int(
+            kept.agg(
+                F.sum(token_count(F.col("text"))).cast("long").alias("t")
+            ).first()["t"]
+            or 0
+        )
+    if affected:
+        chunks_per_shard.update(
+            _chunks_per_shard(spark, chunks_dir, shards=affected)
+        )
+    stages["total_tokens"] = int(stages.get("total_tokens", 0)) + delta_tokens
+    stages["after_dedup"] = (
+        int(stages.get("after_dedup", 0)) + gen["docs_added"]
+    )
+    stages["chunks"] = sum(chunks_per_shard.values())
+    stages["chunks_per_shard"] = chunks_per_shard
     gen["stale_epochs"] = sorted(manifest.get("epochs", {}))
     manifest.setdefault("generations", []).append(gen)
     _write_manifest(man_path, manifest, spark)
@@ -607,25 +843,52 @@ def export_training_incremental(
 
 def read_segment_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
     """Canonical (seg_key, n) view of the export's segment ledger.
-    The ledger is stored as mergeable GENERATIONS (the full export's
-    base counts plus one appended parquet generation per delta fold),
-    so the read sums them — one shuffle on the 16-byte hash. Segment
-    counts are additive, which is what makes O(|delta|) appends sound."""
+    The ledger is stored as mergeable GENERATIONS (``gen=base`` from the
+    full export plus one ``gen=<delta_id>`` partition per committed
+    fold), so the read sums them — one shuffle on the 16-byte hash.
+    recursiveFileLookup reads any layout (gen partitions, legacy flat,
+    or mixed); segment counts are additive, which is what makes
+    O(|delta|) appends sound."""
     return (
-        spark.read.parquet(os.path.join(out_dir, "segledger"))
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(out_dir, "segledger"))
         .groupBy("seg_key")
         .agg(F.sum("n").cast("long").alias("n"))
     )
 
 
 def compact_segment_ledger(spark: SparkSession, out_dir: str) -> int:
-    """Fold all ledger generations into one (read → sum → eager
-    checkpoint → overwrite). Run when the generation count grows —
+    """Fold all ledger generations into one ``gen=base`` (read → sum →
+    eager checkpoint → overwrite). Run when the generation count grows —
     reads stay correct without it, just with more files to merge.
-    Returns the distinct segment count."""
+    Returns the distinct segment count. Run BETWEEN folds only: the
+    per-delta gen markers double as crash-recovery breadcrumbs within a
+    fold (their job ends at the fold's manifest commit)."""
     ledger_dir = os.path.join(out_dir, "segledger")
     merged = read_segment_ledger(spark, out_dir).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(ledger_dir)
+    (
+        merged.withColumn("gen", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("gen")
+        .parquet(ledger_dir)
+    )
+    return merged.count()
+
+
+def compact_sig_ledger(spark: SparkSession, out_dir: str) -> int:
+    """sigledger twin of :func:`compact_segment_ledger`: fold all
+    (doc_id, clean_sig, exported) generations into one ``gen=base``.
+    Rows are disjoint across generations (each doc_id is processed by
+    exactly one fold), so compaction is a plain rewrite, no merge.
+    Returns the processed-doc count."""
+    sig_dir = os.path.join(out_dir, "sigledger")
+    merged = _read_sig_ledger(spark, out_dir).localCheckpoint(eager=True)
+    (
+        merged.withColumn("gen", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("gen")
+        .parquet(sig_dir)
+    )
     return merged.count()
 
 

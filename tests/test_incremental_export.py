@@ -401,3 +401,223 @@ def test_stream_training_deltas(spark, tmp_path):
     assert sum(g["docs_added"] for g in man2["generations"]) == 3
     docs = spark.read.parquet(os.path.join(out, "docs"))
     assert docs.count() == 13
+
+
+def _segledger_counts(spark, out):
+    from ftm_datalake_spark.pipelines.training_export import (
+        read_segment_ledger,
+    )
+
+    return {
+        (r["seg_key"], r["n"])
+        for r in read_segment_ledger(spark, out).collect()
+    }
+
+
+def test_redelivered_dropped_delta_never_inflates_ledger(spark, tmp_path):
+    """ADVICE r8 #1a: a delta whose docs were ALL dropped by dedup must
+    not re-append its segment counts on re-delivery — neither as the
+    same batch (delta_id commit record) nor smuggled inside a later
+    partially-overlapping batch (sig-ledger processed-ids anti-join)."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(10), "c")
+    out = str(tmp_path / "exp")
+    export_training(spark, base, out, **CFG)
+
+    dup_text = base.where(F.col("doc_id") == 3).first()["text"]
+    dup = spark.createDataFrame([(300, dup_text)], "doc_id long, text string")
+    m1 = export_training_incremental(spark, dup, out)
+    assert m1["generations"][0]["after_dedup"] == 0  # dropped by dedup
+    counts_once = _segledger_counts(spark, out)
+
+    # same batch again: commit-record no-op, counts untouched
+    m2 = export_training_incremental(spark, dup, out)
+    g = m2["generations"][1]
+    assert g["replayed"] is True and g["delta_fresh"] == 0
+    assert _segledger_counts(spark, out) == counts_once
+
+    # the dropped doc riding along in a NEW batch: still exactly-once
+    mixed = spark.createDataFrame(
+        [(300, dup_text), (400, "mix400a mix400b mix400c mix400d")],
+        "doc_id long, text string",
+    )
+    m3 = export_training_incremental(spark, mixed, out)
+    g3 = m3["generations"][2]
+    assert g3["delta_fresh"] == 1  # only doc 400 is new work
+    after = _segledger_counts(spark, out)
+    # doc 3/300's segments were counted exactly twice (base + one fold),
+    # never a third time — so no segment of theirs reaches max_freq by
+    # replay alone
+    dup_counts = {n for k, n in after if (k, 2) in counts_once}
+    assert dup_counts == {2}
+
+
+def test_crash_between_shard_writes_and_ledger_append_replays(spark, tmp_path):
+    """ADVICE r8 #1b: a crash after the shard writes but before the
+    ledger appends must NOT lose the delta's counts. The replayed fold
+    re-runs the whole delta (sig ledger has no record of it), rewrites
+    the affected shards idempotently (no duplicated docs), and lands
+    the counts exactly once — final state equals the uncrashed fold's."""
+    import shutil
+
+    from ftm_datalake_spark.pipelines.training_export import (
+        _read_manifest,
+        _write_manifest,
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(20), "c")
+    delta = _corpus(spark, [500, 501, 502], "d")
+    good, crash = str(tmp_path / "good"), str(tmp_path / "crash")
+    export_training(spark, base, good, **CFG)
+    export_training(spark, base, crash, **CFG)
+
+    export_training_incremental(spark, delta, good)  # the oracle
+
+    # build the crash state on the twin: full fold, then erase the
+    # ledger generations AND the manifest entry => exactly "crashed
+    # after the shard writes, before the ledger appends"
+    m = export_training_incremental(spark, delta, crash)
+    delta_id = m["generations"][0]["delta_id"]
+    for ledger in ("segledger", "sigledger"):
+        gen_dir = os.path.join(crash, ledger, f"gen={delta_id}")
+        assert os.path.isdir(gen_dir), f"fold did not write {ledger} gen"
+        shutil.rmtree(gen_dir)
+    # the pre-crash manifest is the base export's (the fold's commit
+    # never happened): rebuild it from a base-only twin
+    base_only = str(tmp_path / "baseonly")
+    export_training(spark, base, base_only, **CFG)
+    crash_manifest = _read_manifest(
+        spark, os.path.join(base_only, "manifest.json")
+    )
+    _write_manifest(os.path.join(crash, "manifest.json"), crash_manifest, spark)
+
+    # replay the delta into the crash state
+    m2 = export_training_incremental(spark, delta, crash)
+    g = m2["generations"][0]
+    assert g["delta_fresh"] == 3 and "replayed" not in g
+
+    assert _docs_set(spark, good) == _docs_set(spark, crash)
+    assert _chunks_set(spark, good) == _chunks_set(spark, crash)
+    assert _segledger_counts(spark, good) == _segledger_counts(spark, crash)
+    mg = _read_manifest(spark, os.path.join(good, "manifest.json"))
+    mc = _read_manifest(spark, os.path.join(crash, "manifest.json"))
+    assert mg["stages"] == mc["stages"]
+
+
+def test_crash_after_ledgers_before_manifest_recovers(spark, tmp_path):
+    """The other crash window: ledgers advanced, manifest commit lost.
+    The replay must NOT double-append counts — it reconstructs the
+    generation entry from the gen partitions (recovered=True)."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        _read_manifest,
+        _write_manifest,
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(15), "c")
+    delta = _corpus(spark, [600, 601], "d")
+    out = str(tmp_path / "exp")
+    export_training(spark, base, out, **CFG)
+    pre_manifest = _read_manifest(spark, os.path.join(out, "manifest.json"))
+
+    m = export_training_incremental(spark, delta, out)
+    committed_stages = dict(m["stages"])
+    docs_after = _docs_set(spark, out)
+    counts_after = _segledger_counts(spark, out)
+
+    # lose the commit: restore the pre-fold manifest (ledgers + shards stay)
+    _write_manifest(os.path.join(out, "manifest.json"), pre_manifest, spark)
+
+    m2 = export_training_incremental(spark, delta, out)
+    g = m2["generations"][0]
+    assert g["recovered"] is True
+    assert g["delta_fresh"] == 2 and g["docs_added"] == 2
+    assert sorted(g["affected_shards"])  # reconstructed from docs/
+    assert _docs_set(spark, out) == docs_after
+    assert _segledger_counts(spark, out) == counts_after  # exactly once
+    assert m2["stages"] == committed_stages
+
+
+def test_sig_ledger_bootstrap_for_legacy_exports(spark, tmp_path):
+    """An export created before the sig ledger existed gets one
+    bootstrap pass on its first fold; afterwards first-write-wins and
+    freshness run off the ledger."""
+    import shutil
+
+    from ftm_datalake_spark.pipelines.training_export import (
+        compact_sig_ledger,
+        export_training,
+        export_training_incremental,
+    )
+
+    base = _corpus(spark, range(8), "c")
+    out = str(tmp_path / "exp")
+    export_training(spark, base, out, **CFG)
+    shutil.rmtree(os.path.join(out, "sigledger"))  # simulate legacy
+
+    dup_text = base.where(F.col("doc_id") == 2).first()["text"]
+    delta = spark.createDataFrame(
+        [(700, dup_text), (701, "novel701a novel701b novel701c")],
+        "doc_id long, text string",
+    )
+    m = export_training_incremental(spark, delta, out)
+    assert m["generations"][0]["docs_added"] == 1  # dup dropped, novel kept
+    sig = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(out, "sigledger")
+    )
+    assert sig.count() == 8 + 2  # bootstrap + the fold's generation
+    assert compact_sig_ledger(spark, out) == 10
+
+
+def test_streamed_fold_reads_back_like_sequential_fold(spark, tmp_path):
+    """VERDICT r8 #6 (compose streaming with the reader): a checkpointed
+    streaming fold and the same deltas folded sequentially yield
+    byte-equal shard token streams through read_training_chunks."""
+    import shutil
+
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+        read_training_chunks,
+        stream_training_deltas,
+    )
+
+    base = _corpus(spark, range(10), "c")
+    d1 = _corpus(spark, [600, 601], "d")
+    d2 = _corpus(spark, [700], "e")
+    seq_out, str_out = str(tmp_path / "seq"), str(tmp_path / "strm")
+    export_training(spark, base, seq_out, **CFG)
+    export_training(spark, base, str_out, **CFG)
+
+    export_training_incremental(spark, d1, seq_out)
+    export_training_incremental(spark, d2, seq_out)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for name, df in (("b1", d1), ("b2", d2)):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, str(drop / f"{name}.parquet"))
+    q = stream_training_deltas(spark, str(drop), str_out, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    def shard_streams(out):
+        rows = read_training_chunks(spark, out).collect()
+        streams = {}
+        for r in sorted(
+            rows, key=lambda r: (r["shard"], r["chunk_id"], r["cum_end"])
+        ):
+            streams.setdefault(int(r["shard"]), []).append(r["piece"])
+        return {s: " ".join(ps) for s, ps in streams.items()}
+
+    assert shard_streams(seq_out) == shard_streams(str_out)
+    assert _docs_set(spark, seq_out) == _docs_set(spark, str_out)
+    assert _chunks_set(spark, seq_out) == _chunks_set(spark, str_out)
