@@ -674,8 +674,17 @@ def export_training_incremental(
     delta_freq = None
     if _dir_has_data(spark, ledger_dir):
         delta_freq = segment_frequencies(kept).localCheckpoint(eager=True)
+        # only the DELTA's seg_keys matter to the delta's cleaning —
+        # semi-join the ledger down to them BEFORE the sum, so the fold
+        # never runs a corpus-wide aggregate (the ledger scan stays a
+        # one-column filtered read; AQE broadcasts the delta's keys)
+        raw_ledger = spark.read.option("recursiveFileLookup", "true").parquet(
+            ledger_dir
+        )
         freq = (
-            read_segment_ledger(spark, out_dir)
+            raw_ledger.join(
+                delta_freq.select("seg_key").distinct(), "seg_key", "left_semi"
+            )
             .unionByName(delta_freq)
             .groupBy("seg_key")
             .agg(F.sum("n").cast("long").alias("n"))
@@ -695,12 +704,13 @@ def export_training_incremental(
         cap=1,
     ).select("doc_id", "clean_sig")
     # first-write-wins against the SIG LEDGER's exported signatures —
-    # never a rehash of the corpus text column (ADVICE r8 #3)
+    # never a rehash of the corpus text column (ADVICE r8 #3). No
+    # distinct: an anti-join's right side needs membership, not
+    # uniqueness, and the aggregate would be a corpus-wide shuffle.
     existing_sigs = (
         sig.where(F.col("exported"))
         .select("clean_sig")
         .where(F.col("clean_sig").isNotNull())
-        .distinct()
     )
     new_ids = winner_ids.join(
         existing_sigs, "clean_sig", "left_anti"

@@ -9,23 +9,15 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-8 curation (VERDICT r7 brief #7): with the r1–r7 sample union at
-228/228 — every registry query driver-green at least once — the 50
-slots now buy FRESHNESS, not coverage. Priority order:
-
-1. ``corpus_epoch_packing_wide`` — brand-new this round (the 32-shard
-   scale-honest packing variant), zero driver evidence.
-2. ``pagerank_trade_graph`` — re-planned in r7 (85→13 exchanges) and
-   hardened in r8 (explicit repartition('src')); its last driver
-   sample is r4, i.e. the PRE-rewrite implementation. Judge evidence
-   exists, driver evidence doesn't.
-3. The segment-dedup family — ``segment_dedup`` was refactored this
-   round (extra_freq_docs for the incremental export), so every query
-   through it needs fresh evidence.
-4. The 23 r1-era queries (last driver sample: round 1) — the oldest
-   evidence in the scoreboard; the plan-diet rounds (r4–r5) touched
-   most of their builders after that sample.
-5. Remaining slots: the r3-era stragglers, oldest first.
+Round-9 curation (VERDICT r8 #5): the r1–r8 sample union stands at
+230/230 — every registry query driver-green at least once — and round
+9 changed no registry-visible operator (its work is storage/ledger
+infrastructure: fsutil, S3 inventory crawl, IVF lifecycle, export
+crash-consistency — all law-tested in pytest, none SQL-oracled). So
+the 50 slots buy pure FRESHNESS: the 50 queries with the OLDEST driver
+evidence, oldest round first (47 last sampled in r4, 3 in r5 — the
+r1/r3-era stragglers were refreshed by the r8 prefix). Regenerate with
+scripts/gen_evidence.py each round.
 
 Everything not listed keeps registration order after these.
 """
@@ -33,58 +25,54 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # 1. brand-new round-8 queries
-    "corpus_epoch_packing_wide",
-    "corpus_segment_ledger",
-    # 2. rewritten since its last (r4) driver sample
-    "pagerank_trade_graph",
-    # 3. segment_dedup changed this round (incremental-export refactor)
-    "dedup_common_segments",
-    "corpus_curation",
-    "corpus_curation_v2",
-    "corpus_pipeline_e2e",
-    "corpus_epoch_packing",
-    "corpus_epoch_shards",
-    # 4. r1-era evidence (last driver sample: round 1)
-    "ann_cosine_topk",
-    "ann_cosine_topk_vectorized",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "coalesce_source_url",
-    "coverage_intervals",
-    "dataset_stats",
-    "distinct_line_set",
-    "docs_latest_wins",
-    "docs_merge_upsert",
-    "embedding_neardup",
-    "entity_projection",
-    "events_hourly_rollup",
-    "folders_dim",
-    "glob_filter_sources",
-    "median_order_value",
-    "schema_facets",
-    "set_equality_check",
-    "snapshot_diff_added",
-    "snapshot_diff_deleted",
-    "statement_aggregation",
-    "statement_aggregation_wide",
-    "task_ledger_skip",
-    # 5. r3-era evidence, filling the ~50-slot prefix
-    "above_type_average_parts",
-    "events_p90_value_by_type",
-    "gdpr_forget_users",
-    "histogram_order_value",
-    "inverted_index",
-    "json_props_extract",
-    "make_reconcile",
-    "null_semantics_check",
-    "part_copurchase_topk",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "rollup_order_stats",
-    "scd2_event_history",
-    "stats_qty_price_regression",
-    "token_vocabulary",
-    "topk_per_group",
-    "trigram_freq_top100",
+    "ann_ivfpq_topk",  # last driver sample: r4
+    "ann_lsh_recall",  # last driver sample: r4
+    "ann_pq_adc_topk",  # last driver sample: r4
+    "asof_last_purchase",  # last driver sample: r4
+    "bpe_encode_fixed",  # last driver sample: r4
+    "bpe_pair_freq_top20",  # last driver sample: r4
+    "corpus_leakage_safe_split",  # last driver sample: r4
+    "decontaminate_exact_substring",  # last driver sample: r4
+    "dedup_lsh_recall",  # last driver sample: r4
+    "entities_full",  # last driver sample: r4
+    "events_attribution_last_touch",  # last driver sample: r4
+    "events_pattern_match",  # last driver sample: r4
+    "events_sessionize",  # last driver sample: r4
+    "graph_bfs_distances",  # last driver sample: r4
+    "graph_triangles_trade",  # last driver sample: r4
+    "interval_overlap_sessions",  # last driver sample: r4
+    "layout_compaction_plan",  # last driver sample: r4
+    "layout_hilbert_events",  # last driver sample: r4
+    "layout_zorder_events",  # last driver sample: r4
+    "multimodal_audio_decimate",  # last driver sample: r4
+    "multimodal_audio_features",  # last driver sample: r4
+    "multimodal_audio_spectrum",  # last driver sample: r4
+    "multimodal_bmp_features",  # last driver sample: r4
+    "multimodal_image_dedup",  # last driver sample: r4
+    "multimodal_image_features",  # last driver sample: r4
+    "multimodal_jpeg_features",  # last driver sample: r4
+    "multimodal_phash_neardup",  # last driver sample: r4
+    "multimodal_png_features",  # last driver sample: r4
+    "multimodal_resize_bilinear",  # last driver sample: r4
+    "multimodal_resize_roundtrip",  # last driver sample: r4
+    "multimodal_tiff_features",  # last driver sample: r4
+    "multimodal_video_frames",  # last driver sample: r4
+    "q10_returned_items",  # last driver sample: r4
+    "q11_important_parts",  # last driver sample: r4
+    "q13_customer_distribution",  # last driver sample: r4
+    "q15_top_supplier",  # last driver sample: r4
+    "q16_part_supplier_counts",  # last driver sample: r4
+    "q17_small_quantity_revenue",  # last driver sample: r4
+    "q20_promo_suppliers",  # last driver sample: r4
+    "q21_waiting_suppliers",  # last driver sample: r4
+    "q22_sales_opportunity",  # last driver sample: r4
+    "q2_min_cost_supplier",  # last driver sample: r4
+    "q7_volume_shipping",  # last driver sample: r4
+    "q8_market_share",  # last driver sample: r4
+    "q9_product_profit",  # last driver sample: r4
+    "range_join_session_errors",  # last driver sample: r4
+    "sessions_overlap_purchases",  # last driver sample: r4
+    "approx_distinct_users",  # last driver sample: r5
+    "bloom_semi_join_revenue",  # last driver sample: r5
+    "bpe_encode_trained",  # last driver sample: r5
 )

@@ -11,8 +11,11 @@ candidate 50-slot prefix in priority order:
    one; within a group, registration order.
 
 Greens rotate out automatically (they have evidence; never-sampled
-don't). The output is a STARTING POINT for plans/evidence.py — curate
-it (e.g., promote brand-new ops) rather than pasting blindly.
+don't); 3. with no reds and nothing never-sampled (the steady state
+since r8), remaining slots go to the queries with the OLDEST driver
+evidence, oldest sample round first — evidence freshness rotation
+(VERDICT r8 #5). The output is a STARTING POINT for plans/evidence.py —
+curate it (e.g., promote brand-new ops) rather than pasting blindly.
 
 Usage: python scripts/gen_evidence.py [slots]
 """
@@ -34,11 +37,16 @@ def main() -> int:
 
     from ftm_datalake_spark.plans import REGISTRY
 
+    import re
+
     latest: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 latest[name] = row
+                last_round[name] = max(last_round.get(name, 0), rnd)
 
     def is_red(row: dict) -> bool:
         if row.get("err"):
@@ -65,10 +73,27 @@ def main() -> int:
             if pool and len(prefix) < slots:
                 prefix.append(pool.pop(0))
 
+    # steady state: everything green and sampled — spend the remaining
+    # slots on evidence freshness, oldest driver sample first
+    if len(prefix) < slots:
+        stale = sorted(
+            (n for n in REGISTRY if n not in prefix),
+            key=lambda n: (last_round.get(n, 0), n),
+        )
+        prefix.extend(stale[: slots - len(prefix)])
+
     print(f"# suggested {slots}-slot prefix "
           f"({len(reds)} red, {len(never)} never-sampled available)")
     for name in prefix:
-        status = "RED" if name in reds else REGISTRY[name].tags[0]
+        status = (
+            "RED"
+            if name in reds
+            else (
+                f"last driver sample: r{last_round[name]}"
+                if name in last_round
+                else REGISTRY[name].tags[0]
+            )
+        )
         print(f'    "{name}",  # {status}')
     overflow = [n for pool in pools for n in pool]
     if overflow:

@@ -146,6 +146,123 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def probe_incremental_fold(spark, src_dir: str) -> dict:
+    """VERDICT r8 #4: time a FIXED-size delta folded into exports built
+    from 1× and 10× corpora. The O(|Δ|) claim predicts a decade ratio
+    near 1 — the fold reads the delta, the ledgers' id/hash columns,
+    and the affected shards only, never the corpus text. Two distinct
+    deltas per scale (a re-fold of the same delta is the no-op replay
+    path, not a fold), min of the two."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    cfg = dict(seq_len=512, n_shards=32, seed="probe", quality_gate=False)
+
+    def fixed_delta(tag: str, n: int = 200):
+        return spark.range(n).select(
+            (F.col("id") + 900_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"pr{tag}w{j}x"), F.col("id").cast("string"))
+                    for j in range(24)
+                ],
+            ).alias("text"),
+        )
+
+    out: dict = {}
+    for scale, docs_path in (
+        ("sf0.1", os.path.join(src_dir, "documents.parquet")),
+        ("sf1.0", os.path.join(PROBE_DIR, "documents.parquet")),
+    ):
+        exp = os.path.join("/tmp/sfprobe", f"export_{scale.replace('.', '')}")
+        docs = spark.read.parquet(docs_path).select("doc_id", "text")
+        if not os.path.exists(os.path.join(exp, "manifest.json")):
+            t0 = time.perf_counter()
+            export_training(spark, docs, exp, **cfg)
+            print(f"{scale} export build: {round(time.perf_counter()-t0,1)}s",
+                  flush=True)
+        samples = []
+        for tag in ("a", "b"):
+            delta = fixed_delta(scale.replace(".", "") + tag)
+            t0 = time.perf_counter()
+            export_training_incremental(spark, delta, exp)
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[scale] = min(samples)
+        print(f"{scale} fold(|delta|=200): {min(samples)} {samples}", flush=True)
+    out["ratio"] = round(out["sf1.0"] / out["sf0.1"], 2)
+    return out
+
+
+def probe_ivf_lifecycle(spark, src_dir: str) -> dict:
+    """VERDICT r8 #4: IVF append and probe at 1× and 10× corpus, with
+    nlist scaled 10× alongside (the deployed configuration: nlist grows
+    with N, so per-list size — what an append's anti-join and a probe's
+    scan actually read — stays constant). Fixed 50-vector delta, fixed
+    5-query probe; decade ratios near 1 demonstrate O(|Δ|) appends and
+    O(probed lists) probes."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from ftm_datalake_spark.operators.similarity import ivf_centroids
+
+    out: dict = {}
+    for scale, emb_path, nlist in (
+        ("sf0.1", os.path.join(src_dir, "embeddings.parquet"), 64),
+        ("sf1.0", os.path.join(PROBE_DIR, "embeddings.parquet"), 640),
+    ):
+        emb = spark.read.parquet(emb_path)
+        idx = os.path.join(
+            "/tmp/sfprobe", f"ivf_{scale.replace('.', '')}"
+        )
+        if not os.path.exists(os.path.join(idx, "index_meta.json")):
+            cents = ivf_centroids(
+                emb.withColumn("label", F.col("vec_id") % nlist), "label"
+            )
+            t0 = time.perf_counter()
+            build_ivf_index(spark, emb, idx, centroids=cents)
+            print(f"{scale} ivf build (nlist={nlist}): "
+                  f"{round(time.perf_counter()-t0,1)}s", flush=True)
+
+        append_times, probe_times = [], []
+        for shift in (800_000_000, 810_000_000):
+            delta = emb.limit(50).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(shift)
+            )
+            t0 = time.perf_counter()
+            append_ivf_index(spark, delta, idx)
+            append_times.append(round(time.perf_counter() - t0, 3))
+        queries = emb.limit(5)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ivf_index_topk(spark, idx, queries, k=3, nprobe=1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            probe_times.append(round(time.perf_counter() - t0, 3))
+        out[scale] = {
+            "append_50": min(append_times),
+            "probe_5q": min(probe_times),
+            "nlist": nlist,
+        }
+        print(f"{scale} ivf append {append_times} probe {probe_times}",
+              flush=True)
+    out["append_ratio"] = round(
+        out["sf1.0"]["append_50"] / out["sf0.1"]["append_50"], 2
+    )
+    out["probe_ratio"] = round(
+        out["sf1.0"]["probe_5q"] / out["sf0.1"]["probe_5q"], 2
+    )
+    return out
+
+
 def main() -> None:
     from ftm_datalake_spark.session import build_session
 
@@ -163,6 +280,9 @@ def main() -> None:
         "sf0.1": sf01,
         "sf1.0": sf10,
         "ratio": {k: round(sf10[k] / sf01[k], 2) for k in sf01},
+        # round-9: O(|delta|) lifecycle claims, timed (VERDICT r8 #4)
+        "incremental_fold_200docs": probe_incremental_fold(spark, src),
+        "ivf_lifecycle": probe_ivf_lifecycle(spark, src),
     }
     line = json.dumps(payload)
     print(line)

@@ -331,3 +331,27 @@ def test_deleted_between_list_and_fetch_skips_and_counts(spark, tmp_path, s3_sto
         ).count()
         == 0
     )
+
+
+def test_read_s3_inventory_csv_url_encoded(spark, tmp_path):
+    """The Inventory CSV flavor: header CSV with URL-encoded keys —
+    decoded, prefix-scoped/stripped, directory markers dropped."""
+    from ftm_datalake_spark.sources.s3_store import read_s3_inventory
+
+    inv = tmp_path / "inv.csv"
+    inv.write_text(
+        "bucket,key,size\n"
+        "b,corp/a.txt,5\n"
+        "b,corp/space%20name.txt,9\n"
+        "b,corp/sub/,0\n"          # directory marker
+        "b,other/skip.txt,3\n"     # outside the prefix
+    )
+    keys = read_s3_inventory(
+        spark, str(inv), fmt="csv", prefix="corp", url_encoded=True
+    )
+    assert {r["key"] for r in keys.collect()} == {"a.txt", "space name.txt"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_s3_inventory(spark, str(inv), fmt="orc")
