@@ -340,6 +340,11 @@ def _dispatch(spark, args) -> int:
                 keys=inv_keys,
             )
             if args.archive:
+                # pending set computed RELATIONALLY (no driver key
+                # collect, same contract as the crawl itself): table
+                # keys still live in the store, minus content hashes
+                # already in the sharded archive (metadata listing),
+                # deduped to one GET per missing blob.
                 from pyspark.sql import functions as F
 
                 from ftm_datalake_spark.functions.checksum import (
@@ -349,37 +354,57 @@ def _dispatch(spark, args) -> int:
                     archive_blob_bytes,
                 )
                 from ftm_datalake_spark.sources.s3_store import (
+                    _keys_df,
                     list_s3_objects,
                     scan_s3_store,
                 )
 
                 docs = read_documents(spark, args.lake, args.dataset)
                 arch = _os.path.join(args.lake, args.dataset, "archive")
-                live = set(list_s3_objects(bucket, s3_prefix, s3_conn))
-                pending = [
-                    r["key"]
-                    for r in docs.select("key", "content_hash").collect()
-                    if r["key"] in live
-                    and not _os.path.exists(
-                        _os.path.join(
-                            arch,
-                            r["content_hash"][0:2],
-                            r["content_hash"][2:4],
-                            r["content_hash"][4:6],
-                            r["content_hash"],
+                live = (
+                    inv_keys
+                    if inv_keys is not None
+                    else _keys_df(
+                        spark, list_s3_objects(bucket, s3_prefix, s3_conn)
+                    )
+                )
+                try:
+                    archived = (
+                        spark.read.format("binaryFile")
+                        .option("recursiveFileLookup", "true")
+                        .load(arch)
+                        .select(
+                            F.element_at(
+                                F.split(F.col("path"), "/"), -1
+                            ).alias("content_hash")
                         )
                     )
-                ]
-                if pending:
-                    fetched = scan_s3_store(
-                        spark, bucket, pending, s3_prefix, conn=s3_conn
-                    ).select(
-                        "content",
-                        content_checksum(F.col("content")).alias(
-                            "content_hash"
-                        ),
+                except Exception:  # no archive dir yet
+                    archived = spark.createDataFrame(
+                        [], "content_hash string"
                     )
-                    archive_blob_bytes(fetched, args.lake, args.dataset)
+                pending = (
+                    docs.select("key", "content_hash")
+                    .join(live, "key", "left_semi")
+                    .join(archived, "content_hash", "left_anti")
+                    .groupBy("content_hash")
+                    .agg(F.min("key").alias("key"))
+                    .select("key")
+                )
+                fetched = scan_s3_store(
+                    spark,
+                    bucket,
+                    keys=pending,
+                    prefix=s3_prefix,
+                    conn=s3_conn,
+                    on_missing="skip",
+                ).select(
+                    "content",
+                    content_checksum(F.col("content")).alias(
+                        "content_hash"
+                    ),
+                )
+                archive_blob_bytes(fetched, args.lake, args.dataset)
             print(json.dumps(counters))
             return 0
         if args.source.startswith(("http://", "https://")):

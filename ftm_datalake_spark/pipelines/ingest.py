@@ -276,7 +276,14 @@ def crawl(
         listing.unpersist()
         if changed is not None:
             changed.unpersist()
-    return {"files_total": n_total, "added_or_updated": n_changed}
+    # not_found is structurally 0 here — the local listing and the read
+    # happen in one binaryFile scan, there is no list/fetch gap — but
+    # the counters contract is uniform across local/HTTP/S3 backends
+    return {
+        "files_total": n_total,
+        "added_or_updated": n_changed,
+        "not_found": 0,
+    }
 
 
 def _index_document(

@@ -127,14 +127,19 @@ def read_http_range(
 def scan_http_store(
     spark: SparkSession,
     base_url: str,
-    keys: list[str] | None = None,
+    keys: "list[str] | DataFrame | None" = None,
     num_partitions: int | None = None,
     timeout: float = 60.0,
+    on_missing: str = "error",
 ) -> DataFrame:
     """binaryFile-shaped scan of an HTTP store: (path, modificationTime,
-    length, content). ``keys`` defaults to an autoindex walk. Fetches
-    run task-side, Arrow-batched; Last-Modified becomes
-    modificationTime (fetch time when the server sends none).
+    length, content). ``keys`` defaults to an autoindex walk; a
+    DataFrame of keys stays distributed end to end. Fetches run
+    task-side, Arrow-batched; Last-Modified becomes modificationTime
+    (fetch time when the server sends none). ``on_missing="skip"``
+    drops keys the server answers 404/410 for — listings are stale at
+    scale; the caller counts the shortfall (the reference's not_found
+    counter, ftm_datalake/sync/memorious.py:29-33).
 
     Path-column convention: ``path`` is the LOGICAL store path —
     ``base + raw_key`` (unquoted) — chosen so ``path_to_key`` strips the
@@ -151,13 +156,25 @@ def scan_http_store(
         TimestampType,
     )
 
+    from pyspark.sql import DataFrame as _DF
+
+    if on_missing not in ("error", "skip"):
+        raise ValueError(
+            f"on_missing must be 'error' or 'skip', got {on_missing!r}"
+        )
+    skip_missing = on_missing == "skip"
     base = base_url.rstrip("/") + "/"
     if keys is None:
         keys = list_http_autoindex(base)
-    p = num_partitions or spark.sparkContext.defaultParallelism
-    meta = spark.createDataFrame(
-        [(k,) for k in keys], "key string"
-    ).repartition(min(p, max(1, len(keys))), "key")
+    if isinstance(keys, _DF):
+        meta = keys.select("key")
+        if num_partitions:
+            meta = meta.repartition(num_partitions, "key")
+    else:
+        p = num_partitions or spark.sparkContext.defaultParallelism
+        meta = spark.createDataFrame(
+            [(k,) for k in keys] or [], "key string"
+        ).repartition(min(p, max(1, len(keys))), "key")
 
     out_schema = StructType(
         [
@@ -169,23 +186,36 @@ def scan_http_store(
     )
 
     def fetch(batches):
+        from urllib.error import HTTPError
+
         for pdf in batches:
             paths, mtimes, lengths, contents = [], [], [], []
             for key in pdf["key"]:
                 url = base + quote(key)
-                with urlopen(url, timeout=timeout) as res:
-                    body = res.read()
-                    modified = _http_date(res.headers.get("Last-Modified"))
+                try:
+                    with urlopen(url, timeout=timeout) as res:
+                        body = res.read()
+                        modified = _http_date(
+                            res.headers.get("Last-Modified")
+                        )
+                except HTTPError as exc:
+                    if skip_missing and exc.code in (404, 410):
+                        continue  # deleted between list and fetch
+                    raise
                 paths.append(base + key)
                 mtimes.append(modified or dt.datetime.now(dt.timezone.utc))
                 lengths.append(len(body))
                 contents.append(body)
+            # explicit dtypes: an all-skipped batch is empty and pandas
+            # would infer float64 for the timestamp column
             yield pd.DataFrame(
                 {
-                    "path": paths,
-                    "modificationTime": mtimes,
-                    "length": lengths,
-                    "content": contents,
+                    "path": pd.Series(paths, dtype="object"),
+                    "modificationTime": pd.to_datetime(
+                        pd.Series(mtimes, dtype="object"), utc=True
+                    ),
+                    "length": pd.Series(lengths, dtype="int64"),
+                    "content": pd.Series(contents, dtype="object"),
                 }
             )
 
@@ -231,21 +261,29 @@ def crawl_http(
         ]
     n_total = len(keys)
     current = read_documents(spark, lake_dir, dataset)
-    # skip-existing as a Spark anti-join: the documents table side never
-    # collects — only the NEW-key delta (the work list, bounded like the
-    # reference's task queue) comes back to the driver
+    n_before = current.count()
+    # skip-existing as a Spark anti-join, kept FULLY distributed: the
+    # new-key set feeds the fetch as a DataFrame, never a driver list
+    # (same contract as the S3 inventory-manifest crawl)
     listing_df = spark.createDataFrame([(k,) for k in keys] or [], "key string")
-    new_keys = sorted(
-        r["key"]
-        for r in listing_df.join(
-            current.select("key"), "key", "left_anti"
-        ).collect()
-    )
-    if new_keys:
-        rows = crawl_scan_http(spark, base, dataset, keys=new_keys)
+    new_keys = listing_df.join(
+        current.select("key"), "key", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_new = new_keys.count()
+    n_after = n_before
+    if n_new:
+        from ftm_datalake_spark.pipelines.ingest import _document_rows
+
+        files = scan_http_store(spark, base, keys=new_keys, on_missing="skip")
+        rows = _document_rows(files, base, dataset)
         merged = merge_documents(current, rows)
         write_documents(merged, lake_dir)
-    return {"files_total": n_total, "added_or_updated": len(new_keys)}
+        n_after = read_documents(spark, lake_dir, dataset).count()
+    return {
+        "files_total": n_total,
+        "added_or_updated": n_after - n_before,
+        "not_found": n_new - (n_after - n_before),
+    }
 
 
 def crawl_scan_http(

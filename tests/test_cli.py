@@ -31,7 +31,7 @@ def test_cli_crawl_ls_stats(tmp_path):
     lake = str(tmp_path / "lake")
 
     counters = json.loads(_run("crawl", str(src), "-d", "ds1", "--lake", lake).strip())
-    assert counters == {"files_total": 2, "added_or_updated": 2}
+    assert counters == {"files_total": 2, "added_or_updated": 2, "not_found": 0}
 
     keys = _run("ls", "-d", "ds1", "--lake", lake, "--keys").split()
     assert keys == ["a.txt", "b.pdf"]

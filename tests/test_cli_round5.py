@@ -52,7 +52,7 @@ def test_crawl_routes_http_source_and_archives(spark, tmp_path, http_src, capsys
     )
     assert rc in (0, None)
     counters = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert counters == {"files_total": 2, "added_or_updated": 2}
+    assert counters == {"files_total": 2, "added_or_updated": 2, "not_found": 0}
     sha = hashlib.sha1(b"payload x").hexdigest()
     assert open_blob(lake, "ds", sha) == b"payload x"
 
@@ -65,7 +65,7 @@ def test_crawl_routes_http_source_and_archives(spark, tmp_path, http_src, capsys
         ),
     )
     counters = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert counters == {"files_total": 2, "added_or_updated": 0}
+    assert counters == {"files_total": 2, "added_or_updated": 0, "not_found": 0}
 
 
 def test_serve_command_answers_requests(spark, tmp_path, capsys):

@@ -141,7 +141,10 @@ def test_exclude_prunes_before_fetch(spark, http_store, monkeypatch):
     real = hs.scan_http_store
 
     def spy(spark_, base_, keys=None, **kw):
-        fetched.extend(keys or [])
+        if keys is None or isinstance(keys, list):
+            fetched.extend(keys or [])
+        else:  # the distributed new-key DataFrame
+            fetched.extend(r["key"] for r in keys.select("key").collect())
         return real(spark_, base_, keys, **kw)
 
     monkeypatch.setattr(hs, "scan_http_store", spy)
@@ -182,26 +185,29 @@ def test_crawl_http_full_pipeline_and_incremental(spark, tmp_path, monkeypatch):
     real = hs.scan_http_store
 
     def spy(spark_, base_, keys=None, **kw):
-        fetched.extend(keys or [])
+        if keys is None or isinstance(keys, list):
+            fetched.extend(keys or [])
+        else:  # the distributed new-key DataFrame
+            fetched.extend(r["key"] for r in keys.select("key").collect())
         return real(spark_, base_, keys, **kw)
 
     monkeypatch.setattr(hs, "scan_http_store", spy)
     try:
         counters = hs.crawl_http(spark, base, "ds", lake)
-        assert counters == {"files_total": 2, "added_or_updated": 2}
+        assert counters == {"files_total": 2, "added_or_updated": 2, "not_found": 0}
         assert sorted(fetched) == ["one.txt", "two.txt"]
         docs = read_documents(spark, lake, "ds")
         assert {r.key for r in docs.collect()} == {"one.txt", "two.txt"}
 
         fetched.clear()
         counters = hs.crawl_http(spark, base, "ds", lake)
-        assert counters == {"files_total": 2, "added_or_updated": 0}
+        assert counters == {"files_total": 2, "added_or_updated": 0, "not_found": 0}
         assert fetched == []  # unchanged store: zero bytes downloaded
 
         (root / "three.txt").write_bytes(b"third")
         fetched.clear()
         counters = hs.crawl_http(spark, base, "ds", lake)
-        assert counters == {"files_total": 3, "added_or_updated": 1}
+        assert counters == {"files_total": 3, "added_or_updated": 1, "not_found": 0}
         assert fetched == ["three.txt"]  # only the delta
     finally:
         httpd.shutdown()
@@ -250,5 +256,53 @@ def test_make_and_repair_over_http(spark, tmp_path):
             for r in read_documents(spark, lake, "ds").collect()
         }
         assert row["mut.txt"] == hashlib.sha1(b"corrupted!").hexdigest()
+    finally:
+        httpd.shutdown()
+
+
+def test_http_stale_listing_skips_and_counts(spark, tmp_path, monkeypatch):
+    """A key the listing promised but the server 404s by fetch time is
+    skipped and counted (not_found) instead of failing the crawl — the
+    same stale-listing policy as the S3 backend."""
+    import http.server
+    import threading
+
+    from ftm_datalake_spark.pipelines.ingest import read_documents
+    from ftm_datalake_spark.sources import http_store as hs
+
+    root = tmp_path / "src"
+    root.mkdir()
+    (root / "keep.txt").write_bytes(b"kept")
+    handler_cls = type(
+        "Quiet", (http.server.SimpleHTTPRequestHandler,),
+        {"log_message": lambda self, *a: None},
+    )
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        lambda *a, **kw: handler_cls(*a, directory=str(root), **kw),
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    lake = str(tmp_path / "lake")
+
+    # a stale listing: ghost.txt listed but never served
+    monkeypatch.setattr(
+        hs, "list_http_autoindex", lambda *a, **kw: ["keep.txt", "ghost.txt"]
+    )
+    try:
+        counters = hs.crawl_http(spark, base, "ds", lake)
+        assert counters == {
+            "files_total": 2,
+            "added_or_updated": 1,
+            "not_found": 1,
+        }
+        docs = read_documents(spark, lake, "ds")
+        assert {r["key"] for r in docs.collect()} == {"keep.txt"}
+
+        # the default scan policy stays loud
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            hs.scan_http_store(spark, base, keys=["ghost.txt"]).collect()
     finally:
         httpd.shutdown()

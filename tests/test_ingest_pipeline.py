@@ -43,7 +43,7 @@ def test_crawl_make_lifecycle(spark, tmp_path):
 
     # first crawl: everything added
     counters = crawl(spark, src, "ds1", lake)
-    assert counters == {"files_total": 6, "added_or_updated": 6}
+    assert counters == {"files_total": 6, "added_or_updated": 6, "not_found": 0}
 
     docs = read_documents(spark, lake, "ds1")
     got = {r["key"]: r for r in docs.collect()}
@@ -62,7 +62,7 @@ def test_crawl_make_lifecycle(spark, tmp_path):
 
     # re-crawl: nothing new (skip-existing J4)
     counters2 = crawl(spark, src, "ds1", lake)
-    assert counters2 == {"files_total": 6, "added_or_updated": 0}
+    assert counters2 == {"files_total": 6, "added_or_updated": 0, "not_found": 0}
 
     # make on a clean lake: everything ok
     actions = {r["key"]: r["action"] for r in make(spark, src, "ds1", lake).collect()}
@@ -186,7 +186,7 @@ def test_recrawl_unchanged_reads_no_content(spark, tmp_path):
     os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))
 
     counters = crawl(spark, src, "ds1", lake)
-    assert counters == {"files_total": 6, "added_or_updated": 0}
+    assert counters == {"files_total": 6, "added_or_updated": 0, "not_found": 0}
     after = {r["key"]: r for r in read_documents(spark, lake, "ds1").collect()}
     # hash unchanged == content never re-read (sha1 of new bytes differs)
     assert after["notes.txt"]["content_hash"] == before["notes.txt"]["content_hash"]
@@ -218,7 +218,7 @@ def test_recrawl_picks_up_touched_file(spark, tmp_path):
     with open(path, "wb") as fh:
         fh.write(b"a,b\n9,9\n")
     counters = crawl(spark, src, "ds1", lake)
-    assert counters == {"files_total": 6, "added_or_updated": 1}
+    assert counters == {"files_total": 6, "added_or_updated": 1, "not_found": 0}
     got = {r["key"]: r for r in read_documents(spark, lake, "ds1").collect()}
     assert got["data.csv"]["content_hash"] == hashlib.sha1(b"a,b\n9,9\n").hexdigest()
 
