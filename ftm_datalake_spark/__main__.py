@@ -191,6 +191,13 @@ def main(argv: list[str] | None = None) -> int:
         "was built with decontamination)"
     )
 
+    p_cmp = sub.add_parser(
+        "export-compact",
+        help="fold the export's segment/sig ledger generations into one "
+        "(maintenance between folds; reads stay correct without it)",
+    )
+    p_cmp.add_argument("export_dir", help="an existing export-training dir")
+
     p_epo = sub.add_parser("export-epochs")
     p_epo.add_argument("export_dir", help="an existing export-training dir")
     p_epo.add_argument(
@@ -981,6 +988,20 @@ def _dispatch(spark, args) -> int:
             spark, delta, args.out, benchmark=bench
         )
         print(json.dumps(manifest, sort_keys=True))
+    elif args.cmd == "export-compact":
+        from ftm_datalake_spark.pipelines.training_export import (
+            compact_segment_ledger,
+            compact_sig_ledger,
+        )
+
+        print(
+            json.dumps(
+                {
+                    "segments": compact_segment_ledger(spark, args.export_dir),
+                    "docs": compact_sig_ledger(spark, args.export_dir),
+                }
+            )
+        )
     elif args.cmd == "export-epochs":
         from ftm_datalake_spark.pipelines.training_export import (
             export_epoch_maps,

@@ -104,11 +104,13 @@ def test_reappend_is_noop(spark, corpus, tmp_path):
 
 
 def test_probe_reads_only_probed_partitions(spark, corpus, tmp_path):
-    """The partition pruning is in the PHYSICAL plan: the postings
-    FileScan carries a PartitionFilters equality on the single probed
-    cluster, so only that inverted-list directory is read.
-    (``inputFiles()`` can't show this — it lists the relation before
-    pruning.)"""
+    """Probes read the probed inverted-list DIRECTORIES explicitly
+    (basePath read) — the relation is built from exactly those paths,
+    so ``inputFiles()`` is the exact read set: every file sits under a
+    ``cluster=`` dir of the probed set, and other lists contribute no
+    files at all. (A root read + partition filter would prune the scan
+    but still file-list every cluster directory — O(nlist) metadata
+    RPCs per probe.)"""
     import re
 
     from ftm_datalake_spark.operators.ann_index import (
@@ -121,14 +123,16 @@ def test_probe_reads_only_probed_partitions(spark, corpus, tmp_path):
     assert stats["clusters"] > 1
     queries = corpus.where(F.col("vec_id") == 0)  # one query, nprobe=1
     probe = ivf_index_topk(spark, out, queries, k=3, nprobe=1)
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    cluster_filters = [f for f in filters if "cluster" in f]
-    assert cluster_filters, plan
-    # a single probed list -> a single equality predicate, not a scan
-    assert any(
-        re.search(r"cluster#\d+ = \d+", f) for f in cluster_filters
-    ), cluster_filters
+    files = [f for f in probe.inputFiles() if "/postings/" in f]
+    assert files
+    probed = {
+        re.search(r"cluster=(\d+)", f).group(1) for f in files
+    }
+    assert len(probed) == 1  # one query at nprobe=1 -> one list read
+    all_files = spark.read.parquet(
+        os.path.join(out, "postings")
+    ).inputFiles()
+    assert len(files) < len(all_files)
 
 
 def test_ann_index_cli(spark, corpus, tmp_path):
@@ -158,10 +162,8 @@ def test_append_antijoin_reads_only_touched_partitions(spark, corpus, tmp_path):
     """ADVICE r8 #4: the re-delivery anti-join must scan only the
     delta's own cluster partitions, not every inverted list — under a
     frozen codebook a vid can only collide in its assigned cluster.
-    Asserted on the physical plan's PartitionFilters (``inputFiles()``
-    lists the relation before pruning, same as the probe test)."""
-    import re
-
+    The restricted read is an explicit-directory read, so its
+    ``inputFiles()`` is the exact set touched."""
     from ftm_datalake_spark.operators.ann_index import (
         _existing_vids,
         build_ivf_index,
@@ -177,17 +179,15 @@ def test_append_antijoin_reads_only_touched_partitions(spark, corpus, tmp_path):
     )
     one = all_clusters[:1]
     restricted = _existing_vids(spark, postings, one)
-    plan = restricted._jdf.queryExecution().executedPlan().toString()
-    filters = [
-        f
-        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-        if "cluster" in f
-    ]
-    assert filters, plan  # the isin IS a static partition filter
+    files = restricted.inputFiles()
+    assert files and all(f"cluster={one[0]}/" in f for f in files), files
     # the restricted read returns exactly the one cluster's vids
     posted = spark.read.parquet(postings)
     want = posted.where(F.col("cluster") == one[0]).count()
     assert restricted.count() == want < posted.count()
+    # a request for lists that don't exist yet is an empty frame
+    ghost = _existing_vids(spark, postings, [max(all_clusters) + 99])
+    assert ghost.count() == 0
 
 
 def test_compact_postings_bit_identical(spark, corpus, tmp_path):

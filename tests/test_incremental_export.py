@@ -621,3 +621,37 @@ def test_streamed_fold_reads_back_like_sequential_fold(spark, tmp_path):
     assert shard_streams(seq_out) == shard_streams(str_out)
     assert _docs_set(spark, seq_out) == _docs_set(spark, str_out)
     assert _chunks_set(spark, seq_out) == _chunks_set(spark, str_out)
+
+
+def test_export_compact_cli(spark, tmp_path, capsys):
+    """export-compact folds both ledgers' generations; reads unchanged."""
+    import argparse
+    import json as _json
+
+    from ftm_datalake_spark.__main__ import _dispatch
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        export_training_incremental,
+    )
+
+    out = str(tmp_path / "exp")
+    export_training(spark, _corpus(spark, range(8), "c"), out, **CFG)
+    export_training_incremental(spark, _corpus(spark, [900], "d"), out)
+    before = _segledger_counts(spark, out)
+
+    capsys.readouterr()
+    rc = _dispatch(
+        spark, argparse.Namespace(cmd="export-compact", export_dir=out)
+    )
+    assert rc in (0, None)
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["segments"] == len(before)
+    assert res["docs"] == 9  # 8 base + 1 fold, all processed docs
+    assert _segledger_counts(spark, out) == before
+    # single generation remains for each ledger
+    for ledger in ("segledger", "sigledger"):
+        gens = [
+            n for n in os.listdir(os.path.join(out, ledger))
+            if n.startswith("gen=")
+        ]
+        assert gens == ["gen=base"]
