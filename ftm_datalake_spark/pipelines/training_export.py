@@ -291,7 +291,10 @@ def _write_manifest(path: str, manifest: dict, spark: SparkSession | None = None
 
 
 def read_training_chunks(
-    spark: SparkSession, out_dir: str, epoch: str | None = None
+    spark: SparkSession,
+    out_dir: str,
+    epoch: str | None = None,
+    shard: int | None = None,
 ) -> DataFrame:
     """Reader twin of :func:`export_training`: materialize each packed
     chunk's text pieces from the exported docs + chunk map.
@@ -305,7 +308,15 @@ def read_training_chunks(
     in tests/test_training_export.py); a per-shard loader reads only its
     own shard's docs. The join is doc_id-keyed (one shuffle on an 8-byte
     key); slicing is codegen'd — no Python row boundary; no global sort
-    is imposed (a loader groups by (shard, chunk_id) anyway)."""
+    is imposed (a loader groups by (shard, chunk_id) anyway).
+
+    ``shard`` restricts the read to one shard — the per-loader shape: a
+    rank-K data loader materializes only its own stream. For the base
+    export both ``docs/`` and ``chunks/`` are shard-partitioned, so
+    the bare-column filter prunes to one partition directory on each
+    side; for an ``epoch`` map the docs pruning doesn't apply (epoch
+    shard assignment is independent of the base partitioning) and the
+    filter narrows the chunk side only."""
     from ftm_datalake_spark.operators.textops import tokens
 
     seq_len = _read_manifest(spark, os.path.join(out_dir, "manifest.json"))[
@@ -320,6 +331,10 @@ def read_training_chunks(
         else os.path.join(out_dir, "chunks")
     )
     chunks = spark.read.parquet(chunk_dir)
+    if shard is not None:
+        chunks = chunks.where(F.col("shard") == int(shard))
+        if epoch is None:
+            docs = docs.where(F.col("shard") == int(shard))
     j = chunks.join(docs.select("doc_id", "text"), "doc_id")
     start_global = F.col("cum_end") - F.col("n_tokens")
     piece_start = F.greatest(
@@ -446,13 +461,17 @@ def _delta_id(delta_docs: DataFrame) -> str:
     the corpus contract is append-only (content updates arrive under
     new ids; existing docs never move shards) — so the id set IS the
     delta's identity, and a re-delivered batch maps to the same
-    delta_id however it is partitioned or ordered."""
+    delta_id however it is partitioned or ordered. Hashed over the
+    DISTINCT ids: under xor a doc_id repeated twice would cancel out,
+    letting two different deltas alias (e.g. {1,1,3} vs {2,2,3}) —
+    distinct-first removes that structural collision, and matches the
+    fold's semantics (a doc_id is processed at most once)."""
     from pyspark.sql import functions as F
 
     row = (
-        delta_docs.select(
-            F.xxhash64(F.col("doc_id").cast("string")).alias("h")
-        )
+        delta_docs.select("doc_id")
+        .distinct()
+        .select(F.xxhash64(F.col("doc_id").cast("string")).alias("h"))
         .agg(F.count("*").alias("n"), F.bit_xor("h").alias("x"))
         .first()
     )

@@ -11,6 +11,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _export(spark, tmp_path, name, **kw):
@@ -408,3 +409,62 @@ def test_manifest_write_is_atomic(tmp_path):
     with open(path) as fh:
         assert json.load(fh) == {"a": 2, "b": [1, 2, 3]}
     assert not os.path.exists(path + ".__stage__")
+
+
+def test_reader_shard_restriction_prunes_and_matches(spark, tmp_path):
+    """read_training_chunks(shard=K) equals the full read filtered to K,
+    and its docs-side inputFiles stay inside shard=K (the per-loader
+    partition-pruned read)."""
+    from ftm_datalake_spark.pipelines.training_export import (
+        export_training,
+        read_training_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"s{i}w{j}" for j in range(12))) for i in range(24)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "exp")
+    export_training(
+        spark, docs, out, seq_len=16, n_shards=4, quality_gate=False
+    )
+
+    full = read_training_chunks(spark, out)
+    shards = sorted(
+        int(r["shard"]) for r in full.select("shard").distinct().collect()
+    )
+    assert len(shards) > 1
+    k = shards[0]
+    only = read_training_chunks(spark, out, shard=k)
+    want = {
+        tuple(r) for r in full.where(F.col("shard") == k).collect()
+    }
+    assert {tuple(r) for r in only.collect()} == want and want
+
+    # pruning lives in the physical plan (inputFiles lists the relation
+    # pre-pruning): both scans carry a shard PartitionFilters equality
+    import re
+
+    plan = only._jdf.queryExecution().executedPlan().toString()
+    shard_filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "shard" in f
+    ]
+    assert len(shard_filters) >= 2, plan  # docs side AND chunks side
+
+
+def test_delta_id_distinct_ids_no_xor_cancellation(spark):
+    """{1,1,3} and {2,2,3} must not alias: the id hashes over DISTINCT
+    doc_ids (xor of a repeated id would cancel out)."""
+    from ftm_datalake_spark.pipelines.training_export import _delta_id
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (3, "y")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    assert _delta_id(a) != _delta_id(b)
+    # order/partitioning independent
+    assert _delta_id(a.orderBy(F.col("doc_id").desc()).repartition(7)) == _delta_id(a)
