@@ -348,3 +348,72 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (round 9): synchronous LPA with fixed
+# iterations on the symmetrized supplier<->customer graph. The oracle
+# unrolls the K rounds as CTE chains — plurality counting and the
+# (cnt DESC, label ASC) tie-break are pure integer/string comparisons,
+# so both engines replay the recurrence bit-exact. See
+# operators/labelprop.py for the determinism spec and scale notes.
+_LPA_ITERS = 4
+
+
+def _oracle_lpa(iters: int) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    steps = "".join(
+        f""",
+    v{k + 1} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{k} l ON l.node = e.src
+      GROUP BY e.dst, l.label),
+    l{k + 1} AS (
+      SELECT p.node, COALESCE(w.label, p.label) AS label
+      FROM l{k} p LEFT JOIN (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label) AS rn
+          FROM v{k + 1}) ranked
+        WHERE rn = 1) w ON w.node = p.node)"""
+        for k in range(iters)
+    )
+    return head + steps + f"""
+    SELECT node, label AS community FROM l{iters} ORDER BY node
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_oracle_lpa(_LPA_ITERS),
+    tags=("graph", "iterative", "community"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community id per node after 4 synchronous LPA rounds. Per round:
+    one edges-on-src hash join + a two-level count/arg-min aggregation
+    (no window, no sort) — the Pregel-shaped cost, edge-scale shuffle
+    once per round."""
+    from ftm_datalake_spark.operators.labelprop import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iters=_LPA_ITERS).orderBy("node")

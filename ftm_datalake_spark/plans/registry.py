@@ -49,6 +49,7 @@ def register(
 def get_registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first use.
     from ftm_datalake_spark.plans import (  # noqa: F401
+        classifier_ops,
         clustering_ops,
         core,
         corpus_ops,
