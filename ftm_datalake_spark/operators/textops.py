@@ -210,6 +210,74 @@ def segment_dedup(
     )
 
 
+def boilerplate_report_by_source(
+    docs: DataFrame,
+    seg_len: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE boilerplate audit (CCNet runs dedup per language/
+    domain bucket, not globally — Wenzek et al. 2020 §3.1): a segment
+    is boilerplate within its source when it appears in >= ``min_df``
+    DISTINCT docs of that source (headers, footers, nav chrome repeat
+    across a site's pages but are legitimate text elsewhere).
+
+    Output per source: (source, n_docs, n_seg_occurrences,
+    boilerplate_keys, occurrences_removed, chars_removed) — the
+    before/after ledger a curation run reports per domain.
+
+    Scale shape: one corpus scan segments zero-shuffle (sequence+slice),
+    then two hash-aggs keyed on (source, seg_key) — the md5 key keeps
+    the shuffle rows fixed-width. The per-source frequency table joins
+    back on the same (source, seg_key) key, so the join co-partitions
+    with the agg that produced it (no extra exchange under AQE). All
+    outputs are integer counts — oracle-exact.
+    """
+    segs = segment_table(docs, seg_len, text_col, id_col).join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+        ),
+        "doc_id",
+    )
+    freq = segs.groupBy("source", "seg_key").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("n"),
+        F.sum(F.length("seg")).alias("chars"),
+    )
+    bp = F.col("df") >= min_df
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_seg_occurrences"),
+            F.sum(F.when(bp, 1).otherwise(0)).cast("long").alias(
+                "boilerplate_keys"
+            ),
+            F.sum(F.when(bp, F.col("n")).otherwise(0)).cast("long").alias(
+                "occurrences_removed"
+            ),
+            F.sum(F.when(bp, F.col("chars")).otherwise(0)).cast("long").alias(
+                "chars_removed"
+            ),
+        )
+        .join(
+            docs.groupBy(F.col(source_col).alias("source")).agg(
+                F.count("*").cast("long").alias("n_docs")
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_seg_occurrences",
+            "boilerplate_keys",
+            "occurrences_removed",
+            "chars_removed",
+        )
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",

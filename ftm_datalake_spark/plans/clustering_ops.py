@@ -186,3 +186,102 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", "cluster", "cosine").orderBy(
         "vec_a", "vec_b"
     )
+
+
+@register(
+    "semdedup_prune_summary",
+    oracle=f"""
+    WITH {_kmeans_ctes(_SEM_BASE)},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+             a.q AS qa, b.q AS qb
+      FROM afinal a JOIN afinal b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    comp AS (
+      SELECT vec_a, vec_b, cluster,
+             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
+             CAST(SUM(t.x * t.x) AS BIGINT) AS na,
+             CAST(SUM(t.y * t.y) AS BIGINT) AS nb
+      FROM pairs, LATERAL (
+        SELECT qa[i] AS x, qb[i] AS y FROM generate_series(1, {_DIMS}) g(i)
+      ) t
+      GROUP BY vec_a, vec_b, cluster
+    ),
+    dropped AS (
+      SELECT DISTINCT vec_b AS vec_id FROM comp
+      WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+              >= 0.999
+    )
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN d.vec_id IS NULL THEN a.vec_id END)
+                AS BIGINT) AS min_kept_vec_id
+    FROM afinal a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cluster
+    ORDER BY a.cluster
+    """,
+    tags=("clustering", "dedup", "similarity"),
+)
+def semdedup_prune_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's prune leg (Abbas et al. 2023): within each k-means
+    cluster, a vector is DROPPED when a lower-id near-duplicate
+    (cosine >= 0.999) exists — keep-lowest-id is the deterministic
+    stand-in for SemDeDup's keep-one-per-group. Output is the
+    per-cluster retention ledger (n_vectors / n_dropped / n_kept).
+
+    Scale shape: pairs only form within a cluster (the SemDeDup trick
+    that makes near-dup pruning tractable at corpus scale); the drop
+    set is a cluster-local anti-join, and the summary is one hash-agg
+    keyed on the cluster id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    assigned, _ = C.kmeans(base, k=_K, iters=_ITERS, dims=_DIMS)
+    from ftm_datalake_spark.operators.similarity import int_norm2
+
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), "cluster"
+    )
+    dropped = (
+        a.join(b, ["cluster"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", int_dot(F.col("qa"), F.col("qb")))
+        .where(
+            cosine(F.col("dot"), int_norm2(F.col("qa")), int_norm2(F.col("qb")))
+            >= 0.999
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.min(F.when(F.col("is_dropped").isNull(), F.col("vec_id")))
+            .cast("long")
+            .alias("min_kept_vec_id"),
+        )
+        .orderBy("cluster")
+    )

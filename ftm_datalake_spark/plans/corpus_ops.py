@@ -711,3 +711,53 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_segment_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.segment_frequencies(docs, seg_len=8).orderBy("seg_key")
+
+
+@register(
+    "boilerplate_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source, s.i AS seg_idx,
+             array_to_string(tk[(s.i*8+1):(s.i*8+8)], ' ') AS seg
+      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
+      WHERE s.i < ceil(len(tk) / 8.0)
+    ),
+    freq AS (
+      SELECT source, md5(seg) AS seg_key,
+             COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n,
+             SUM(length(seg)) AS chars
+      FROM segs GROUP BY source, md5(seg)
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_seg_occurrences,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS boilerplate_keys,
+             CAST(SUM(CASE WHEN df >= 2 THEN n ELSE 0 END) AS BIGINT)
+               AS occurrences_removed,
+             CAST(SUM(CASE WHEN df >= 2 THEN chars ELSE 0 END) AS BIGINT)
+               AS chars_removed
+      FROM freq GROUP BY source
+    )
+    SELECT p.source, CAST(d.n_docs AS BIGINT) AS n_docs,
+           p.n_seg_occurrences, p.boilerplate_keys,
+           p.occurrences_removed, p.chars_removed
+    FROM per_source p
+    JOIN (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) d
+      ON d.source = p.source
+    ORDER BY p.source
+    """,
+    tags=("dedup", "text", "curation"),
+)
+def boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate audit: segments repeated across >=2 docs
+    of the SAME source flagged as site chrome (CCNet buckets dedup per
+    domain). See operators/textops.boilerplate_report_by_source for the
+    scale notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.boilerplate_report_by_source(docs, seg_len=8, min_df=2).orderBy(
+        "source"
+    )
