@@ -46,16 +46,26 @@ def _tokens(df: DataFrame, keep: str, text_col: str) -> DataFrame:
     )
 
 
-def token_vote_model(
+def token_counts(
     train: DataFrame, label_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:
-    """(token, label, cnt, score_ppm): each token's best label by
-    quantized per-class likelihood. One explode + two hash-aggs."""
+    """(label, token, cnt) occurrence counts — the classifier's
+    MERGEABLE sufficient statistic: counts from two corpora sum, so a
+    persisted ledger of them supports O(|delta|) model updates
+    (pipelines/classifier_store.py)."""
     toks = _tokens(train.withColumnRenamed(label_col, "label"), "label", text_col)
-    counts = toks.groupBy("label", "token").agg(
+    return toks.groupBy("label", "token").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    totals = toks.groupBy("label").agg(F.count("*").cast("long").alias("total"))
+
+
+def model_from_counts(counts: DataFrame) -> DataFrame:
+    """Derive the (token, label, cnt, score_ppm) model from a (label,
+    token, cnt) counts frame — label totals are recovered by summing
+    the counts, so the counts ARE the whole training state."""
+    totals = counts.groupBy("label").agg(
+        F.sum("cnt").cast("long").alias("total")
+    )
     s = F.col("cnt") * F.lit(1_000_000).cast("long")
     scored = counts.join(F.broadcast(totals), "label").withColumn(
         "score_ppm",
@@ -77,6 +87,14 @@ def token_vote_model(
         F.col("w.cnt").alias("cnt"),
         F.col("w.score_ppm").alias("score_ppm"),
     )
+
+
+def token_vote_model(
+    train: DataFrame, label_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(token, label, cnt, score_ppm): each token's best label by
+    quantized per-class likelihood. One explode + two hash-aggs."""
+    return model_from_counts(token_counts(train, label_col, text_col))
 
 
 def token_vote_predict(

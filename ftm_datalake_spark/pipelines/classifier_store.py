@@ -1,0 +1,129 @@
+"""Persisted, incrementally-updatable token-vote classifier model.
+
+The classifier's whole training state is the (label, token, cnt)
+occurrence-count frame (operators/classifier.token_counts) — counts
+from disjoint corpora SUM, so the persisted model is a mergeable
+count ledger in the same generation layout as the training export's
+segment ledger (pipelines/training_export.py segledger/):
+
+    <model_dir>/tokledger/gen=base/        full-build counts
+    <model_dir>/tokledger/gen=<delta_id>/  one partition per folded delta
+
+Contracts (all law-tested in tests/test_classifier_store.py):
+- O(|delta|): an append scans ONLY the delta — never re-reads the
+  corpus or the existing ledger (the gen partition is additive).
+- Idempotent re-delivery: the delta's deterministic identity
+  (training_export._delta_id — count + xor of distinct doc-id hashes)
+  names its generation; a re-delivered batch sees its gen= partition
+  already present and no-ops.
+- incremental == full: model(build(C) + append(Δ)) is frame-identical
+  to model(build(C ∪ Δ)).
+- Compaction is invisible: folding all generations into gen=base
+  changes file counts only, never the derived model.
+
+At 100 TB this is the fasttext-style quality/language filter kept
+fresh against a weekly-refresh corpus: the expensive token explosion
+runs once per delta, the vocab-scale ledger merge is one hash-agg on
+(label, token), and scoring readers broadcast the materialized model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark import fsutil
+from ftm_datalake_spark.operators.classifier import (
+    model_from_counts,
+    token_counts,
+)
+from ftm_datalake_spark.pipelines.training_export import _delta_id
+
+
+def _ledger_dir(model_dir: str) -> str:
+    return os.path.join(model_dir, "tokledger")
+
+
+def build_classifier_model(
+    spark: SparkSession,
+    train_docs: DataFrame,
+    model_dir: str,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> int:
+    """Full build: write the training corpus's counts as ``gen=base``.
+    Returns the distinct (label, token) row count."""
+    counts = token_counts(train_docs, label_col, text_col).localCheckpoint(
+        eager=True
+    )
+    (
+        counts.withColumn("gen", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("gen")
+        .parquet(_ledger_dir(model_dir))
+    )
+    return counts.count()
+
+
+def append_classifier_model(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    model_dir: str,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> dict:
+    """Fold a delta corpus into the persisted model — O(|delta|): one
+    token explosion + hash-agg over the delta, one new gen partition.
+    Re-delivering the same delta (by doc-id identity) is a no-op.
+    Returns {delta_id, rows_appended, skipped}."""
+    delta_id = _delta_id(delta_docs)
+    gen_dir = os.path.join(_ledger_dir(model_dir), f"gen={delta_id}")
+    if fsutil.dir_has_data(spark, gen_dir):
+        return {"delta_id": delta_id, "rows_appended": 0, "skipped": True}
+    counts = token_counts(delta_docs, label_col, text_col).localCheckpoint(
+        eager=True
+    )
+    counts.write.mode("overwrite").parquet(gen_dir)
+    return {
+        "delta_id": delta_id,
+        "rows_appended": counts.count(),
+        "skipped": False,
+    }
+
+
+def read_classifier_counts(spark: SparkSession, model_dir: str) -> DataFrame:
+    """Canonical (label, token, cnt) view across all generations — one
+    hash-agg merge on the (label, token) key (counts are additive)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(_ledger_dir(model_dir))
+        .groupBy("label", "token")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def read_classifier_model(spark: SparkSession, model_dir: str) -> DataFrame:
+    """The scoring-ready (token, label, cnt, score_ppm) model derived
+    from the merged ledger — identical to training in one shot over
+    the union of every folded corpus."""
+    return model_from_counts(read_classifier_counts(spark, model_dir))
+
+
+def compact_classifier_ledger(spark: SparkSession, model_dir: str) -> int:
+    """Fold all generations into one ``gen=base`` (read → merge →
+    eager checkpoint → overwrite) — bounds the small-file growth of
+    repeated appends; the derived model is unchanged. Run BETWEEN
+    appends only (the gen markers are the idempotence breadcrumbs).
+    Returns the distinct (label, token) row count."""
+    merged = read_classifier_counts(spark, model_dir).localCheckpoint(
+        eager=True
+    )
+    (
+        merged.withColumn("gen", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("gen")
+        .parquet(_ledger_dir(model_dir))
+    )
+    return merged.count()

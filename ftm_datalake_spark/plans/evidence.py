@@ -10,13 +10,13 @@ relation to which queries most need driver evidence.
 This list reorders the registry so the prefix is spent deliberately.
 
 Round-9 curation (VERDICT r8 #5): the r1–r8 sample union stands at
-230/230 — every registry query driver-green at least once — and round
-9 changed no registry-visible operator (its work is storage/ledger
-infrastructure: fsutil, S3 inventory crawl, IVF lifecycle, export
-crash-consistency — all law-tested in pytest, none SQL-oracled). So
-the 50 slots buy pure FRESHNESS: the 50 queries with the OLDEST driver
-evidence, oldest round first (47 last sampled in r4, 3 in r5 — the
-r1/r3-era stragglers were refreshed by the r8 prefix). Regenerate with
+230/230 — every registry query driver-green at least once. Round 9
+then ADDED six new oracled queries (LPA communities, the token-vote
+classifier triple, boilerplate-by-source, SemDeDup prune) — those
+lead the prefix because they have NO driver evidence yet. The rest of
+the 50 slots buy pure FRESHNESS: the queries with the OLDEST driver
+evidence, oldest round first (last sampled in r4/r5 — the r1/r3-era
+stragglers were refreshed by the r8 prefix). Regenerate with
 scripts/gen_evidence.py each round.
 
 Everything not listed keeps registration order after these.
@@ -25,6 +25,12 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
+    "graph_label_propagation",  # NEW r9 — never driver-sampled
+    "clf_token_vote_model",  # NEW r9 — never driver-sampled
+    "clf_token_vote_predict",  # NEW r9 — never driver-sampled
+    "clf_token_vote_confusion",  # NEW r9 — never driver-sampled
+    "boilerplate_by_source",  # NEW r9 — never driver-sampled
+    "semdedup_prune_summary",  # NEW r9 — never driver-sampled
     "ann_ivfpq_topk",  # last driver sample: r4
     "ann_lsh_recall",  # last driver sample: r4
     "ann_pq_adc_topk",  # last driver sample: r4

@@ -223,3 +223,20 @@ def test_bench_queries_within_shuffle_budget(spark, sf_dir):
             over.append((name, n, SHUFFLE_BUDGET[name]))
     assert not over, f"shuffle budget exceeded (name, got, budget): {over}"
     assert not missing, f"bench queries without a shuffle budget: {missing}"
+
+
+def test_label_propagation_plan_budget(spark, sf_dir):
+    """Lock in the LPA plan diet (116 static exchanges / 62 broadcasts
+    un-pinned -> single digits after the per-round superstep pin — see
+    operators/labelprop.py). labels feeds two joins per round, so a
+    regression to un-checkpointed lineage doubles the plan every
+    iteration and must fail loudly here."""
+    plan = _plan(spark, sf_dir, "graph_label_propagation")
+    exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("+-:* ").startswith("Exchange ")
+    )
+    broadcasts = plan.count("BroadcastExchange")
+    assert exchanges <= 8, f"LPA static exchange count regressed: {exchanges}"
+    assert broadcasts <= 4, f"LPA broadcast count regressed: {broadcasts}"
