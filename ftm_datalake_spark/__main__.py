@@ -226,6 +226,24 @@ def main(argv: list[str] | None = None) -> int:
         help="compact: rewrite clusters with at least this many part files",
     )
 
+    p_clf = sub.add_parser(
+        "classifier",
+        help="persisted token-vote classifier: build from a labeled "
+        "documents parquet / append a delta / compact the count "
+        "ledger / print the model / score a docs parquet",
+    )
+    p_clf.add_argument(
+        "action", choices=["build", "append", "compact", "model", "predict"]
+    )
+    p_clf.add_argument(
+        "source", nargs="?", default=None,
+        help="labeled docs parquet (build/append) or docs to score (predict)",
+    )
+    p_clf.add_argument("--model", required=True, help="model directory")
+    p_clf.add_argument(
+        "--label-col", default="lang", help="label column (build/append)"
+    )
+
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
 
@@ -867,6 +885,49 @@ def _dispatch(spark, args) -> int:
                     spark, args.index, frame, k=args.k, nprobe=args.nprobe
                 )
                 for row in hits.orderBy("qid", "rank").collect():
+                    print(json.dumps(row.asDict()))
+    elif args.cmd == "classifier":
+        from ftm_datalake_spark.operators.classifier import token_vote_predict
+        from ftm_datalake_spark.pipelines.classifier_store import (
+            append_classifier_model,
+            build_classifier_model,
+            compact_classifier_ledger,
+            read_classifier_model,
+        )
+
+        if args.action == "compact":
+            n = compact_classifier_ledger(spark, args.model)
+            print(json.dumps({"rows": n, "compacted": True}))
+        elif args.action == "model":
+            for row in (
+                read_classifier_model(spark, args.model)
+                .orderBy("token")
+                .collect()
+            ):
+                print(json.dumps(row.asDict()))
+        else:
+            if not args.source:
+                print(f"{args.action} needs a source parquet", file=sys.stderr)
+                return 2
+            frame = spark.read.parquet(args.source)
+            if args.action == "build":
+                n = build_classifier_model(
+                    spark, frame, args.model, label_col=args.label_col
+                )
+                print(json.dumps({"rows": n, "built": True}))
+            elif args.action == "append":
+                print(
+                    json.dumps(
+                        append_classifier_model(
+                            spark, frame, args.model, label_col=args.label_col
+                        )
+                    )
+                )
+            else:
+                preds = token_vote_predict(
+                    read_classifier_model(spark, args.model), frame
+                )
+                for row in preds.orderBy("doc_id").collect():
                     print(json.dumps(row.asDict()))
     elif args.cmd == "publish":
         from ftm_datalake_spark.pipelines.ingest import publish
