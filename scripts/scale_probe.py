@@ -52,6 +52,17 @@ HEADLINERS = [
     "graph_kcore_trade",
     "embedding_pca_power",
     "er_golden_record",
+    # round-9: Pregel-shaped LPA (fixed node set, 10× edge-derivation
+    # rows), the broadcast-model scoring pass, and the per-source
+    # boilerplate audit (two hash-aggs over 10× segments). The
+    # semdedup/semantic-pairs family is deliberately NOT probed at a
+    # FIXED k: within-cluster pair count is quadratic per cluster, and
+    # SemDeDup's scale contract is k ∝ N (more clusters, not bigger
+    # ones) — the probe's 10×-rows-same-k generator would measure a
+    # shape the operator never runs at.
+    "graph_label_propagation",
+    "clf_token_vote_predict",
+    "boilerplate_by_source",
 ]
 COPIES = 10
 PROBE_DIR = "/tmp/sfprobe/sf1.0"
@@ -265,6 +276,60 @@ def probe_ivf_lifecycle(spark, src_dir: str) -> dict:
     return out
 
 
+def probe_classifier_append(spark, src_dir: str) -> dict:
+    """Round-9 O(|delta|) claim for the persisted classifier model
+    (pipelines/classifier_store.py): a FIXED 200-doc delta appended to
+    models built from 1× and 10× corpora. The append scans only the
+    delta and writes one gen partition, so the decade ratio should be
+    ~1. Two distinct deltas per scale (same-delta re-delivery is the
+    no-op path), min of the two."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.pipelines.classifier_store import (
+        append_classifier_model,
+        build_classifier_model,
+    )
+
+    def fixed_delta(tag: str, n: int = 200):
+        return spark.range(n).select(
+            (F.col("id") + 950_000_000).alias("doc_id"),
+            (F.col("id") % 5).cast("string").alias("lang"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"cl{tag}w{j}x"), F.col("id").cast("string"))
+                    for j in range(24)
+                ],
+            ).alias("text"),
+        )
+
+    out: dict = {}
+    for scale, docs_path in (
+        ("sf0.1", os.path.join(src_dir, "documents.parquet")),
+        ("sf1.0", os.path.join(PROBE_DIR, "documents.parquet")),
+    ):
+        model_dir = os.path.join(
+            "/tmp/sfprobe", f"clf_{scale.replace('.', '')}"
+        )
+        docs = spark.read.parquet(docs_path)
+        if not os.path.exists(os.path.join(model_dir, "tokledger")):
+            t0 = time.perf_counter()
+            build_classifier_model(spark, docs, model_dir)
+            print(f"{scale} clf build: {round(time.perf_counter()-t0,1)}s",
+                  flush=True)
+        samples = []
+        for tag in ("a", "b"):
+            delta = fixed_delta(scale.replace(".", "") + tag)
+            t0 = time.perf_counter()
+            append_classifier_model(spark, delta, model_dir)
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[scale] = min(samples)
+        print(f"{scale} clf append(|delta|=200): {min(samples)} {samples}",
+              flush=True)
+    out["ratio"] = round(out["sf1.0"] / out["sf0.1"], 2)
+    return out
+
+
 def main() -> None:
     from ftm_datalake_spark.session import build_session
 
@@ -285,6 +350,7 @@ def main() -> None:
         # round-9: O(|delta|) lifecycle claims, timed (VERDICT r8 #4)
         "incremental_fold_200docs": probe_incremental_fold(spark, src),
         "ivf_lifecycle": probe_ivf_lifecycle(spark, src),
+        "classifier_append_200docs": probe_classifier_append(spark, src),
     }
     line = json.dumps(payload)
     print(line)
