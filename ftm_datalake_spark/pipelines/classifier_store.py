@@ -111,6 +111,55 @@ def read_classifier_model(spark: SparkSession, model_dir: str) -> DataFrame:
     return model_from_counts(read_classifier_counts(spark, model_dir))
 
 
+def stream_classifier_deltas(
+    spark: SparkSession,
+    source_dir: str,
+    model_dir: str,
+    *,
+    label_col: str = "lang",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous model refresh: fold labeled-document deltas landing
+    in ``source_dir`` (a parquet drop directory) into the persisted
+    classifier model.
+
+    Structured Streaming file source → foreachBatch →
+    :func:`append_classifier_model` — the same composition as the
+    export's :func:`~ftm_datalake_spark.pipelines.training_export.
+    stream_training_deltas`. Exactly-once per delta without relying on
+    the sink checkpoint alone: the append's ``gen=<delta_id>`` marker
+    makes a replayed micro-batch a no-op, so checkpoint recovery
+    (which may re-deliver the in-flight batch) cannot double-count
+    tokens. Schema comes from a sample read of the drop directory's
+    first file at stream start, so drifted drops fail loudly at the
+    source.
+
+    ``available_now=True`` (default) drains the backlog and stops —
+    the cron-refresh shape; pass False for a long-running query.
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    frames = stream.parquet(source_dir)
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        append_classifier_model(
+            spark, batch, model_dir, label_col=label_col, text_col=text_col
+        )
+
+    writer = frames.writeStream.foreachBatch(fold).option(
+        "checkpointLocation",
+        checkpoint or os.path.join(model_dir, "_delta_stream_checkpoint"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_classifier_ledger(spark: SparkSession, model_dir: str) -> int:
     """Fold all generations into one ``gen=base`` (read → merge →
     eager checkpoint → overwrite) — bounds the small-file growth of

@@ -125,3 +125,61 @@ def test_model_matches_inline_training(spark, tmp_path):
     append_classifier_model(spark, _docs(spark, _DELTA), d)
     inline = sorted(tuple(r) for r in token_vote_model(all_docs).collect())
     assert _model_rows(spark, d) == inline
+
+
+def test_stream_classifier_deltas(spark, tmp_path):
+    """Streaming model refresh: labeled deltas dropped as parquet files
+    fold micro-batch by micro-batch and the merged model equals one-shot
+    training on everything; a checkpointed re-run of the drained stream
+    appends nothing (exactly-once per delta, and a crash-replayed batch
+    hits the gen= no-op path)."""
+    import glob
+    import os
+    import shutil
+
+    from ftm_datalake_spark.operators.classifier import token_vote_model
+    from ftm_datalake_spark.pipelines.classifier_store import (
+        stream_classifier_deltas,
+    )
+
+    d = str(tmp_path / "m")
+    build_classifier_model(spark, _docs(spark, _BASE), d)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def drop_delta(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, str(drop / f"{name}.parquet"))
+
+    extra = [(30, "A", "beta gamma gamma")]
+    drop_delta(_docs(spark, _DELTA), "batch1")
+    drop_delta(_docs(spark, extra), "batch2")
+
+    q = stream_classifier_deltas(spark, str(drop), d, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    inline = sorted(
+        tuple(r)
+        for r in token_vote_model(_docs(spark, _BASE + _DELTA + extra)).collect()
+    )
+    assert _model_rows(spark, d) == inline
+
+    # ledger has base + one gen per micro-batch
+    import re
+
+    gens = {
+        m.group(1)
+        for p in os.listdir(f"{d}/tokledger")
+        if (m := re.match(r"gen=(.+)", p))
+    }
+    assert "base" in gens and len(gens) == 3
+
+    # drained stream restarted on the same checkpoint: nothing new
+    q2 = stream_classifier_deltas(spark, str(drop), d)
+    q2.awaitTermination(120)
+    assert _model_rows(spark, d) == inline
+    gens2 = {p for p in os.listdir(f"{d}/tokledger") if p.startswith("gen=")}
+    assert len(gens2) == 3
