@@ -9,6 +9,7 @@ the scale notes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ftm_datalake_spark.operators import textops as X
 from ftm_datalake_spark.plans.registry import register
@@ -760,4 +761,124 @@ def boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.boilerplate_report_by_source(docs, seg_len=8, min_df=2).orderBy(
         "source"
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based source mixing (round 9): the multilingual sampling
+# rule of XLM-R / mT5 — sample source s proportionally to n_s^alpha
+# with alpha = 0.5, which up-weights low-resource sources relative to
+# raw proportions. sqrt is irrational, so the weight is the EXACT
+# integer sqrt (floor(sqrt) from doubles, then a +/-1 integer
+# correction that makes fp rounding at perfect-square boundaries
+# irrelevant), and quotas use the (s - s % d) / d floor identity —
+# every number bit-exact in both engines. Selection within a source is
+# the md5-ordered prefix, the corpus_source_mixing idiom.
+_MIX_BUDGET = 400  # target docs across all sources
+
+
+@register(
+    "corpus_temperature_mixing",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, SUM(n_chars) AS chars, COUNT(*) AS n_docs
+      FROM documents GROUP BY source),
+    s0 AS (
+      SELECT source, chars, n_docs,
+             CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT) AS s0
+      FROM per_src),
+    w AS (
+      SELECT source, chars, n_docs,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= chars THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > chars THEN 1 ELSE 0 END) AS weight
+      FROM s0),
+    tot AS (SELECT SUM(weight) AS wsum FROM w),
+    quota AS (
+      SELECT w.source, w.chars, w.n_docs, w.weight,
+             ({_MIX_BUDGET} * w.weight
+              - ({_MIX_BUDGET} * w.weight) % t.wsum) / t.wsum AS quota
+      FROM w, tot t),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs,
+           CAST(q.chars AS BIGINT) AS chars,
+           CAST(q.weight AS BIGINT) AS weight,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS selected,
+           CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS selected_checksum
+    FROM quota q LEFT JOIN ranked r
+      ON r.source = q.source AND r.rn <= q.quota
+    GROUP BY q.source, q.n_docs, q.chars, q.weight, q.quota
+    ORDER BY q.source
+    """,
+    tags=("training", "sampling"),
+)
+def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling ledger under alpha=0.5 temperature mixing:
+    quota_s = floor(B * isqrt(chars_s) / sum isqrt(chars)). Scale
+    shape: one corpus agg to the |sources|-row weight frame, a 1-row
+    weight total over THAT tiny frame (allow-listed global scalar),
+    quotas broadcast back into a per-source window prefix — the
+    selection pass is one corpus scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    s0 = F.floor(F.sqrt(F.col("chars").cast("double"))).cast("long")
+    weight = (
+        s0
+        + F.when((s0 + 1) * (s0 + 1) <= F.col("chars"), 1).otherwise(0)
+        - F.when(s0 * s0 > F.col("chars"), 1).otherwise(0)
+    ).cast("long")
+    w = per_src.withColumn("weight", weight)
+    # global weight total over the |sources|-row frame: the data term
+    # collapsed before this exchange, so the SinglePartition window is
+    # the allow-listed global-scalar shape (GLOBAL_SCALAR_OK) — a
+    # constant-key broadcast join here constant-folds into a BNLJ,
+    # which the plan gate rightly treats as worse.
+    wsum = F.sum("weight").over(Window.partitionBy())
+    bw = F.lit(_MIX_BUDGET).cast("long") * F.col("weight")
+    quota = (
+        w.withColumn("wsum", wsum.cast("long"))
+        .withColumn(
+            "quota", ((bw - bw % F.col("wsum")) / F.col("wsum")).cast("long")
+        )
+        .select("source", "n_docs", "chars", "weight", "quota")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(rw).alias("rn")
+    )
+    picked = ranked.join(F.broadcast(quota), "source").where(
+        F.col("rn") <= F.col("quota")
+    )
+    sel = picked.groupBy("source").agg(
+        F.count("*").cast("long").alias("selected"),
+        F.sum("doc_id").cast("long").alias("selected_checksum"),
+    )
+    return (
+        quota.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            "weight",
+            "quota",
+            F.coalesce(F.col("selected"), F.lit(0)).cast("long").alias(
+                "selected"
+            ),
+            F.coalesce(F.col("selected_checksum"), F.lit(0))
+            .cast("long")
+            .alias("selected_checksum"),
+        )
+        .orderBy("source")
     )

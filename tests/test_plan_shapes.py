@@ -100,6 +100,9 @@ GLOBAL_SCALAR_OK = {
     # PMI normalizer: the total-bigram count N is a 1-row global scalar
     # broadcast back into the scoring join
     "text_pmi_collocations",
+    # temperature mixing: the weight-sum normalizer is a window over
+    # the |sources|-row frame — data term collapsed before the exchange
+    "corpus_temperature_mixing",
     # seasonality: the grand-total cell count is the same 1-row scalar
     "events_seasonality_profile",
     # round-6 eval family: AUC's rank-sum total and kappa's contingency
