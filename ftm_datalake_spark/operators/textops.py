@@ -99,12 +99,16 @@ def segment_table(
     seg_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, seg_idx, seg, seg_key) — fixed-width word segments via
     zero-shuffle sequence+slice, keyed by md5. The shared first stage of
-    segment_dedup / segment_frequencies."""
+    segment_dedup / segment_frequencies. ``carry_cols`` rides extra doc
+    columns through the explode (still zero-shuffle) so callers that
+    need them per-segment skip a corpus-scale join back to the docs."""
+    carry = list(carry_cols or [])
     tk = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    base = docs.select(F.col(id_col).alias("doc_id"), *carry, tk.alias("tk"))
     n_segs = F.ceil(F.size("tk") / F.lit(float(seg_len))).cast("int")
     seg_arr = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
@@ -113,7 +117,7 @@ def segment_table(
         ),
     )
     return base.select(
-        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+        "doc_id", *carry, F.posexplode(seg_arr).alias("seg_idx", "seg")
     ).withColumn("seg_key", F.md5("seg"))
 
 
@@ -228,18 +232,18 @@ def boilerplate_report_by_source(
     boilerplate_keys, occurrences_removed, chars_removed) — the
     before/after ledger a curation run reports per domain.
 
-    Scale shape: one corpus scan segments zero-shuffle (sequence+slice),
-    then two hash-aggs keyed on (source, seg_key) — the md5 key keeps
-    the shuffle rows fixed-width. The per-source frequency table joins
-    back on the same (source, seg_key) key, so the join co-partitions
-    with the agg that produced it (no extra exchange under AQE). All
-    outputs are integer counts — oracle-exact.
+    Scale shape: one corpus scan segments zero-shuffle (sequence+slice)
+    with the source column CARRIED through the explode (no join back to
+    the docs), then two hash-aggs keyed on (source, seg_key) — the md5
+    key keeps the shuffle rows fixed-width. All outputs are integer
+    counts — oracle-exact.
     """
-    segs = segment_table(docs, seg_len, text_col, id_col).join(
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
-        ),
-        "doc_id",
+    segs = segment_table(
+        docs.withColumnRenamed(source_col, "source"),
+        seg_len,
+        text_col,
+        id_col,
+        carry_cols=["source"],
     )
     freq = segs.groupBy("source", "seg_key").agg(
         F.countDistinct("doc_id").alias("df"),
