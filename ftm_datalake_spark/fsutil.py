@@ -70,16 +70,80 @@ def dir_has_data(spark: SparkSession, uri: str) -> bool:
     """True iff the directory exists and contains a part file or a
     partition subdirectory — the 'did the write produce any rows' probe,
     valid on any Hadoop scheme (an empty-corpus parquet write creates
-    nothing to infer a schema from)."""
+    nothing to infer a schema from). Hidden entries (leading ``_`` or
+    ``.`` — ``_temporary`` staging, ``_SUCCESS`` markers) are NOT data:
+    a write that crashed mid-job leaves only ``_temporary``, and
+    treating that as data would make an idempotent re-delivery skip a
+    half-written generation (exactly-once violation)."""
     fs, path, _ = hadoop_fs(spark, uri)
     if not fs.exists(path):
         return False
     for status in fs.listStatus(path):
-        if status.isDirectory() or status.getPath().getName().endswith(
-            ".parquet"
-        ):
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if status.isDirectory() or name.endswith(".parquet"):
             return True
     return False
+
+
+def dir_committed(spark: SparkSession, uri: str) -> bool:
+    """True iff ``uri`` holds a COMPLETED direct parquet write: data
+    files present AND the job-commit ``_SUCCESS`` marker. The stricter
+    probe for idempotence markers (ledger ``gen=`` partitions): a crash
+    during job commit can leave some renamed part files without
+    ``_SUCCESS``, and a re-delivery must treat that as not-written and
+    overwrite, not skip."""
+    return dir_has_data(spark, uri) and exists(
+        spark, uri.rstrip("/") + "/_SUCCESS"
+    )
+
+
+def replace_dir(spark: SparkSession, target: str, staged: str) -> None:
+    """Swap a fully-written ``staged`` directory into ``target``'s
+    place without a lost-state window: target → ``target.__old__``,
+    staged → target, delete old. A crash between the renames leaves
+    ``target.__old__`` intact — the next reader restores it via
+    :func:`heal_dir` — and never a moment with neither."""
+    fs, tpath, _ = hadoop_fs(spark, target)
+    old = target.rstrip("/") + ".__old__"
+    _, opath, _ = hadoop_fs(spark, old)
+    _, spath, _ = hadoop_fs(spark, staged)
+    if fs.exists(tpath):
+        # a stale __old__ here is from a prior COMPLETED swap — safe to
+        # drop before parking the current target there
+        if fs.exists(opath):
+            fs.delete(opath, True)
+        if not fs.rename(tpath, opath):
+            raise IOError(f"rename {target} -> {old} failed")
+    # else: a prior swap crashed between its renames and __old__ IS the
+    # current state — keep it until the staged data has landed, so no
+    # instant exists with neither target nor __old__ on disk
+    if not fs.rename(spath, tpath):
+        raise IOError(f"rename {staged} -> {target} failed")
+    if fs.exists(opath):
+        fs.delete(opath, True)
+
+
+def heal_dir(spark: SparkSession, target: str) -> str:
+    """The recovery twin of :func:`replace_dir`: if a swap crashed
+    between its renames (``target`` gone, ``target.__old__`` holding
+    the only state), rename the old state back into place — ONE atomic
+    rename, so healing itself has no partial outcome. Always returns
+    ``target``. Callers touch the swap-managed directory through this
+    (a passive read-fallback would go stale the moment a later write
+    lands in the canonical path and shadows ``.__old__``)."""
+    if dir_has_data(spark, target):
+        return target
+    old = target.rstrip("/") + ".__old__"
+    if dir_has_data(spark, old):
+        fs, tpath, _ = hadoop_fs(spark, target)
+        _, opath, _ = hadoop_fs(spark, old)
+        if fs.exists(tpath):
+            fs.delete(tpath, True)  # empty husk from the crashed swap
+        if not fs.rename(opath, tpath):
+            raise IOError(f"heal rename {old} -> {target} failed")
+    return target
 
 
 def du(spark: SparkSession, uri: str) -> tuple[int, int]:

@@ -80,7 +80,10 @@ def append_classifier_model(
     Returns {delta_id, rows_appended, skipped}."""
     delta_id = _delta_id(delta_docs)
     gen_dir = os.path.join(_ledger_dir(model_dir), f"gen={delta_id}")
-    if fsutil.dir_has_data(spark, gen_dir):
+    # dir_committed, not dir_has_data: a crash during the gen write's
+    # job commit can leave part files without _SUCCESS — re-delivery
+    # must overwrite that half-written generation, never skip it
+    if fsutil.dir_committed(spark, gen_dir):
         return {"delta_id": delta_id, "rows_appended": 0, "skipped": True}
     counts = token_counts(delta_docs, label_col, text_col).localCheckpoint(
         eager=True
@@ -95,10 +98,14 @@ def append_classifier_model(
 
 def read_classifier_counts(spark: SparkSession, model_dir: str) -> DataFrame:
     """Canonical (label, token, cnt) view across all generations — one
-    hash-agg merge on the (label, token) key (counts are additive)."""
+    hash-agg merge on the (label, token) key (counts are additive).
+    Heals a crashed compaction swap first (fsutil.heal_dir), so a
+    crash between :func:`compact_classifier_ledger`'s renames never
+    loses the model."""
+    path = fsutil.heal_dir(spark, _ledger_dir(model_dir))
     return (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(_ledger_dir(model_dir))
+        .parquet(path)
         .groupBy("label", "token")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
@@ -161,18 +168,28 @@ def stream_classifier_deltas(
 
 
 def compact_classifier_ledger(spark: SparkSession, model_dir: str) -> int:
-    """Fold all generations into one ``gen=base`` (read → merge →
-    eager checkpoint → overwrite) — bounds the small-file growth of
-    repeated appends; the derived model is unchanged. Run BETWEEN
-    appends only (the gen markers are the idempotence breadcrumbs).
-    Returns the distinct (label, token) row count."""
+    """Fold all generations into one ``gen=base`` — bounds the
+    small-file growth of repeated appends; the derived model is
+    unchanged. Run BETWEEN appends only (the gen markers are the
+    idempotence breadcrumbs). Returns the distinct (label, token) row
+    count.
+
+    Crash-safe: the merged ledger is staged to a sibling directory and
+    swapped in with :func:`fsutil.replace_dir` (a truncating overwrite
+    of the live ledger would have a window where a crash loses ALL
+    counts); a crashed swap is healed on the next read through
+    :func:`fsutil.heal_dir`."""
+    ledger = _ledger_dir(model_dir)
     merged = read_classifier_counts(spark, model_dir).localCheckpoint(
         eager=True
     )
+    staged = ledger.rstrip("/") + ".__new__"
+    fsutil.delete(spark, staged)
     (
         merged.withColumn("gen", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("gen")
-        .parquet(_ledger_dir(model_dir))
+        .parquet(staged)
     )
+    fsutil.replace_dir(spark, ledger, staged)
     return merged.count()

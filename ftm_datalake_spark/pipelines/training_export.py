@@ -481,9 +481,10 @@ def _delta_id(delta_docs: DataFrame) -> str:
 
 def _read_sig_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
     """(doc_id, clean_sig, exported) across all sigledger generations."""
+    path = fsutil.heal_dir(spark, os.path.join(out_dir, "sigledger"))
     return (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(out_dir, "sigledger"))
+        .parquet(path)
         .select("doc_id", "clean_sig", "exported")
     )
 
@@ -608,12 +609,14 @@ def export_training_incremental(
     sig_dir = os.path.join(out_dir, "sigledger")
     sig_gen_dir = os.path.join(sig_dir, f"gen={delta_id}")
     seg_gen_dir = os.path.join(out_dir, "segledger", f"gen={delta_id}")
-    if _dir_has_data(spark, sig_gen_dir):
+    if fsutil.dir_committed(spark, sig_gen_dir):
         # crash window: ledgers advanced, manifest commit lost. Docs and
         # ledgers are complete (ledger appends happen after the shard
-        # writes); reconstruct the generation entry from the ledger gen
-        # instead of re-counting the delta into the ledgers (ADVICE r8
-        # #1b's dual: counts must land exactly once).
+        # writes; dir_committed requires the gen's own _SUCCESS, so a
+        # half-committed gen re-folds instead of recovering from
+        # partial counts); reconstruct the generation entry from the
+        # ledger gen instead of re-counting the delta into the ledgers
+        # (ADVICE r8 #1b's dual: counts must land exactly once).
         gen_rows = spark.read.parquet(sig_gen_dir).localCheckpoint()
         exported_ids = gen_rows.where(F.col("exported")).select("doc_id")
         gen = {
@@ -689,7 +692,7 @@ def export_training_incremental(
     # evidence — one corpus scan, no text reassembly.
     from ftm_datalake_spark.operators.textops import segment_frequencies
 
-    ledger_dir = os.path.join(out_dir, "segledger")
+    ledger_dir = fsutil.heal_dir(spark, os.path.join(out_dir, "segledger"))
     delta_freq = None
     if _dir_has_data(spark, ledger_dir):
         delta_freq = segment_frequencies(kept).localCheckpoint(eager=True)
@@ -812,15 +815,20 @@ def export_training_incremental(
     # gen=<delta_id> partition, skipped when already present — so a
     # crash at ANY point replays to exactly one generation of counts
     # (ADVICE r8 #1b), and the manifest write below is the commit
+    # each gen is a DIRECT overwrite write into its own directory (not
+    # an append+partitionBy at the ledger root): the gen then carries
+    # its own _SUCCESS job-commit marker, so fsutil.dir_committed can
+    # tell a completed generation from one whose job commit crashed
+    # half-renamed — the append-at-root form had no per-gen marker and
+    # a partially-committed gen would be skipped on replay (silent
+    # undercount). Readers use recursiveFileLookup, so the layouts are
+    # read-identical.
     if gen["delta_fresh"]:
-        if delta_freq is not None and not _dir_has_data(spark, seg_gen_dir):
-            (
-                delta_freq.withColumn("gen", F.lit(delta_id))
-                .write.mode("append")
-                .partitionBy("gen")
-                .parquet(ledger_dir)
-            )
-        if not _dir_has_data(spark, sig_gen_dir):
+        if delta_freq is not None and not fsutil.dir_committed(
+            spark, seg_gen_dir
+        ):
+            delta_freq.write.mode("overwrite").parquet(seg_gen_dir)
+        if not fsutil.dir_committed(spark, sig_gen_dir):
             (
                 fresh.select("doc_id")
                 .join(
@@ -836,10 +844,8 @@ def export_training_incremental(
                     "clean_sig",
                     F.coalesce("__exp", F.lit(False)).alias("exported"),
                 )
-                .withColumn("gen", F.lit(delta_id))
-                .write.mode("append")
-                .partitionBy("gen")
-                .parquet(sig_dir)
+                .write.mode("overwrite")
+                .parquet(sig_gen_dir)
             )
 
     # manifest totals maintained INCREMENTALLY — O(|Δ| + affected
@@ -878,9 +884,10 @@ def read_segment_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
     recursiveFileLookup reads any layout (gen partitions, legacy flat,
     or mixed); segment counts are additive, which is what makes
     O(|delta|) appends sound."""
+    path = fsutil.heal_dir(spark, os.path.join(out_dir, "segledger"))
     return (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(out_dir, "segledger"))
+        .parquet(path)
         .groupBy("seg_key")
         .agg(F.sum("n").cast("long").alias("n"))
     )
@@ -892,15 +899,23 @@ def compact_segment_ledger(spark: SparkSession, out_dir: str) -> int:
     reads stay correct without it, just with more files to merge.
     Returns the distinct segment count. Run BETWEEN folds only: the
     per-delta gen markers double as crash-recovery breadcrumbs within a
-    fold (their job ends at the fold's manifest commit)."""
+    fold (their job ends at the fold's manifest commit).
+
+    Crash-safe: staged to a sibling then swapped in with
+    fsutil.replace_dir — a truncating overwrite of the live ledger had
+    a window where a crash after the delete lost every generation; a
+    crashed swap is healed by the next reader (fsutil.heal_dir)."""
     ledger_dir = os.path.join(out_dir, "segledger")
     merged = read_segment_ledger(spark, out_dir).localCheckpoint(eager=True)
+    staged = ledger_dir + ".__new__"
+    fsutil.delete(spark, staged)
     (
         merged.withColumn("gen", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("gen")
-        .parquet(ledger_dir)
+        .parquet(staged)
     )
+    fsutil.replace_dir(spark, ledger_dir, staged)
     return merged.count()
 
 
@@ -909,15 +924,19 @@ def compact_sig_ledger(spark: SparkSession, out_dir: str) -> int:
     (doc_id, clean_sig, exported) generations into one ``gen=base``.
     Rows are disjoint across generations (each doc_id is processed by
     exactly one fold), so compaction is a plain rewrite, no merge.
-    Returns the processed-doc count."""
+    Returns the processed-doc count. Same staged-swap crash safety as
+    :func:`compact_segment_ledger`."""
     sig_dir = os.path.join(out_dir, "sigledger")
     merged = _read_sig_ledger(spark, out_dir).localCheckpoint(eager=True)
+    staged = sig_dir + ".__new__"
+    fsutil.delete(spark, staged)
     (
         merged.withColumn("gen", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("gen")
-        .parquet(sig_dir)
+        .parquet(staged)
     )
+    fsutil.replace_dir(spark, sig_dir, staged)
     return merged.count()
 
 
