@@ -233,7 +233,8 @@ def main(argv: list[str] | None = None) -> int:
         "ledger / print the model / score a docs parquet",
     )
     p_clf.add_argument(
-        "action", choices=["build", "append", "compact", "model", "predict"]
+        "action",
+        choices=["build", "append", "compact", "model", "predict", "stats"],
     )
     p_clf.add_argument(
         "source", nargs="?", default=None,
@@ -898,6 +899,12 @@ def _dispatch(spark, args) -> int:
         if args.action == "compact":
             n = compact_classifier_ledger(spark, args.model)
             print(json.dumps({"rows": n, "compacted": True}))
+        elif args.action == "stats":
+            from ftm_datalake_spark.pipelines.classifier_store import (
+                classifier_model_stats,
+            )
+
+            print(json.dumps(classifier_model_stats(spark, args.model)))
         elif args.action == "model":
             for row in (
                 read_classifier_model(spark, args.model)

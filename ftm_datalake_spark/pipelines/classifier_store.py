@@ -167,6 +167,50 @@ def stream_classifier_deltas(
     return writer.start()
 
 
+def classifier_model_stats(spark: SparkSession, model_dir: str) -> dict:
+    """Model-ledger health report — the compaction/retrain trigger,
+    mirroring ann_index.ivf_index_stats:
+
+    - ``generations`` / ``files``: append accretion (one gen + a few
+      part files per fold) — ``compact_classifier_ledger`` when these
+      grow;
+    - ``appended_fraction``: share of token mass that arrived after
+      gen=base — the distribution-drift proxy (a model whose counts
+      are mostly post-base deltas was effectively trained on a corpus
+      the base build never saw; refresh the base);
+    - vocab/label shape: distinct tokens and labels, total token mass.
+
+    One pass over the vocab-scale ledger; driver-side is one row."""
+    ledger = fsutil.heal_dir(spark, _ledger_dir(model_dir))
+    rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(ledger)
+        .withColumn("f", F.input_file_name())
+        .withColumn("gen", F.regexp_extract("f", r"gen=([^/]+)", 1))
+    )
+    agg = rows.agg(
+        F.sum("cnt").cast("long").alias("token_mass"),
+        F.sum(F.when(F.col("gen") != "base", F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("appended_mass"),
+        F.countDistinct("token").cast("long").alias("vocab"),
+        F.countDistinct("label").cast("long").alias("labels"),
+        F.countDistinct("gen").cast("long").alias("generations"),
+        F.countDistinct("f").cast("long").alias("files"),
+    ).first()
+    mass = int(agg["token_mass"] or 0)
+    appended = int(agg["appended_mass"] or 0)
+    return {
+        "token_mass": mass,
+        "appended_mass": appended,
+        "appended_fraction": round(appended / mass, 4) if mass else 0.0,
+        "vocab": int(agg["vocab"]),
+        "labels": int(agg["labels"]),
+        "generations": int(agg["generations"]),
+        "files": int(agg["files"]),
+    }
+
+
 def compact_classifier_ledger(spark: SparkSession, model_dir: str) -> int:
     """Fold all generations into one ``gen=base`` — bounds the
     small-file growth of repeated appends; the derived model is

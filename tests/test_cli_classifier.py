@@ -77,3 +77,38 @@ def test_classifier_cli_missing_source_errors(spark, tmp_path, capsys):
         spark, _clf_args("build", None, str(tmp_path / "m"))
     )
     assert rc == 2
+
+
+def test_classifier_stats_reports_drift_and_accretion(spark, tmp_path, capsys):
+    from ftm_datalake_spark.__main__ import _dispatch
+    from ftm_datalake_spark.pipelines.classifier_store import (
+        append_classifier_model,
+        build_classifier_model,
+        classifier_model_stats,
+        compact_classifier_ledger,
+    )
+
+    d = str(tmp_path / "m")
+    build_classifier_model(
+        spark, _docs(spark, [(1, "A", "x x x x x x x x")]), d
+    )
+    append_classifier_model(spark, _docs(spark, [(9, "B", "y y")]), d)
+    s = classifier_model_stats(spark, d)
+    assert s["token_mass"] == 10 and s["appended_mass"] == 2
+    assert s["appended_fraction"] == 0.2
+    assert s["generations"] == 2 and s["labels"] == 2 and s["vocab"] == 2
+
+    # CLI surface
+    _dispatch(
+        spark, _clf_args("stats", None, d)
+    )
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == s
+
+    # compaction folds everything into base: accretion and drift reset
+    compact_classifier_ledger(spark, d)
+    s2 = classifier_model_stats(spark, d)
+    assert s2["generations"] == 1 and s2["appended_fraction"] == 0.0
+    assert s2["token_mass"] == 10
