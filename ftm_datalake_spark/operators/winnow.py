@@ -1,0 +1,100 @@
+"""Winnowing document fingerprints — Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD 2003),
+the MOSS algorithm. Guarantees: any shared substring of at least
+w + k - 1 tokens produces at least one shared fingerprint, while
+storing only ~2/(w+1) of the gram hashes.
+
+Determinism spec (both engines implement exactly this):
+- grams: k consecutive lowercase word tokens joined by spaces, hashed
+  with md5 (a total order exists on the hex strings);
+- window: for every position i with a full window of w grams starting
+  at it, select the window's minimal gram by (hash ASC, position DESC)
+  — the rightmost-minimum rule from the paper §5 (robust winnowing's
+  within-window preference), realized portably by taking the plain
+  string MIN over ``hash || '-' || zero-padded(10^7 - pos)`` so the
+  lexicographic minimum IS (min hash, then max pos);
+- a doc's fingerprint set is the DISTINCT selected (hash, pos) pairs.
+
+Scale shape: tokenization + gram construction are zero-shuffle
+(sequence+slice, the segment_table idiom); window minima are one
+window function partitioned by doc (each task holds one doc's grams —
+document-bounded state, the same contract as sequence packing); the
+cross-doc candidate join is an equi-join on the 32-hex fingerprint
+hash with per-pair counting — never all-pairs. This is the MOSS
+pipeline shape that indexes millions of submissions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_POS_PAD = 10_000_000  # > any realistic gram count per document
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos): each doc's winnowing fingerprint set.
+    Docs with fewer than k + w - 1 tokens produce no fingerprints (no
+    full window exists), matching the paper's guarantee boundary."""
+    tk = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    n_grams = (F.size("tk") - F.lit(k - 1)).cast("int")
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, k), " ")),
+    )
+    grams = base.where(n_grams >= w).select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "h")
+    )
+    # selection key: lexicographic min == (min hash, then MAX pos)
+    key = F.concat_ws(
+        "-",
+        F.col("h"),
+        F.lpad((F.lit(_POS_PAD) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        grams.withColumn("sel", F.min(key).over(win))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        # only positions that start a FULL window select a fingerprint
+        .where(F.col("pos") <= F.col("n") - w)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return selected.select(
+        "doc_id",
+        F.substring("sel", 1, 32).alias("fp_hash"),
+        (
+            F.lit(_POS_PAD)
+            - F.substring("sel", 34, 8).cast("long")
+        ).alias("fp_pos"),
+    )
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b, shared): doc pairs sharing >= min_shared DISTINCT
+    fingerprint hashes — MOSS's match ranking. Equi-join on the hash,
+    so work is proportional to collision-group sizes, never |docs|²."""
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash").distinct()
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash").distinct()
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -32,6 +32,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "boilerplate_by_source",  # NEW r9 — never driver-sampled
     "semdedup_prune_summary",  # NEW r9 — never driver-sampled
     "corpus_temperature_mixing",  # NEW r9 — never driver-sampled
+    "text_winnowing_fingerprints",  # NEW r9 — never driver-sampled
+    "dedup_winnowing_pairs",  # NEW r9 — never driver-sampled
     "ann_ivfpq_topk",  # last driver sample: r4
     "ann_lsh_recall",  # last driver sample: r4
     "ann_pq_adc_topk",  # last driver sample: r4

@@ -71,6 +71,7 @@ def get_registry() -> dict[str, QuerySpec]:
         tpch_ops,
         training_ops,
         window_ops,
+        winnow_ops,
     )
 
     # Reorder so the driver's prefix sample lands on the queries that

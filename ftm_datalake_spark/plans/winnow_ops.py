@@ -1,0 +1,116 @@
+"""Winnowing fingerprint queries (round 9): the MOSS algorithm
+(Schleimer et al., SIGMOD 2003) over the documents table — per-doc
+fingerprint summaries and the shared-fingerprint candidate pairs. See
+operators/winnow.py for the determinism spec; the oracle replays the
+same rightmost-minimum window selection via the identical
+``hash || '-' || zero-padded(10^7 - pos)`` lexicographic trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.winnow import (
+    winnow_candidate_pairs,
+    winnow_fingerprints,
+)
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+_K, _W = 4, 5
+
+_FP_CTES = f"""
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, s.i AS pos,
+             md5(array_to_string(tk[(s.i + 1):(s.i + {_K})], ' ')) AS h,
+             len(tk) - {_K - 1} AS n
+      FROM toks, LATERAL (SELECT i FROM generate_series(0, 2047) g(i)) s
+      WHERE s.i < len(tk) - {_K - 1} AND len(tk) - {_K - 1} >= {_W}),
+    keyed AS (
+      SELECT doc_id, pos, n,
+             h || '-' || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0') AS k
+      FROM grams),
+    sel AS (
+      SELECT doc_id, pos, n,
+             MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_W - 1} FOLLOWING) AS sel
+      FROM keyed),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             substr(sel, 1, 32) AS fp_hash,
+             10000000 - CAST(substr(sel, 34, 8) AS BIGINT) AS fp_pos
+      FROM sel WHERE pos <= n - {_W})"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_FP_CTES}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(fp_pos) AS BIGINT) AS first_pos,
+           CAST(MAX(fp_pos) AS BIGINT) AS last_pos,
+           md5(string_agg(fp_hash, '' ORDER BY fp_hash, fp_pos)) AS fp_sig
+    FROM fps
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing summary: fingerprint count, position span,
+    and an order-canonical signature over the selected hashes. Docs
+    shorter than k + w - 1 tokens are absent (no full window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=_K, w=_W)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fingerprints"),
+            F.min("fp_pos").cast("long").alias("first_pos"),
+            F.max("fp_pos").cast("long").alias("last_pos"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("fp_hash", "fp_pos"))
+                        ),
+                        lambda s: s["fp_hash"],
+                    ),
+                    "",
+                )
+            ).alias("fp_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_FP_CTES},
+    fph AS (SELECT DISTINCT doc_id, fp_hash FROM fps)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM fph a JOIN fph b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "text", "fingerprint"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match candidates: doc pairs sharing >= 2 distinct winnowing
+    fingerprints — any common run of k + w - 1 = 8 tokens is guaranteed
+    to surface at least one shared fingerprint (the paper's local
+    guarantee), so this subsumes long-substring overlap detection at
+    ~2/(w+1) of the gram-index cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=_K, w=_W)
+    return winnow_candidate_pairs(fps, min_shared=2).orderBy("doc_a", "doc_b")

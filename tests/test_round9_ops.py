@@ -175,3 +175,62 @@ def test_boilerplate_df_counts_docs_not_occurrences(spark):
     got = boilerplate_report_by_source(docs, seg_len=8, min_df=2).collect()[0]
     assert got["boilerplate_keys"] == 0
     assert got["n_seg_occurrences"] == 2
+
+
+# ------------------------------------------------------ winnowing
+
+
+def test_winnowing_guarantee_shared_run_produces_shared_fingerprint(spark):
+    """The paper's local guarantee: any shared token run of length
+    >= k + w - 1 (= 8 here) yields at least one shared fingerprint."""
+    from ftm_datalake_spark.operators.winnow import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    # NOTE: the tokenizer is [a-z]+ — digits are stripped — so test
+    # words must be alphabetic to stay distinct.
+    shared_run = "qa qb qc qd qe qf qg qh"  # exactly k + w - 1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa ab ac {shared_run} ad ae af"),
+            (2, f"ba bb {shared_run} bc bd be bf bg"),
+            (3, "ca cb cc cd ce cf cg ch ci cj ck cl"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared"]
+        for r in winnow_candidate_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs  # the guarantee
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_short_doc_has_no_fingerprints(spark):
+    from ftm_datalake_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "ta tb tc td te tf tg")],  # 7 tokens < k + w - 1 = 8
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(docs, k=4, w=5).count() == 0
+
+
+def test_winnowing_density_is_sublinear_in_grams(spark):
+    """Winnowing stores ~2/(w+1) of gram hashes; assert the selected
+    set is well under the gram count for a long repetitive-free doc."""
+    from ftm_datalake_spark.operators.winnow import winnow_fingerprints
+
+    import itertools
+    import string
+
+    words = [
+        a + b
+        for a, b in itertools.product(string.ascii_lowercase, repeat=2)
+    ][:200]
+    text = " ".join(words)  # 197 distinct 4-grams
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n = winnow_fingerprints(docs, k=4, w=5).count()
+    assert 0 < n < 197 / 2  # far below the full gram index
