@@ -234,3 +234,63 @@ def test_winnowing_density_is_sublinear_in_grams(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     n = winnow_fingerprints(docs, k=4, w=5).count()
     assert 0 < n < 197 / 2  # far below the full gram index
+
+
+# ---------------------------------------------- partitioning independence
+
+
+def test_lpa_partitioning_independent(spark):
+    """The determinism spec promises the same communities regardless of
+    physical layout — run the same graph at 1 and 13 partitions."""
+    import random
+
+    rng = random.Random(9)
+    pairs = [
+        (f"n{rng.randrange(30):02d}", f"n{rng.randrange(30):02d}")
+        for _ in range(80)
+    ]
+    rows = [(a, b) for a, b in pairs if a != b]
+    rows = rows + [(b, a) for a, b in rows]
+    e1 = spark.createDataFrame(rows, "src string, dst string").coalesce(1)
+    e13 = spark.createDataFrame(rows, "src string, dst string").repartition(13)
+    r1 = sorted(map(tuple, label_propagation(e1, iters=3).collect()))
+    r13 = sorted(map(tuple, label_propagation(e13, iters=3).collect()))
+    assert r1 == r13
+
+
+def test_clf_model_partitioning_independent(spark):
+    import random
+
+    rng = random.Random(7)
+    langs = ["A", "B", "C"]
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (
+            i,
+            rng.choice(langs),
+            " ".join(rng.choice(words) for _ in range(rng.randrange(3, 12))),
+        )
+        for i in range(60)
+    ]
+    d1 = _docs(spark, rows).coalesce(1)
+    d13 = _docs(spark, rows).repartition(13)
+    m1 = sorted(map(tuple, token_vote_model(d1).collect()))
+    m13 = sorted(map(tuple, token_vote_model(d13).collect()))
+    assert m1 == m13
+
+
+def test_winnowing_partitioning_independent(spark):
+    from ftm_datalake_spark.operators.winnow import winnow_fingerprints
+
+    import random
+
+    rng = random.Random(3)
+    words = [c + v for c in "bcdfg" for v in "aeiou"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(40))) for i in range(25)
+    ]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    d7 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    f1 = sorted(map(tuple, winnow_fingerprints(d1).collect()))
+    f7 = sorted(map(tuple, winnow_fingerprints(d7).collect()))
+    assert f1 == f7 and f1
