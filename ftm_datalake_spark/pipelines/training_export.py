@@ -480,11 +480,27 @@ def _delta_id(delta_docs: DataFrame) -> str:
 
 
 def _read_sig_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
-    """(doc_id, clean_sig, exported) across all sigledger generations."""
+    """(doc_id, clean_sig, exported) across all COMMITTED sigledger
+    generations. A crashed fold's half-written ``gen=`` partition is
+    excluded: serving its partial doc_ids would make the replayed
+    fold's anti-join skip those docs as "already processed" (silent
+    undercount), and compaction would fold the partials into base
+    before the replay re-lands them (ADVICE r9 #1's latent twin)."""
     path = fsutil.heal_dir(spark, os.path.join(out_dir, "sigledger"))
+    paths, _ = fsutil.committed_ledger_paths(spark, path)
+    if not paths:
+        # nothing committed yet: empty frame, typed from the raw files
+        # when any exist (uncommitted partials carry the schema)
+        try:
+            raw = spark.read.option("recursiveFileLookup", "true").parquet(path)
+            return raw.select("doc_id", "clean_sig", "exported").limit(0)
+        except Exception:
+            return spark.createDataFrame(
+                [], "doc_id bigint, clean_sig string, exported boolean"
+            )
     return (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(path)
+        .parquet(*paths)
         .select("doc_id", "clean_sig", "exported")
     )
 
@@ -700,8 +716,13 @@ def export_training_incremental(
         # semi-join the ledger down to them BEFORE the sum, so the fold
         # never runs a corpus-wide aggregate (the ledger scan stays a
         # one-column filtered read; AQE broadcasts the delta's keys)
-        raw_ledger = spark.read.option("recursiveFileLookup", "true").parquet(
-            ledger_dir
+        ledger_paths, _ = fsutil.committed_ledger_paths(spark, ledger_dir)
+        raw_ledger = (
+            spark.read.option("recursiveFileLookup", "true").parquet(
+                *ledger_paths
+            )
+            if ledger_paths
+            else spark.createDataFrame([], "seg_key string, n long")
         )
         freq = (
             raw_ledger.join(
@@ -881,13 +902,19 @@ def read_segment_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
     The ledger is stored as mergeable GENERATIONS (``gen=base`` from the
     full export plus one ``gen=<delta_id>`` partition per committed
     fold), so the read sums them — one shuffle on the 16-byte hash.
-    recursiveFileLookup reads any layout (gen partitions, legacy flat,
-    or mixed); segment counts are additive, which is what makes
-    O(|delta|) appends sound."""
+    Any layout reads (gen partitions, legacy flat, or mixed) — but only
+    COMMITTED generations: a crashed fold's partial ``gen=`` counts are
+    excluded so they are never served or compacted into base before the
+    fold's replay re-lands them in full (ADVICE r9 #1's latent twin).
+    Segment counts are additive, which is what makes O(|delta|)
+    appends sound."""
     path = fsutil.heal_dir(spark, os.path.join(out_dir, "segledger"))
+    paths, _ = fsutil.committed_ledger_paths(spark, path)
+    if not paths:
+        return spark.createDataFrame([], "seg_key string, n long")
     return (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(path)
+        .parquet(*paths)
         .groupBy("seg_key")
         .agg(F.sum("n").cast("long").alias("n"))
     )

@@ -19,8 +19,10 @@ from ftm_datalake_spark.plans.registry import register
 from ftm_datalake_spark.sources.tables import load_table
 
 # Shared oracle CTEs: tokenized train split -> per-label counts ->
-# quantized-ppm best label per token. The (s - s % d) / d floor identity
-# keeps score_ppm an exact integer in both engines.
+# quantized-ppm best label per token. Both engines use TRUE integer
+# division (Spark `div`, DuckDB `//`): the earlier (s - s % d) / d
+# identity routed the quotient through a double, which rounds off by 1
+# once cnt * 1e6 > 2^53 (ADVICE r9 #3).
 _MODEL_CTES = """
     toks AS (
       SELECT lang AS label,
@@ -31,8 +33,7 @@ _MODEL_CTES = """
     totals AS (SELECT label, COUNT(*) AS total FROM toks GROUP BY label),
     scored AS (
       SELECT c.token, c.label, c.cnt,
-             (c.cnt * 1000000 - (c.cnt * 1000000) % t.total) / t.total
-               AS score_ppm
+             (c.cnt * 1000000) // t.total AS score_ppm
       FROM counts c JOIN totals t USING (label)),
     model AS (
       SELECT token, label, cnt, score_ppm FROM (
@@ -103,9 +104,13 @@ def clf_token_vote_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + two hash-aggs, no window."""
     docs = load_table(spark, sf_dir, "documents")
     model = C.token_vote_model(_split(docs, train=True))
-    return C.token_vote_predict(model, _split(docs, train=False)).orderBy(
-        "doc_id"
-    )
+    # vocab here is bounded by the oracle corpus — force the broadcast
+    # (None) instead of paying the size-probe count; the production
+    # persisted-model path sizes from ledger file metadata instead
+    # (classifier_store.predict_from_store).
+    return C.token_vote_predict(
+        model, _split(docs, train=False), max_broadcast_rows=None
+    ).orderBy("doc_id")
 
 
 @register(
@@ -124,7 +129,9 @@ def clf_token_vote_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     split — the eval leg of the train/score/eval triple."""
     docs = load_table(spark, sf_dir, "documents")
     model = C.token_vote_model(_split(docs, train=True))
-    preds = C.token_vote_predict(model, _split(docs, train=False))
+    preds = C.token_vote_predict(
+        model, _split(docs, train=False), max_broadcast_rows=None
+    )
     return C.confusion_matrix(preds, _split(docs, train=False)).orderBy(
         "label", "predicted"
     )

@@ -23,12 +23,13 @@ from ftm_datalake_spark.sources.tables import load_table
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ),
     segs AS (
-      -- constant series bound (DuckDB lateral generate_series cannot take
-      -- a column bound) + WHERE filter to the real segment count
+      -- per-doc series bound via unnest(range(...)) — lateral
+      -- generate_series cannot take a column bound, and a constant cap
+      -- silently diverges once a doc outgrows it (ADVICE r9 #2)
       SELECT doc_id, s.i AS seg_idx,
              array_to_string(tk[(s.i*8+1):(s.i*8+8)], ' ') AS seg
-      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
-      WHERE s.i < ceil(len(tk) / 8.0)
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i) s
     ),
     freq AS (SELECT md5(seg) AS seg_key, COUNT(*) AS n
              FROM segs GROUP BY md5(seg)),
@@ -700,8 +701,8 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs AS (
       SELECT doc_id, s.i AS seg_idx,
              array_to_string(tk[(s.i*8+1):(s.i*8+8)], ' ') AS seg
-      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
-      WHERE s.i < ceil(len(tk) / 8.0)
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i) s
     )
     SELECT md5(seg) AS seg_key, CAST(COUNT(*) AS BIGINT) AS n
     FROM segs GROUP BY md5(seg)
@@ -723,8 +724,8 @@ def corpus_segment_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs AS (
       SELECT doc_id, source, s.i AS seg_idx,
              array_to_string(tk[(s.i*8+1):(s.i*8+8)], ' ') AS seg
-      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
-      WHERE s.i < ceil(len(tk) / 8.0)
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i) s
     ),
     freq AS (
       SELECT source, md5(seg) AS seg_key,

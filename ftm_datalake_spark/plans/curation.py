@@ -100,8 +100,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs AS (
       SELECT doc_id, s.i AS seg_idx,
              array_to_string(tk[(s.i*8+1):(s.i*8+8)], ' ') AS seg
-      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
-      WHERE s.i < ceil(len(tk) / 8.0)
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i) s
     ),
     freq AS (SELECT md5(seg) AS seg_key, COUNT(*) AS n
              FROM segs GROUP BY md5(seg)),

@@ -579,8 +579,9 @@ def corpus_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks AS (
       SELECT doc_id, s.i AS chunk_idx,
              tk[(s.i*24+1):(s.i*24+32)] AS chunk
-      FROM toks, LATERAL (SELECT i FROM generate_series(0, 127) g(i)) s
-      WHERE s.i <= greatest(0, CAST(ceil((len(tk) - 32) / 24.0) AS BIGINT))
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, 1 + greatest(0,
+                 CAST(ceil((len(tk) - 32) / 24.0) AS BIGINT)))) AS i) s
     )
     SELECT doc_id, chunk_idx,
            CAST(len(chunk) AS BIGINT) AS n_tokens,

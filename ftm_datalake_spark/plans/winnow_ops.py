@@ -25,11 +25,12 @@ _FP_CTES = f"""
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
       FROM documents),
     grams AS (
-      SELECT doc_id, s.i AS pos,
-             md5(array_to_string(tk[(s.i + 1):(s.i + {_K})], ' ')) AS h,
+      SELECT doc_id, u.pos,
+             md5(array_to_string(tk[(u.pos + 1):(u.pos + {_K})], ' ')) AS h,
              len(tk) - {_K - 1} AS n
-      FROM toks, LATERAL (SELECT i FROM generate_series(0, 2047) g(i)) s
-      WHERE s.i < len(tk) - {_K - 1} AND len(tk) - {_K - 1} >= {_W}),
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, len(tk) - {_K - 1})) AS pos) u
+      WHERE len(tk) - {_K - 1} >= {_W}),
     keyed AS (
       SELECT doc_id, pos, n,
              h || '-' || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0') AS k
