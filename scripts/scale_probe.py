@@ -330,6 +330,72 @@ def probe_classifier_append(spark, src_dir: str) -> dict:
     return out
 
 
+def probe_winnow_capped_skew(spark) -> dict:
+    """VERDICT r9 next-round #2: one synthetic boilerplate run planted
+    in 20% of docs, corpus sizes a decade apart. The CAPPED pair join
+    drops the hot fingerprints before the self-join, so its runtime
+    must track corpus size (~linear; ratio well under the quadratic
+    ~100× the uncapped collision group implies). The uncapped join is
+    timed at the SMALL scale only — its hot group is already C(n/5, 2)
+    pairs per hot hash, and the decade would be 100× that (measured
+    once as evidence, not worth re-measuring at 10×). Fingerprinting
+    cost is excluded (eager checkpoint) — the probe targets the join."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.winnow import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    out: dict = {}
+    fps_by_scale = {}
+    for scale, n in (("n5k", 5_000), ("n50k", 50_000)):
+        tail = F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), F.col("id").cast("string"))
+                for j in range(12)
+            ],
+        )
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 5 == 0, F.concat(F.lit(boiler + " "), tail)
+            )
+            .otherwise(tail)
+            .alias("text"),
+        )
+        fps_by_scale[scale] = winnow_fingerprints(docs).localCheckpoint(
+            eager=True
+        )
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            winnow_candidate_pairs(
+                fps_by_scale[scale], min_shared=1, max_df=100
+            ).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[scale] = {"capped_sec": min(samples), "hot_docs": n // 5}
+        print(f"winnow capped {scale}: {min(samples)} {samples}", flush=True)
+    t0 = time.perf_counter()
+    uncapped_pairs = winnow_candidate_pairs(
+        fps_by_scale["n5k"], min_shared=1
+    ).count()
+    out["n5k"]["uncapped_sec"] = round(time.perf_counter() - t0, 3)
+    out["n5k"]["uncapped_pairs"] = uncapped_pairs
+    out["capped_ratio"] = round(
+        out["n50k"]["capped_sec"] / out["n5k"]["capped_sec"], 2
+    )
+    print(
+        f"winnow uncapped n5k: {out['n5k']['uncapped_sec']}s "
+        f"({uncapped_pairs} pairs); capped decade ratio "
+        f"{out['capped_ratio']}",
+        flush=True,
+    )
+    return out
+
+
 def main() -> None:
     from ftm_datalake_spark.session import build_session
 
@@ -351,6 +417,8 @@ def main() -> None:
         "incremental_fold_200docs": probe_incremental_fold(spark, src),
         "ivf_lifecycle": probe_ivf_lifecycle(spark, src),
         "classifier_append_200docs": probe_classifier_append(spark, src),
+        # round-10: the df-capped winnow pair join under planted skew
+        "winnow_capped_skew": probe_winnow_capped_skew(spark),
     }
     line = json.dumps(payload)
     print(line)
