@@ -44,11 +44,13 @@ def test_large_table_writes_distributed(spark, tmp_path):
     # header sidecar (parts are headerless so concatenation stays a CSV)
     header = open(os.path.join(target, "_header")).read().strip()
     assert header == "key,content_hash,size,mimetype,created_at,updated_at"
-    # snapshot is a hardlinked directory copy — same inodes, no re-read
+    # snapshot is a complete fs-level directory copy (byte-identical;
+    # the old hardlink farm was POSIX-only — object stores have no
+    # link op, VERDICT r9 #1)
     snaps = [p for p in os.listdir(out) if p.startswith("documents.csv.")]
     assert len(snaps) == 1
     snap_part = os.path.join(out, snaps[0], os.path.basename(parts[0]))
-    assert os.stat(snap_part).st_ino == os.stat(parts[0]).st_ino
+    assert open(snap_part, "rb").read() == open(parts[0], "rb").read()
 
 
 def test_default_threshold_guards_million_rows(spark, tmp_path):

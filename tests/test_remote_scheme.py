@@ -87,3 +87,130 @@ def test_s3a_waiver_jar_presence_is_current():
         "hadoop-aws jars are now bundled - update COVERAGE.md's s3a "
         f"waiver and add a live s3a test: {aws_jars}"
     )
+
+
+def _interchange_docs(spark, rows=None):
+    from pyspark.sql import functions as F
+
+    rows = rows or [
+        ("b.txt", "h2", 20, "text/plain",
+         "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        ("a.txt", "h1", 10, "text/plain",
+         "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key string, content_hash string, size long, mimetype string, "
+        "created_at string, updated_at string",
+    )
+    return df.withColumn("created_at", F.to_timestamp("created_at")).withColumn(
+        "updated_at", F.to_timestamp("updated_at")
+    )
+
+
+def test_documents_csv_single_file_over_viewfs(spark, tmp_path, viewfs):
+    """VERDICT r9 #1 e2e: the interchange CSV sink (write -> snapshot ->
+    read-back) works on a non-file scheme, and its bytes are identical
+    to a local write of the same frame (golden parity preserved)."""
+    from ftm_datalake_spark import fsutil
+    from ftm_datalake_spark.sources.sinks import write_documents_csv
+    from ftm_datalake_spark.sources.tables import read_documents_csv
+
+    docs = _interchange_docs(spark)
+    target = write_documents_csv(docs, f"{viewfs}/ds")
+    assert target.startswith("viewfs://")
+    back = read_documents_csv(spark, target)
+    assert [r["key"] for r in back.orderBy("key").collect()] == ["a.txt", "b.txt"]
+    snaps = [
+        n
+        for n in fsutil.list_names(spark, f"{viewfs}/ds")
+        if n.startswith("documents.csv.")
+    ]
+    assert len(snaps) == 1
+    # physically landed at the mount; bytes match a plain local write
+    remote_bytes = (tmp_path / "ds" / "documents.csv").read_bytes()
+    local = write_documents_csv(docs, str(tmp_path / "local"), snapshot=False)
+    assert remote_bytes == open(local, "rb").read()
+    # the snapshot is a complete fs-level copy
+    snap_bytes = (tmp_path / "ds" / snaps[0]).read_bytes()
+    assert snap_bytes == remote_bytes
+
+
+def test_documents_csv_directory_form_over_viewfs(spark, tmp_path, viewfs):
+    """The >max-rows DIRECTORY form: distributed write, _header sidecar,
+    snapshot copy, and the read-back probe that distinguishes the forms
+    — all through the FS client on the remote scheme."""
+    from ftm_datalake_spark import fsutil
+    from ftm_datalake_spark.sources.sinks import write_documents_csv
+    from ftm_datalake_spark.sources.tables import read_documents_csv
+
+    rows = [
+        (f"k{i:03d}.txt", f"h{i}", i, "text/plain",
+         "2024-01-01 00:00:00", "2024-01-01 00:00:00")
+        for i in range(10)
+    ]
+    docs = _interchange_docs(spark, rows)
+    target = write_documents_csv(
+        docs, f"{viewfs}/big", single_file_max_rows=3
+    )
+    assert fsutil.is_dir(spark, target)
+    assert fsutil.exists(spark, target + "/_header")
+    back = read_documents_csv(spark, target)
+    assert back.count() == 10
+    assert sorted(r["key"] for r in back.collect()) == [r[0] for r in rows][
+        :
+    ] == sorted(r[0] for r in rows)
+    snaps = [
+        n
+        for n in fsutil.list_names(spark, f"{viewfs}/big")
+        if n.startswith("documents.csv.")
+    ]
+    assert len(snaps) == 1
+    assert fsutil.is_dir(spark, f"{viewfs}/big/{snaps[0]}")
+
+
+def test_documents_csv_form_switch_over_viewfs(spark, tmp_path, viewfs):
+    """directory -> file and file -> directory switches probe and clear
+    the old form through the FS client."""
+    from ftm_datalake_spark import fsutil
+    from ftm_datalake_spark.sources.sinks import write_documents_csv
+    from ftm_datalake_spark.sources.tables import read_documents_csv
+
+    docs = _interchange_docs(spark)
+    out = f"{viewfs}/sw"
+    t1 = write_documents_csv(docs, out, snapshot=False, single_file_max_rows=1)
+    assert fsutil.is_dir(spark, t1)
+    t2 = write_documents_csv(docs, out, snapshot=False)
+    assert fsutil.is_file(spark, t2)
+    t3 = write_documents_csv(docs, out, snapshot=False, single_file_max_rows=1)
+    assert fsutil.is_dir(spark, t3)
+    assert read_documents_csv(spark, t3).count() == 2
+
+
+def test_documents_diff_over_viewfs(spark, tmp_path, viewfs):
+    """Snapshot diff leg of the interchange flow on the remote scheme:
+    rendered bytes equal the same diff written locally."""
+    from ftm_datalake_spark.sources.sinks import (
+        read_diff_text,
+        write_documents_diff,
+    )
+
+    old = _interchange_docs(spark)
+    new = _interchange_docs(
+        spark,
+        [
+            ("b.txt", "h2", 20, "text/plain",
+             "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+            ("c.txt", "h3", 30, "text/plain",
+             "2024-01-03 00:00:00", "2024-01-03 00:00:00"),
+        ],
+    )
+    remote = write_documents_diff(
+        old, new, f"{viewfs}/d/documents.csv.x.diff", "v1", "v2"
+    )
+    local = write_documents_diff(
+        old, new, str(tmp_path / "documents.csv.y.diff"), "v1", "v2"
+    )
+    assert read_diff_text(remote, spark) == read_diff_text(local, spark)
+    assert "-a.txt" in read_diff_text(remote, spark)
+    assert "+c.txt" in read_diff_text(remote, spark)
