@@ -212,7 +212,8 @@ def main(argv: list[str] | None = None) -> int:
         "append a delta / probe top-k",
     )
     p_ann.add_argument(
-        "action", choices=["build", "append", "probe", "stats", "compact"]
+        "action",
+        choices=["build", "append", "probe", "stats", "compact", "rebuild"],
     )
     p_ann.add_argument(
         "source", nargs="?", default=None,
@@ -860,10 +861,13 @@ def _dispatch(spark, args) -> int:
             compact_ivf_postings,
             ivf_index_stats,
             ivf_index_topk,
+            rebuild_ivf_index,
         )
 
         if args.action == "stats":
             print(json.dumps(ivf_index_stats(spark, args.index)))
+        elif args.action == "rebuild":
+            print(json.dumps(rebuild_ivf_index(spark, args.index)))
         elif args.action == "compact":
             print(
                 json.dumps(

@@ -299,3 +299,127 @@ def test_ann_index_cli_stats_and_compact(spark, corpus, tmp_path, capsys):
     assert res["files_after"] <= res["files_before"]
     # a data action without a source exits loudly
     assert _dispatch(spark, ns("probe")) == 2
+
+
+def test_rebuild_matches_fresh_build_with_same_codebook(
+    spark, corpus, tmp_path
+):
+    """VERDICT r9 #4 law: rebuilding from the stored postings under a
+    given codebook answers bit-exactly like a fresh build_ivf_index on
+    the same raw vectors with that codebook — the postings' quantized
+    vectors ARE the corpus."""
+    from ftm_datalake_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        rebuild_ivf_index,
+    )
+    from ftm_datalake_spark.operators.similarity import ivf_centroids
+
+    base, delta = _split(corpus)
+    inc = str(tmp_path / "inc")
+    build_ivf_index(spark, base, inc)
+    # retrained codebook (different partitioning of the label space)
+    cents2 = ivf_centroids(
+        corpus.withColumn("label", F.col("vec_id") % 7), "label"
+    ).localCheckpoint(eager=True)
+
+    from ftm_datalake_spark.operators.ann_index import append_ivf_index
+
+    append_ivf_index(spark, delta, inc)
+    res = rebuild_ivf_index(spark, inc, centroids=cents2)
+    assert res["rebuilt"] and res["vectors"] == corpus.count()
+
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(spark, corpus, fresh, centroids=cents2)
+    assert _postings_set(spark, inc) == _postings_set(spark, fresh)
+    queries = corpus.where(F.col("vec_id") < 5)
+    got = ivf_index_topk(spark, inc, queries, k=3, nprobe=2)
+    want = ivf_index_topk(spark, fresh, queries, k=3, nprobe=2)
+    assert _topk_set(got) == _topk_set(want)
+
+
+def test_rebuild_default_lloyd_resets_drift(spark, corpus, tmp_path):
+    from ftm_datalake_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_stats,
+        rebuild_ivf_index,
+    )
+
+    base, delta = _split(corpus)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, base, idx)
+    append_ivf_index(spark, delta, idx)
+    before = ivf_index_stats(spark, idx)
+    assert before["appended_fraction"] > 0
+    vids_before = {v for v, _ in _postings_set(spark, idx)}
+
+    res = rebuild_ivf_index(spark, idx)
+    after = ivf_index_stats(spark, idx)
+    assert after["appended_fraction"] == 0.0
+    assert after["built_vectors"] == res["vectors"] == len(vids_before)
+    # no vector lost or duplicated by the remap
+    assert {v for v, _ in _postings_set(spark, idx)} == vids_before
+    # every vector sits in the list whose centroid it now scores best
+    # against (assignment self-consistency under the new codebook)
+    from ftm_datalake_spark.operators.similarity import _assign_to_centroid
+
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    posted = spark.read.parquet(os.path.join(idx, "postings"))
+    want = _assign_to_centroid(
+        posted.select("vid", "q", "norm2"), cents.select("cluster", "cq")
+    )
+    assert {
+        (r["vid"], int(r["cluster"])) for r in want.collect()
+    } == _postings_set(spark, idx)
+
+
+def test_rebuild_crash_swap_heals_on_read(spark, corpus, tmp_path):
+    """A crash between replace_dir's renames leaves the index only at
+    .__old__ — the next reader restores it (fsutil.heal_dir wired into
+    every index entry point)."""
+    from ftm_datalake_spark import fsutil
+    from ftm_datalake_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_stats,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, corpus, idx)
+    queries = corpus.where(F.col("vec_id") < 3)
+    want = _topk_set(ivf_index_topk(spark, idx, queries, k=3))
+    # simulate the crash window: target renamed away, swap never landed
+    fsutil.rename(spark, idx, idx + ".__old__")
+    got = _topk_set(ivf_index_topk(spark, idx, queries, k=3))
+    assert got == want
+    assert ivf_index_stats(spark, idx)["vectors"] == corpus.count()
+
+
+def test_ann_index_cli_rebuild(spark, corpus, tmp_path, capsys):
+    import argparse
+    import json as _json
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    base, delta = _split(corpus)
+    src, dsrc = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    base.write.parquet(src)
+    delta.write.parquet(dsrc)
+    idx = str(tmp_path / "idx")
+
+    def ns(action, source=None):
+        return argparse.Namespace(
+            cmd="ann-index", action=action, source=source, index=idx,
+            k=3, nprobe=1, min_files=2,
+        )
+
+    assert _dispatch(spark, ns("build", src)) in (0, None)
+    assert _dispatch(spark, ns("append", dsrc)) in (0, None)
+    capsys.readouterr()
+    assert _dispatch(spark, ns("rebuild")) in (0, None)
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rebuilt"] and res["vectors"] == corpus.count()
+    assert _dispatch(spark, ns("stats")) in (0, None)
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["appended_fraction"] == 0.0
