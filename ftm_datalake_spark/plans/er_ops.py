@@ -290,6 +290,7 @@ def er_fellegi_sunter_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the recursive-CTE family closure.
 @register(
     "er_golden_record",
+    checkpointed=True,
     oracle=_ORACLE_BLOCK_CTES.replace("WITH tok", "WITH RECURSIVE tok", 1)
     + """,
     cand AS (

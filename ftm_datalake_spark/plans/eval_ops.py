@@ -66,6 +66,7 @@ def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # until one final integer floor division.
 @register(
     "eval_auc_quality",
+    checkpointed=True,
     oracle=f"""
     WITH scored AS ({_SCORE_SQL}),
     per_score AS (
@@ -235,6 +236,7 @@ def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other eval-family global finals).
 @register(
     "eval_lift_deciles",
+    checkpointed=True,
     oracle=f"""
     WITH scored AS ({_SCORE_SQL}),
     per_score AS (

@@ -49,6 +49,7 @@ def _oracle_pagerank(iters: int) -> str:
 
 @register(
     "pagerank_trade_graph",
+    checkpointed=True,
     oracle=_oracle_pagerank(_ITERS),
     tags=("graph", "iterative"),
 )
@@ -92,6 +93,7 @@ _NATION_EDGES_SQL = """
 
 @register(
     "graph_triangles_trade",
+    checkpointed=True,
     oracle=f"""
     WITH {_NATION_EDGES_SQL},
     deg AS (
@@ -145,6 +147,7 @@ def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a recursive CTE whose (node, d) UNION-dedup guarantees termination.
 @register(
     "graph_bfs_distances",
+    checkpointed=True,
     oracle=f"""
     WITH RECURSIVE {_NATION_EDGES_SQL},
     edges AS (
@@ -249,6 +252,7 @@ def _oracle_weighted_sssp(rounds: int) -> str:
 
 @register(
     "graph_weighted_sssp",
+    checkpointed=True,
     oracle=_oracle_weighted_sssp(_SSSP_ROUNDS),
     tags=("graph", "iterative"),
 )
@@ -324,6 +328,7 @@ def _oracle_kcore(k: int, rounds: int) -> str:
 
 @register(
     "graph_kcore_trade",
+    checkpointed=True,
     oracle=_oracle_kcore(_KCORE_K, _KCORE_ROUNDS),
     tags=("graph", "iterative"),
 )
@@ -393,6 +398,7 @@ def _oracle_lpa(iters: int) -> str:
 
 @register(
     "graph_label_propagation",
+    checkpointed=True,
     oracle=_oracle_lpa(_LPA_ITERS),
     tags=("graph", "iterative", "community"),
 )

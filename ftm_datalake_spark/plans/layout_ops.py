@@ -98,6 +98,7 @@ def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "layout_compaction_plan",
+    checkpointed=True,
     oracle="""
     WITH files AS (
       SELECT source || '/' || CAST(doc_id AS VARCHAR) AS path,

@@ -442,6 +442,7 @@ _MINHASH_PAIRS_SQL = f"""
 
 @register(
     "dedup_families",
+    checkpointed=True,
     oracle=_MINHASH_PAIRS_SQL.replace("WITH docs_aug", "WITH RECURSIVE docs_aug", 1)
     + """
     , edges AS (
@@ -475,6 +476,7 @@ def dedup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filter is a zero-shuffle predicate on the family label.
 @register(
     "dedup_canonical_corpus",
+    checkpointed=True,
     oracle=_MINHASH_PAIRS_SQL.replace("WITH docs_aug", "WITH RECURSIVE docs_aug", 1)
     + """
     , edges AS (
@@ -629,6 +631,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-doc fold is a zero-shuffle projection once families exist.
 @register(
     "corpus_leakage_safe_split",
+    checkpointed=True,
     oracle=_MINHASH_PAIRS_SQL.replace("WITH docs_aug", "WITH RECURSIVE docs_aug", 1)
     + """
     , edges AS (
@@ -877,6 +880,7 @@ _BPE_N = 12
 
 @register(
     "bpe_train_merges",
+    checkpointed=True,
     oracle="WITH "
     + _bpe_train_oracle_ctes(_BPE_N)
     + "\n    "
@@ -905,6 +909,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_encode_trained",
+    checkpointed=True,
     oracle="WITH "
     + _bpe_train_oracle_ctes(_BPE_N)
     + f""",

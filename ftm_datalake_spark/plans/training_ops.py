@@ -111,6 +111,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "sequence_packing",
+    checkpointed=True,
     oracle="""
     WITH t AS (
       SELECT doc_id,

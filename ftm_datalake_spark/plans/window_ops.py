@@ -232,6 +232,7 @@ def range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ntile quartiles: distribution bucketing with a deterministic total order.
 @register(
     "ntile_customer_quartiles",
+    checkpointed=True,
     oracle="""
     WITH t AS (
       SELECT c_custkey, c_acctbal,
@@ -973,6 +974,7 @@ def events_active_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedded as a literal.
 @register(
     "orders_revenue_pareto",
+    checkpointed=True,
     oracle="""
     WITH cust AS (
       SELECT o_custkey,

@@ -137,23 +137,47 @@ GLOBAL_SCALAR_OK = {
 def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
     """Sweeping guarantee: NO registry query may degrade to a cartesian
     product, and single-partition exchanges are only allowed for the
-    documented global-scalar aggregates."""
+    documented global-scalar aggregates. Same sweep spy-locks the
+    `checkpointed` registry tag (VERDICT r9 wrong #3): a builder that
+    localCheckpoints truncates its final plan's lineage, so PLAN_AUDIT
+    must annotate it — an untagged checkpointing builder (or a stale
+    tag on one that no longer checkpoints) fails here."""
+    import pyspark.sql.classic.dataframe as _cdf
+
     from ftm_datalake_spark.plans import REGISTRY
 
-    offenders, rogue_single = [], []
-    for name, spec in sorted(REGISTRY.items()):
-        plan = (
-            spec.builder(spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-        if "Exchange SinglePartition" in plan and name not in GLOBAL_SCALAR_OK:
-            rogue_single.append(name)
+    offenders, rogue_single, ckpt_hits = [], [], set()
+    orig_ckpt = _cdf.DataFrame.localCheckpoint
+    current = [None]
+
+    def spy(self, eager=True):
+        ckpt_hits.add(current[0])
+        return orig_ckpt(self, eager)
+
+    _cdf.DataFrame.localCheckpoint = spy
+    try:
+        for name, spec in sorted(REGISTRY.items()):
+            current[0] = name
+            plan = (
+                spec.builder(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+            if "Exchange SinglePartition" in plan and name not in GLOBAL_SCALAR_OK:
+                rogue_single.append(name)
+    finally:
+        _cdf.DataFrame.localCheckpoint = orig_ckpt
     assert not offenders, f"cartesian products in: {offenders}"
     assert not rogue_single, f"undocumented single-partition exchange in: {rogue_single}"
+    tagged = {n for n, s in REGISTRY.items() if s.checkpointed}
+    assert ckpt_hits == tagged, (
+        f"checkpointed-tag drift: untagged-but-checkpointing "
+        f"{sorted(ckpt_hits - tagged)}, tagged-but-not-checkpointing "
+        f"{sorted(tagged - ckpt_hits)}"
+    )
 
 
 # Audited shuffle-exchange budgets for the bench headliners (static plan
