@@ -246,6 +246,20 @@ def main(argv: list[str] | None = None) -> int:
         "--label-col", default="lang", help="label column (build/append)"
     )
 
+    p_inv = sub.add_parser(
+        "inverted-index",
+        help="entity-xref inverted.idx export: referenced entity id -> "
+        "referencing entity ids, from a statements parquet "
+        "(docs/rfc.md's theoretical inverted index)",
+    )
+    p_inv.add_argument("source", help="statements parquet")
+    p_inv.add_argument("--out", required=True,
+                       help="dataset directory (written next to index.json)")
+    p_inv.add_argument(
+        "--props", default=None,
+        help="comma-separated entity-reference prop names to restrict to",
+    )
+
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
 
@@ -940,6 +954,21 @@ def _dispatch(spark, args) -> int:
                 )
                 for row in preds.orderBy("doc_id").collect():
                     print(json.dumps(row.asDict()))
+    elif args.cmd == "inverted-index":
+        from ftm_datalake_spark.sources.sinks import (
+            read_inverted_idx,
+            write_inverted_idx,
+        )
+
+        props = args.props.split(",") if args.props else None
+        target = write_inverted_idx(
+            spark.read.parquet(args.source), args.out, ref_props=props
+        )
+        print(
+            json.dumps(
+                {"path": target, "rows": read_inverted_idx(spark, target).count()}
+            )
+        )
     elif args.cmd == "publish":
         from ftm_datalake_spark.pipelines.ingest import publish
 

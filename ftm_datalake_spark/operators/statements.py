@@ -120,3 +120,49 @@ def merge_entity_increment(
             )
         ).alias("datasets"),
     )
+
+
+def entity_xref_pairs(
+    statements: DataFrame, ref_props: list[str] | None = None
+) -> DataFrame:
+    """(referenced_id, referrer) distinct pairs — the scale form of the
+    RFC's entity-xref ``inverted.idx`` ("what entity IDs point to
+    entity X", /root/reference/docs/rfc.md:100,180; theoretical in the
+    reference, realized here). Entity-reference statements carry the
+    referenced entity id in ``value``; ``ref_props`` restricts to the
+    schema's entity-typed properties when the frame mixes literal
+    values in.
+
+    Kept as pair ROWS, not arrays: a hub entity referenced by 10⁷
+    others stays row-distributed through the (referenced_id) shuffle —
+    the array-aggregated view (:func:`entity_xref_inverted`) is for
+    bounded fan-in / the single-file export form only."""
+    refs = statements
+    if ref_props is not None:
+        refs = refs.where(F.col("prop").isin(list(ref_props)))
+    return (
+        refs.where(F.col("value").isNotNull())
+        .select(
+            F.col("value").alias("referenced_id"),
+            F.col("canonical_id").alias("referrer"),
+        )
+        .where(F.col("referenced_id") != F.col("referrer"))
+        .distinct()
+    )
+
+
+def entity_xref_inverted(
+    statements: DataFrame, ref_props: list[str] | None = None
+) -> DataFrame:
+    """(referenced_id, n_referrers, referrers): the inverted xref table
+    with each entity's referrer set sorted — one distinct + one
+    hash-agg on referenced_id. See :func:`entity_xref_pairs` for the
+    unaggregated scale form."""
+    return (
+        entity_xref_pairs(statements, ref_props)
+        .groupBy("referenced_id")
+        .agg(
+            F.count("*").cast("long").alias("n_referrers"),
+            F.sort_array(F.collect_list("referrer")).alias("referrers"),
+        )
+    )

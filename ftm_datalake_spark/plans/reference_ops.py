@@ -549,3 +549,69 @@ def statement_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("properties").cast("long").alias("n_props"),
         F.array_join("datasets", ",").alias("datasets"),
     ).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Entity-xref inverted index — the RFC's theoretical `inverted.idx`
+# ("what entity IDs point to entity X", /root/reference/docs/rfc.md:100,
+# 180), realized (VERDICT r9 next-round #7). Reference statements are
+# synthesized from the TPC-H order graph: each order entity references
+# its customer (o_custkey) and its line suppliers (l_suppkey), so the
+# inverted table answers "which orders point at customer/supplier X".
+@register(
+    "entities_xref_inverted",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS referenced_id,
+             'o' || CAST(o_orderkey AS VARCHAR) AS referrer
+      FROM orders
+      UNION
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS referenced_id,
+             'o' || CAST(l_orderkey AS VARCHAR) AS referrer
+      FROM lineitem
+    )
+    SELECT referenced_id, CAST(COUNT(*) AS BIGINT) AS n_referrers,
+           md5(array_to_string(list_sort(list(referrer)), ',')) AS referrers_sig
+    FROM pairs GROUP BY referenced_id
+    ORDER BY referenced_id
+    """,
+    tags=("reference", "export", "inverted"),
+)
+def entities_xref_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted entity xref: referenced entity id → referrer count and
+    an order-canonical signature over the sorted referrer set. One
+    distinct on the (referenced, referrer) pairs + one hash-agg on
+    referenced_id — a hub entity's referrers stay row-distributed until
+    the bounded signature fold (operators/statements.entity_xref_*)."""
+    from ftm_datalake_spark.operators.statements import entity_xref_inverted
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    stmts = (
+        orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+                "canonical_id"
+            ),
+            F.lit("customerRef").alias("prop"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "value"
+            ),
+        )
+        .unionByName(
+            lineitem.select(
+                F.concat(
+                    F.lit("o"), F.col("l_orderkey").cast("string")
+                ).alias("canonical_id"),
+                F.lit("supplierRef").alias("prop"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "value"
+                ),
+            )
+        )
+    )
+    inv = entity_xref_inverted(stmts, ref_props=["customerRef", "supplierRef"])
+    return inv.select(
+        "referenced_id",
+        "n_referrers",
+        F.md5(F.array_join("referrers", ",")).alias("referrers_sig"),
+    ).orderBy("referenced_id")

@@ -367,6 +367,61 @@ def write_entities_jsonl(entities: DataFrame, out_dir: str) -> str:
     return target
 
 
+INVERTED_IDX_MAX_ROWS = 1_000_000
+
+
+def write_inverted_idx(
+    statements: DataFrame,
+    out_dir: str,
+    ref_props: list[str] | None = None,
+    single_file_max_rows: int = INVERTED_IDX_MAX_ROWS,
+) -> str:
+    """Entity-xref ``inverted.idx`` export — the RFC's "what entity IDs
+    point to entity X" sidecar (reference: /root/reference/docs/
+    rfc.md:100,180 — sketched there, realized here), written next to
+    ``index.json`` in the dataset directory.
+
+    Format: JSONL of {referenced_id, n_referrers, referrers[]} in
+    global referenced_id order. Same scale guard as documents.csv: up
+    to ``single_file_max_rows`` referenced entities it is one
+    deterministic file; above that a DIRECTORY of range-ordered
+    headerless parts (concatenation in filename order reproduces the
+    sorted file). Object-store-safe via the same fsutil write path."""
+    from ftm_datalake_spark.operators.statements import entity_xref_inverted
+
+    from ftm_datalake_spark import fsutil
+
+    spark = statements.sparkSession
+    target = out_dir.rstrip("/") + "/inverted.idx"
+    inv = entity_xref_inverted(statements, ref_props)
+    n_rows = inv.count()
+    if n_rows <= single_file_max_rows:
+        if fsutil.is_dir(spark, target):
+            fsutil.delete(spark, target)
+        _single_file_write(
+            inv.orderBy("referenced_id"), target, "json", header=False
+        )
+    else:
+        parts = max(2, min(2048, n_rows // single_file_max_rows + 1))
+        if fsutil.is_file(spark, target):
+            fsutil.delete(spark, target)
+        (
+            inv.repartitionByRange(parts, "referenced_id")
+            .sortWithinPartitions("referenced_id")
+            .write.mode("overwrite")
+            .json(target)
+        )
+    return target
+
+
+def read_inverted_idx(spark: SparkSession, path: str) -> DataFrame:
+    """Read either form of ``inverted.idx`` back with an explicit
+    schema (no inference pass)."""
+    return spark.read.schema(
+        "referenced_id string, n_referrers long, referrers array<string>"
+    ).json(path)
+
+
 def export_dataset_zip(dataset_dir: str, zip_path: str) -> str:
     """S14: zip export of a dataset directory (driver-side; the reference
     is also single-threaded here, export.py:13-36, and writes LZMA

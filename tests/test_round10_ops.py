@@ -88,3 +88,105 @@ def test_registry_capped_query_parity(spark):
     from tests.oracle_utils import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "dedup_winnowing_pairs_capped")
+
+
+# ---------------------------------------------------------------------------
+# Entity-xref inverted index (VERDICT r9 next-round #7 / rfc.md:100,180)
+
+def _stmts(spark):
+    from ftm_datalake_spark.schemas import STATEMENT_SCHEMA
+
+    rows = [
+        ("s1", "e1", "e1", "Ownership", "owner", "e9", "ds1", "ingest", None, None),
+        ("s2", "e2", "e2", "Ownership", "owner", "e9", "ds1", "ingest", None, None),
+        ("s3", "e2", "e2", "Ownership", "asset", "e7", "ds1", "ingest", None, None),
+        # duplicate reference: must count once
+        ("s4", "e2", "e2", "Ownership", "asset", "e7", "ds1", "other", None, None),
+        # literal prop: excluded when ref_props given
+        ("s5", "e1", "e1", "Ownership", "name", "ACME", "ds1", "ingest", None, None),
+        # self-reference: dropped
+        ("s6", "e9", "e9", "Ownership", "owner", "e9", "ds1", "ingest", None, None),
+    ]
+    return spark.createDataFrame(rows, STATEMENT_SCHEMA)
+
+
+def test_entity_xref_inverted_semantics(spark):
+    from ftm_datalake_spark.operators.statements import entity_xref_inverted
+
+    inv = {
+        r["referenced_id"]: (r["n_referrers"], list(r["referrers"]))
+        for r in entity_xref_inverted(
+            _stmts(spark), ref_props=["owner", "asset"]
+        ).collect()
+    }
+    assert inv == {"e9": (2, ["e1", "e2"]), "e7": (1, ["e2"])}
+
+
+def test_entity_xref_without_prop_filter_includes_literals(spark):
+    from ftm_datalake_spark.operators.statements import entity_xref_pairs
+
+    pairs = {
+        (r["referenced_id"], r["referrer"])
+        for r in entity_xref_pairs(_stmts(spark)).collect()
+    }
+    assert ("ACME", "e1") in pairs  # caller's job to pass ref_props
+
+
+def test_inverted_idx_sink_roundtrip_and_forms(spark, tmp_path):
+    from ftm_datalake_spark.sources.sinks import (
+        read_inverted_idx,
+        write_inverted_idx,
+    )
+
+    out = str(tmp_path / "ds")
+    target = write_inverted_idx(
+        _stmts(spark), out, ref_props=["owner", "asset"]
+    )
+    assert target.endswith("inverted.idx")
+    import os
+
+    assert os.path.isfile(target)
+    back = read_inverted_idx(spark, target)
+    got = {
+        r["referenced_id"]: (r["n_referrers"], list(r["referrers"]))
+        for r in back.collect()
+    }
+    assert got == {"e9": (2, ["e1", "e2"]), "e7": (1, ["e2"])}
+    # single file is referenced_id-ordered JSONL
+    lines = open(target).read().splitlines()
+    ids = [__import__("json").loads(l)["referenced_id"] for l in lines]
+    assert ids == sorted(ids)
+    # directory form above the row cap, same read-back
+    target2 = write_inverted_idx(
+        _stmts(spark), str(tmp_path / "big"),
+        ref_props=["owner", "asset"], single_file_max_rows=1,
+    )
+    assert os.path.isdir(target2)
+    got2 = {
+        r["referenced_id"]: (r["n_referrers"], list(r["referrers"]))
+        for r in read_inverted_idx(spark, target2).collect()
+    }
+    assert got2 == got
+
+
+def test_inverted_index_cli(spark, tmp_path, capsys):
+    import argparse
+    import json as _json
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    src = str(tmp_path / "stmts.parquet")
+    _stmts(spark).write.parquet(src)
+    out = str(tmp_path / "ds")
+    ns = argparse.Namespace(
+        cmd="inverted-index", source=src, out=out, props="owner,asset"
+    )
+    assert _dispatch(spark, ns) in (0, None)
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 2 and res["path"].endswith("inverted.idx")
+
+
+def test_registry_xref_parity(spark):
+    from tests.oracle_utils import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001", "entities_xref_inverted")
