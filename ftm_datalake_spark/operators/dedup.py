@@ -303,3 +303,70 @@ def prefix_filter_pairs(
         .where(t_den * F.col("common") >= t_num * uni)
         .select("doc_a", "doc_b", "common", uni.cast("long").alias("uni"))
     )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, covered, coverage_bp): per-doc fraction of
+    token positions lying inside a CROSS-DOC duplicated k-gram — the
+    measure behind exact-substring training-data dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better":
+    duplicated spans of >= k tokens are what substring dedup removes;
+    this reports how much of each doc they cover, in basis points via
+    exact integer division).
+
+    Differs from segment dedup (textops.segment_dedup): segments are
+    fixed NON-overlapping windows keyed by within-doc frequency;
+    this slides OVERLAPPING grams and keys on cross-doc document
+    frequency, so a duplicated run is counted at every alignment —
+    the suffix-array semantics, gram-approximated.
+
+    Scale shape: gram construction is zero-shuffle (sequence+slice,
+    the winnowing idiom); one hash-agg on the 32-hex gram for document
+    frequency; one semi-join back (co-partitioned on the gram key);
+    covered positions fold per doc with a bounded explode (k per dup
+    gram). Never all-pairs, never position×position."""
+    tk = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tk.alias("tk")
+    ).select("doc_id", "tk", F.size("tk").cast("long").alias("n_tokens"))
+    n_grams = (F.col("n_tokens") - F.lit(k - 1)).cast("int")
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, k), " ")),
+    )
+    grams = base.where(n_grams >= 1).select(
+        "doc_id", "n_tokens", F.posexplode(gram_arr).alias("pos", "h")
+    )
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup_hashes, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("covered"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .where(F.col("n_tokens") > 0)
+        .join(covered, "doc_id", "left")
+        .withColumn("covered", F.coalesce("covered", F.lit(0)).cast("long"))
+        .withColumn(
+            "coverage_bp",
+            F.expr("(covered * CAST(10000 AS BIGINT)) div n_tokens"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Privacy auditing over training corpora: k-anonymity, l-diversity,
+and the generalization ladder — the release-gating checks a corpus
+curator runs before shipping data that joins quasi-identifiers
+(source, size, language...) to document payloads.
+
+All integer/string arithmetic, so a DuckDB oracle replays every check
+bit-exactly (registry: plans/privacy_ops.py). No reference counterpart
+— extends the pipeline's PII family (pii_redact, gdpr_forget_users)
+from row scrubbing to group-level disclosure risk.
+
+Scale shape: each check is one hash-aggregation over the
+quasi-identifier key (map-side partial combine does the heavy
+lifting); the ladder evaluates a FIXED list of generalization levels
+in a single pass (grid of |levels| × |groups| aggregates — levels is a
+small constant, never data-dependent), so no iteration, no driver
+loop, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_groups(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """(quasi..., n, suppressed): every quasi-identifier combination
+    with its row count; groups smaller than ``k`` are flagged
+    suppressed — releasing them would let an attacker who knows a
+    record's quasi-identifiers single it out among fewer than k
+    candidates (Sweeney's k-anonymity)."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("n")
+    ).withColumn("suppressed", F.col("n") < F.lit(int(k)))
+
+
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """(quasi..., n, distinct_sensitive, diverse): distinct-l-diversity
+    per quasi-identifier group — a k-anonymous group whose sensitive
+    attribute is constant still discloses it (homogeneity attack);
+    ``diverse`` requires at least ``l`` distinct sensitive values."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(sensitive_col).cast("long").alias(
+            "distinct_sensitive"
+        ),
+    ).withColumn(
+        "diverse", F.col("distinct_sensitive") >= F.lit(int(l))
+    )
+
+
+def _bucket(value_col: Column, width: int | None) -> Column:
+    """Generalization of a numeric column at one ladder level: floor to
+    a ``width`` multiple; width None = fully generalized (one bucket)."""
+    if width is None:
+        return F.lit(-1).cast("long")
+    return (
+        (value_col - value_col % F.lit(int(width))).cast("long")
+    )
+
+
+def generalization_ladder(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    widths: list[int | None],
+    k: int,
+) -> DataFrame:
+    """(group, chosen_level, chosen_width, n_buckets, min_group): per
+    ``group_col`` partition, the FIRST ladder level whose buckets of
+    ``value_col`` are all k-anonymous — the minimal generalization the
+    release needs (Samarati's ladder, coarsest-last; the final level
+    should be None = everything in one bucket so a level always
+    exists, k <= partition size permitting).
+
+    One pass: every level's bucket is computed as a column, one
+    explode over the |widths| constant, one (group, level, bucket)
+    hash-agg, one (group, level) fold, then a min-struct pick of the
+    first qualifying level — no per-level job, no driver loop."""
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("level"),
+                _bucket(F.col(value_col), w).alias("bucket"),
+                F.lit(-1 if w is None else int(w)).cast("long").alias(
+                    "width"
+                ),
+            )
+            for i, w in enumerate(widths)
+        ]
+    )
+    exploded = df.select(
+        F.col(group_col).alias("grp"), F.explode(levels).alias("lv")
+    ).select("grp", "lv.level", "lv.bucket", "lv.width")
+    per_bucket = exploded.groupBy("grp", "level", "width", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_level = per_bucket.groupBy("grp", "level", "width").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_group"),
+    )
+    qualifying = per_level.where(F.col("min_group") >= F.lit(int(k)))
+    chosen = qualifying.groupBy("grp").agg(
+        F.min(
+            F.struct("level", "width", "n_buckets", "min_group")
+        ).alias("w")
+    )
+    return chosen.select(
+        F.col("grp").alias(group_col),
+        F.col("w.level").cast("long").alias("chosen_level"),
+        F.col("w.width").alias("chosen_width"),
+        F.col("w.n_buckets").alias("n_buckets"),
+        F.col("w.min_group").alias("min_group"),
+    )

@@ -883,3 +883,51 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplicate coverage (round 10): the Lee et al. 2021
+# measure — how much of each doc lies inside a cross-doc duplicated
+# 8-token gram. Overlapping grams with cross-doc document frequency,
+# unlike the fixed non-overlapping within-corpus segments above.
+@register(
+    "dedup_duplicate_span_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+      FROM documents),
+    base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+             FROM toks),
+    grams AS (
+      SELECT doc_id, u.pos,
+             md5(array_to_string(tk[(u.pos + 1):(u.pos + 8)], ' ')) AS h
+      FROM base, LATERAL (SELECT unnest(range(0, len(tk) - 7)) AS pos) u),
+    dup AS (SELECT h FROM grams GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, p.p
+      FROM grams g JOIN dup USING (h),
+           LATERAL (SELECT unnest(range(g.pos, g.pos + 8)) AS p) p),
+    cc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered
+           FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(cc.covered, 0) AS BIGINT) AS covered,
+           (COALESCE(cc.covered, 0) * 10000) // b.n_tokens AS coverage_bp
+    FROM base b LEFT JOIN cc USING (doc_id)
+    WHERE b.n_tokens > 0
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "text", "training"),
+)
+def dedup_duplicate_span_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc duplicated-span coverage in basis points (exact integer
+    division): fraction of token positions inside an 8-gram that also
+    appears in another document — the quantity exact-substring dedup
+    (Lee et al. 2021) removes. Gram build zero-shuffle; one df hash-agg
+    + one semi-join on the gram hash; bounded k-position explode."""
+    from ftm_datalake_spark.operators.dedup import duplicate_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_coverage(docs, k=8).orderBy("doc_id")

@@ -9,14 +9,14 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-9 curation (VERDICT r8 #5): the r1–r8 sample union stands at
-230/230 — every registry query driver-green at least once. Round 9
-then ADDED six new oracled queries (LPA communities, the token-vote
-classifier triple, boilerplate-by-source, SemDeDup prune) — those
-lead the prefix because they have NO driver evidence yet. The rest of
-the 50 slots buy pure FRESHNESS: the queries with the OLDEST driver
-evidence, oldest round first (last sampled in r4/r5 — the r1/r3-era
-stragglers were refreshed by the r8 prefix). Regenerate with
+Round-10 curation (VERDICT r9 #8): the r1–r9 sample union stands at
+239/239 — every pre-r10 query driver-green at least once, zero
+never-sampled. Round 10 ADDED six oracled queries (entity-xref
+inverted index, df-capped winnowing pairs, the privacy triple,
+duplicate-span coverage) — those lead because they have NO driver
+evidence yet. The rest of the slots buy FRESHNESS: the queries with
+the OLDEST driver evidence, oldest round first (the r4-era rows the
+r9 prefix did not reach, then the r5 block). Regenerate with
 scripts/gen_evidence.py each round.
 
 Everything not listed keeps registration order after these.
@@ -25,56 +25,12 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    "graph_label_propagation",  # NEW r9 — never driver-sampled
-    "clf_token_vote_model",  # NEW r9 — never driver-sampled
-    "clf_token_vote_predict",  # NEW r9 — never driver-sampled
-    "clf_token_vote_confusion",  # NEW r9 — never driver-sampled
-    "boilerplate_by_source",  # NEW r9 — never driver-sampled
-    "semdedup_prune_summary",  # NEW r9 — never driver-sampled
-    "corpus_temperature_mixing",  # NEW r9 — never driver-sampled
-    "text_winnowing_fingerprints",  # NEW r9 — never driver-sampled
-    "dedup_winnowing_pairs",  # NEW r9 — never driver-sampled
-    "ann_ivfpq_topk",  # last driver sample: r4
-    "ann_lsh_recall",  # last driver sample: r4
-    "ann_pq_adc_topk",  # last driver sample: r4
-    "asof_last_purchase",  # last driver sample: r4
-    "bpe_encode_fixed",  # last driver sample: r4
-    "bpe_pair_freq_top20",  # last driver sample: r4
-    "corpus_leakage_safe_split",  # last driver sample: r4
-    "decontaminate_exact_substring",  # last driver sample: r4
-    "dedup_lsh_recall",  # last driver sample: r4
-    "entities_full",  # last driver sample: r4
-    "events_attribution_last_touch",  # last driver sample: r4
-    "events_pattern_match",  # last driver sample: r4
-    "events_sessionize",  # last driver sample: r4
-    "graph_bfs_distances",  # last driver sample: r4
-    "graph_triangles_trade",  # last driver sample: r4
-    "interval_overlap_sessions",  # last driver sample: r4
-    "layout_compaction_plan",  # last driver sample: r4
-    "layout_hilbert_events",  # last driver sample: r4
-    "layout_zorder_events",  # last driver sample: r4
-    "multimodal_audio_decimate",  # last driver sample: r4
-    "multimodal_audio_features",  # last driver sample: r4
-    "multimodal_audio_spectrum",  # last driver sample: r4
-    "multimodal_bmp_features",  # last driver sample: r4
-    "multimodal_image_dedup",  # last driver sample: r4
-    "multimodal_image_features",  # last driver sample: r4
-    "multimodal_jpeg_features",  # last driver sample: r4
-    "multimodal_phash_neardup",  # last driver sample: r4
-    "multimodal_png_features",  # last driver sample: r4
-    "multimodal_resize_bilinear",  # last driver sample: r4
-    "multimodal_resize_roundtrip",  # last driver sample: r4
-    "multimodal_tiff_features",  # last driver sample: r4
-    "multimodal_video_frames",  # last driver sample: r4
-    "q10_returned_items",  # last driver sample: r4
-    "q11_important_parts",  # last driver sample: r4
-    "q13_customer_distribution",  # last driver sample: r4
-    "q15_top_supplier",  # last driver sample: r4
-    "q16_part_supplier_counts",  # last driver sample: r4
-    "q17_small_quantity_revenue",  # last driver sample: r4
-    "q20_promo_suppliers",  # last driver sample: r4
-    "q21_waiting_suppliers",  # last driver sample: r4
-    "q22_sales_opportunity",  # last driver sample: r4
+    "entities_xref_inverted",  # NEW r10 — never driver-sampled
+    "dedup_winnowing_pairs_capped",  # NEW r10 — never driver-sampled
+    "privacy_k_anonymity",  # NEW r10 — never driver-sampled
+    "privacy_l_diversity",  # NEW r10 — never driver-sampled
+    "privacy_generalization_ladder",  # NEW r10 — never driver-sampled
+    "dedup_duplicate_span_coverage",  # NEW r10 — never driver-sampled
     "q2_min_cost_supplier",  # last driver sample: r4
     "q7_volume_shipping",  # last driver sample: r4
     "q8_market_share",  # last driver sample: r4
@@ -84,4 +40,39 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "approx_distinct_users",  # last driver sample: r5
     "bloom_semi_join_revenue",  # last driver sample: r5
     "bpe_encode_trained",  # last driver sample: r5
+    "bpe_train_merges",  # last driver sample: r5
+    "cdc_apply_documents",  # last driver sample: r5
+    "changefeed_documents",  # last driver sample: r5
+    "corpus_curriculum_stages",  # last driver sample: r5
+    "corpus_sliding_chunks",  # last driver sample: r5
+    "corpus_source_mixing",  # last driver sample: r5
+    "decontaminate_benchmark",  # last driver sample: r5
+    "dedup_canonical_corpus",  # last driver sample: r5
+    "dedup_cdc_chunks",  # last driver sample: r5
+    "dedup_containment_pairs",  # last driver sample: r5
+    "dedup_exact",  # last driver sample: r5
+    "dedup_families",  # last driver sample: r5
+    "dedup_incremental",  # last driver sample: r5
+    "dedup_minhash_lsh",  # last driver sample: r5
+    "dedup_ngram_jaccard",  # last driver sample: r5
+    "dedup_prefix_filter_pairs",  # last driver sample: r5
+    "dedup_simhash",  # last driver sample: r5
+    "dedup_verified_pairs",  # last driver sample: r5
+    "embedding_quantize_int8",  # last driver sample: r5
+    "events_anomaly_mad",  # last driver sample: r5
+    "events_changepoint_meanshift",  # last driver sample: r5
+    "multimodal_gif_features",  # last driver sample: r5
+    "multimodal_y4m_frames",  # last driver sample: r5
+    "sample_diverse_lsh",  # last driver sample: r5
+    "sample_importance_weighted",  # last driver sample: r5
+    "sample_per_source_cap",  # last driver sample: r5
+    "sample_reservoir_k",  # last driver sample: r5
+    "sample_stratified",  # last driver sample: r5
+    "sample_weighted_aes",  # last driver sample: r5
+    "sample_weighted_per_lang",  # last driver sample: r5
+    "sequence_packing",  # last driver sample: r5
+    "sketch_moments_quantiles",  # last driver sample: r5
+    "statement_incremental_merge",  # last driver sample: r5
+    "text_bpe_tokens",  # last driver sample: r5
+    "text_fingerprint",  # last driver sample: r5
 )

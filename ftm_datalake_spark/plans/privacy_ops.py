@@ -1,0 +1,125 @@
+"""Privacy-audit queries (round 10): k-anonymity suppression,
+l-diversity, and the generalization ladder over the documents table
+(operators/privacy.py) — the group-level disclosure-risk checks of a
+corpus release, complementing the row-level PII family (pii_redact,
+gdpr_forget_users). All-integer/boolean outputs; DuckDB replays each
+bit-exactly.
+
+Quasi-identifiers are synthesized from the corpus's own metadata:
+(source, lang, size-bucket) — exactly the side columns a published
+training corpus ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_datalake_spark.operators.privacy import (
+    generalization_ladder,
+    k_anonymity_groups,
+    l_diversity_audit,
+)
+from ftm_datalake_spark.plans.registry import register
+from ftm_datalake_spark.sources.tables import load_table
+
+_K = 5
+_L = 3
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(n_chars - n_chars % 200 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < {_K} AS suppressed
+    FROM documents
+    GROUP BY source, lang, bucket
+    ORDER BY source, lang, bucket
+    """,
+    tags=("privacy", "agg"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (source, lang, 200-char size bucket) quasi-identifier
+    group with its count; groups under k={_K} flagged suppressed. One
+    hash-agg."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket",
+        (F.col("n_chars") - F.col("n_chars") % 200).cast("long"),
+    )
+    return k_anonymity_groups(
+        docs, ["source", "lang", "bucket"], k=_K
+    ).orderBy("source", "lang", "bucket")
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    SELECT source,
+           CAST(n_chars - n_chars % 500 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS distinct_sensitive,
+           COUNT(DISTINCT lang) >= {_L} AS diverse
+    FROM documents
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+    """,
+    tags=("privacy", "agg"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity of the language column inside each
+    (source, 500-char bucket) group — a k-anonymous group with one
+    language still leaks it (homogeneity attack)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket",
+        (F.col("n_chars") - F.col("n_chars") % 500).cast("long"),
+    )
+    return l_diversity_audit(
+        docs, ["source", "bucket"], "lang", l=_L
+    ).orderBy("source", "bucket")
+
+
+_WIDTHS: list[int | None] = [200, 1000, None]
+
+
+@register(
+    "privacy_generalization_ladder",
+    oracle=f"""
+    WITH lv AS (
+      SELECT source, u.level,
+             CASE u.level WHEN 0 THEN 200 WHEN 1 THEN 1000
+                          ELSE -1 END AS width,
+             CASE u.level WHEN 0 THEN n_chars - n_chars % 200
+                          WHEN 1 THEN n_chars - n_chars % 1000
+                          ELSE -1 END AS bucket
+      FROM documents, (SELECT unnest(range(0, {len(_WIDTHS)})) AS level) u),
+    pb AS (
+      SELECT source, level, width, bucket, COUNT(*) AS n
+      FROM lv GROUP BY source, level, width, bucket),
+    pl AS (
+      SELECT source, level, width,
+             COUNT(*) AS n_buckets, MIN(n) AS min_group
+      FROM pb GROUP BY source, level, width),
+    q AS (SELECT * FROM pl WHERE min_group >= {_K}),
+    c AS (SELECT source, MIN(level) AS chosen_level FROM q GROUP BY source)
+    SELECT c.source AS source,
+           CAST(c.chosen_level AS BIGINT) AS chosen_level,
+           CAST(q.width AS BIGINT) AS chosen_width,
+           CAST(q.n_buckets AS BIGINT) AS n_buckets,
+           CAST(q.min_group AS BIGINT) AS min_group
+    FROM c JOIN q ON q.source = c.source AND q.level = c.chosen_level
+    ORDER BY c.source
+    """,
+    tags=("privacy", "agg"),
+)
+def privacy_generalization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per source, the minimal n_chars generalization (200-wide →
+    1000-wide → single bucket) at which every bucket is k-anonymous —
+    Samarati's ladder as one relational pass (no per-level job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return generalization_ladder(
+        docs, "source", "n_chars", _WIDTHS, k=_K
+    ).orderBy("source")

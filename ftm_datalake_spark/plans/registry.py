@@ -73,6 +73,7 @@ def get_registry() -> dict[str, QuerySpec]:
         layout_ops,
         multimodal_ops,
         parity_ops,
+        privacy_ops,
         reference_ops,
         scale_ops,
         similarity_ops,

@@ -190,3 +190,158 @@ def test_registry_xref_parity(spark):
     from tests.oracle_utils import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "entities_xref_inverted")
+
+
+# ---------------------------------------------------------------------------
+# Privacy family laws (operators/privacy.py)
+
+def _pdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    )
+
+
+def test_k_anonymity_flags_exactly_small_groups(spark):
+    from ftm_datalake_spark.operators.privacy import k_anonymity_groups
+
+    rows = [(i, "a", "en", 100) for i in range(5)] + [
+        (10, "a", "de", 100),
+        (11, "b", "en", 100),
+        (12, "b", "en", 100),
+    ]
+    out = {
+        (r["source"], r["lang"]): (r["n"], r["suppressed"])
+        for r in k_anonymity_groups(
+            _pdocs(spark, rows), ["source", "lang"], k=3
+        ).collect()
+    }
+    assert out == {
+        ("a", "en"): (5, False),
+        ("a", "de"): (1, True),
+        ("b", "en"): (2, True),
+    }
+
+
+def test_l_diversity_homogeneity_attack_flagged(spark):
+    from ftm_datalake_spark.operators.privacy import l_diversity_audit
+
+    rows = [
+        (1, "a", "en", 100), (2, "a", "de", 100), (3, "a", "fr", 100),
+        # k-anonymous (n=3) but language-homogeneous:
+        (4, "b", "en", 100), (5, "b", "en", 100), (6, "b", "en", 100),
+    ]
+    out = {
+        r["source"]: (r["distinct_sensitive"], r["diverse"])
+        for r in l_diversity_audit(
+            _pdocs(spark, rows), ["source"], "lang", l=2
+        ).collect()
+    }
+    assert out == {"a": (3, True), "b": (1, False)}
+
+
+def test_generalization_ladder_picks_minimal_level(spark):
+    from ftm_datalake_spark.operators.privacy import generalization_ladder
+
+    # source 'fine': 4 docs in one 100-bucket -> level 0 suffices at k=4
+    # source 'wide': values straddle 100-buckets (k fails) but share a
+    # 1000-bucket -> level 1
+    # source 'tiny': 2 docs far apart -> only the all-bucket level
+    rows = (
+        [(i, "fine", "en", 100 + i) for i in range(4)]
+        + [(10 + i, "wide", "en", 100 * i) for i in range(8)]
+        + [(20, "tiny", "en", 10), (21, "tiny", "en", 90_000)]
+    )
+    out = {
+        r["source"]: r["chosen_level"]
+        for r in generalization_ladder(
+            _pdocs(spark, rows), "source", "n_chars", [100, 1000, None], k=2
+        ).collect()
+    }
+    assert out == {"fine": 0, "wide": 1, "tiny": 2}
+    # k monotonicity: raising k never picks a finer level
+    out_k4 = {
+        r["source"]: r["chosen_level"]
+        for r in generalization_ladder(
+            _pdocs(spark, rows), "source", "n_chars", [100, 1000, None], k=4
+        ).collect()
+    }
+    for src, lvl in out.items():
+        if src == "tiny":
+            # 2 docs < k=4: no level (even one-bucket) qualifies, so
+            # the source is absent — suppress it entirely
+            assert "tiny" not in out_k4
+        else:
+            assert out_k4[src] >= lvl
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coverage laws (operators/dedup.duplicate_span_coverage)
+
+_RUN8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+
+
+def test_span_coverage_zero_without_cross_doc_dups(spark):
+    from ftm_datalake_spark.operators.dedup import duplicate_span_coverage
+
+    # letter-only fillers: the [a-z]+ tokenizer drops digits, so tokens
+    # must be unique as PURE LETTER strings per doc
+    alpha = "abcdefghijkl"
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"u{alpha[i]}w{alpha[j]}" for j in range(12)))
+            for i in range(5)
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_span_coverage(docs, k=8).collect()
+    assert all(r["covered"] == 0 and r["coverage_bp"] == 0 for r in rows)
+
+
+def test_span_coverage_counts_planted_run_exactly(spark):
+    from ftm_datalake_spark.operators.dedup import duplicate_span_coverage
+
+    # docs 0 and 1 share exactly one 8-token run inside unique context;
+    # doc 2 is clean. Each carrier: 8 covered positions of 16 tokens.
+    rows = [
+        (0, _RUN8 + " " + " ".join(f"a{j}" for j in range(8))),
+        (1, " ".join(f"b{j}" for j in range(8)) + " " + _RUN8),
+        (2, " ".join(f"c{j}" for j in range(16))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["covered"], r["coverage_bp"])
+        for r in duplicate_span_coverage(docs, k=8).collect()
+    }
+    assert out[0] == (16, 8, 5000)
+    assert out[1] == (16, 8, 5000)
+    assert out[2] == (16, 0, 0)
+
+
+def test_span_coverage_overlapping_grams_merge(spark):
+    from ftm_datalake_spark.operators.dedup import duplicate_span_coverage
+
+    # a shared 9-token run = two overlapping duplicated 8-grams; the
+    # covered position set must be the 9-token union, not 16
+    run9 = _RUN8 + " india"
+    rows = [
+        (0, run9 + " " + " ".join(f"a{j}" for j in range(7))),
+        (1, run9 + " " + " ".join(f"b{j}" for j in range(7))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["covered"]
+        for r in duplicate_span_coverage(docs, k=8).collect()
+    }
+    assert out == {0: 9, 1: 9}
+
+
+def test_round10_registry_parity_small(spark):
+    from tests.oracle_utils import compare_query
+
+    for name in (
+        "privacy_k_anonymity",
+        "privacy_l_diversity",
+        "privacy_generalization_ladder",
+        "dedup_duplicate_span_coverage",
+    ):
+        compare_query(spark, "/root/testdata/sf0.001", name)
