@@ -423,11 +423,19 @@ def publish(spark: SparkSession, lake_dir: str) -> dict:
             with_interval=True,
             file_count=int(r.get("file_count") or 0),
         )
-        write_index_json(index_row, _os.path.join(lake_dir, name))
+        write_index_json(index_row, _os.path.join(lake_dir, name), spark)
         entries.append(index_row)
     cat_path = _os.path.join(lake_dir, "catalog.json")
-    with open(cat_path, "w", encoding="utf-8") as fh:
-        _json.dump({"datasets": entries}, fh, default=str, sort_keys=True)
+    from ftm_datalake_spark import fsutil
+
+    fsutil.write_bytes_atomic(
+        spark,
+        cat_path,
+        _json.dumps(
+            {"datasets": entries}, default=str, sort_keys=True
+        ).encode("utf-8"),
+    )
+    fsutil._drop_crc_sidecar(spark, cat_path)
     return {"datasets": len(entries), "catalog": cat_path}
 
 

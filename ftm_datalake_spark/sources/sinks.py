@@ -350,13 +350,30 @@ def read_diff_text(path: str, spark: "SparkSession | None" = None) -> str:
     return "".join(chunks)
 
 
-def write_index_json(index_row: dict, out_dir: str) -> str:
-    """S12: per-dataset index.json from a collected stats row."""
+def write_index_json(
+    index_row: dict, out_dir: str, spark: "SparkSession | None" = None
+) -> str:
+    """S12: per-dataset index.json from a collected stats row. With a
+    session (``spark`` or the active one), the write goes through
+    fsutil's crash-safe replace on any Hadoop scheme; a plain local
+    write remains for Spark-free callers (the serving hot path is
+    deliberately sessionless)."""
+    from pyspark.sql import SparkSession as _SS
+
     target = os.path.join(out_dir, "index.json")
-    os.makedirs(out_dir, exist_ok=True)
     clean = {k: v for k, v in index_row.items() if v is not None}
+    payload = json.dumps(clean, default=str, sort_keys=True)
+    spark = spark or _SS.getActiveSession()
+    if spark is not None:
+        from ftm_datalake_spark import fsutil
+
+        fsutil.mkdirs(spark, out_dir)
+        fsutil.write_bytes_atomic(spark, target, payload.encode("utf-8"))
+        fsutil._drop_crc_sidecar(spark, target)
+        return target
+    os.makedirs(out_dir, exist_ok=True)
     with open(target, "w", encoding="utf-8") as fh:
-        json.dump(clean, fh, default=str, sort_keys=True)
+        fh.write(payload)
     return target
 
 

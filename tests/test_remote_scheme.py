@@ -214,3 +214,29 @@ def test_documents_diff_over_viewfs(spark, tmp_path, viewfs):
     assert read_diff_text(remote, spark) == read_diff_text(local, spark)
     assert "-a.txt" in read_diff_text(remote, spark)
     assert "+c.txt" in read_diff_text(remote, spark)
+
+
+def test_publish_index_and_catalog_over_viewfs(spark, tmp_path, viewfs):
+    """publish's index.json / catalog.json sidecars go through fsutil,
+    so a lake rooted on a non-file scheme publishes identically."""
+    import json
+
+    from ftm_datalake_spark.pipelines.ingest import crawl, publish
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_bytes(b"alpha body")
+    crawl(spark, str(src), "ds1", f"{viewfs}/lake")
+    out = publish(spark, f"{viewfs}/lake")
+    assert out["datasets"] == 1
+    idx = json.loads((tmp_path / "lake" / "ds1" / "index.json").read_text())
+    assert idx["name"] == "ds1" and idx["file_count"] == 1
+    cat = json.loads((tmp_path / "lake" / "catalog.json").read_text())
+    assert [d["name"] for d in cat["datasets"]] == ["ds1"]
+    # no FS-metadata droppings next to the spec sidecars (Spark's own
+    # parquet part .crc files under documents/ are its normal local-FS
+    # behavior and out of scope)
+    assert not any(
+        p.name in (".index.json.crc", ".catalog.json.crc")
+        for p in (tmp_path / "lake").rglob(".*.crc")
+    )
