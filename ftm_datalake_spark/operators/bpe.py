@@ -158,14 +158,27 @@ def encode_token_counts(
     vocab_syms: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_rows: int | None = 2_000_000,
+    vocab_rows: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_bpe_tokens) under a trained vocab: per-word symbol
     counts come from the vocab join — no per-token merge replay. One
-    corpus scan; the join side is the vocab (broadcast it while small).
-    """
-    word_tokens = F.broadcast(
-        vocab_syms.select("word", F.size("syms").alias("n_word_tokens"))
-    )
+    corpus scan; the join side is the word vocabulary.
+
+    Same broadcast size guard as the classifier model (VERDICT r9 #3's
+    risk class): the word vocab of a 100 TB corpus is uncapped, so the
+    hint applies only at or below ``max_broadcast_rows`` (counted once
+    unless ``vocab_rows`` is supplied); ``None`` forces it
+    (known-bounded vocab, e.g. the oracle corpora), ``0`` never hints
+    (planner/AQE decides)."""
+    sel = vocab_syms.select("word", F.size("syms").alias("n_word_tokens"))
+    if max_broadcast_rows is None:
+        word_tokens = F.broadcast(sel)
+    elif max_broadcast_rows <= 0:
+        word_tokens = sel
+    else:
+        n = vocab_rows if vocab_rows is not None else sel.count()
+        word_tokens = F.broadcast(sel) if n <= max_broadcast_rows else sel
     doc_words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

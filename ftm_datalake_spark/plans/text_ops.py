@@ -933,7 +933,9 @@ def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _, vocab = B.bpe_train(docs, num_merges=_BPE_N)
     return (
-        B.encode_token_counts(docs, vocab)
+        # oracle-corpus vocab is bounded: force the broadcast (None)
+        # rather than paying the size-probe count
+        B.encode_token_counts(docs, vocab, max_broadcast_rows=None)
         .orderBy(F.desc("n_bpe_tokens"), "doc_id")
         .limit(20)
     )

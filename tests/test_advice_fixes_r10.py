@@ -244,3 +244,23 @@ def test_sig_ledger_skips_uncommitted_gen(spark, tmp_path):
     fsutil.delete(spark, gen_dir + "/_SUCCESS")
     ids = {r["doc_id"] for r in _read_sig_ledger(spark, out).collect()}
     assert ids == {1}  # the crashed fold's doc must re-enter on replay
+
+
+def test_bpe_encode_broadcast_guard_paths_identical(spark):
+    """Same guard class as the classifier model: the trained word vocab
+    is corpus-uncapped, so encode_token_counts must produce identical
+    counts whether the vocab side is forced-broadcast, unhinted, or
+    guarded over a tiny threshold."""
+    from ftm_datalake_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * (i + 1)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    _, vocab = B.bpe_train(docs, num_merges=3)
+    vocab = vocab.localCheckpoint(eager=True)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    forced = B.encode_token_counts(docs, vocab, max_broadcast_rows=None)
+    never = B.encode_token_counts(docs, vocab, max_broadcast_rows=0)
+    counted = B.encode_token_counts(docs, vocab, max_broadcast_rows=1)
+    assert rows(forced) == rows(never) == rows(counted)
