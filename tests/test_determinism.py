@@ -63,6 +63,13 @@ RISKY = [
     "search_hybrid_rrf",
     "er_golden_record",
     "events_holt_linear",
+    # round-10: ladder min-struct pick over per-level aggregates,
+    # distinct position folds, sorted referrer-set signatures, and the
+    # df-capped pair join must not leak partitioning
+    "privacy_generalization_ladder",
+    "dedup_duplicate_span_coverage",
+    "entities_xref_inverted",
+    "dedup_winnowing_pairs_capped",
 ]
 
 
