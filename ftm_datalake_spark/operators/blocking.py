@@ -236,3 +236,67 @@ def entity_match(
     return scored.where(
         F.col("n_inter") * 100 >= F.col("n_union") * F.lit(threshold_pct)
     )
+
+
+def meta_blocking_wep(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df: int = 20,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Meta-blocking with Weighted Edge Pruning (Papadakis et al.,
+    TKDE 2014): k-gram shingle blocks -> comparison-graph edges
+    weighted by Common Block Scheme (CBS = number of shared blocks) ->
+    keep edges at or above the GLOBAL MEAN weight.
+
+    Block purging is built in: shingles with df < min_df generate no
+    pairs and df > max_df blocks are oversize boilerplate (the same
+    hot-key cap as winnowing's max_df and the rare-token blocker's
+    max_block_size), so the block self-join fans out at most
+    max_df*(max_df-1)/2 pairs per block — never quadratic in the
+    corpus. The mean threshold is integer-exact: an edge survives iff
+    weight * n_edges >= total_weight (no float division). The 1-row
+    (n_edges, total_weight) scalar ships via crossJoin(broadcast(..)),
+    the text_pmi_collocations idiom — the edge frame itself stays
+    distributed.
+
+    Returns (doc_a, doc_b, cbs) for surviving comparisons.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    postings = (
+        docs.where(F.size(toks) >= k)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .distinct()
+    )
+    dfreq = postings.groupBy("g").agg(F.count("*").alias("df"))
+    ok = postings.join(
+        dfreq.where(
+            (F.col("df") >= min_df) & (F.col("df") <= max_df)
+        ).select("g"),
+        "g",
+    ).select("g", "doc_id")
+    a = ok.select("g", F.col("doc_id").alias("doc_a"))
+    b = ok.select("g", F.col("doc_id").alias("doc_b"))
+    edges = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("cbs"))
+    )
+    totals = edges.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("cbs").alias("total_weight"),
+    )
+    return (
+        edges.crossJoin(F.broadcast(totals))
+        .where(F.col("cbs") * F.col("n_edges") >= F.col("total_weight"))
+        .select("doc_a", "doc_b", "cbs")
+    )

@@ -402,3 +402,54 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family")
     )
+
+
+# --------------------------------------------------------------------------
+# Meta-blocking with Weighted Edge Pruning (Papadakis et al., TKDE
+# 2014; operators/blocking.meta_blocking_wep): 3-gram shingle blocks
+# with df in [2, 20] (purging), comparison edges weighted by
+# shared-block count (CBS), edges below the global mean pruned. The
+# mean test is integer cross-multiplication; the (n_edges,
+# total_weight) scalar ships via crossJoin(broadcast(..)).
+@register(
+    "er_meta_blocking_wep",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+      )
+    ),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM tok GROUP BY g),
+    ok AS (
+      SELECT tok.g, tok.doc_id FROM tok JOIN dfreq USING (g)
+      WHERE df BETWEEN 2 AND 20
+    ),
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cbs
+      FROM ok a JOIN ok b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n_edges, SUM(cbs) AS total_weight
+            FROM edges)
+    SELECT doc_a, doc_b, CAST(cbs AS BIGINT) AS cbs
+    FROM edges, tot
+    WHERE cbs * n_edges >= total_weight
+    ORDER BY cbs DESC, doc_a, doc_b
+    LIMIT 500
+    """,
+    tags=("er", "blocking", "metablocking"),
+)
+def er_meta_blocking_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEP-pruned comparison graph over documents token blocks."""
+    from ftm_datalake_spark.operators.blocking import meta_blocking_wep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        meta_blocking_wep(docs, min_df=2, max_df=20)
+        .orderBy(F.desc("cbs"), "doc_a", "doc_b")
+        .limit(500)
+    )

@@ -1315,3 +1315,69 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_months")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value per user (TWAP — the standard finance /
+# IoT aggregate over step-function state): each event's value holds
+# until the user's next event; the average weights each value by its
+# holding duration. Integer-exact: cents via the DECIMAL(18,2) idiom
+# (make_reconcile), durations in epoch milliseconds, one integer
+# division at the end. Scale shape: ONE window + ONE agg, both keyed by
+# user_id — uniform keys, linear, no global anything.
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, cents,
+             CASE WHEN nxt IS NULL THEN 0
+                  ELSE (epoch_us(nxt) - epoch_us(ts)) // 1000 END AS dur_ms
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+           CAST((SUM(cents * dur_ms) * 1000) // SUM(dur_ms) AS BIGINT)
+             AS twap_cents_x1000
+    FROM d GROUP BY user_id
+    HAVING SUM(dur_ms) > 0
+    ORDER BY user_id
+    """,
+    tags=("events", "window", "temporal"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    stepped = events.select(
+        "user_id",
+        cents.alias("cents"),
+        F.coalesce(
+            (
+                F.unix_micros(F.lead("ts").over(w))
+                - F.unix_micros(F.col("ts"))
+            ),
+            F.lit(0),
+        ).alias("dur_us"),
+    ).withColumn("dur_ms", F.expr("dur_us div 1000"))
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("dur_ms").cast("long").alias("span_ms"),
+            F.expr("(sum(cents * dur_ms) * 1000) div sum(dur_ms)")
+            .cast("long")
+            .alias("twap_cents_x1000"),
+        )
+        .where(F.col("span_ms") > 0)
+        .orderBy("user_id")
+    )

@@ -31,6 +31,10 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity",  # NEW r10 — never driver-sampled
     "privacy_generalization_ladder",  # NEW r10 — never driver-sampled
     "dedup_duplicate_span_coverage",  # NEW r10 — never driver-sampled
+    "sample_dsir_weights",  # NEW r10 — never driver-sampled
+    "er_meta_blocking_wep",  # NEW r10 — never driver-sampled
+    "part_skyline_dominance",  # NEW r10 — never driver-sampled
+    "events_time_weighted_value",  # NEW r10 — never driver-sampled
     "q2_min_cost_supplier",  # last driver sample: r4
     "q7_volume_shipping",  # last driver sample: r4
     "q8_market_share",  # last driver sample: r4

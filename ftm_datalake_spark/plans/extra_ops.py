@@ -1080,3 +1080,47 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto dominance (Börzsönyi et al., ICDE 2001;
+# operators/skyline.py): parts that are undominated on (size MAX,
+# retail price MIN). The Spark plan is the sort-based reduction — one
+# per-size hash agg, a strict-min sweep over the <=50-row collapsed
+# frame, a broadcast join back for frontier-point counts. The oracle
+# keeps the quadratic NOT EXISTS as the semantic cross-check.
+@register(
+    "part_skyline_dominance",
+    oracle="""
+    WITH bysize AS (
+      SELECT p_size, MIN(p_retailprice) AS minp FROM part GROUP BY p_size
+    ),
+    sky AS (
+      SELECT p_size, minp FROM bysize b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bysize b2
+        WHERE b2.p_size > b.p_size AND b2.minp <= b.minp)
+    )
+    SELECT CAST(s.p_size AS BIGINT) AS p_size,
+           s.minp AS frontier_p_retailprice,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM sky s JOIN part p
+      ON p.p_size = s.p_size AND p.p_retailprice = s.minp
+    GROUP BY 1, 2
+    ORDER BY p_size
+    """,
+    tags=("skyline", "dominance", "agg"),
+)
+def part_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        skyline_2d(part, max_col="p_size", min_col="p_retailprice")
+        .select(
+            F.col("p_size").cast("long").alias("p_size"),
+            "frontier_p_retailprice",
+            "n_rows",
+        )
+        .orderBy("p_size")
+    )

@@ -964,3 +964,61 @@ def corpus_epoch_packing_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "cum_end", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR (Xie et al. 2023): hashed-bigram importance weights of a target
+# sample vs the raw corpus, integer-exact (operators/dsir.py). Target =
+# the 'zh' slice; zh docs must surface at the top of the ranking, which
+# makes the query self-validating. Scale shape: the bucket LM is <= 512
+# rows (broadcast), totals are 1-row scalars (crossJoin broadcast); the
+# only corpus-scale shuffle is the per-doc weight agg.
+@register(
+    "sample_dsir_weights",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bucket
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+      )
+    ),
+    tgt AS (
+      SELECT f.* FROM feats f
+      JOIN (SELECT doc_id FROM documents WHERE lang = 'zh') USING (doc_id)
+    ),
+    raw_lm AS (SELECT bucket, COUNT(*) AS cnt_r FROM feats GROUP BY bucket),
+    tgt_lm AS (SELECT bucket, COUNT(*) AS cnt_t FROM tgt GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM feats) AS t_raw,
+                   (SELECT COUNT(*) FROM tgt) AS t_tgt),
+    lm AS (
+      SELECT r.bucket,
+             (length(bin(((COALESCE(t.cnt_t, 0) + 1) * 1048576)
+                         // (r.cnt_r + 1))) - 1)
+             - (length(bin(((tot.t_tgt + 512) * 1048576)
+                           // (tot.t_raw + 512))) - 1) AS llr
+      FROM raw_lm r LEFT JOIN tgt_lm t USING (bucket), tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lm.llr) AS BIGINT) AS dsir_weight
+    FROM feats f JOIN lm USING (bucket)
+    GROUP BY f.doc_id
+    ORDER BY dsir_weight DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("training", "sampling", "dsir"),
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.dsir import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_importance_weights(docs, F.col("lang") == "zh")
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(100)
+    )

@@ -70,6 +70,13 @@ RISKY = [
     "dedup_duplicate_span_coverage",
     "entities_xref_inverted",
     "dedup_winnowing_pairs_capped",
+    # round-10 second wave: the DSIR top-100 boundary, the WEP
+    # mean-threshold scalar, the skyline strict-min sweep, and the
+    # TWAP lead() fold must not leak partitioning
+    "sample_dsir_weights",
+    "er_meta_blocking_wep",
+    "part_skyline_dominance",
+    "events_time_weighted_value",
 ]
 
 

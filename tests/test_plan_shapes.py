@@ -131,6 +131,14 @@ GLOBAL_SCALAR_OK = {
     "quality_iqr_outliers",
     "set_equality_check",
     "sketch_hll_distinct_users",
+    # round-10 second wave: DSIR's (t_raw, t_tgt) totals and
+    # meta-blocking's (n_edges, total_weight) threshold are 1-row
+    # scalars shipped via crossJoin(broadcast(..)) — the PMI idiom;
+    # the skyline sweep is a window over the <=|distinct p_size|-row
+    # collapsed frame (data term collapsed before the exchange)
+    "sample_dsir_weights",
+    "er_meta_blocking_wep",
+    "part_skyline_dominance",
 }
 
 
