@@ -155,6 +155,12 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument(
         "--oracle", action="store_true", help="print the DuckDB oracle SQL instead of rows"
     )
+    p_query.add_argument(
+        "--lint",
+        action="store_true",
+        help="print plan-shape lint JSON (shuffles/broadcasts/1-part/"
+        "cartesian/BNLJ/codegen + verdicts) instead of rows",
+    )
 
     p_zip = sub.add_parser("export-zip")
     p_zip.add_argument("-d", "--dataset", required=True)
@@ -819,6 +825,13 @@ def _dispatch(spark, args) -> int:
         elif args.explain:
             df = REGISTRY[args.name].builder(spark, args.sf_dir)
             df.explain(mode="formatted")
+        elif args.lint:
+            from ftm_datalake_spark.plans.lint import lint_plan
+
+            spec = REGISTRY[args.name]
+            df = spec.builder(spark, args.sf_dir)
+            report = lint_plan(df, checkpointed=spec.checkpointed)
+            print(json.dumps({"query": args.name, **report}))
         else:
             df = REGISTRY[args.name].builder(spark, args.sf_dir)
             for row in df.limit(args.limit).collect():

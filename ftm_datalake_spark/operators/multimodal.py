@@ -2014,3 +2014,37 @@ def pseudo_embed(media: DataFrame, dims: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "embedding"])
 
     return media.select("media_id", "content").mapInPandas(embed, out_schema)
+
+
+def video_scene_cuts(
+    media: DataFrame, threshold_x1000: int = 100_000, every_n: int = 1
+) -> DataFrame:
+    """Scene-cut detection over decoded frame lumas: a cut is a
+    frame-to-frame jump of at least `threshold_x1000` milli-luma (the
+    classic absolute-difference detector; real pipelines swap luma for
+    histogram distance, same shape). Composition: the frame walk +
+    decode from video_frame_features, lumas quantized to x1000
+    integers, one lag() window PER MEDIA (state bounded by a single
+    stream's frame count), one hash agg to the per-media summary —
+    decode cost and window state both scale with frames-per-video,
+    never the corpus.
+
+    Returns (media_id, n_frames, n_cuts, first_cut_idx); first_cut_idx
+    is null when no cut clears the threshold."""
+    from pyspark.sql import Window
+
+    feats = video_frame_features(media, every_n=every_n)
+    lx = F.round(F.col("mean_luma") * 1000).cast("long")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    scored = feats.select(
+        "media_id", "frame_idx", "n_frames", lx.alias("luma_x1000")
+    ).withColumn(
+        "delta", F.abs(F.col("luma_x1000") - F.lag("luma_x1000").over(w))
+    )
+    is_cut = F.col("delta") >= threshold_x1000
+    return scored.groupBy("media_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.count_if(is_cut).cast("long").alias("n_cuts"),
+        F.min(F.when(is_cut, F.col("frame_idx"))).cast("long")
+        .alias("first_cut_idx"),
+    )

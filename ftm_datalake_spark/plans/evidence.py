@@ -35,6 +35,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "er_meta_blocking_wep",  # NEW r10 — never driver-sampled
     "part_skyline_dominance",  # NEW r10 — never driver-sampled
     "events_time_weighted_value",  # NEW r10 — never driver-sampled
+    "embedding_random_projection",  # NEW r10 — never driver-sampled
+    "multimodal_video_scenecut",  # NEW r10 — never driver-sampled
     "q2_min_cost_supplier",  # last driver sample: r4
     "q7_volume_shipping",  # last driver sample: r4
     "q8_market_share",  # last driver sample: r4

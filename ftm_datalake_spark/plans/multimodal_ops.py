@@ -1042,3 +1042,78 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_luma") * 1000).cast("long").alias("luma_x1000"),
         "decoder",
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Scene-cut detection under REAL driver verification: each documents row
+# synthesizes a concatenated-P6 stream (4..7 frames, 2x2 constant
+# rasters) whose luma JUMPS by 131 mod 256 at frame `1 + doc_id % 3`;
+# operators/multimodal.video_scene_cuts walks the real parser, decodes
+# every frame, and flags |Δ luma_x1000| >= 100000. The oracle recomputes
+# the decoded lumas and the lag-delta arithmetic directly.
+@register(
+    "multimodal_video_scenecut",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 4 AS nf, 1 + doc_id % 3 AS cut
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, nf, s.i AS idx,
+             CAST((doc_id * 5 + CASE WHEN s.i >= cut THEN 131 ELSE 0 END)
+                  % 256 AS DOUBLE) AS v
+      FROM d, LATERAL (SELECT i FROM generate_series(0, 7) g(i)) s
+      WHERE s.i < nf
+    ),
+    l AS (
+      SELECT doc_id, nf, idx,
+             CAST(ROUND((0.299 * v + 0.587 * v + 0.114 * v) * 1000)
+                  AS BIGINT) AS lx
+      FROM f
+    ),
+    dd AS (
+      SELECT doc_id, nf, idx,
+             abs(lx - lag(lx) OVER (PARTITION BY doc_id ORDER BY idx))
+               AS delta
+      FROM l
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(MAX(nf) AS INTEGER) AS n_frames,
+           CAST(COUNT(*) FILTER (delta >= 100000) AS BIGINT) AS n_cuts,
+           CAST(MIN(idx) FILTER (delta >= 100000) AS BIGINT)
+             AS first_cut_idx
+    FROM dd GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "video"),
+)
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.multimodal import video_scene_cuts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_frames = (F.lit(4) + F.col("doc_id") % 4).cast("int")
+    cut = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+
+    def frame(idx: F.Column) -> F.Column:
+        v = (
+            (F.col("doc_id") * 5
+             + F.when(idx >= cut, 131).otherwise(0)) % 256
+        ).cast("int")
+        return F.concat(
+            F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
+            F.unhex(F.repeat(F.lpad(F.hex(v), 2, "0"), 12)),
+        )
+
+    payload = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n_frames - 1), frame),
+        F.lit(b""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("modality"),
+        payload.alias("content"),
+    )
+    return (
+        video_scene_cuts(media, threshold_x1000=100_000, every_n=1)
+        .orderBy("media_id")
+    )

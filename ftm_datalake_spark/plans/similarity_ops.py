@@ -604,3 +604,44 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_top(emb, dims=64, steps=2).orderBy("dim_idx")
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003;
+# operators/randproj.py): 64-d embeddings squeezed to 16 dims with a
+# compile-time md5 sign matrix. Every projected coordinate is an exact
+# integer sum over quantized components — zero shuffles in the Spark
+# plan (per-row aggregate folds), the matrix travels as a plan
+# constant. The oracle rebuilds the same matrix with SQL md5.
+@register(
+    "embedding_random_projection",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, t.i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS qv
+      FROM embeddings,
+           LATERAL (SELECT i FROM generate_series(1, 64) g(i)) t
+      WHERE vec_id < 50
+    ),
+    s AS (
+      SELECT a.j, b.i,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(a.j AS VARCHAR) || ':'
+                              || CAST(b.i AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM generate_series(1, 16) a(j), generate_series(1, 64) b(i)
+    )
+    SELECT q.vec_id, CAST(s.j AS BIGINT) AS dim,
+           CAST(SUM(q.qv * s.sgn) AS BIGINT) AS proj_q
+    FROM q JOIN s USING (i)
+    GROUP BY 1, 2
+    ORDER BY vec_id, dim
+    """,
+    tags=("similarity", "projection", "jl"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.randproj import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    return random_project(emb, d=64, k=16).orderBy("vec_id", "dim")

@@ -77,6 +77,10 @@ RISKY = [
     "er_meta_blocking_wep",
     "part_skyline_dominance",
     "events_time_weighted_value",
+    # JL's per-row folds and scenecut's per-media lag window are
+    # partition-local by construction — lock it
+    "embedding_random_projection",
+    "multimodal_video_scenecut",
 ]
 
 
