@@ -264,16 +264,15 @@ def meta_blocking_wep(
 
     Returns (doc_a, doc_b, cbs) for surviving comparisons.
     """
+    from ftm_datalake_spark.operators.textops import ngram_array
+
     toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
     postings = (
         docs.where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(ngram_array(toks, k)).alias("g"),
+        )
         .distinct()
     )
     dfreq = postings.groupBy("g").agg(F.count("*").alias("df"))

@@ -26,20 +26,13 @@ def shingles_from_tokens(toks: F.Column, k: int = 3) -> F.Column:
     """Distinct k-token shingles from a *materialized* token-array column.
 
     Must be given a plain column reference, not the tokenizing expression:
-    higher-order lambdas re-evaluate embedded subexpressions per element,
-    so an inlined split() would re-tokenize the text O(tokens·k) times.
+    slice() appears k times inside the gram build, so an inlined split()
+    would re-tokenize the text k times per row (and the old per-element
+    element_at fold was ~10× slower still — see textops.ngram_array).
     """
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    built = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(built)).otherwise(
-        F.array().cast("array<string>")
-    )
+    from ftm_datalake_spark.operators.textops import ngram_array
+
+    return F.array_distinct(ngram_array(toks, k))
 
 
 def exact_dedup_groups(

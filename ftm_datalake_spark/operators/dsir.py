@@ -63,14 +63,11 @@ def hashed_bigram_buckets(
     featurization. md5-hex-prefix hash so the bucket assignment is
     engine-portable (mirror: `CAST(('0x'||substr(md5(g),1,8)) AS
     BIGINT) % B`)."""
+    from ftm_datalake_spark.operators.textops import ngram_array
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
+    grams = ngram_array(toks, 2)
     bucket = (
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets)

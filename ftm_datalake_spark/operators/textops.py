@@ -31,6 +31,27 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), WHITESPACE)
 
 
+def ngram_array(toks: Column, k: int, sep: str = " ") -> Column:
+    """Positional k-grams from a token array, sep-joined, via
+    zip_with over k aligned slices — O(n·k) straight-line column work
+    per row. This replaces the transform(sequence(1, n-k+1),
+    i -> concat_ws(element_at(toks, i), ...)) fold, whose per-element
+    element_at indexing measured ~10× slower at sf0.1 (4.7 s vs 0.47 s
+    for the bigram build over documents; codegen turns the index fold
+    into repeated array walks). Empty result for rows with fewer than
+    k tokens (slice length is clamped to 0, zip_with of empties is
+    empty). Pass a plain column reference, not the tokenizing
+    expression — slice() appears k times, so an inlined split() would
+    re-tokenize k times per row."""
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        out = F.zip_with(
+            out, F.slice(toks, j, m), lambda a, b: F.concat_ws(sep, a, b)
+        )
+    return out
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (BPE-ish refinements live in the same shape)."""
     return F.size(tokens(text))

@@ -381,20 +381,12 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "agg"),
 )
 def trigram_freq_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_datalake_spark.operators.textops import tokens
+    from ftm_datalake_spark.operators.textops import ngram_array, tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
     n = F.size(F.col("toks"))
-    tri = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), i),
-            F.element_at(F.col("toks"), i + 1),
-            F.element_at(F.col("toks"), i + 2),
-        ),
-    )
+    tri = ngram_array(F.col("toks"), 3)
     exploded = toked.where(n >= 3).select(F.explode(tri).alias("trigram"))
     return (
         exploded.groupBy("trigram")
@@ -637,20 +629,12 @@ def null_semantics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "training", "quality"),
 )
 def lm_surprisal_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_datalake_spark.operators.textops import tokens
+    from ftm_datalake_spark.operators.textops import ngram_array, tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
     n = F.size(F.col("toks"))
-    tri_arr = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), i),
-            F.element_at(F.col("toks"), i + 1),
-            F.element_at(F.col("toks"), i + 2),
-        ),
-    )
+    tri_arr = ngram_array(F.col("toks"), 3)
     tri = toked.where(n >= 3).select(
         "doc_id", F.explode(tri_arr).alias("trigram")
     )

@@ -1248,21 +1248,11 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tk = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select("doc_id", tk.alias("tk"))
-    gram_arr = F.transform(
-        "tk",
-        lambda x, i: F.when(
-            i <= F.size(F.col("tk")) - 3,
-            F.concat_ws(
-                " ",
-                x,
-                F.element_at(F.col("tk"), i + 2),
-                F.element_at(F.col("tk"), i + 3),
-            ),
-        ),
-    )
+    from ftm_datalake_spark.operators.textops import ngram_array
+
+    gram_arr = ngram_array(F.col("tk"), 3)
     grams = (
         base.select("doc_id", F.explode(gram_arr).alias("g"))
-        .where(F.col("g").isNotNull())
         .distinct()
     )
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))

@@ -272,17 +272,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("training", "text"),
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_datalake_spark.operators.textops import tokens
+    from ftm_datalake_spark.operators.textops import ngram_array, tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("t")) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
-        ),
-    )
-    g = toked.select("doc_id", bigrams.alias("bigrams"))
+    g = toked.select("doc_id", ngram_array(F.col("t"), 2).alias("bigrams"))
     n = F.size(F.col("bigrams")).cast("long")
     nd = F.size(F.array_distinct(F.col("bigrams"))).cast("long")
     return (

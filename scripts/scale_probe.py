@@ -63,6 +63,17 @@ HEADLINERS = [
     "graph_label_propagation",
     "clf_token_vote_predict",
     "boilerplate_by_source",
+    # round-10 second wave: DSIR is one corpus-scale agg behind a
+    # 512-row broadcast LM (expect ~linear); TWAP is a per-user window
+    # over 10× history (expect ~linear). er_meta_blocking_wep is
+    # probed too but read its ratio knowingly: under 10× replication
+    # every shingle's df multiplies ~10×, so the [2,20] purge removes
+    # almost all blocks and the decade run degenerates to the postings
+    # scan + df agg — a SUB-linear ratio here is the hot-block guard
+    # doing its job, not a free lunch.
+    "sample_dsir_weights",
+    "events_time_weighted_value",
+    "er_meta_blocking_wep",
 ]
 COPIES = 10
 PROBE_DIR = "/tmp/sfprobe/sf1.0"
@@ -131,6 +142,25 @@ def generate(spark, src_dir: str) -> None:
         eout = eout.unionByName(p)
     eout.write.mode("overwrite").parquet(
         os.path.join(PROBE_DIR, "embeddings.parquet")
+    )
+
+    # events: 10× per-user history (fixed user set, each copy's rows
+    # nudged +c seconds so the TWAP lead() window sees real gaps, not
+    # a wall of exact-ts ties) — the realistic growth axis for the
+    # user-keyed window family.
+    from ftm_datalake_spark.sources.tables import load_table
+
+    ev = load_table(spark, src_dir, "events")
+    vparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(c * 100_000_000))
+        .withColumn("ts", F.timestamp_add("SECOND", F.lit(c), F.col("ts")))
+        for c in range(COPIES)
+    ]
+    vout = vparts[0]
+    for p in vparts[1:]:
+        vout = vout.unionByName(p)
+    vout.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "events.parquet")
     )
 
     # fixed dimension dictionaries the probed queries join against
@@ -396,6 +426,36 @@ def probe_winnow_capped_skew(spark) -> dict:
     return out
 
 
+def probe_random_projection(spark, src_dir: str) -> dict:
+    """Full-corpus JL projection at 1× and 10× embeddings. The sign
+    matrix is a plan constant and every coordinate is a per-row fold,
+    so the decade ratio must track the scan (~linear, no shuffle term).
+    The registry query caps at vec_id < 50 for the oracle; this probe
+    drops the cap to measure the operator itself."""
+    from ftm_datalake_spark.operators.randproj import random_project
+
+    out: dict = {}
+    for scale, path in (
+        ("sf0.1", os.path.join(src_dir, "embeddings.parquet")),
+        ("sf1.0", os.path.join(PROBE_DIR, "embeddings.parquet")),
+    ):
+        emb = spark.read.parquet(path)
+        proj = random_project(emb, d=64, k=16)
+        proj.write.format("noop").mode("overwrite").save()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            random_project(emb, d=64, k=16).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[scale] = min(samples)
+        print(f"{scale} jl_project_full: {min(samples)} {samples}",
+              flush=True)
+    out["ratio"] = round(out["sf1.0"] / out["sf0.1"], 2)
+    return out
+
+
 def main() -> None:
     from ftm_datalake_spark.session import build_session
 
@@ -419,6 +479,8 @@ def main() -> None:
         "classifier_append_200docs": probe_classifier_append(spark, src),
         # round-10: the df-capped winnow pair join under planted skew
         "winnow_capped_skew": probe_winnow_capped_skew(spark),
+        # round-10 second wave: shuffle-free JL over the full corpus
+        "jl_projection_full": probe_random_projection(spark, src),
     }
     line = json.dumps(payload)
     print(line)
