@@ -1393,16 +1393,20 @@ def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    bi = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(regexp_extract_all(lower(text),"
-                " '[a-z]+', 0)) - 1), i -> struct("
-                "regexp_extract_all(lower(text), '[a-z]+', 0)[i - 1] AS a,"
-                " regexp_extract_all(lower(text), '[a-z]+', 0)[i] AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+    # adjacent pairs via zip_with over aligned slices — the old inline
+    # transform re-ran regexp_extract_all PER ELEMENT (see
+    # textops.ngram_array); the regex now runs once per row
+    m = F.greatest(F.size(F.col("w")) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("w"), 1, m),
+        F.slice(F.col("w"), 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bi = (
+        docs.select(ws.alias("w"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+    )
     pair_n = bi.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
     uni = (
         bi.select(F.col("a").alias("w"))
