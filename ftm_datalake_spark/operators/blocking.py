@@ -299,3 +299,49 @@ def meta_blocking_wep(
         .where(F.col("cbs") * F.col("n_edges") >= F.col("total_weight"))
         .select("doc_a", "doc_b", "cbs")
     )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    sort_cols: list[str],
+    window: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
+    sort all records by a blocking key and compare each record only to
+    its `window - 1` successors in the sort order.
+
+    The global sort position comes from operators/rank.with_global_rank
+    (range shuffle → per-partition row_number → P driver offsets), so
+    NO single-partition exchange appears — the classic SN weakness on
+    a cluster (a total order) is exactly the problem that helper
+    solves. Neighbor pairing is an EQUI-join: each record explodes to
+    its `window - 1` target ranks and joins rank-to-rank — never a
+    range/theta join, never quadratic. Cost: one range shuffle + one
+    bounded-fanout equi-join; pairs per record are capped at
+    window - 1 by construction, no hot-block risk at all (the dual
+    failure mode of token blocking).
+
+    Returns (doc_a, doc_b, rank_dist) with doc_a earlier in the sort.
+    NOTE: the rank pass localCheckpoints — registry callers must carry
+    checkpointed=True.
+    """
+    from ftm_datalake_spark.operators.rank import with_global_rank
+
+    ranked, _n = with_global_rank(
+        records.select(id_col, *sort_cols),
+        [*sort_cols, id_col],
+        rank_col="__rn",
+    )
+    a = ranked.select(F.col(id_col).alias("doc_a"), F.col("__rn"))
+    targets = a.select(
+        "doc_a",
+        "__rn",
+        F.explode(
+            F.array(*[F.lit(d).cast("long") for d in range(1, window)])
+        ).alias("__d"),
+    ).select("doc_a", (F.col("__rn") + F.col("__d")).alias("__rn_b"),
+             F.col("__d").alias("rank_dist"))
+    b = ranked.select(F.col(id_col).alias("doc_b"),
+                      F.col("__rn").alias("__rn_b"))
+    return targets.join(b, "__rn_b").select("doc_a", "doc_b", "rank_dist")

@@ -184,3 +184,101 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (Wenzek et al., LREC 2020): score
+# every doc with the integer corpus-LM surprisal (the lm_surprisal
+# recipe over ALL docs), cut the corpus into perplexity tertiles with
+# EXACT integer boundaries, and report per-source bucket counts. The
+# tertile cutoffs come from a cumsum over the per-SCORE count frame —
+# data collapses to |distinct scores| rows before the only
+# single-partition exchange (the eval_auc_quality two-phase idiom) —
+# and ship back as a broadcast 1-row scalar. head = lowest surprisal
+# (the most in-distribution text), exactly CCNet's orientation.
+@register(
+    "quality_perplexity_buckets",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tokens) - 2),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+             )) AS trigram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+            FROM documents)
+    ),
+    lm AS (SELECT trigram, COUNT(*) AS freq FROM tri GROUP BY trigram),
+    occ AS (
+      SELECT t.doc_id, 40 - (length(bin(l.freq)) - 1) AS surprisal
+      FROM tri t JOIN lm l USING (trigram)
+    ),
+    doc AS (
+      SELECT doc_id,
+             CAST((SUM(surprisal) * 1000) // COUNT(*) AS BIGINT) AS score
+      FROM occ GROUP BY doc_id
+    ),
+    sc AS (SELECT score, COUNT(*) AS n FROM doc GROUP BY score),
+    cum AS (SELECT score, SUM(n) OVER (ORDER BY score) AS cumn FROM sc),
+    tot AS (SELECT COUNT(*) AS total FROM doc),
+    cuts AS (
+      SELECT MIN(CASE WHEN cumn * 3 >= total THEN score END) AS t1,
+             MIN(CASE WHEN cumn * 3 >= 2 * total THEN score END) AS t2
+      FROM cum, tot
+    )
+    SELECT d2.source,
+           CASE WHEN doc.score <= cuts.t1 THEN 'head'
+                WHEN doc.score <= cuts.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM doc, cuts JOIN documents d2 ON doc.doc_id = d2.doc_id
+    GROUP BY 1, 2 ORDER BY source, bucket
+    """,
+    tags=("quality", "training", "ccnet"),
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import ngram_array, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
+    tri = toked.where(F.size("tk") >= 3).select(
+        "doc_id", F.explode(ngram_array(F.col("tk"), 3)).alias("trigram")
+    )
+    lm = tri.groupBy("trigram").agg(F.count("*").alias("freq"))
+    floor_log2 = F.length(F.conv(F.col("freq"), 10, 2)) - 1
+    occ = tri.join(lm, "trigram").select(
+        "doc_id", (F.lit(40) - floor_log2).alias("surprisal")
+    )
+    doc = occ.groupBy("doc_id").agg(
+        F.floor((F.sum("surprisal") * 1000) / F.count("*"))
+        .cast("long")
+        .alias("score")
+    )
+    sc = doc.groupBy("score").agg(F.count("*").alias("n"))
+    wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sc.withColumn("cumn", F.sum("n").over(wcum))
+    tot = doc.agg(F.count("*").alias("total"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("cumn") * 3 >= F.col("total"), F.col("score")))
+            .alias("t1"),
+            F.min(
+                F.when(F.col("cumn") * 3 >= 2 * F.col("total"), F.col("score"))
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("t1"), "head")
+        .when(F.col("score") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    labeled = (
+        doc.crossJoin(F.broadcast(cuts))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", bucket.alias("bucket"))
+    )
+    return (
+        labeled.groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source", "bucket")
+    )

@@ -453,3 +453,37 @@ def er_meta_blocking_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cbs"), "doc_a", "doc_b")
         .limit(500)
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995;
+# operators/blocking.sorted_neighborhood_pairs): global sort by
+# (lang, n_chars), compare each record to its 4 successors. The sort
+# position comes from the distributed rank helper (range shuffle +
+# per-partition windows + P driver offsets — no single-partition
+# exchange); neighbor pairing is a bounded-fanout EQUI-join on rank.
+@register(
+    "er_sorted_neighborhood",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+    FROM ranked a JOIN ranked b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("er", "blocking", "sortedneighborhood"),
+    checkpointed=True,
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, ["lang", "n_chars"], window=5
+    ).orderBy("doc_a", "doc_b")

@@ -37,6 +37,8 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "events_time_weighted_value",  # NEW r10 — never driver-sampled
     "embedding_random_projection",  # NEW r10 — never driver-sampled
     "multimodal_video_scenecut",  # NEW r10 — never driver-sampled
+    "er_sorted_neighborhood",  # NEW r10 — never driver-sampled
+    "quality_perplexity_buckets",  # NEW r10 — never driver-sampled
     "q2_min_cost_supplier",  # last driver sample: r4
     "q7_volume_shipping",  # last driver sample: r4
     "q8_market_share",  # last driver sample: r4

@@ -81,6 +81,12 @@ RISKY = [
     # partition-local by construction — lock it
     "embedding_random_projection",
     "multimodal_video_scenecut",
+    # wave 4: the distributed-rank neighbor join must produce the same
+    # pairs at any partitioning (range bounds differ, ranks must not);
+    # the CCNet tertile cutoffs fold a cumsum over range-partitioned
+    # score tallies
+    "er_sorted_neighborhood",
+    "quality_perplexity_buckets",
 ]
 
 

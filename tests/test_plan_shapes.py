@@ -139,6 +139,10 @@ GLOBAL_SCALAR_OK = {
     "sample_dsir_weights",
     "er_meta_blocking_wep",
     "part_skyline_dominance",
+    # CCNet bucketing: the tertile cutoffs come from a cumsum over the
+    # per-SCORE count frame (collapsed before the exchange) plus 1-row
+    # total/cut scalars — the eval_auc_quality two-phase idiom
+    "quality_perplexity_buckets",
 }
 
 

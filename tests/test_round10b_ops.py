@@ -192,3 +192,69 @@ def test_twap_registry_weights_by_duration(spark, sf_dir):
     assert r["n_events"] == 3
     assert r["span_ms"] == 240_000
     assert r["twap_cents_x1000"] == 1_750_000
+
+
+# ------------------------------------------------- sorted neighborhood
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from ftm_datalake_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{(i * 7) % 13:02d}", i % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, key string, sub int")
+    got = {
+        (r["doc_a"], r["doc_b"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(
+            df, ["key", "sub"], window=4
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[2], r[0]))
+    want = set()
+    for i, a in enumerate(order):
+        for d in range(1, 4):
+            if i + d < len(order):
+                want.add((a[0], order[i + d][0], d))
+    assert got == want
+
+
+def test_sorted_neighborhood_pair_budget(spark):
+    # fanout is exactly window-1 per record minus the tail truncation —
+    # no hot-key blowup possible by construction
+    from ftm_datalake_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 100, 6
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(n)], "doc_id long, key string"
+    )
+    cnt = sorted_neighborhood_pairs(df, ["key"], window=w).count()
+    assert cnt == n * (w - 1) - (w - 1) * w // 2
+
+
+# ------------------------------------------------------- CCNet buckets
+def test_perplexity_buckets_partition_and_order(spark, sf_dir):
+    from ftm_datalake_spark.plans import REGISTRY
+
+    rows = REGISTRY["quality_perplexity_buckets"].builder(
+        spark, sf_dir
+    ).collect()
+    total = sum(r["n_docs"] for r in rows)
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        "SELECT COUNT(*) FROM read_parquet(?) WHERE "
+        "len(string_split_regex(trim(text), '\\s+')) >= 3",
+        [f"{sf_dir}/documents.parquet"],
+    ).fetchone()[0]
+    # every scoreable doc lands in exactly one bucket
+    assert total == n_docs
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket[r["bucket"]] = by_bucket.get(r["bucket"], 0) + r["n_docs"]
+    # tertiles: no bucket may dominate (cut rule gives each >= 1 doc
+    # and head/middle together must reach 2/3 by construction)
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    assert by_bucket.get("head", 0) + by_bucket.get("middle", 0) >= (
+        2 * total
+    ) // 3
