@@ -264,35 +264,71 @@ def prefix_filter_pairs(
         .distinct()
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("f"))
-    tf = tok.join(freq, "token")
-    sizes = tf.groupBy("doc_id").agg(F.count("*").alias("m"))
-    w = Window.partitionBy("doc_id").orderBy("f", "token")
-    ordered = tf.withColumn("rn", F.row_number().over(w))
+    # One windowless groupBy packs each doc's rarest-first token array
+    # + size (the rare_token_block_keys idiom — replaces the old
+    # row_number window at one less shuffle); the array doubles as the
+    # verification payload, so the candidate pairs never re-join the
+    # postings relation (the entity_match array-intersect fix).
+    packed = (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "token"))).alias("__s"))
+        .select(
+            "doc_id",
+            F.transform("__s", lambda s: s["token"]).alias("toks"),
+            F.size("__s").alias("m"),
+        )
+    )
     # prefix length: m - ceil(t*m) + 1, ceil as exact integer arithmetic
     plen = F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1
-    pref = ordered.join(sizes, "doc_id").where(F.col("rn") <= plen)
-    a = pref.select(F.col("doc_id").alias("doc_a"), "token")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "token")
+    pref = packed.select(
+        "doc_id",
+        "m",
+        F.posexplode(F.slice("toks", 1, plen.cast("int"))).alias(
+            "__p0", "token"
+        ),
+    ).select("doc_id", "m", (F.col("__p0") + 1).alias("p"), "token")
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "token",
+        F.col("p").alias("pa"), F.col("m").alias("ma"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "token",
+        F.col("p").alias("pb"), F.col("m").alias("mb"),
+    )
+    # PPJoin pruning inside the prefix join (both are no-false-negative
+    # bounds, so the surviving pair set is exactly the old one):
+    #  - length filter: Jaccard >= n/d forces n*ma <= d*mb and v.v.
+    #  - positional filter: the suffix overlap bound 1+min(ma-pa, mb-pb)
+    #    must reach the required overlap o with (d+n)*o >= n*(ma+mb).
+    ubound = 1 + F.least(
+        F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb")
+    )
     cand = (
         a.join(b, "token")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (t_num * F.col("ma") <= t_den * F.col("mb"))
+            & (t_num * F.col("mb") <= t_den * F.col("ma"))
+            & ((t_den + t_num) * ubound >= t_num * (F.col("ma") + F.col("mb")))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    x = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    y = tok.select(F.col("doc_id").alias("doc_b"), "token")
-    common = (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
+    ta = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("__ta"), F.col("m").alias("ma"),
     )
-    ma = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
-    mb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    tb = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("__tb"), F.col("m").alias("mb"),
+    )
+    common = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
     uni = F.col("ma") + F.col("mb") - F.col("common")
     return (
-        common.join(ma, "doc_a")
-        .join(mb, "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("common", common.cast("long"))
         .where(t_den * F.col("common") >= t_num * uni)
         .select("doc_a", "doc_b", "common", uni.cast("long").alias("uni"))
     )
