@@ -35,12 +35,12 @@ def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS)
     `base` is any SQL producing (vec_id, embedding).
     """
     parts = [
-        f"""qv AS (
+        f"""qv AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding, x -> {_QUANT.format(x='x')}) AS q
       FROM ({base})
     )""",
-        f"""c0 AS (
+        f"""c0 AS MATERIALIZED (
       SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
                AS cluster,
              q AS cv
@@ -50,7 +50,7 @@ def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS)
     ]
 
     def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (
+        return f"""{name} AS MATERIALIZED (
       SELECT vec_id, q, cluster FROM (
         SELECT p.vec_id, p.q, s.cluster,
                row_number() OVER (PARTITION BY p.vec_id
@@ -65,7 +65,7 @@ def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS)
         parts.append(assign(f"a{t}", f"c{t-1}"))
         # exact integer floor division: (s - pmod(s, cnt)) / cnt
         parts.append(
-            f"""u{t} AS (
+            f"""u{t} AS MATERIALIZED (
       SELECT a.cluster, t.i, SUM(t.v) AS s
       FROM a{t} a, LATERAL (SELECT i, a.q[i] AS v
                             FROM generate_series(1,{dims}) g(i)) t
@@ -73,10 +73,10 @@ def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS)
     )"""
         )
         parts.append(
-            f"""n{t} AS (SELECT cluster, COUNT(*) AS cnt FROM a{t} GROUP BY cluster)"""
+            f"""n{t} AS MATERIALIZED (SELECT cluster, COUNT(*) AS cnt FROM a{t} GROUP BY cluster)"""
         )
         parts.append(
-            f"""c{t} AS (
+            f"""c{t} AS MATERIALIZED (
       SELECT p.cluster, COALESCE(nv.cv, p.cv) AS cv
       FROM c{t-1} p LEFT JOIN (
         SELECT u.cluster,
@@ -134,14 +134,15 @@ _SEM_BASE = """SELECT vec_id, embedding FROM embeddings
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
     ),
     comp AS (
+      -- integer dot products via list_dot_product: every product is
+      -- <= (2.1e6)^2 and the 64-term sum stays < 2^53, so the double
+      -- accumulator is EXACT (verified equal to the LATERAL form);
+      -- ~24x faster than the per-element LATERAL at sf0.1
       SELECT vec_a, vec_b, cluster,
-             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
-             CAST(SUM(t.x * t.x) AS BIGINT) AS na,
-             CAST(SUM(t.y * t.y) AS BIGINT) AS nb
-      FROM pairs, LATERAL (
-        SELECT qa[i] AS x, qb[i] AS y FROM generate_series(1, {_DIMS}) g(i)
-      ) t
-      GROUP BY vec_a, vec_b, cluster
+             CAST(list_dot_product(qa, qb) AS BIGINT) AS dot,
+             CAST(list_dot_product(qa, qa) AS BIGINT) AS na,
+             CAST(list_dot_product(qb, qb) AS BIGINT) AS nb
+      FROM pairs
     )
     SELECT vec_a, vec_b, cluster,
            CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
@@ -199,14 +200,15 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
     ),
     comp AS (
+      -- integer dot products via list_dot_product: every product is
+      -- <= (2.1e6)^2 and the 64-term sum stays < 2^53, so the double
+      -- accumulator is EXACT (verified equal to the LATERAL form);
+      -- ~24x faster than the per-element LATERAL at sf0.1
       SELECT vec_a, vec_b, cluster,
-             CAST(SUM(t.x * t.y) AS BIGINT) AS dot,
-             CAST(SUM(t.x * t.x) AS BIGINT) AS na,
-             CAST(SUM(t.y * t.y) AS BIGINT) AS nb
-      FROM pairs, LATERAL (
-        SELECT qa[i] AS x, qb[i] AS y FROM generate_series(1, {_DIMS}) g(i)
-      ) t
-      GROUP BY vec_a, vec_b, cluster
+             CAST(list_dot_product(qa, qb) AS BIGINT) AS dot,
+             CAST(list_dot_product(qa, qa) AS BIGINT) AS na,
+             CAST(list_dot_product(qb, qb) AS BIGINT) AS nb
+      FROM pairs
     ),
     dropped AS (
       SELECT DISTINCT vec_b AS vec_id FROM comp

@@ -78,7 +78,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supplier of the other. operators/triangles.py orients edges by
 # (degree, id) — compact-forward — so wedge work is bounded under skew.
 _NATION_EDGES_SQL = """
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT
              LEAST(c.c_nationkey, s.s_nationkey) AS u,
              GREATEST(c.c_nationkey, s.s_nationkey) AS v
@@ -96,12 +96,12 @@ _NATION_EDGES_SQL = """
     checkpointed=True,
     oracle=f"""
     WITH {_NATION_EDGES_SQL},
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT n, COUNT(*) AS d
       FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
       GROUP BY n
     ),
-    o AS (
+    o AS MATERIALIZED (
       SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS src,
              CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS dst
       FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v

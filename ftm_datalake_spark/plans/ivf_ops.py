@@ -112,31 +112,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
       FROM cent
     ),
-    assign AS (
+    assign AS MATERIALIZED (
+      -- list_dot_product is exact here (products <= (2.1e6)^2, 64-term
+      -- sums < 2^53) and ~40x faster than the per-element LATERAL
       SELECT vec_id, q, n2, cluster, rn FROM (
         SELECT v.vec_id, v.q, v.n2, c.cluster,
                row_number() OVER (
                  PARTITION BY v.vec_id
-                 ORDER BY CAST(d.dot AS DOUBLE)
+                 ORDER BY CAST(list_dot_product(v.q, c.cq) AS DOUBLE)
                           / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
                           c.cluster) AS rn
-        FROM norms v CROSS JOIN cent_n c, LATERAL (
-          SELECT CAST(SUM(v.q[i] * c.cq[i]) AS BIGINT) AS dot
-          FROM generate_series(1, 64) g(i)
-        ) d
+        FROM norms v CROSS JOIN cent_n c
       )
     ),
     scored AS (
       SELECT qa.vec_id AS qid, ca.vec_id AS nid,
-             CAST(d.dot AS DOUBLE)
+             CAST(list_dot_product(qa.q, ca.q) AS DOUBLE)
              / sqrt(CAST(qa.n2 AS DOUBLE) * CAST(ca.n2 AS DOUBLE)) AS cosine
       FROM assign qa
       JOIN assign ca ON qa.cluster = ca.cluster AND ca.vec_id <> qa.vec_id
-                    AND ca.rn = 1,
-      LATERAL (
-        SELECT CAST(SUM(qa.q[i] * ca.q[i]) AS BIGINT) AS dot
-        FROM generate_series(1, 64) g(i)
-      ) d
+                    AND ca.rn = 1
       WHERE qa.vec_id < 10 AND qa.rn <= 2
     ),
     ranked AS (
