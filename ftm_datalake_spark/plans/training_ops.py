@@ -776,28 +776,23 @@ def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Weighted sampling without replacement (A-ES, hash-race form): each
-# lineitem holds floor(l_quantity) lottery tickets md5(id|j); its race
-# key is the minimum ticket and the 100 smallest keys win. Monotone in
-# the weight like u^(1/w), bit-deterministic (no RNG, no floats), and
-# the ticket list stays row-local — never exploded into rows.
+# Weighted sampling without replacement (integer A-ES): race key =
+# md5-prefix(id) div weight — P(key <= t) ∝ weight at the selection
+# tail, the exact integer analogue of the u^(1/w) draw (and of holding
+# w lottery tickets, at ONE hash + ONE division per row; see
+# operators/training._race_key for why the per-ticket form was
+# retired). Bit-deterministic: no RNG, no floats past 2^32.
 @register(
     "sample_weighted_aes",
     oracle="""
     WITH r AS (
       SELECT l_orderkey, l_linenumber,
-             LEAST(64, GREATEST(1, CAST(floor(l_quantity) AS BIGINT))) AS wt
-      FROM lineitem),
-    keyed AS (
-      SELECT l_orderkey, l_linenumber, wt,
-             list_min(list_transform(
-               generate_series(CAST(1 AS BIGINT), wt),
-               j -> md5(CAST(l_orderkey AS VARCHAR) || '|'
-                        || CAST(l_linenumber AS VARCHAR) || '|'
-                        || CAST(j AS VARCHAR)))) AS race_key
-      FROM r)
-    SELECT l_orderkey, l_linenumber, wt, race_key
-    FROM keyed
+             LEAST(64, GREATEST(1, CAST(floor(l_quantity) AS BIGINT))) AS wt,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, wt, h // wt AS race_key
+    FROM r
     ORDER BY race_key, l_orderkey, l_linenumber
     LIMIT 100
     """,
@@ -826,14 +821,12 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT doc_id, lang,
-             LEAST(64, GREATEST(1, n_chars // 100)) AS wt
+             LEAST(64, GREATEST(1, n_chars // 100)) AS wt,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
       FROM documents),
     keyed AS (
-      SELECT doc_id, lang, wt,
-             list_min(list_transform(
-               generate_series(CAST(1 AS BIGINT), wt),
-               j -> md5(CAST(doc_id AS VARCHAR) || '|'
-                        || CAST(j AS VARCHAR)))) AS race_key
+      SELECT doc_id, lang, wt, h // wt AS race_key
       FROM r),
     ranked AS (
       SELECT doc_id, lang, wt, race_key,

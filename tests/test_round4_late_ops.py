@@ -219,8 +219,8 @@ def test_moments_sketch_estimates_sane(spark, sf_dir):
 # ------------------------------------------------- weighted A-ES hash race
 def test_weighted_hashrace_matches_bruteforce(spark):
     """The winner set must equal a hashlib brute force of the same race
-    (min over md5(id|j), top-k) — pinning the exact ticket construction
-    the oracle relies on."""
+    (md5-prefix of the id floor-divided by the weight, top-k) — pinning
+    the exact key construction the oracle relies on."""
     import hashlib
 
     from ftm_datalake_spark.operators.training import weighted_sample_hashrace
@@ -235,11 +235,11 @@ def test_weighted_hashrace_matches_bruteforce(spark):
     ]
 
     def race(i, w):
-        return min(
-            hashlib.md5(f"{i}|{j}".encode()).hexdigest() for j in range(1, w + 1)
-        )
+        return int(hashlib.md5(f"{i}".encode()).hexdigest()[:8], 16) // w
 
-    want = sorted(((i, race(i, w)) for i, w in rows), key=lambda t: t[1])[:25]
+    want = sorted(
+        ((i, race(i, w)) for i, w in rows), key=lambda t: (t[1], t[0])
+    )[:25]
     assert got == want
 
 
