@@ -2048,3 +2048,86 @@ def video_scene_cuts(
         F.min(F.when(is_cut, F.col("frame_idx"))).cast("long")
         .alias("first_cut_idx"),
     )
+
+
+AUDIO_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("idx", T.LongType(), False),
+        T.StructField("amp", T.LongType(), False),
+    ]
+)
+
+
+def audio_samples(media: DataFrame) -> DataFrame:
+    """REAL WAV decode to per-sample rows (media_id, idx, amp) — the
+    relational view of the waveform. Arrow-batched mapInPandas;
+    undecodable payloads are skipped; multi-channel streams emit the
+    FIRST channel (VAD runs on a mono mixdown in real pipelines).
+    Fan-out is bounded by samples-per-clip, the same contract as the
+    video frame walk."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "idx": [], "amp": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                decoded = decode_wav(content) if content else None
+                if decoded is None:
+                    continue
+                _rate, channels, samples = decoded
+                mono = samples[:: max(1, channels)]
+                out["media_id"].extend([media_id] * len(mono))
+                out["idx"].extend(range(len(mono)))
+                out["amp"].extend(int(x) for x in mono)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_SAMPLES_SCHEMA.fields]
+            )
+
+    return (
+        media.where(F.col("modality") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(extract, AUDIO_SAMPLES_SCHEMA)
+    )
+
+
+def audio_activity_segments(
+    media: DataFrame, threshold: int = 50
+) -> DataFrame:
+    """Energy-threshold voice-activity detection: maximal runs of
+    consecutive samples with |amp| >= threshold, as one row per
+    segment (media_id, seg_id, start_idx, end_idx, n_samples).
+
+    The segmentation is the relational interval-pack idiom over the
+    decoded samples: flag the active samples, mark run starts with one
+    lag() per media, number runs with a cumulative sum of start marks,
+    and aggregate each run — two windows and one hash agg, all keyed
+    by media_id, state bounded by a single clip's sample count. The
+    same pack shape works unchanged for sensor gap detection or
+    session stitching; real pipelines swap |amp| for a windowed energy
+    feature, same plan."""
+    from pyspark.sql import Window
+
+    s = audio_samples(media).withColumn(
+        "active", F.abs(F.col("amp")) >= threshold
+    )
+    w = Window.partitionBy("media_id").orderBy("idx")
+    started = s.withColumn(
+        "is_start",
+        F.col("active")
+        & ~F.coalesce(F.lag("active").over(w), F.lit(False)),
+    ).withColumn(
+        "seg_id",
+        F.sum(F.col("is_start").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        started.where("active")
+        .groupBy("media_id", "seg_id")
+        .agg(
+            F.min("idx").cast("long").alias("start_idx"),
+            F.max("idx").cast("long").alias("end_idx"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+    )

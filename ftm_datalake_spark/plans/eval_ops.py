@@ -277,3 +277,108 @@ def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.evalmetrics import lift_deciles_exact
 
     return lift_deciles_exact(_scored_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test between two event cohorts (the A/B
+# experiment readout): purchase vs click values in integer cents. The
+# sufficient statistics are three exact BIGINT sums per group (n, Σx,
+# Σx²) — map-side combined to ONE row per group, so the only
+# single-partition exchange carries two rows (the eval_auc shape). The
+# t statistic and Welch–Satterthwaite df are exact-IEEE doubles of
+# those integers, identical in any engine.
+@register(
+    "eval_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s2
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+             MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS a1,
+             MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS q1,
+             MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+             MAX(CASE WHEN event_type = 'click' THEN s1 END) AS a2,
+             MAX(CASE WHEN event_type = 'click' THEN s2 END) AS q2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(a1 AS BIGINT) AS sum1_cents,
+           CAST(a2 AS BIGINT) AS sum2_cents,
+           (CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)
+             / sqrt(
+                 ((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+                  / (n1 - 1)) / n1
+                 + ((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
+                    / (n2 - 1)) / n2
+               ) AS t_stat,
+           (((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+             / (n1 - 1)) / n1
+            + ((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
+               / (n2 - 1)) / n2) *
+           (((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+             / (n1 - 1)) / n1
+            + ((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
+               / (n2 - 1)) / n2)
+           / (
+             POWER(((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+                    / (n1 - 1)) / n1, 2) / (n1 - 1)
+             + POWER(((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
+                      / (n2 - 1)) / n2, 2) / (n2 - 1)
+           ) AS welch_df
+    FROM w
+    """,
+    tags=("eval", "stats", "abtest"),
+)
+def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = (
+        events.where(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("event_type") == et, F.col(c))).alias(a)
+            for et, c, a in [
+                ("purchase", "n", "n1"), ("purchase", "s1", "a1"),
+                ("purchase", "s2", "q1"), ("click", "n", "n2"),
+                ("click", "s1", "a2"), ("click", "s2", "q2"),
+            ]
+        ]
+    )
+    v1 = (
+        (F.col("q1").cast("double") - F.col("a1").cast("double") * F.col("a1") / F.col("n1"))
+        / (F.col("n1") - 1)
+    ) / F.col("n1")
+    v2 = (
+        (F.col("q2").cast("double") - F.col("a2").cast("double") * F.col("a2") / F.col("n2"))
+        / (F.col("n2") - 1)
+    ) / F.col("n2")
+    t = (
+        F.col("a1").cast("double") / F.col("n1")
+        - F.col("a2").cast("double") / F.col("n2")
+    ) / F.sqrt(v1 + v2)
+    df_w = (v1 + v2) * (v1 + v2) / (
+        F.pow(v1, 2) / (F.col("n1") - 1) + F.pow(v2, 2) / (F.col("n2") - 1)
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("a1").cast("long").alias("sum1_cents"),
+        F.col("a2").cast("long").alias("sum2_cents"),
+        t.alias("t_stat"),
+        df_w.alias("welch_df"),
+    )

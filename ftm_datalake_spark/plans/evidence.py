@@ -39,6 +39,9 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "multimodal_video_scenecut",  # NEW r10 — never driver-sampled
     "er_sorted_neighborhood",  # NEW r10 — never driver-sampled
     "quality_perplexity_buckets",  # NEW r10 — never driver-sampled
+    "multimodal_audio_vad",  # NEW r10 — never driver-sampled
+    "eval_welch_ttest",  # NEW r10 — never driver-sampled
+    "text_zipf_slope",  # NEW r10 — never driver-sampled
     "q2_min_cost_supplier",  # last driver sample: r4
     "q7_volume_shipping",  # last driver sample: r4
     "q8_market_share",  # last driver sample: r4

@@ -1117,3 +1117,81 @@ def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_scene_cuts(media, threshold_x1000=100_000, every_n=1)
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Voice-activity detection under REAL driver verification: each
+# documents row synthesizes a mono PCM16 WAV whose 4-sample blocks
+# alternate between amplitude 100 and silence (phase set by doc_id);
+# operators/multimodal.audio_activity_segments decodes through the
+# real WAV parser to per-sample rows and packs maximal active runs
+# with the relational interval-pack idiom (lag + cumulative start
+# count + hash agg, all keyed by media_id). The oracle re-derives the
+# active blocks arithmetically — with the alternating pattern, active
+# blocks never merge, so segments are exactly the active blocks.
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 12 + (doc_id % 5) * 4 AS n FROM documents
+    ),
+    blocks AS (
+      -- series bound 6 is STRUCTURAL (n = 12 + (doc_id%5)*4 <= 28, so
+      -- n//4 - 1 <= 6 by the synthesis formula), not a data-size cap
+      SELECT doc_id, g.b
+      FROM d, LATERAL (SELECT b FROM generate_series(0, 6) t(b)) g
+      WHERE g.b < n // 4 AND (g.b + doc_id) % 2 = 0
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b)
+                AS BIGINT) AS seg_id,
+           CAST(b * 4 AS BIGINT) AS start_idx,
+           CAST(b * 4 + 3 AS BIGINT) AS end_idx,
+           CAST(4 AS BIGINT) AS n_samples
+    FROM blocks
+    ORDER BY media_id, seg_id
+    """,
+    tags=("multimodal", "mapInPandas", "audio", "temporal"),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.multimodal import (
+        audio_activity_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = (F.lit(12) + (F.col("doc_id") % 5) * 4).cast("int")
+
+    def amp(i: F.Column) -> F.Column:
+        blk = F.floor(i / 4)
+        return F.when((blk + F.col("doc_id")) % 2 == 0, 100).otherwise(0)
+
+    data_hex = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n - 1), lambda i: _le16(amp(i))),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    hex_payload = F.concat(
+        F.lit("52494646"),
+        _le32(F.lit(36) + n * 2),
+        F.lit("57415645"),
+        F.lit("666d7420"),
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),
+        _le16(F.lit(1)),
+        _le32(F.lit(8000)),
+        _le32(F.lit(16000)),
+        _le16(F.lit(2)),
+        _le16(F.lit(16)),
+        F.lit("64617461"),
+        _le32(n * 2),
+        data_hex,
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(hex_payload).alias("content"),
+    )
+    return (
+        audio_activity_segments(media, threshold=50)
+        .orderBy("media_id", "seg_id")
+    )

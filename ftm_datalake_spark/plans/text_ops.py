@@ -1499,3 +1499,80 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual", "predicted")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf head-slope fit: least-squares slope of floor(log2 freq) against
+# floor(log2 rank) over the top-1000 vocabulary ranks — the corpus
+# health check (natural text ~ -1; spam/boilerplate bends the head).
+# Integer-exact: the log2s are binary-string lengths, the slope is one
+# integer cross-multiplication scaled to milli units (all sums bounded
+# by the FIXED 1000-rank head, so nothing overflows at any corpus
+# size — and the head is also the statistically right Zipf window).
+# The rank window runs over the vocab-collapsed count frame, and the
+# fit is a 1-row scalar — the eval_auc two-phase shape.
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, COUNT(*) AS f FROM tok WHERE token <> ''
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r, f
+      FROM freq
+    ),
+    pts AS (
+      SELECT length(bin(r)) - 1 AS x, length(bin(f)) - 1 AS y
+      FROM ranked WHERE r <= 1000
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST((SELECT COUNT(*) FROM freq) AS BIGINT) AS vocab_size,
+           CAST(n AS BIGINT) AS head_ranks,
+           CAST(((n * sxy - sx * sy) * 1000)
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_milli
+    FROM s
+    """,
+    tags=("text", "stats", "corpus"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+    )
+    flog2 = lambda c: (F.length(F.conv(c.cast("long"), 10, 2)) - 1).cast("long")  # noqa: E731
+    pts = ranked.where(F.col("r") <= 1000).select(
+        flog2(F.col("r")).alias("x"), flog2(F.col("f")).alias("y")
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    vocab = freq.agg(F.count("*").alias("vocab_size"))
+    return (
+        s.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("n").cast("long").alias("head_ranks"),
+            F.expr(
+                "((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)"
+            ).cast("long").alias("slope_milli"),
+        )
+    )

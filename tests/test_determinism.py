@@ -87,6 +87,11 @@ RISKY = [
     # score tallies
     "er_sorted_neighborhood",
     "quality_perplexity_buckets",
+    # wave 5: the VAD run-pack (per-media lag + cumsum), the two-row
+    # t-test fold, and the vocab rank window
+    "multimodal_audio_vad",
+    "eval_welch_ttest",
+    "text_zipf_slope",
 ]
 
 

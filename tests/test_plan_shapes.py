@@ -143,6 +143,11 @@ GLOBAL_SCALAR_OK = {
     # per-SCORE count frame (collapsed before the exchange) plus 1-row
     # total/cut scalars — the eval_auc_quality two-phase idiom
     "quality_perplexity_buckets",
+    # Welch t-test: two map-side-combined cohort rows fold to one
+    # scalar; Zipf: the rank window runs over the vocab-collapsed
+    # count frame and the fit is a 1-row scalar
+    "eval_welch_ttest",
+    "text_zipf_slope",
 }
 
 
