@@ -266,6 +266,27 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated entity-reference prop names to restrict to",
     )
 
+    p_dsir = sub.add_parser(
+        "dsir",
+        help="DSIR importance weights (hashed-bigram target-vs-raw "
+        "log-likelihood ratio): score a docs parquet against a target "
+        "slice, optionally keep only the top-k most target-like docs",
+    )
+    p_dsir.add_argument("source", help="documents parquet to score")
+    p_dsir.add_argument("--out", required=True, help="weights parquet")
+    p_dsir.add_argument(
+        "--target-lang", default=None,
+        help="target slice = rows with this lang value",
+    )
+    p_dsir.add_argument(
+        "--target-source", default=None,
+        help="target slice = rows with this source value",
+    )
+    p_dsir.add_argument(
+        "--top-k", type=int, default=None,
+        help="keep only the k highest-weight docs (default: all)",
+    )
+
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
 
@@ -982,6 +1003,29 @@ def _dispatch(spark, args) -> int:
                 {"path": target, "rows": read_inverted_idx(spark, target).count()}
             )
         )
+    elif args.cmd == "dsir":
+        from pyspark.sql import functions as F
+
+        from ftm_datalake_spark.operators.dsir import dsir_importance_weights
+
+        if (args.target_lang is None) == (args.target_source is None):
+            print("dsir: pass exactly one of --target-lang/--target-source")
+            return 2
+        pred = (
+            F.col("lang") == args.target_lang
+            if args.target_lang is not None
+            else F.col("source") == args.target_source
+        )
+        docs = spark.read.parquet(args.source)
+        weights = dsir_importance_weights(docs, pred)
+        if args.top_k:
+            weights = weights.orderBy(
+                F.desc("dsir_weight"), "doc_id"
+            ).limit(args.top_k)
+        weights.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"path": args.out, "rows": n,
+                          "top_k": args.top_k}))
     elif args.cmd == "publish":
         from ftm_datalake_spark.pipelines.ingest import publish
 

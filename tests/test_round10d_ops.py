@@ -134,3 +134,43 @@ def test_zipf_slope_exact_on_synthetic_powerlaw(spark):
         df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
         row = REGISTRY["text_zipf_slope"].builder(spark, d).collect()[0]
     assert row["slope_milli"] == -1000
+
+
+def test_dsir_cli_roundtrip(spark, tmp_path, capsys):
+    import argparse
+    import json as _json
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, " ".join(f"a{j} b{j}" for j in range(6)), "zh", "s0", 50)
+            for i in range(5)]
+    rows += [(i, " ".join(f"x{i}y{j} z{j}" for j in range(6)), "en", "s1", 50)
+            for i in range(5, 20)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.parquet(src)
+    out = str(tmp_path / "weights.parquet")
+    args = argparse.Namespace(
+        cmd="dsir", source=src, out=out,
+        target_lang="zh", target_source=None, top_k=5,
+    )
+    assert _dispatch(spark, args) in (0, None)
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 5
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 1, 2, 3, 4}  # the zh slice outranks everything
+
+
+def test_dsir_cli_requires_exactly_one_target(spark, tmp_path):
+    import argparse
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    args = argparse.Namespace(
+        cmd="dsir", source=str(tmp_path / "nope.parquet"),
+        out=str(tmp_path / "o"), target_lang=None, target_source=None,
+        top_k=None,
+    )
+    assert _dispatch(spark, args) == 2
