@@ -851,7 +851,7 @@ def _dispatch(spark, args) -> int:
 
             spec = REGISTRY[args.name]
             df = spec.builder(spark, args.sf_dir)
-            report = lint_plan(df, checkpointed=spec.checkpointed)
+            report = lint_plan(df, checkpointed=spec.checkpointed, name=args.name)
             print(json.dumps({"query": args.name, **report}))
         else:
             df = REGISTRY[args.name].builder(spark, args.sf_dir)

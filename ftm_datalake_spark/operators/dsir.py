@@ -65,17 +65,25 @@ def hashed_bigram_buckets(
     BIGINT) % B`)."""
     from ftm_datalake_spark.operators.textops import ngram_array
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    grams = ngram_array(toks, 2)
+    # Materialize the token array in its own projection and hand
+    # ngram_array a plain column reference (its documented contract:
+    # slice() appears k times, and CollapseProject keeps the split()
+    # from being re-inlined only when it sits behind an attribute) —
+    # otherwise the regex split runs ~3x per row (ADVICE r10). No
+    # short-row pre-filter: rows with <2 tokens produce an EMPTY gram
+    # array (ngram_array clamps the slice length to 0) and the inner
+    # explode drops them — a size() filter would just get pushed below
+    # this projection and re-run the split a second time per row.
+    toked = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    grams = ngram_array(F.col("__toks"), 2)
     bucket = (
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets)
     ).alias("bucket")
-    return (
-        docs.where(n >= 2)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
-        .select(id_col, bucket)
+    return toked.select(F.col(id_col), F.explode(grams).alias("gram")).select(
+        id_col, bucket
     )
 
 
@@ -96,9 +104,14 @@ def dsir_importance_weights(
     tgt_ids = docs.where(target_pred).select(id_col)
     # Bucket LMs: raw over everything, target over the sample. Both
     # collapse to <= n_buckets rows (map-side combine does the heavy
-    # lifting); the target restriction is a broadcast semi-join on ids.
+    # lifting); the target restriction is a semi-join on ids.
     raw_lm = feats.groupBy("bucket").agg(F.count("*").alias("cnt_r"))
-    tgt_feats = feats.join(F.broadcast(tgt_ids), id_col, "left_semi")
+    # No broadcast hint on the target-id semi-join: the CLI's
+    # --target-lang/--target-source slice can select a majority of the
+    # corpus, and a forced broadcast of an unbounded id set OOMs with
+    # no shuffle fallback. AQE broadcasts small targets on its own and
+    # degrades to a shuffled semi-join for big ones (ADVICE r10).
+    tgt_feats = feats.join(tgt_ids, id_col, "left_semi")
     tgt_lm = tgt_feats.groupBy("bucket").agg(F.count("*").alias("cnt_t"))
     totals = (
         feats.agg(F.count("*").alias("t_raw"))

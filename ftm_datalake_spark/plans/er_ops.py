@@ -462,12 +462,17 @@ def er_meta_blocking_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # position comes from the distributed rank helper (range shuffle +
 # per-partition windows + P driver offsets — no single-partition
 # exchange); neighbor pairing is a bounded-fanout EQUI-join on rank.
+# The oracle's ORDER BY pins NULLS FIRST to match Spark's ascending
+# null ordering — DuckDB defaults to NULLS LAST, so a NULL lang /
+# n_chars would otherwise rank differently per engine (ADVICE r10).
 @register(
     "er_sorted_neighborhood",
     oracle="""
     WITH ranked AS (
       SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+             ROW_NUMBER() OVER (ORDER BY lang NULLS FIRST,
+                                         n_chars NULLS FIRST,
+                                         doc_id NULLS FIRST) AS rn
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

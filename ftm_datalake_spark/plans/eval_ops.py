@@ -307,32 +307,23 @@ def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN event_type = 'click' THEN s1 END) AS a2,
              MAX(CASE WHEN event_type = 'click' THEN s2 END) AS q2
       FROM g
+    ),
+    v AS (
+      SELECT n1, n2, a1, a2,
+             ((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+              / (n1 - 1)) / n1 AS v1,
+             ((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
+              / (n2 - 1)) / n2 AS v2
+      FROM w WHERE n1 > 1 AND n2 > 1
     )
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CAST(a1 AS BIGINT) AS sum1_cents,
            CAST(a2 AS BIGINT) AS sum2_cents,
            (CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)
-             / sqrt(
-                 ((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
-                  / (n1 - 1)) / n1
-                 + ((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
-                    / (n2 - 1)) / n2
-               ) AS t_stat,
-           (((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
-             / (n1 - 1)) / n1
-            + ((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
-               / (n2 - 1)) / n2) *
-           (((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
-             / (n1 - 1)) / n1
-            + ((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
-               / (n2 - 1)) / n2)
-           / (
-             POWER(((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
-                    / (n1 - 1)) / n1, 2) / (n1 - 1)
-             + POWER(((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2)
-                      / (n2 - 1)) / n2, 2) / (n2 - 1)
-           ) AS welch_df
-    FROM w
+             / sqrt(v1 + v2) AS t_stat,
+           (v1 + v2) * (v1 + v2)
+           / (POWER(v1, 2) / (n1 - 1) + POWER(v2, 2) / (n2 - 1)) AS welch_df
+    FROM v WHERE v1 + v2 > 0
     """,
     tags=("eval", "stats", "abtest"),
 )
@@ -367,14 +358,23 @@ def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q2").cast("double") - F.col("a2").cast("double") * F.col("a2") / F.col("n2"))
         / (F.col("n2") - 1)
     ) / F.col("n2")
+    # Degenerate-cohort guard (ADVICE r10): n<=1 makes the (n-1)
+    # divisor null/zero and v1+v2=0 makes t a 0/0 — and the engines
+    # DISAGREE on the degenerate value (Spark nulls an integer div-0,
+    # DuckDB raises or yields inf under IEEE float division), so both
+    # plan and oracle filter the same degenerate rows out instead of
+    # serving an engine-dependent answer.
+    v = w.where((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "n1", "n2", "a1", "a2", v1.alias("v1"), v2.alias("v2")
+    )
     t = (
         F.col("a1").cast("double") / F.col("n1")
         - F.col("a2").cast("double") / F.col("n2")
-    ) / F.sqrt(v1 + v2)
-    df_w = (v1 + v2) * (v1 + v2) / (
-        F.pow(v1, 2) / (F.col("n1") - 1) + F.pow(v2, 2) / (F.col("n2") - 1)
+    ) / F.sqrt(F.col("v1") + F.col("v2"))
+    df_w = (F.col("v1") + F.col("v2")) * (F.col("v1") + F.col("v2")) / (
+        F.pow("v1", 2) / (F.col("n1") - 1) + F.pow("v2", 2) / (F.col("n2") - 1)
     )
-    return w.select(
+    return v.where(F.col("v1") + F.col("v2") > 0).select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.col("a1").cast("long").alias("sum1_cents"),

