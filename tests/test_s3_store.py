@@ -355,3 +355,47 @@ def test_read_s3_inventory_csv_url_encoded(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_s3_inventory(spark, str(inv), fmt="orc")
+
+
+# --------------------------------------------------------------- webdataset
+def test_webdataset_shards_to_s3_matches_local_golden(spark, s3_store, tmp_path):
+    """The s3:// dispatch of the WebDataset sink: executors PUT the
+    tars task-side through boto3 (no driver bytes, no local-disk
+    leak), manifest last as the commit record, digests equal to a
+    local golden run of the same frame."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.sources.sinks import write_webdataset_shards
+
+    conn, client, _root = s3_store
+    docs = spark.range(70).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s3doc-"), F.col("id")).alias("text"),
+    )
+    m_s3 = write_webdataset_shards(
+        docs.repartition(4),
+        f"s3://{BUCKET}/exports/wds",
+        shard_size=30,
+        s3_conn=conn,
+    )
+    m_local = write_webdataset_shards(
+        docs.repartition(2), str(tmp_path / "golden"), shard_size=30
+    )
+    assert [m["sha256"] for m in m_s3] == [m["sha256"] for m in m_local]
+    assert [m["path"] for m in m_s3] == [
+        f"s3://{BUCKET}/exports/wds/shard-{i:06d}.tar" for i in range(3)
+    ]
+    # objects really landed in the bucket with the manifest's digests
+    for m in m_s3:
+        key = m["path"].split(f"s3://{BUCKET}/")[1]
+        body = client.get_object(Bucket=BUCKET, Key=key)["Body"].read()
+        assert hashlib.sha256(body).hexdigest() == m["sha256"]
+    manifest = _json.loads(
+        client.get_object(Bucket=BUCKET, Key="exports/wds/manifest.json")[
+            "Body"
+        ].read()
+    )
+    assert manifest == m_s3
