@@ -369,6 +369,22 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
 
 
+def _lake_s3_conn(args) -> dict | None:
+    """boto3 client config for an s3:// LAKE root (the blob-archive
+    side; source-side crawls build their own) — same credential chain
+    as the crawl verb: --s3-endpoint + FTM_DATALAKE_S3_{KEY,SECRET}
+    or the boto3 default chain. None for non-s3 lakes."""
+    if not str(getattr(args, "lake", "") or "").startswith("s3://"):
+        return None
+    import os as _os
+
+    return {
+        "endpoint_url": getattr(args, "s3_endpoint", None),
+        "access_key": _os.environ.get("FTM_DATALAKE_S3_KEY"),
+        "secret_key": _os.environ.get("FTM_DATALAKE_S3_SECRET"),
+    }
+
+
 def _dispatch(spark, args) -> int:
     from ftm_datalake_spark.pipelines.ingest import (
         crawl,
@@ -553,14 +569,20 @@ def _dispatch(spark, args) -> int:
                             "content_hash"
                         ),
                     )
-                    archive_blob_bytes(fetched, args.lake, args.dataset)
+                    archive_blob_bytes(
+                        fetched, args.lake, args.dataset,
+                        s3_conn=_lake_s3_conn(args),
+                    )
             else:
                 src_prefix = args.source.rstrip("/") + "/"
                 files = docs.select(
                     F.concat(F.lit(src_prefix), F.col("key")).alias("path"),
                     "content_hash",
                 )
-                archive_blobs(files, args.lake, args.dataset)
+                archive_blobs(
+                    files, args.lake, args.dataset,
+                    s3_conn=_lake_s3_conn(args),
+                )
         print(json.dumps(counters))
     elif args.cmd == "make":
         actions = make(spark, args.source, args.dataset, args.lake)
@@ -667,7 +689,10 @@ def _dispatch(spark, args) -> int:
         if args.cmd == "head":
             print(json.dumps(info, default=str))
         else:
-            blob = open_blob(args.lake, args.dataset, info["content_hash"])
+            blob = open_blob(
+                args.lake, args.dataset, info["content_hash"],
+                s3_conn=_lake_s3_conn(args), spark=spark,
+            )
             if args.out:
                 with open(args.out, "wb") as fh:
                     fh.write(blob)

@@ -297,3 +297,33 @@ def test_webdataset_shards_over_viewfs_roundtrip_and_golden_sha(
     assert all(
         bytes(r["content"]) == f"text-{r['key']}".encode() for r in rows
     )
+
+
+# -------------------------------------------------------------- blob archive
+def test_archive_blobs_generic_scheme_fallback(spark, tmp_path, viewfs):
+    """The non-s3 remote tier of the S10 sink: driver-side fsutil copy
+    lands the sharded layout on any Hadoop scheme, idempotently."""
+    import hashlib
+
+    from ftm_datalake_spark.functions.checksum import content_checksum
+    from ftm_datalake_spark.sources.archive import archive_blobs, open_blob
+    from ftm_datalake_spark.sources.tables import scan_binary_files
+
+    src = tmp_path / "bsrc"
+    src.mkdir()
+    payloads = {"a.bin": b"remote blob A", "b.bin": b"remote blob B"}
+    for name, content in payloads.items():
+        (src / name).write_bytes(content)
+
+    files = scan_binary_files(spark, str(src)).select(
+        "path", content_checksum(F.col("content")).alias("content_hash")
+    )
+    root = f"{viewfs}/lake"
+    archive_blobs(files, root, "ds1")
+    archive_blobs(files, root, "ds1")  # idempotent
+    for content in payloads.values():
+        ch = hashlib.sha1(content).hexdigest()
+        # physically at the mount in the sharded layout
+        local = tmp_path / "lake" / "ds1" / "archive" / ch[:2] / ch[2:4] / ch[4:6] / ch
+        assert local.read_bytes() == content
+        assert open_blob(root, "ds1", ch, spark=spark) == content
