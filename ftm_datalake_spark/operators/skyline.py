@@ -75,3 +75,107 @@ def skyline_2d(
             "n_rows",
         )
     )
+
+
+def skyline_3d(
+    df: DataFrame, max_col: str, min_col: str, min_col2: str
+) -> DataFrame:
+    """3-D frontier (maximize `max_col`, minimize `min_col` AND
+    `min_col2`) — the k-dimension extension of the sort-based
+    reduction, as iterated dominance over collapsed candidate frames
+    (no self-join, no cartesian):
+
+    1. collapse to one candidate per (max, min) pair — only the
+       per-pair minimum of `min_col2` can be on the frontier (one hash
+       agg, map-side combined);
+    2. LOCAL sweep: within each `max_col` group, drop candidates
+       dominated by a smaller-`min_col` sibling (a window partitioned
+       by the group — never global). Equal-max dominance is now fully
+       resolved;
+    3. GLOBAL staircase merge: for every distinct `max_col` value
+       a_t, the candidates from strictly larger values form a 2-D
+       staircase; a candidate at a_t survives iff no staircase point
+       sits at (min_col <=, min_col2 <=). The staircase strata come
+       from ONE non-equi join against the broadcast |distinct max_col|
+       frame (a bounded BroadcastNestedLoopJoin — the BNLJ_OK sketch/
+       spine shape, plans/lint.py), and the membership test is a
+       stair-before-probe cumulative min inside a window partitioned
+       by a_t — again never global;
+    4. broadcast the frontier back to count source rows sitting
+       exactly on each frontier point (full ties are mutually
+       non-dominating and all belong).
+
+    The data-scale work is one hash agg + one broadcast-join count
+    scan; everything after step 1 runs on the collapsed candidate
+    frame, whose size is bounded by the sum of per-group 2-D frontier
+    sizes. Same documented idiom as :func:`skyline_2d`: a
+    high-cardinality continuous measure pair grows that frame — fine
+    for quantized/real-world measures, the quadratic NOT-EXISTS stays
+    as the DuckDB oracle cross-check."""
+    a, b, c = max_col, min_col, min_col2
+    fb, fc = f"frontier_{b}", f"frontier_{c}"
+    mm = df.groupBy(a, b).agg(F.min(c).alias("__c"))
+    w_local = (
+        Window.partitionBy(a)
+        .orderBy(F.col(b).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = (
+        mm.withColumn("__lmin", F.min("__c").over(w_local))
+        .where(F.col("__lmin").isNull() | (F.col("__c") < F.col("__lmin")))
+        .select(
+            F.col(a).alias("__a"), F.col(b).alias("__b"), F.col("__c")
+        )
+    )
+    avals = cand.select(F.col("__a").alias("__a_t")).distinct()
+    # staircase strata: larger-max candidates keyed by each threshold
+    # they must be compared against (bounded: |avals| is the distinct
+    # value count of the MAX dimension, broadcast side of the BNLJ)
+    pairs = cand.join(F.broadcast(avals), F.col("__a") > F.col("__a_t"))
+    stair = (
+        pairs.groupBy("__a_t", "__b")
+        .agg(F.min("__c").alias("__c"))
+        .withColumn("__kind", F.lit(0))
+    )
+    probes = cand.select(
+        F.col("__a").alias("__a_t"), "__b", "__c", F.lit(1).alias("__kind")
+    )
+    merged = stair.unionByName(probes)
+    # stair rows sort before their probe at equal min_col (kind 0 < 1),
+    # so the preceding-rows cumulative min covers exactly the staircase
+    # points with min_col <= the probe's — dominated iff that min is
+    # <= the probe's min_col2 (max strictly larger already)
+    w_merge = (
+        Window.partitionBy("__a_t")
+        .orderBy(F.col("__b").asc(), F.col("__kind").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = F.min(F.when(F.col("__kind") == 0, F.col("__c"))).over(w_merge)
+    sky = (
+        merged.withColumn("__dom", dom)
+        .where(
+            (F.col("__kind") == 1)
+            & (F.col("__dom").isNull() | (F.col("__dom") > F.col("__c")))
+        )
+        .select(
+            F.col("__a_t").alias("__sky_a"),
+            F.col("__b").alias("__sky_b"),
+            F.col("__c").alias("__sky_c"),
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(sky),
+            (F.col(a) == F.col("__sky_a"))
+            & (F.col(b) == F.col("__sky_b"))
+            & (F.col(c) == F.col("__sky_c")),
+        )
+        .groupBy("__sky_a", "__sky_b", "__sky_c")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            F.col("__sky_a").alias(a),
+            F.col("__sky_b").alias(fb),
+            F.col("__sky_c").alias(fc),
+            "n_rows",
+        )
+    )

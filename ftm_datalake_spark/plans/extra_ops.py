@@ -1108,3 +1108,60 @@ def part_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size")
     )
+
+
+# --------------------------------------------------------------------------
+# 3-D skyline (operators/skyline.skyline_3d): parts undominated on
+# (size MAX, retail price MIN, name length MIN) — the quality-vs-size
+# corpus-frontier shape in k dimensions. Spark plan: per-(size,price)
+# collapse -> local per-size sweep -> staircase merge per size stratum
+# (the strata ship through ONE bounded BNLJ against the broadcast
+# |distinct p_size| frame — BNLJ_OK) -> broadcast frontier count-back.
+# The oracle keeps the quadratic NOT EXISTS over the per-(a,b)-collapsed
+# frame as the semantic cross-check (restricting dominators to the
+# collapsed frame is lossless: the per-pair min-c candidate dominates
+# whatever its siblings dominate).
+@register(
+    "part_skyline_3d",
+    oracle="""
+    WITH pts AS (
+      SELECT p_size AS a, p_retailprice AS b, LENGTH(p_name) AS c
+      FROM part
+    ),
+    mm AS (SELECT a, b, MIN(c) AS c FROM pts GROUP BY a, b),
+    sky AS (
+      SELECT a, b, c FROM mm p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM mm q
+        WHERE q.a >= p.a AND q.b <= p.b AND q.c <= p.c
+          AND (q.a > p.a OR q.b < p.b OR q.c < p.c))
+    )
+    SELECT CAST(s.a AS BIGINT) AS p_size,
+           s.b AS frontier_p_retailprice,
+           CAST(s.c AS BIGINT) AS frontier_name_len,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM sky s JOIN pts x ON x.a = s.a AND x.b = s.b AND x.c = s.c
+    GROUP BY 1, 2, 3
+    ORDER BY p_size, frontier_p_retailprice, frontier_name_len
+    """,
+    tags=("skyline", "dominance", "agg"),
+)
+def part_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.skyline import skyline_3d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_size", "p_retailprice", F.length("p_name").alias("name_len")
+    )
+    return (
+        skyline_3d(
+            part, max_col="p_size", min_col="p_retailprice",
+            min_col2="name_len",
+        )
+        .select(
+            F.col("p_size").cast("long").alias("p_size"),
+            "frontier_p_retailprice",
+            F.col("frontier_name_len").cast("long").alias("frontier_name_len"),
+            "n_rows",
+        )
+        .orderBy("p_size", "frontier_p_retailprice", "frontier_name_len")
+    )

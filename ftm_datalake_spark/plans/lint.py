@@ -42,6 +42,7 @@ BNLJ_OK = frozenset(
         "events_rolling_7d_users",
         "events_seasonality_profile",
         "orders_revenue_pareto",
+        "part_skyline_3d",
         "q11_important_parts",
         "q22_sales_opportunity",
         "quality_iqr_outliers",
