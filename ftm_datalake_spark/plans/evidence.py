@@ -9,14 +9,13 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-10 curation (VERDICT r9 #8): the r1–r9 sample union stands at
-239/239 — every pre-r10 query driver-green at least once, zero
-never-sampled. Round 10 ADDED six oracled queries (entity-xref
-inverted index, df-capped winnowing pairs, the privacy triple,
-duplicate-span coverage) — those lead because they have NO driver
-evidence yet. The rest of the slots buy FRESHNESS: the queries with
-the OLDEST driver evidence, oldest round first (the r4-era rows the
-r9 prefix did not reach, then the r5 block). Regenerate with
+Round-11 curation (VERDICT r10 next #6): the r1–r10 sample union
+stands at 256/256 — every pre-r11 query driver-green at least once,
+zero never-sampled. Round 11 ADDED one oracled query (part_skyline_3d),
+which leads because it has NO driver evidence yet. The remaining 49
+slots buy FRESHNESS: the queries with the OLDEST driver evidence,
+oldest round first (the r5 sampler/text block the r10 prefix did not
+reach, then the r6 analytics block). Regenerate with
 scripts/gen_evidence.py each round.
 
 Everything not listed keeps registration order after these.
@@ -25,56 +24,7 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    "entities_xref_inverted",  # NEW r10 — never driver-sampled
-    "dedup_winnowing_pairs_capped",  # NEW r10 — never driver-sampled
-    "privacy_k_anonymity",  # NEW r10 — never driver-sampled
-    "privacy_l_diversity",  # NEW r10 — never driver-sampled
-    "privacy_generalization_ladder",  # NEW r10 — never driver-sampled
-    "dedup_duplicate_span_coverage",  # NEW r10 — never driver-sampled
-    "sample_dsir_weights",  # NEW r10 — never driver-sampled
-    "er_meta_blocking_wep",  # NEW r10 — never driver-sampled
-    "part_skyline_dominance",  # NEW r10 — never driver-sampled
-    "events_time_weighted_value",  # NEW r10 — never driver-sampled
-    "embedding_random_projection",  # NEW r10 — never driver-sampled
-    "multimodal_video_scenecut",  # NEW r10 — never driver-sampled
-    "er_sorted_neighborhood",  # NEW r10 — never driver-sampled
-    "quality_perplexity_buckets",  # NEW r10 — never driver-sampled
-    "multimodal_audio_vad",  # NEW r10 — never driver-sampled
-    "eval_welch_ttest",  # NEW r10 — never driver-sampled
-    "text_zipf_slope",  # NEW r10 — never driver-sampled
-    "q2_min_cost_supplier",  # last driver sample: r4
-    "q7_volume_shipping",  # last driver sample: r4
-    "q8_market_share",  # last driver sample: r4
-    "q9_product_profit",  # last driver sample: r4
-    "range_join_session_errors",  # last driver sample: r4
-    "sessions_overlap_purchases",  # last driver sample: r4
-    "approx_distinct_users",  # last driver sample: r5
-    "bloom_semi_join_revenue",  # last driver sample: r5
-    "bpe_encode_trained",  # last driver sample: r5
-    "bpe_train_merges",  # last driver sample: r5
-    "cdc_apply_documents",  # last driver sample: r5
-    "changefeed_documents",  # last driver sample: r5
-    "corpus_curriculum_stages",  # last driver sample: r5
-    "corpus_sliding_chunks",  # last driver sample: r5
-    "corpus_source_mixing",  # last driver sample: r5
-    "decontaminate_benchmark",  # last driver sample: r5
-    "dedup_canonical_corpus",  # last driver sample: r5
-    "dedup_cdc_chunks",  # last driver sample: r5
-    "dedup_containment_pairs",  # last driver sample: r5
-    "dedup_exact",  # last driver sample: r5
-    "dedup_families",  # last driver sample: r5
-    "dedup_incremental",  # last driver sample: r5
-    "dedup_minhash_lsh",  # last driver sample: r5
-    "dedup_ngram_jaccard",  # last driver sample: r5
-    "dedup_prefix_filter_pairs",  # last driver sample: r5
-    "dedup_simhash",  # last driver sample: r5
-    "dedup_verified_pairs",  # last driver sample: r5
-    "embedding_quantize_int8",  # last driver sample: r5
-    "events_anomaly_mad",  # last driver sample: r5
-    "events_changepoint_meanshift",  # last driver sample: r5
-    "multimodal_gif_features",  # last driver sample: r5
-    "multimodal_y4m_frames",  # last driver sample: r5
-    "sample_diverse_lsh",  # last driver sample: r5
+    "part_skyline_3d",  # skyline
     "sample_importance_weighted",  # last driver sample: r5
     "sample_per_source_cap",  # last driver sample: r5
     "sample_reservoir_k",  # last driver sample: r5
@@ -86,4 +36,42 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "statement_incremental_merge",  # last driver sample: r5
     "text_bpe_tokens",  # last driver sample: r5
     "text_fingerprint",  # last driver sample: r5
+    "text_langid",  # last driver sample: r5
+    "text_pmi_collocations",  # last driver sample: r5
+    "text_quality",  # last driver sample: r5
+    "text_repetition",  # last driver sample: r5
+    "text_token_count",  # last driver sample: r5
+    "text_trigram_novelty",  # last driver sample: r5
+    "ann_hard_negatives",  # last driver sample: r6
+    "ann_ivf_topk_nprobe2",  # last driver sample: r6
+    "asof_next_purchase",  # last driver sample: r6
+    "basket_brand_association",  # last driver sample: r6
+    "cube_order_stats",  # last driver sample: r6
+    "customer_rfm_segments",  # last driver sample: r6
+    "doc_commonness",  # last driver sample: r6
+    "docs_source_vocab_overlap",  # last driver sample: r6
+    "embedding_centroids",  # last driver sample: r6
+    "events_active_windows",  # last driver sample: r6
+    "events_conversion_latency",  # last driver sample: r6
+    "events_dau_stickiness",  # last driver sample: r6
+    "events_dau_stickiness_hll",  # last driver sample: r6
+    "events_ewma_smoothed",  # last driver sample: r6
+    "events_hourly_autocorr",  # last driver sample: r6
+    "events_interarrival",  # last driver sample: r6
+    "events_ohlc_hourly",  # last driver sample: r6
+    "events_rolling_7d_users",  # last driver sample: r6
+    "events_seasonality_profile",  # last driver sample: r6
+    "grouping_sets_orders",  # last driver sample: r6
+    "hypertable_daily_rollup",  # last driver sample: r6
+    "lineitem_yoy_growth",  # last driver sample: r6
+    "lm_surprisal_topdocs",  # last driver sample: r6
+    "median_price_by_priority",  # last driver sample: r6
+    "mode_event_type",  # last driver sample: r6
+    "ntile_customer_quartiles",  # last driver sample: r6
+    "orders_basket_size_distribution",  # last driver sample: r6
+    "orders_cohort_ltv",  # last driver sample: r6
+    "orders_revenue_pareto",  # last driver sample: r6
+    "part_substitution_candidates",  # last driver sample: r6
+    "pii_redact",  # last driver sample: r6
+    "pit_labeled_examples",  # last driver sample: r6
 )
