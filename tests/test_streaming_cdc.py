@@ -147,3 +147,149 @@ def test_cdc_recovers_from_kill_between_swap_renames(spark, tmp_path):
     q.awaitTermination(120)
     assert _snapshot(spark, snap_dir) == {"a": "v1", "b": "v2x"}
     assert not _os.path.exists(snap_dir + ".__old__")
+
+
+# ----------------------------------------------------- partitioned replace
+def _pk_snapshot(spark, path):
+    return {
+        r.key: r.val
+        for r in spark.read.parquet(path).select("key", "val").collect()
+    }
+
+
+def test_partitioned_cdc_equals_full_apply_and_prunes_io(spark, tmp_path):
+    """The partition-level replace: result identical to the full
+    apply, and UNTOUCHED bucket files are byte-identical and not
+    rewritten (same part files, same mtimes)."""
+    import os as _os
+
+    from ftm_datalake_spark.streaming.cdc import (
+        bucket_expr,
+        init_partitioned_snapshot,
+        run_cdc_upsert_stream_partitioned,
+    )
+
+    snap_dir = str(tmp_path / "snap")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(40)], "key string, val string"
+    )
+    init_partitioned_snapshot(base, snap_dir, ["key"], n_buckets=8)
+
+    changes = [
+        {"key": "k3", "seq": 1, "op": "U", "val": "v3x"},
+        {"key": "k7", "seq": 1, "op": "D", "val": None},
+        {"key": "new1", "seq": 1, "op": "I", "val": "nv1"},
+    ]
+    # which buckets will the batch touch?
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [(c["key"],) for c in changes], "key string"
+        ).select(bucket_expr(["key"], 8).alias("b")).collect()
+    }
+    before = {}
+    for d in _os.listdir(snap_dir):
+        if d.startswith("bucket="):
+            full = _os.path.join(snap_dir, d)
+            before[d] = {
+                f: _os.stat(_os.path.join(full, f)).st_mtime_ns
+                for f in _os.listdir(full)
+                if f.endswith(".parquet")
+            }
+
+    _write_feed(feed, "b1.json", changes)
+    stream = spark.readStream.schema(CHANGE_SCHEMA).json(feed)
+    q = run_cdc_upsert_stream_partitioned(stream, snap_dir, ckpt, ["key"], n_buckets=8)
+    q.awaitTermination(120)
+
+    want = {f"k{i}": f"v{i}" for i in range(40)}
+    want["k3"] = "v3x"
+    del want["k7"]
+    want["new1"] = "nv1"
+    assert _pk_snapshot(spark, snap_dir) == want
+
+    for d, files in before.items():
+        bucket = int(d.split("=")[1])
+        full = _os.path.join(snap_dir, d)
+        after = {
+            f: _os.stat(_os.path.join(full, f)).st_mtime_ns
+            for f in _os.listdir(full)
+            if f.endswith(".parquet")
+        }
+        if bucket not in touched:
+            assert after == files, f"untouched {d} was rewritten"
+        else:
+            assert after != files, f"touched {d} was not rewritten"
+
+
+def test_partitioned_cdc_redelivery_is_idempotent(spark, tmp_path):
+    """The crash-calculus law: applying the same batch twice (fresh
+    checkpoint = forced re-delivery over the already-updated snapshot)
+    converges to the same state."""
+    from ftm_datalake_spark.streaming.cdc import (
+        init_partitioned_snapshot,
+        run_cdc_upsert_stream_partitioned,
+    )
+
+    snap_dir = str(tmp_path / "snap")
+    feed = str(tmp_path / "feed")
+    base = spark.createDataFrame(
+        [("a", "v1"), ("b", "v2"), ("c", "v3")], "key string, val string"
+    )
+    init_partitioned_snapshot(base, snap_dir, ["key"], n_buckets=4)
+    _write_feed(feed, "b1.json", [
+        {"key": "a", "seq": 1, "op": "U", "val": "v1x"},
+        {"key": "b", "seq": 1, "op": "D", "val": None},
+        {"key": "d", "seq": 1, "op": "I", "val": "v4"},
+    ])
+    for i in (1, 2):  # second pass = re-delivery (fresh checkpoint)
+        stream = spark.readStream.schema(CHANGE_SCHEMA).json(feed)
+        q = run_cdc_upsert_stream_partitioned(
+            stream, snap_dir, str(tmp_path / f"ckpt{i}"), ["key"], n_buckets=4
+        )
+        q.awaitTermination(120)
+        assert _pk_snapshot(spark, snap_dir) == {
+            "a": "v1x", "c": "v3", "d": "v4"
+        }
+
+
+def test_partitioned_cdc_drops_fully_emptied_bucket(spark, tmp_path):
+    """Deleting every key of a bucket removes its partition directory
+    (dynamic overwrite alone cannot — there is no output partition to
+    replace it with)."""
+    import os as _os
+
+    from ftm_datalake_spark.streaming.cdc import (
+        bucket_expr,
+        init_partitioned_snapshot,
+        run_cdc_upsert_stream_partitioned,
+    )
+
+    snap_dir = str(tmp_path / "snap")
+    feed = str(tmp_path / "feed")
+    rows = [(f"k{i}", f"v{i}") for i in range(12)]
+    base = spark.createDataFrame(rows, "key string, val string")
+    init_partitioned_snapshot(base, snap_dir, ["key"], n_buckets=3)
+    # find all keys of one bucket and delete them all
+    bs = {
+        r["key"]: r["b"]
+        for r in spark.createDataFrame(rows, "key string, val string")
+        .select("key", bucket_expr(["key"], 3).alias("b"))
+        .collect()
+    }
+    victim = bs[next(iter(bs))]
+    doomed = [k for k, b in bs.items() if b == victim]
+    _write_feed(feed, "b1.json", [
+        {"key": k, "seq": 1, "op": "D", "val": None} for k in doomed
+    ])
+    stream = spark.readStream.schema(CHANGE_SCHEMA).json(feed)
+    q = run_cdc_upsert_stream_partitioned(
+        stream, snap_dir, str(tmp_path / "ckpt"), ["key"], n_buckets=3
+    )
+    q.awaitTermination(120)
+    assert not _os.path.exists(_os.path.join(snap_dir, f"bucket={victim}"))
+    assert _pk_snapshot(spark, snap_dir) == {
+        k: v for k, v in rows if k not in doomed
+    }
