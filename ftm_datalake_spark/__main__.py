@@ -287,6 +287,47 @@ def main(argv: list[str] | None = None) -> int:
         help="keep only the k highest-weight docs (default: all)",
     )
 
+    p_wds = sub.add_parser(
+        "export-webdataset",
+        help="export a docs parquet as WebDataset tar shards + manifest "
+        "(local, s3:// task-side, or any Hadoop scheme via the driver "
+        "fallback); prints the manifest summary",
+    )
+    p_wds.add_argument("source", help="documents parquet to export")
+    p_wds.add_argument("--out", required=True, help="shard output dir/URI")
+    p_wds.add_argument("--shard-size", type=int, default=1000)
+    p_wds.add_argument("--key-col", default="doc_id")
+    p_wds.add_argument("--text-col", default="text")
+    p_wds.add_argument(
+        "--s3-endpoint", default=None,
+        help="custom S3 endpoint for an s3:// --out (moto/MinIO); "
+        "credentials via FTM_DATALAKE_S3_* or the boto3 default chain",
+    )
+
+    p_cdc = sub.add_parser(
+        "cdc-apply",
+        help="drain a sequenced JSON change feed (op/seq/key columns) "
+        "onto a parquet snapshot, exactly-once per checkpoint; with "
+        "--buckets the snapshot is hash-partitioned and only touched "
+        "buckets are rewritten (the O(delta) scale form)",
+    )
+    p_cdc.add_argument("snapshot", help="snapshot parquet dir")
+    p_cdc.add_argument("--feed", required=True, help="JSONL change-feed dir")
+    p_cdc.add_argument("--checkpoint", required=True)
+    p_cdc.add_argument(
+        "--keys", required=True, help="comma-separated key columns"
+    )
+    p_cdc.add_argument(
+        "--schema", required=True,
+        help="change-feed DDL schema, e.g. 'key string, seq long, "
+        "op string, val string'",
+    )
+    p_cdc.add_argument(
+        "--buckets", type=int, default=None,
+        help="bucket count of a partitioned snapshot (init with the "
+        "same value); omit for the whole-snapshot swap form",
+    )
+
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
 
@@ -1051,6 +1092,51 @@ def _dispatch(spark, args) -> int:
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"path": args.out, "rows": n,
                           "top_k": args.top_k}))
+    elif args.cmd == "export-webdataset":
+        import os as _os
+
+        from ftm_datalake_spark.sources.sinks import write_webdataset_shards
+
+        conn = None
+        if args.out.startswith("s3://"):
+            conn = {
+                "endpoint_url": args.s3_endpoint,
+                "access_key": _os.environ.get("FTM_DATALAKE_S3_KEY"),
+                "secret_key": _os.environ.get("FTM_DATALAKE_S3_SECRET"),
+            }
+        docs = spark.read.parquet(args.source)
+        manifest = write_webdataset_shards(
+            docs, args.out, shard_size=args.shard_size,
+            key_col=args.key_col, text_col=args.text_col, s3_conn=conn,
+        )
+        print(json.dumps({
+            "out": args.out, "shards": len(manifest),
+            "samples": sum(m["n_samples"] for m in manifest),
+            "sha256": [m["sha256"] for m in manifest],
+        }))
+    elif args.cmd == "cdc-apply":
+        from ftm_datalake_spark.streaming.cdc import (
+            run_cdc_upsert_stream,
+            run_cdc_upsert_stream_partitioned,
+        )
+
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        stream = spark.readStream.schema(args.schema).json(args.feed)
+        if args.buckets:
+            q = run_cdc_upsert_stream_partitioned(
+                stream, args.snapshot, args.checkpoint, keys,
+                n_buckets=args.buckets,
+            )
+        else:
+            q = run_cdc_upsert_stream(
+                stream, args.snapshot, args.checkpoint, keys
+            )
+        q.awaitTermination()
+        n = spark.read.parquet(args.snapshot).count()
+        print(json.dumps({
+            "snapshot": args.snapshot, "rows": n,
+            "mode": "partitioned" if args.buckets else "swap",
+        }))
     elif args.cmd == "publish":
         from ftm_datalake_spark.pipelines.ingest import publish
 

@@ -456,6 +456,115 @@ def probe_random_projection(spark, src_dir: str) -> dict:
     return out
 
 
+
+
+def probe_skyline_3d(spark) -> dict:
+    """Round-11 3-D skyline decade check on synthetic quantized data
+    (the registry query's `part` input is a fixed dimension dictionary
+    that the sf1.0 generator deliberately does not scale, so this
+    probe makes its own 10x pair). All post-collapse work runs on the
+    candidate frame, so the decade ratio must track the first hash agg
+    (~linear)."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.skyline import skyline_3d
+
+    out: dict = {}
+    for scale, n in (("n100k", 100_000), ("n1m", 1_000_000)):
+        df = spark.range(n).select(
+            (F.xxhash64("id") % 50).alias("a"),
+            (F.xxhash64("id", F.lit(1)) % 1000).alias("b"),
+            (F.xxhash64("id", F.lit(2)) % 1000).alias("c"),
+        ).localCheckpoint(eager=True)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            skyline_3d(df, "a", "b", "c").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[scale] = min(samples)
+        print(f"skyline_3d {scale}: {min(samples)} {samples}", flush=True)
+    out["ratio"] = round(out["n1m"] / out["n100k"], 2)
+    return out
+
+
+def probe_partitioned_cdc(spark, src_dir: str) -> dict:
+    """Round-11 partition-level CDC replace: a FIXED 60-row change feed
+    drained onto snapshots built from the 1x and 10x documents corpora,
+    with n_buckets scaled with the corpus (constant bucket size - the
+    100 TB configuration). The batch rewrites only the touched buckets,
+    so the decade ratio must be ~flat; the full-rewrite swap form is
+    timed at both scales for contrast (expect ~corpus-linear)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.streaming.cdc import (
+        init_partitioned_snapshot,
+        run_cdc_upsert_stream,
+        run_cdc_upsert_stream_partitioned,
+    )
+
+    def feed_dir(tag: str, keys) -> str:
+        d = f"/tmp/sfprobe/cdcfeed_{tag}"
+        _sh.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        with open(os.path.join(d, "b1.json"), "w") as fh:
+            for i, k in enumerate(keys):
+                fh.write(json.dumps({
+                    "doc_id": k, "seq": 1,
+                    "op": "U" if i % 3 else "I", "text": f"upd-{k}",
+                }) + "\n")
+        return d
+
+    out: dict = {}
+    for scale, path, nb in (
+        ("sf0.1", os.path.join(src_dir, "documents.parquet"), 64),
+        ("sf1.0", os.path.join(PROBE_DIR, "documents.parquet"), 640),
+    ):
+        docs = spark.read.parquet(path).select("doc_id", "text")
+        keys = [r["doc_id"] for r in docs.limit(40).collect()]
+        keys += [990_000_000 + i for i in range(20)]  # inserts
+        tag = scale.replace(".", "")
+        part_snap = f"/tmp/sfprobe/cdc_part_{tag}"
+        _sh.rmtree(part_snap, ignore_errors=True)
+        init_partitioned_snapshot(docs, part_snap, ["doc_id"], n_buckets=nb)
+        feed = feed_dir(tag + "p", keys)
+        schema = "doc_id long, seq long, op string, text string"
+        t0 = time.perf_counter()
+        q = run_cdc_upsert_stream_partitioned(
+            spark.readStream.schema(schema).json(feed),
+            part_snap, f"/tmp/sfprobe/cdc_ckpt_{tag}p", ["doc_id"],
+            n_buckets=nb,
+        )
+        q.awaitTermination(600)
+        part_sec = round(time.perf_counter() - t0, 3)
+
+        full_snap = f"/tmp/sfprobe/cdc_full_{tag}"
+        _sh.rmtree(full_snap, ignore_errors=True)
+        docs.write.parquet(full_snap)
+        feed2 = feed_dir(tag + "f", keys)
+        t0 = time.perf_counter()
+        q = run_cdc_upsert_stream(
+            spark.readStream.schema(schema).json(feed2),
+            full_snap, f"/tmp/sfprobe/cdc_ckpt_{tag}f", ["doc_id"],
+        )
+        q.awaitTermination(600)
+        full_sec = round(time.perf_counter() - t0, 3)
+        out[scale] = {"partitioned_sec": part_sec, "full_swap_sec": full_sec,
+                      "n_buckets": nb}
+        print(f"{scale} cdc(|delta|=60): partitioned {part_sec}s "
+              f"full-swap {full_sec}s", flush=True)
+    out["partitioned_ratio"] = round(
+        out["sf1.0"]["partitioned_sec"] / out["sf0.1"]["partitioned_sec"], 2
+    )
+    out["full_swap_ratio"] = round(
+        out["sf1.0"]["full_swap_sec"] / out["sf0.1"]["full_swap_sec"], 2
+    )
+    return out
+
+
 def main() -> None:
     from ftm_datalake_spark.session import build_session
 
@@ -481,6 +590,9 @@ def main() -> None:
         "winnow_capped_skew": probe_winnow_capped_skew(spark),
         # round-10 second wave: shuffle-free JL over the full corpus
         "jl_projection_full": probe_random_projection(spark, src),
+        # round-11: candidate-frame skyline + O(touched-buckets) CDC
+        "skyline_3d_synthetic": probe_skyline_3d(spark),
+        "partitioned_cdc_60rows": probe_partitioned_cdc(spark, src),
     }
     line = json.dumps(payload)
     print(line)
