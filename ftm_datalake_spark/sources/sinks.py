@@ -764,15 +764,21 @@ def write_webdataset_shards(
     return manifest
 
 
-def read_webdataset_shards(spark: SparkSession, shards_dir: str) -> DataFrame:
+def read_webdataset_shards(
+    spark: SparkSession, shards_dir: str, s3_conn: dict | None = None
+) -> DataFrame:
     """Ingest twin of :func:`write_webdataset_shards`: tar shards back to
     (key, member, content) rows.
 
-    Scale shape: the shard is the parallel unit — `binaryFile` assigns
-    whole tars to tasks (tar has no central directory, so sequential
+    Scale shape: the shard is the parallel unit — whole tars are
+    assigned to tasks (tar has no central directory, so sequential
     member walk per archive is the format's native access pattern), and
     an Arrow-batched mapInPandas parses members task-side. Shard bytes
-    never pass through the driver."""
+    never pass through the driver. Source dispatch mirrors the writer:
+    ``s3://`` dirs list task-fetchable keys through the S3 store
+    backend (per-task boto3 GETs — the bundled Spark has no s3a jars);
+    everything else goes through ``binaryFile`` on the Hadoop FS
+    client, so the s3 write path round-trips without cluster jars."""
     import io
     import tarfile
     from collections.abc import Iterator
@@ -809,12 +815,32 @@ def read_webdataset_shards(spark: SparkSession, shards_dir: str) -> DataFrame:
                         )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    tars = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar")
-        .load(shards_dir)
-        .select("path", "content")
-    )
+    if shards_dir.startswith("s3://"):
+        from urllib.parse import urlparse
+
+        from ftm_datalake_spark.sources.s3_store import (
+            list_s3_objects,
+            scan_s3_store,
+        )
+
+        parsed = urlparse(shards_dir)
+        bucket, prefix = parsed.netloc, parsed.path.strip("/")
+        conn = dict(s3_conn or {})
+        keys = [
+            k
+            for k in list_s3_objects(bucket, prefix, conn)
+            if k.endswith(".tar")
+        ]
+        tars = scan_s3_store(
+            spark, bucket, keys=keys, prefix=prefix, conn=conn
+        ).select("path", "content")
+    else:
+        tars = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.tar")
+            .load(shards_dir)
+            .select("path", "content")
+        )
     return tars.mapInPandas(parse, schema)
 
 
