@@ -750,6 +750,8 @@ def write_webdataset_shards(
         with open(os.path.join(base, "manifest.json"), "wb") as fh:
             fh.write(payload)
     elif scheme == "s3":
+        from ftm_datalake_spark.sources.s3_store import _client
+
         key_prefix = parsed.path.strip("/")
         key = f"{key_prefix}/manifest.json" if key_prefix else "manifest.json"
         _client(dict(s3_conn or {})).put_object(
