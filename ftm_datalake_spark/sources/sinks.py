@@ -724,6 +724,13 @@ def write_webdataset_shards(
             build_shard,
             "shard_id LONG, n_samples LONG, sha256 STRING, tar BINARY",
         )
+        # spread to ~one shard per output partition: toLocalIterator
+        # materializes a PARTITION at a time on the driver, and the
+        # groupBy's shuffle partitioning would otherwise pack
+        # n_shards/shuffle_partitions tars into each fetch — the
+        # driver-memory bound must be one shard, not a stack of them
+        n_shards = int((_total + shard_size - 1) // shard_size) or 1
+        built = built.repartition(n_shards, F.col("shard_id"))
         meta_rows = []
         # driver streams one output partition at a time; each shard is
         # published atomically under its final name before the next is
