@@ -438,17 +438,69 @@ def read_inverted_idx(spark: SparkSession, path: str) -> DataFrame:
     ).json(path)
 
 
-def export_dataset_zip(dataset_dir: str, zip_path: str) -> str:
+def export_dataset_zip(dataset_dir: str, zip_path: str, spark=None) -> str:
     """S14: zip export of a dataset directory (driver-side; the reference
     is also single-threaded here, export.py:13-36, and writes LZMA
-    members — ftm_datalake/export.py:17 — matched here)."""
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_LZMA) as zf:
-        for root, _dirs, files in os.walk(dataset_dir):
-            for name in sorted(files):
-                if name.startswith("."):
-                    continue  # FS metadata (.crc sidecars), not spec files
-                full = os.path.join(root, name)
-                zf.write(full, os.path.relpath(full, dataset_dir))
+    members — ftm_datalake/export.py:17 — matched here).
+
+    URI-aware on both ends when a live ``spark`` session is passed: a
+    remote ``dataset_dir`` is walked through the Hadoop FS client
+    (recursive listFiles — metadata RPCs, member bytes streamed one
+    file at a time), and a remote ``zip_path`` is spooled to a local
+    temp zip and published with a single FS copy (zip needs a seekable
+    writer, so the archive itself is always assembled locally). Local
+    in, local out keeps the original zero-Spark path."""
+    from urllib.parse import urlparse
+
+    src_scheme = urlparse(dataset_dir).scheme
+    dst_scheme = urlparse(zip_path).scheme
+    if src_scheme in ("", "file") and dst_scheme in ("", "file"):
+        src = dataset_dir[len("file://"):] if src_scheme == "file" else dataset_dir
+        dst = zip_path[len("file://"):] if dst_scheme == "file" else zip_path
+        with zipfile.ZipFile(dst, "w", zipfile.ZIP_LZMA) as zf:
+            for root, _dirs, files in os.walk(src):
+                for name in sorted(files):
+                    if name.startswith("."):
+                        continue  # FS metadata (.crc sidecars), not spec files
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, src))
+        return zip_path
+
+    import tempfile
+
+    from ftm_datalake_spark import fsutil
+
+    if spark is None:
+        raise ValueError(
+            "export_dataset_zip on a remote URI needs a live SparkSession"
+        )
+    base = dataset_dir.rstrip("/")
+    fs, root_path, _ = fsutil.hadoop_fs(spark, base)
+    entries = []
+    it = fs.listFiles(root_path, True)
+    while it.hasNext():
+        status = it.next()
+        uri = status.getPath().toString()
+        name = status.getPath().getName()
+        if name.startswith("."):
+            continue
+        rel = uri[len(base):].lstrip("/") if uri.startswith(base) else name
+        entries.append((rel, uri))
+    fd, tmp = tempfile.mkstemp(suffix=".zip")
+    os.close(fd)
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_LZMA) as zf:
+            for rel, uri in sorted(entries):
+                zf.writestr(rel, fsutil.read_bytes(spark, uri))
+        if dst_scheme in ("", "file"):
+            dst = zip_path[len("file://"):] if dst_scheme == "file" else zip_path
+            os.replace(tmp, dst)
+            tmp = None
+        else:
+            fsutil.copy_path(spark, tmp, zip_path)
+    finally:
+        if tmp and os.path.exists(tmp):
+            os.remove(tmp)
     return zip_path
 
 

@@ -327,3 +327,48 @@ def test_archive_blobs_generic_scheme_fallback(spark, tmp_path, viewfs):
         local = tmp_path / "lake" / "ds1" / "archive" / ch[:2] / ch[2:4] / ch[4:6] / ch
         assert local.read_bytes() == content
         assert open_blob(root, "ds1", ch, spark=spark) == content
+
+
+# ---------------------------------------------------------------- zip export
+def test_export_dataset_zip_from_and_to_viewfs(spark, tmp_path, viewfs):
+    """S14 URI-aware: walk a remote dataset dir through the FS client,
+    publish the archive locally or remotely; members and bytes match a
+    local-dir export of the same tree (zip container bytes may differ
+    — writestr zeroes mtimes — but the spec content is the members)."""
+    import zipfile
+
+    from ftm_datalake_spark import fsutil
+    from ftm_datalake_spark.sources.sinks import export_dataset_zip
+
+    files = {"index.json": b'{"name": "ds"}',
+             "sub/documents.csv": b"key,hash\na,1\n"}
+    for rel, content in files.items():
+        fsutil.mkdirs(spark, f"{viewfs}/ds/{rel.rpartition('/')[0]}".rstrip("/"))
+        fsutil.write_bytes(spark, f"{viewfs}/ds/{rel}", content)
+    fsutil.write_bytes(spark, f"{viewfs}/ds/.hidden.crc", b"x")  # skipped
+
+    def members(zpath):
+        with zipfile.ZipFile(zpath) as zf:
+            return {i.filename: zf.read(i) for i in zf.infolist()}
+
+    # remote dir -> local zip
+    local_zip = str(tmp_path / "out_local.zip")
+    export_dataset_zip(f"{viewfs}/ds", local_zip, spark=spark)
+    assert members(local_zip) == files
+
+    # remote dir -> remote zip (read back through the FS client)
+    export_dataset_zip(f"{viewfs}/ds", f"{viewfs}/out_remote.zip", spark=spark)
+    remote_copy = str(tmp_path / "fetched.zip")
+    with open(remote_copy, "wb") as fh:
+        fh.write(fsutil.read_bytes(spark, f"{viewfs}/out_remote.zip"))
+    assert members(remote_copy) == files
+
+    # golden: a local-dir walk of the same tree yields the same members
+    src = tmp_path / "golden_src"
+    for rel, content in files.items():
+        p = src / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(content)
+    golden_zip = str(tmp_path / "golden.zip")
+    export_dataset_zip(str(src), golden_zip)
+    assert members(golden_zip) == files
