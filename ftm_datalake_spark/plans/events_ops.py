@@ -1381,3 +1381,56 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("span_ms") > 0)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Activity concentration (round 11): the exact Gini coefficient of
+# per-user event counts — the "is this corpus/user-base dominated by a
+# few heavy hitters" readout (the same question temperature mixing
+# answers for sources, here as one scalar). Closed form over the
+# ASCENDING rank: G = (2*Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), all
+# integer until the final scaled division (numerator ≥ 0 for an
+# ascending rank, so truncating div agrees across engines). The rank
+# comes from operators/rank.with_global_rank (range shuffle + driver
+# offsets — no single-partition exchange for the data term); the
+# 1-row final fold is the documented global-scalar shape.
+@register(
+    "events_user_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS r
+      FROM per_user),
+    s AS (SELECT COUNT(*) AS n, SUM(n_events) AS t,
+                 SUM(r * n_events) AS s1
+          FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_events,
+           CAST(((2 * s1 - (n + 1) * t) * 1000000) // (n * t) AS BIGINT)
+             AS gini_x1e6
+    FROM s
+    """,
+    tags=("events", "stats", "agg"),
+    checkpointed=True,
+)
+def events_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rank import with_global_rank
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    ranked, _n = with_global_rank(per_user, ["n_events", "user_id"])
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.sum(F.col("rank") * F.col("n_events")).alias("__s1"),
+    ).select(
+        "n_users",
+        "total_events",
+        F.expr(
+            "((2 * __s1 - (n_users + 1) * total_events) * 1000000)"
+            " div (n_users * total_events)"
+        )
+        .cast("long")
+        .alias("gini_x1e6"),
+    )

@@ -11,8 +11,10 @@ This list reorders the registry so the prefix is spent deliberately.
 
 Round-11 curation (VERDICT r10 next #6): the r1–r10 sample union
 stands at 256/256 — every pre-r11 query driver-green at least once,
-zero never-sampled. Round 11 ADDED one oracled query (part_skyline_3d),
-which leads because it has NO driver evidence yet. The remaining 49
+zero never-sampled. Round 11 ADDED four oracled queries (part_skyline_3d,
+corpus_shard_source_balance, events_user_activity_gini,
+text_hapax_ratio), which lead because they have NO driver evidence
+yet. The remaining
 slots buy FRESHNESS: the queries with the OLDEST driver evidence,
 oldest round first (the r5 sampler/text block the r10 prefix did not
 reach, then the r6 analytics block). Regenerate with
@@ -24,7 +26,10 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    "part_skyline_3d",  # skyline
+    "part_skyline_3d",  # NEW r11 — never driver-sampled
+    "corpus_shard_source_balance",  # NEW r11 — never driver-sampled
+    "events_user_activity_gini",  # NEW r11 — never driver-sampled
+    "text_hapax_ratio",  # NEW r11 — never driver-sampled
     "sample_importance_weighted",  # last driver sample: r5
     "sample_per_source_cap",  # last driver sample: r5
     "sample_reservoir_k",  # last driver sample: r5

@@ -1576,3 +1576,67 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("slope_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hapax / type-token vocabulary health per source (round 11): the
+# share of a source's vocabulary seen exactly once (hapax legomena)
+# and its type-token ratio — the standard corpus-health companions to
+# the Zipf head slope (a scraped-to-death source shows collapsing
+# hapax share; boilerplate shows a cratering TTR). One corpus-scale
+# hash agg to (source, token) counts (map-side combined), then a
+# per-source fold over the vocabulary frame; ratios are integer-exact
+# scaled divisions.
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    vf AS (SELECT source, token, COUNT(*) AS freq
+           FROM tok GROUP BY source, token)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST((SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS hapax_share_x1e6,
+           CAST((COUNT(*) * 1000000) // SUM(freq) AS BIGINT)
+             AS type_token_x1e6
+    FROM vf GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "agg"),
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vf = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        vf.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_tokens",
+            "n_hapax",
+            F.expr("(n_hapax * 1000000L) div vocab_size")
+            .cast("long")
+            .alias("hapax_share_x1e6"),
+            F.expr("(vocab_size * 1000000L) div n_tokens")
+            .cast("long")
+            .alias("type_token_x1e6"),
+        )
+        .orderBy("source")
+    )

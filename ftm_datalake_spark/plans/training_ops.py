@@ -1009,3 +1009,86 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_weight"), "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Shard-balance QA for the seeded epoch shuffle (round 11): per
+# (shard, source) observed vs expected doc counts under the corpus
+# marginals — the training-export sanity check that a "random" shard
+# assignment didn't concentrate a source (a skewed shard trains a
+# skewed step). Everything is exact integers: expected_x1e6 =
+# shard_total*source_total*1e6 div N (fits: 5e4*5e5*1e6 < 2^63 at
+# sf1.0) and deviation_x = obs*N - shard_total*source_total (the
+# chi-square numerator, unscaled). Plan: one corpus-scale hash agg to
+# (shard, source) counts, then broadcast joins of the two tiny
+# marginal frames — no window, no second corpus pass.
+@register(
+    "corpus_shard_source_balance",
+    oracle="""
+    WITH assign AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('epoch0' || '|' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+               AS shard
+      FROM documents),
+    obs AS (SELECT shard, source, COUNT(*) AS n_docs
+            FROM assign GROUP BY shard, source),
+    st AS (SELECT shard, SUM(n_docs) AS shard_total FROM obs GROUP BY shard),
+    so AS (SELECT source, SUM(n_docs) AS source_total FROM obs GROUP BY source),
+    tot AS (SELECT SUM(n_docs) AS n FROM obs)
+    SELECT CAST(st.shard AS BIGINT) AS shard, so.source,
+           CAST(COALESCE(o.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST((st.shard_total * so.source_total * 1000000) // tot.n
+                AS BIGINT) AS expected_x1e6,
+           CAST(COALESCE(o.n_docs, 0) * tot.n
+                - st.shard_total * so.source_total AS BIGINT) AS deviation_x
+    FROM st CROSS JOIN so CROSS JOIN tot
+    LEFT JOIN obs o ON o.shard = st.shard AND o.source = so.source
+    ORDER BY st.shard, so.source
+    """,
+    tags=("training", "shuffle", "quality"),
+)
+def corpus_shard_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("epoch0"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 8
+    ).alias("shard")
+    obs = (
+        docs.select(shard, "source")
+        .groupBy("shard", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    st = obs.groupBy("shard").agg(F.sum("n_docs").alias("shard_total"))
+    so = obs.groupBy("source").agg(F.sum("n_docs").alias("source_total"))
+    tot = obs.agg(F.sum("n_docs").alias("n"))
+    # Complete (shard × source) grid — both marginal frames are tiny —
+    # so a source MISSING from a shard (the worst imbalance: obs=0,
+    # expected>0) appears in the report instead of vanishing with the
+    # absent obs row; also makes Σ deviation_x = 0 per shard/source an
+    # exact law (tests/test_round11_ops.py).
+    grid = st.crossJoin(F.broadcast(so)).crossJoin(F.broadcast(tot))
+    return (
+        grid.join(F.broadcast(obs), ["shard", "source"], "left")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "source",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.expr("(shard_total * source_total * 1000000L) div n")
+            .cast("long")
+            .alias("expected_x1e6"),
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0)) * F.col("n")
+                - F.col("shard_total") * F.col("source_total")
+            )
+            .cast("long")
+            .alias("deviation_x"),
+        )
+        .orderBy("shard", "source")
+    )

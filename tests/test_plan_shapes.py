@@ -148,6 +148,12 @@ GLOBAL_SCALAR_OK = {
     # count frame and the fit is a 1-row scalar
     "eval_welch_ttest",
     "text_zipf_slope",
+    # r11 additions: shard-balance ships its 1-row corpus total via
+    # crossJoin(broadcast(..)); the gini is a 1-row global fold over
+    # the ranked per-user frame (rank itself is the two-phase helper,
+    # no data-term funnel)
+    "corpus_shard_source_balance",
+    "events_user_activity_gini",
     # r11: the Pareto grand total moved from a driver collect to the
     # crossJoin(broadcast(1-row)) idiom — same 1-row scalar, now as a
     # plan node instead of a separate job (VERDICT r10 wrong #3)

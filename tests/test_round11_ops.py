@@ -92,3 +92,74 @@ def test_skyline_3d_degenerate_third_dim_matches_2d(spark):
         for r in skyline_3d(df, "a", "b", "c").collect()
     }
     assert sky3 == sky2
+
+
+# ------------------------------------------------------- r11 second wave
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_shard_source_balance",
+        "events_user_activity_gini",
+        "text_hapax_ratio",
+    ],
+)
+def test_r11_second_wave_matches_oracle(spark, sf_dir, name):
+    compare_query(spark, sf_dir, name)
+
+
+def test_shard_balance_deviations_sum_to_zero(spark, sf_dir):
+    """Law: per shard (and per source), Σ deviation_x = 0 — the
+    observed counts and the marginal-product expectations share the
+    same totals by construction; a nonzero sum means a marginal was
+    joined against the wrong frame."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.plans import REGISTRY
+
+    df = REGISTRY["corpus_shard_source_balance"].builder(spark, sf_dir)
+    df = df.localCheckpoint(eager=True)  # two folds over one build
+    for key in ("shard", "source"):
+        sums = df.groupBy(key).agg(F.sum("deviation_x").alias("s"))
+        assert all(r["s"] == 0 for r in sums.collect()), key
+    # the completed grid covers every (shard, source) pair
+    n_shards = df.select("shard").distinct().count()
+    n_sources = df.select("source").distinct().count()
+    assert df.count() == n_shards * n_sources
+
+
+def test_gini_bounds_and_known_values(spark):
+    """Gini = 0 for perfectly equal activity; → (n-1)/n for one user
+    holding everything. Computed through the registered builder's
+    operator path on crafted events."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.rank import with_global_rank
+
+    def gini(counts):
+        rows = [
+            (i, datetime.datetime(2024, 1, 1), u, "click", 1.0, "{}")
+            for i, u in enumerate(
+                [u for u, n in enumerate(counts) for _ in range(n)]
+            )
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        per_user = df.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        ranked, _ = with_global_rank(per_user, ["n_events", "user_id"])
+        row = ranked.agg(
+            F.count("*").alias("n"), F.sum("n_events").alias("t"),
+            F.sum(F.col("rank") * F.col("n_events")).alias("s1"),
+        ).collect()[0]
+        return ((2 * row["s1"] - (row["n"] + 1) * row["t"]) * 1_000_000) // (
+            row["n"] * row["t"]
+        )
+
+    assert gini([5, 5, 5, 5]) == 0
+    # one user owns all events among 4 users with >=1 event each is not
+    # constructible (count>=1 per present user); extreme skew instead:
+    g = gini([1, 1, 1, 97])
+    assert 700_000 < g < 750_000  # analytic: (2*(1+2+3+4*97)-5*100)/400
