@@ -53,15 +53,24 @@ def _strip_file_scheme(path: str) -> str:
 
 def _s3_put_verified(client, bucket: str, key: str, data: bytes) -> None:
     """PUT + ETag-vs-md5 verify (upload-then-verify): for a single
-    (non-multipart) PUT the ETag IS the payload md5, so a transport
-    corruption surfaces as a task failure here, not as a wrong blob
-    served later under a content-addressed name."""
+    non-multipart PUT under no encryption or SSE-S3, the ETag IS the
+    payload md5, so a transport corruption surfaces as a task failure
+    here, not as a wrong blob served later under a content-addressed
+    name. SSE-KMS / SSE-C objects carry non-md5 ETags (and multipart
+    ETags carry a part-count suffix) — comparing there would FAIL
+    healthy uploads, so verification applies only when the response
+    says the ETag is the md5."""
     import hashlib
 
     res = client.put_object(Bucket=bucket, Key=key, Body=data)
     etag = res.get("ETag", "").strip('"')
+    md5_comparable = (
+        len(etag) == 32
+        and "-" not in etag
+        and res.get("ServerSideEncryption") in (None, "AES256")
+    )
     want = hashlib.md5(data).hexdigest()
-    if etag and etag != want:
+    if md5_comparable and etag != want:
         raise IOError(f"s3 upload verify failed for {key}: {etag} != {want}")
 
 
