@@ -14,7 +14,7 @@ stands at 256/256 — every pre-r11 query driver-green at least once,
 zero never-sampled. Round 11 ADDED four oracled queries (part_skyline_3d,
 corpus_shard_source_balance, events_user_activity_gini,
 text_hapax_ratio), which lead because they have NO driver evidence
-yet. The remaining
+yet. The remaining 49
 slots buy FRESHNESS: the queries with the OLDEST driver evidence,
 oldest round first (the r5 sampler/text block the r10 prefix did not
 reach, then the r6 analytics block). Regenerate with
