@@ -107,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
     p_get.add_argument("-d", "--dataset", required=True)
     p_get.add_argument("--lake", required=True)
     p_get.add_argument("-o", "--out", help="write blob here (default: stdout)")
+    p_get.add_argument(
+        "--s3-endpoint", default=None,
+        help="custom S3 endpoint for an s3:// lake (moto/MinIO); "
+        "credentials via FTM_DATALAKE_S3_* or the boto3 default chain",
+    )
 
     p_head = sub.add_parser("head")
     p_head.add_argument("key")
@@ -529,7 +534,10 @@ def _dispatch(spark, args) -> int:
                         "content_hash"
                     ),
                 )
-                archive_blob_bytes(fetched, args.lake, args.dataset)
+                archive_blob_bytes(
+                    fetched, args.lake, args.dataset,
+                    s3_conn=_lake_s3_conn(args),
+                )
             print(json.dumps(counters))
             return 0
         if args.source.startswith(("http://", "https://")):
@@ -1208,7 +1216,7 @@ def _dispatch(spark, args) -> int:
         write_documents_csv(
             read_documents(spark, args.lake, args.dataset), staging, snapshot=False
         )
-        export_dataset_zip(staging, args.out)
+        export_dataset_zip(staging, args.out, spark=spark)
         print(args.out)
     elif args.cmd == "export-training":
         import os

@@ -29,6 +29,14 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def strip_file_scheme(uri: str) -> str:
+    """``file:`` URI → plain local path, accepting every legal spelling
+    (``file:/p``, ``file:///p`` — slicing a fixed ``file://`` prefix
+    off the single-slash form mangles the path). No-op for plain
+    paths."""
+    return uri[len("file:"):] if uri.startswith("file:") else uri
+
+
 def hadoop_fs(spark: SparkSession, uri: str):
     """(FileSystem, Path, jvm) for any Hadoop-FS URI. Raises on schemes
     the Hadoop configuration cannot resolve — unreachable roots fail

@@ -40,15 +40,12 @@ from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 
+from ftm_datalake_spark.fsutil import strip_file_scheme as _strip_file_scheme
 from ftm_datalake_spark.functions.checksum import shard_path  # noqa: F401  (expr twin)
 
 
 def _shard(content_hash: str) -> str:
     return f"{content_hash[0:2]}/{content_hash[2:4]}/{content_hash[4:6]}/{content_hash}"
-
-
-def _strip_file_scheme(path: str) -> str:
-    return path[len("file:") :] if path.startswith("file:") else path
 
 
 def _s3_put_verified(client, bucket: str, key: str, data: bytes) -> None:

@@ -20,6 +20,7 @@ import json
 import os
 import zipfile
 
+from ftm_datalake_spark.fsutil import strip_file_scheme as fsutil_strip
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -455,8 +456,8 @@ def export_dataset_zip(dataset_dir: str, zip_path: str, spark=None) -> str:
     src_scheme = urlparse(dataset_dir).scheme
     dst_scheme = urlparse(zip_path).scheme
     if src_scheme in ("", "file") and dst_scheme in ("", "file"):
-        src = dataset_dir[len("file://"):] if src_scheme == "file" else dataset_dir
-        dst = zip_path[len("file://"):] if dst_scheme == "file" else zip_path
+        src = fsutil_strip(dataset_dir)
+        dst = fsutil_strip(zip_path)
         with zipfile.ZipFile(dst, "w", zipfile.ZIP_LZMA) as zf:
             for root, _dirs, files in os.walk(src):
                 for name in sorted(files):
@@ -493,7 +494,7 @@ def export_dataset_zip(dataset_dir: str, zip_path: str, spark=None) -> str:
             for rel, uri in sorted(entries):
                 zf.writestr(rel, fsutil.read_bytes(spark, uri))
         if dst_scheme in ("", "file"):
-            dst = zip_path[len("file://"):] if dst_scheme == "file" else zip_path
+            dst = fsutil_strip(zip_path)
             os.replace(tmp, dst)
             tmp = None
         else:
@@ -715,7 +716,7 @@ def write_webdataset_shards(
     spark = df.sparkSession
 
     if scheme in ("", "file"):
-        base = out_dir[len("file://"):] if scheme == "file" else out_dir
+        base = fsutil_strip(out_dir)
         os.makedirs(base, exist_ok=True)
 
         def write_shard_local(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -736,6 +737,7 @@ def write_webdataset_shards(
             "shard_id LONG, path STRING, n_samples LONG, sha256 STRING",
         ).collect()  # one row per shard — metadata-scale
     elif scheme == "s3":
+        from ftm_datalake_spark.sources.archive import _s3_put_verified
         from ftm_datalake_spark.sources.s3_store import _client, _require_boto3
 
         _require_boto3()
@@ -748,7 +750,10 @@ def write_webdataset_shards(
             data = _webdataset_tar_bytes(pdf, key_col, text_col, binary_col)
             name = f"{prefix}-{shard_id:06d}.tar"
             key = f"{key_prefix}/{name}" if key_prefix else name
-            _client(conn).put_object(Bucket=bucket, Key=key, Body=data)
+            # upload-then-verify (archive.py's blob protocol): a
+            # corrupted PUT must fail the task, not ship a shard whose
+            # bytes contradict the manifest sha256 the readers trust
+            _s3_put_verified(_client(conn), bucket, key, data)
             return pd.DataFrame(
                 [{"shard_id": shard_id, "path": f"s3://{bucket}/{key}",
                   "n_samples": len(pdf),
@@ -805,16 +810,17 @@ def write_webdataset_shards(
     )
     payload = json.dumps(manifest, indent=1).encode("utf-8")
     if scheme in ("", "file"):
-        base = out_dir[len("file://"):] if scheme == "file" else out_dir
+        base = fsutil_strip(out_dir)
         with open(os.path.join(base, "manifest.json"), "wb") as fh:
             fh.write(payload)
     elif scheme == "s3":
+        from ftm_datalake_spark.sources.archive import _s3_put_verified
         from ftm_datalake_spark.sources.s3_store import _client
 
         key_prefix = parsed.path.strip("/")
         key = f"{key_prefix}/manifest.json" if key_prefix else "manifest.json"
-        _client(dict(s3_conn or {})).put_object(
-            Bucket=parsed.netloc, Key=key, Body=payload
+        _s3_put_verified(
+            _client(dict(s3_conn or {})), parsed.netloc, key, payload
         )
     else:
         from ftm_datalake_spark import fsutil

@@ -165,20 +165,15 @@ def run_cdc_upsert_stream_partitioned(
             .select(*snap.columns)
             .localCheckpoint(eager=True)
         )
-        old_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-WRITE dynamic mode (DataFrameWriter option, takes
+        # precedence over the session conf): no global-state mutation
+        # racing other jobs on the shared session, no try/finally
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col)
+            .parquet(target)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(bucket_col)
-                .parquet(target)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", old_mode
-            )
         # fully-emptied buckets: no output partition existed for the
         # dynamic overwrite to replace — drop their directories
         remaining = {

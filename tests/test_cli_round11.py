@@ -78,3 +78,36 @@ def test_cdc_apply_cli_both_modes(spark, capsys, tmp_path):
         for r in spark.read.parquet(part_snap).select("key", "val").collect()
     }
     assert got == want
+
+
+def test_export_zip_cli_roundtrip(spark, capsys, tmp_path):
+    """export-zip had no dispatch test; the r11 review also changed its
+    call to pass the session (URI-aware staging). Local round-trip:
+    crawl a source, export, re-open the zip."""
+    import zipfile
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_bytes(b"alpha")
+    (src / "b.txt").write_bytes(b"bravo")
+    lake = str(tmp_path / "lake")
+    args = argparse.Namespace(
+        cmd="crawl", source=str(src), dataset="ds1", lake=lake,
+        include=None, exclude=None, archive=False, s3_endpoint=None,
+        inventory=None,
+    )
+    assert _dispatch(spark, args) in (0, None)
+    capsys.readouterr()
+    out_zip = str(tmp_path / "ds1.zip")
+    args = argparse.Namespace(
+        cmd="export-zip", dataset="ds1", lake=lake, out=out_zip,
+    )
+    assert _dispatch(spark, args) in (0, None)
+    assert capsys.readouterr().out.strip().splitlines()[-1] == out_zip
+    with zipfile.ZipFile(out_zip) as zf:
+        names = zf.namelist()
+    assert "documents.csv" in names
+    body = zipfile.ZipFile(out_zip).read("documents.csv").decode()
+    assert "a.txt" in body and "b.txt" in body

@@ -306,3 +306,21 @@ def test_orc_roundtrip_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "n_regionkey" in plan
     assert pruned.count() == nation.where("n_regionkey = 2").count()
+
+
+def test_webdataset_accepts_single_slash_file_uri(spark, tmp_path):
+    """Regression (r11 review): `file:/p` is as legal as `file:///p` —
+    slicing a fixed `file://` prefix mangled the single-slash form into
+    a relative garbage path."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.sources.sinks import write_webdataset_shards
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t-"), F.col("id")).alias("text"),
+    )
+    out = tmp_path / "wds_uri"
+    m = write_webdataset_shards(docs, f"file:{out}", shard_size=10)
+    assert len(m) == 1 and (out / "shard-000000.tar").is_file()
+    assert (out / "manifest.json").is_file()
