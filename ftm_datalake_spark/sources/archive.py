@@ -22,10 +22,17 @@ scheme:
   upload-then-verify compares the returned ETag against the payload
   md5, so a corrupted upload fails the task instead of poisoning the
   content-addressed layout;
-- any other Hadoop scheme — a driver-side fsutil copy loop
-  (FileUtil.copy per blob): functional on every scheme the cluster
-  resolves, but driver-throughput-bound — the documented fallback, not
-  the scale path. At fleet scale use s3:// or metadata-only mode.
+- any other scheme — distributed when a pure-Python filesystem client
+  resolves the URI (``pyarrow.fs.FileSystem.from_uri`` by default —
+  gs://, hdfs:// with libhdfs — or a caller-supplied ``task_fs_factory``
+  for fsspec/adlfs-style clients): the resolved filesystem is pickled
+  into a ``foreachPartition`` closure, so each task HEADs, stages, and
+  publishes its own blobs with no driver involvement. Python task
+  workers have **no py4j gateway**, so the JVM Hadoop FS client is
+  reachable only from the driver — for JVM-only schemes (viewfs, …)
+  the copy degrades to a driver-side fsutil loop with crash-safe
+  staged writes (``write_bytes_atomic``): functional everywhere,
+  driver-throughput-bound, the documented last-resort tier.
 
 S7 config: YAML `config.yml` per dataset, a driver-side small read
 (ftm_datalake/archive/dataset.py:75-83).
@@ -46,6 +53,53 @@ from ftm_datalake_spark.functions.checksum import shard_path  # noqa: F401  (exp
 
 def _shard(content_hash: str) -> str:
     return f"{content_hash[0:2]}/{content_hash[2:4]}/{content_hash[4:6]}/{content_hash}"
+
+
+# pyarrow filesystems whose writes are atomic-on-close (object stores:
+# the object only materializes when the upload completes), vs
+# filesystem-likes where a crashed writer can leave a truncated file at
+# the written name and must therefore stage + move.
+_ATOMIC_ON_CLOSE = {"s3", "gcs"}
+
+
+def _pyarrow_fs_for(archive_root: str):
+    """Default task-side filesystem resolver: a pyarrow (fs, base_path)
+    pair for URIs pyarrow understands (gs://, hdfs:// with libhdfs…),
+    or None when only the driver's JVM client can resolve the scheme.
+    pyarrow FileSystem objects pickle, so the resolved client crosses
+    the task boundary inside the foreachPartition closure."""
+    try:
+        import pyarrow.fs as pafs
+
+        return pafs.FileSystem.from_uri(archive_root)
+    except Exception:
+        return None
+
+
+def _task_fs_put(fs, target: str, data: bytes) -> None:
+    """Publish one blob at its content-addressed name through a
+    pure-Python filesystem, never exposing a truncated blob at the
+    final key (ADVICE r11 #1): object stores get a single
+    atomic-on-close write; filesystem-likes get stage + move."""
+    import uuid
+
+    parent = target.rpartition("/")[0]
+    if getattr(fs, "type_name", "") in _ATOMIC_ON_CLOSE:
+        with fs.open_output_stream(target) as out:
+            out.write(data)
+        return
+    fs.create_dir(parent, recursive=True)
+    stage = f"{target}.__tmp__{uuid.uuid4().hex}"
+    try:
+        with fs.open_output_stream(stage) as out:
+            out.write(data)
+        fs.move(stage, target)
+    except Exception:
+        try:
+            fs.delete_file(stage)
+        except Exception:
+            pass
+        raise
 
 
 def _s3_put_verified(client, bucket: str, key: str, data: bytes) -> None:
@@ -78,6 +132,7 @@ def archive_blobs(
     path_col: str = "path",
     hash_col: str = "content_hash",
     s3_conn: dict | None = None,
+    task_fs_factory=None,
 ) -> None:
     """S10: distributed copy of blobs into the sharded archive layout.
 
@@ -90,9 +145,11 @@ def archive_blobs(
     crash the whole job (same tolerance as gc_blobs' delete).
 
     ``archive_root`` may be a local path (executor-side temp+rename
-    copy), an ``s3://`` URI (task-side boto3 HEAD/PUT/verify —
-    the distributed remote path), or any other Hadoop scheme
-    (driver-side fsutil copy fallback); see the module docstring."""
+    copy), an ``s3://`` URI (task-side boto3 HEAD/PUT/verify), or any
+    other scheme — distributed through a pickled pure-Python filesystem
+    when one resolves (``task_fs_factory(archive_root) -> (fs, path)``,
+    defaulting to ``pyarrow.fs.FileSystem.from_uri``), else the
+    driver-side fsutil fallback; see the module docstring."""
     scheme = urlparse(archive_root).scheme
 
     if scheme == "s3":
@@ -125,8 +182,39 @@ def archive_blobs(
         return
 
     if scheme not in ("", "file"):
-        # generic Hadoop scheme: driver-side FS-client copy per blob —
-        # functional everywhere, driver-bound (documented fallback)
+        resolved = (
+            task_fs_factory(archive_root)
+            if task_fs_factory is not None
+            else _pyarrow_fs_for(archive_root)
+        )
+        if resolved is not None:
+            # distributed generic tier: the resolved pure-Python fs
+            # pickles into the closure; each task HEADs + stages +
+            # publishes its own blobs (no driver byte traffic)
+            fs, root_path = resolved
+            base = f"{str(root_path).rstrip('/')}/{dataset}/archive"
+
+            def put_partition_fs(rows: Iterator) -> None:
+                from pyarrow.fs import FileType
+
+                for row in rows:
+                    target = f"{base}/{_shard(row[hash_col])}"
+                    if fs.get_file_info(target).type != FileType.NotFound:
+                        continue  # idempotent: already archived
+                    try:
+                        with open(_strip_file_scheme(row[path_col]), "rb") as fh:
+                            data = fh.read()
+                    except FileNotFoundError:
+                        continue  # stale table row
+                    _task_fs_put(fs, target, data)
+
+            files.select(path_col, hash_col).foreachPartition(put_partition_fs)
+            return
+
+        # JVM-only scheme (viewfs, …): driver-side FS-client copy per
+        # blob — Python tasks have no py4j gateway, so this tier cannot
+        # distribute; crash-safe via staged atomic writes (a truncated
+        # blob must never sit at a content-addressed name, ADVICE r11 #1)
         from ftm_datalake_spark import fsutil
 
         spark = files.sparkSession
@@ -139,7 +227,7 @@ def archive_blobs(
             if not os.path.exists(src):
                 continue  # stale table row
             with open(src, "rb") as fh:
-                fsutil.write_bytes(spark, target, fh.read())
+                fsutil.write_bytes_atomic(spark, target, fh.read())
         return
 
     base = os.path.join(_strip_file_scheme(archive_root), dataset, "archive")
@@ -175,13 +263,15 @@ def archive_blob_bytes(
     content_col: str = "content",
     hash_col: str = "content_hash",
     s3_conn: dict | None = None,
+    task_fs_factory=None,
 ) -> None:
     """S10 for remote stores: write blob BYTES (already fetched
     task-side, e.g. by the HTTP backend) into the sharded layout — no
     local source path exists to copy from. Same idempotence and
-    atomicity contract as archive_blobs; bytes flow executor→store
-    on local and s3 roots, and through the driver's FS client on other
-    Hadoop schemes (same fallback tiering as archive_blobs)."""
+    atomicity contract as archive_blobs; bytes flow executor→store on
+    local, s3, and Python-resolvable roots, and through the driver's FS
+    client (staged atomic writes) only on JVM-only schemes — the same
+    tiering as archive_blobs."""
     scheme = urlparse(archive_root).scheme
 
     if scheme == "s3":
@@ -209,6 +299,29 @@ def archive_blob_bytes(
         return
 
     if scheme not in ("", "file"):
+        resolved = (
+            task_fs_factory(archive_root)
+            if task_fs_factory is not None
+            else _pyarrow_fs_for(archive_root)
+        )
+        if resolved is not None:
+            fs, root_path = resolved
+            base = f"{str(root_path).rstrip('/')}/{dataset}/archive"
+
+            def put_partition_fs(rows: Iterator) -> None:
+                from pyarrow.fs import FileType
+
+                for row in rows:
+                    target = f"{base}/{_shard(row[hash_col])}"
+                    if fs.get_file_info(target).type != FileType.NotFound:
+                        continue
+                    _task_fs_put(fs, target, bytes(row[content_col]))
+
+            files.select(content_col, hash_col).foreachPartition(
+                put_partition_fs
+            )
+            return
+
         from ftm_datalake_spark import fsutil
 
         spark = files.sparkSession
@@ -216,7 +329,9 @@ def archive_blob_bytes(
         for row in files.select(content_col, hash_col).toLocalIterator():
             target = f"{base}/{_shard(row[hash_col])}"
             if not fsutil.exists(spark, target):
-                fsutil.write_bytes(spark, target, bytes(row[content_col]))
+                fsutil.write_bytes_atomic(
+                    spark, target, bytes(row[content_col])
+                )
         return
 
     base = os.path.join(
