@@ -293,3 +293,144 @@ def test_partitioned_cdc_drops_fully_emptied_bucket(spark, tmp_path):
     assert _pk_snapshot(spark, snap_dir) == {
         k: v for k, v in rows if k not in doomed
     }
+
+
+# ---------------------------------------------------------------- pointer
+def test_pointer_cdc_stream_equals_batch_over_viewfs(spark, tmp_path, viewfs):
+    """The object-store-safe layout (ADVICE r11 #2): immutable
+    generation dirs + an atomically-replaced pointer file. Stream drain
+    == batch apply_cdc, resolved through the pointer, on a non-file
+    scheme — and published generations are never mutated afterwards."""
+    from ftm_datalake_spark.streaming.cdc import (
+        init_pointer_snapshot,
+        read_pointer_snapshot,
+        run_cdc_upsert_stream_pointer,
+    )
+
+    base = f"{viewfs}/snapbase"
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    init_pointer_snapshot(
+        spark.createDataFrame(
+            [("a", "v1"), ("b", "v2"), ("c", "v3")], "key string, val string"
+        ),
+        base,
+    )
+
+    _write_feed(feed, "b1.json", [
+        {"key": "a", "seq": 1, "op": "U", "val": "v1x"},
+        {"key": "b", "seq": 1, "op": "D", "val": None},
+        {"key": "d", "seq": 1, "op": "I", "val": "v4"},
+    ])
+    stream = spark.readStream.schema(CHANGE_SCHEMA).json(feed)
+    q = run_cdc_upsert_stream_pointer(stream, base, ckpt, ["key"], keep=3)
+    q.awaitTermination(120)
+
+    got = {
+        r.key: r.val for r in read_pointer_snapshot(spark, base).collect()
+    }
+    assert got == {"a": "v1x", "c": "v3", "d": "v4"}
+
+    # gen-init survives (keep=3) and is byte-identical to publication:
+    # generations are immutable — later batches never touch them
+    init_dir = tmp_path / "snapbase" / "gen-init"
+    before = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in init_dir.iterdir()
+    )
+    _write_feed(feed, "b2.json", [
+        {"key": "c", "seq": 2, "op": "U", "val": "v3y"},
+    ])
+    stream = spark.readStream.schema(CHANGE_SCHEMA).json(feed)
+    q = run_cdc_upsert_stream_pointer(stream, base, ckpt, ["key"], keep=3)
+    q.awaitTermination(120)
+    got = {
+        r.key: r.val for r in read_pointer_snapshot(spark, base).collect()
+    }
+    assert got == {"a": "v1x", "c": "v3y", "d": "v4"}
+    after = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in init_dir.iterdir()
+    )
+    assert after == before
+
+
+def test_pointer_cdc_partial_generation_is_invisible_and_replay_heals(
+    spark, tmp_path
+):
+    """Crash law: a generation written (even partially) WITHOUT a
+    pointer flip does not exist for readers; the checkpoint re-delivery
+    overwrites that very generation and then flips — converging to the
+    same state as an uncrashed run."""
+    from ftm_datalake_spark.streaming.cdc import (
+        init_pointer_snapshot,
+        read_pointer_snapshot,
+        run_cdc_upsert_stream_pointer,
+    )
+
+    base = str(tmp_path / "snapbase")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    init_pointer_snapshot(
+        spark.createDataFrame([("a", "v1")], "key string, val string"), base
+    )
+
+    # a prior run died mid-write of batch 0's generation: partial junk,
+    # no _SUCCESS, pointer untouched
+    crashed = tmp_path / "snapbase" / "gen-000000000000"
+    crashed.mkdir()
+    (crashed / "part-00000.parquet").write_bytes(b"truncated junk")
+    got = {
+        r.key: r.val for r in read_pointer_snapshot(spark, base).collect()
+    }
+    assert got == {"a": "v1"}  # the crash is invisible through the pointer
+
+    _write_feed(feed, "b1.json", [
+        {"key": "a", "seq": 1, "op": "U", "val": "v1x"},
+        {"key": "b", "seq": 1, "op": "I", "val": "v2"},
+    ])
+    stream = spark.readStream.schema(CHANGE_SCHEMA).json(feed)
+    q = run_cdc_upsert_stream_pointer(stream, base, ckpt, ["key"])
+    q.awaitTermination(120)
+    got = {
+        r.key: r.val for r in read_pointer_snapshot(spark, base).collect()
+    }
+    assert got == {"a": "v1x", "b": "v2"}
+    # the junk file is gone: the re-delivered batch's overwrite-mode
+    # write replaced the crashed generation wholesale
+    assert not (crashed / "part-00000.parquet").exists() or (
+        (crashed / "part-00000.parquet").read_bytes() != b"truncated junk"
+    )
+
+
+def test_pointer_cdc_gc_keeps_newest_generations(spark, tmp_path):
+    from ftm_datalake_spark.streaming.cdc import (
+        init_pointer_snapshot,
+        read_pointer_snapshot,
+        run_cdc_upsert_stream_pointer,
+    )
+
+    base = str(tmp_path / "snapbase")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    init_pointer_snapshot(
+        spark.createDataFrame([("a", "v0")], "key string, val string"), base
+    )
+    for i in range(3):  # three drains -> batch ids 0,1,2
+        _write_feed(feed, f"b{i}.json", [
+            {"key": "a", "seq": i + 1, "op": "U", "val": f"v{i + 1}"},
+        ])
+        stream = spark.readStream.schema(CHANGE_SCHEMA).json(feed)
+        q = run_cdc_upsert_stream_pointer(stream, base, ckpt, ["key"], keep=2)
+        q.awaitTermination(120)
+
+    gens = sorted(
+        p.name for p in (tmp_path / "snapbase").iterdir()
+        if p.name.startswith("gen-")
+    )
+    assert gens == ["gen-000000000001", "gen-000000000002"]
+    assert (tmp_path / "snapbase" / "SNAPSHOT").read_text().strip() == (
+        "gen-000000000002"
+    )
+    got = {
+        r.key: r.val for r in read_pointer_snapshot(spark, base).collect()
+    }
+    assert got == {"a": "v3"}
