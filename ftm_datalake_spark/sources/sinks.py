@@ -477,6 +477,12 @@ def export_dataset_zip(dataset_dir: str, zip_path: str, spark=None) -> str:
         )
     base = dataset_dir.rstrip("/")
     fs, root_path, _ = fsutil.hadoop_fs(spark, base)
+    # Relativize against the FS-qualified root, not the caller's
+    # spelling: listFiles returns normalized fully-qualified URIs
+    # (hdfs://nn:8020/x) that need not prefix-match a shorthand input
+    # (hdfs:///x) — a silent fallback to the bare name would flatten
+    # the tree into colliding members (ADVICE r11 #3).
+    qualified = fs.makeQualified(root_path).toString().rstrip("/")
     entries = []
     it = fs.listFiles(root_path, True)
     while it.hasNext():
@@ -485,8 +491,12 @@ def export_dataset_zip(dataset_dir: str, zip_path: str, spark=None) -> str:
         name = status.getPath().getName()
         if name.startswith("."):
             continue
-        rel = uri[len(base):].lstrip("/") if uri.startswith(base) else name
-        entries.append((rel, uri))
+        if not uri.startswith(qualified + "/"):
+            raise IOError(
+                f"listed path {uri} is outside the qualified export root "
+                f"{qualified} — refusing to guess a member name"
+            )
+        entries.append((uri[len(qualified):].lstrip("/"), uri))
     fd, tmp = tempfile.mkstemp(suffix=".zip")
     os.close(fd)
     try:
@@ -784,10 +794,15 @@ def write_webdataset_shards(
         # spread to ~one shard per output partition: toLocalIterator
         # materializes a PARTITION at a time on the driver, and the
         # groupBy's shuffle partitioning would otherwise pack
-        # n_shards/shuffle_partitions tars into each fetch — the
-        # driver-memory bound must be one shard, not a stack of them
+        # n_shards/shuffle_partitions tars into each fetch. RANGE
+        # partitioning on the distinct shard ids gives each partition a
+        # contiguous id span — with n_shards partitions that is one tar
+        # per partition up to boundary-sampling jitter, never the
+        # arbitrary stacking hash collisions allow (ADVICE r11 #4) —
+        # so the driver-memory bound is ~one shard, worst-case two
+        # adjacent ones
         n_shards = int((_total + shard_size - 1) // shard_size) or 1
-        built = built.repartition(n_shards, F.col("shard_id"))
+        built = built.repartitionByRange(n_shards, F.col("shard_id"))
         meta_rows = []
         # driver streams one output partition at a time; each shard is
         # published atomically under its final name before the next is
