@@ -60,6 +60,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
+    # Interleaved canaries (VERDICT r11 next-round #2): a single
+    # pre/post pair is blind to MID-run host drift — r11's driver host
+    # ran ~2× slow for the first half of the suite (pre 0.915 / post
+    # 0.459), min(pre,post) picked the fast tail, and the "normalized"
+    # total overstated a flat result by 44%. One canary before each
+    # query gives every measurement a nearest host-speed reading;
+    # each query normalizes by min(canary_before, canary_after), the
+    # window its best-of-N minimum was actually taken in.
+    canaries: list[float] = [canary_sec]
     for spec in bench_specs:
         # Fault isolation: one broken builder must not lose the whole
         # artifact — record its error and keep timing the rest.
@@ -79,20 +88,21 @@ def main() -> None:
                 samples.append(round(time.perf_counter() - start, 3))
                 if attempt >= 2 and min(samples) < 5.0:
                     break
+            timings[spec.name] = min(samples)
+            spreads[spec.name] = {
+                "min": min(samples),
+                "max": max(samples),
+                "n": len(samples),
+            }
         except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
-            continue
-        timings[spec.name] = min(samples)
-        spreads[spec.name] = {
-            "min": min(samples),
-            "max": max(samples),
-            "n": len(samples),
-        }
+        canaries.append(canary())  # host-speed reading after this query
 
     # Post-suite canary: paired with the pre-suite one, this separates
     # "host slowed down during the run" (pre != post) from a stable-host
     # round-over-round comparison (pre ≈ post → normalize by either).
     canary_post_sec = min(canary(), canary())
+    canaries.append(canary_post_sec)
 
     # Canary normalization (VERDICT r9 #5): host tenancy on this shared
     # box moves ALL timings by 30-40% between runs; the canary measures
@@ -114,7 +124,26 @@ def main() -> None:
             )
     except Exception:
         pass
-    canary_observed = min(canary_sec, canary_post_sec)
+    # Per-query normalization by the NEAREST canaries: query i ran
+    # between canaries[i] and canaries[i+1]; its best-of-N minimum came
+    # from the fastest moment of that window, so normalize by the
+    # faster of the two adjacent readings. The normalized total is the
+    # sum of per-query normalized values — mid-run drift scales only
+    # the queries it actually overlapped (the r11 failure mode).
+    queries_normalized: dict[str, float] = {}
+    for idx, spec in enumerate(bench_specs):
+        if spec.name not in timings:
+            continue
+        nearest = min(canaries[idx], canaries[idx + 1])
+        if nearest:
+            queries_normalized[spec.name] = round(
+                timings[spec.name] * (ref_canary / nearest), 3
+            )
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -122,14 +151,21 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": queries_normalized,
         "spread": spreads,
         "canary_sec": canary_sec,
         "canary_post_sec": canary_post_sec,
+        "canaries": canaries,
+        # drift indicator: >~1.5 means the host speed moved during the
+        # run and the raw total is not comparable across rounds — read
+        # queries_normalized instead
+        "canary_drift_ratio": round(max(canaries) / min(canaries), 3)
+        if min(canaries)
+        else None,
+        "canary_median_sec": round(_median(canaries), 3),
         "ref_canary_sec": ref_canary,
-        "value_normalized": round(
-            total * (ref_canary / canary_observed), 3
-        )
-        if canary_observed
+        "value_normalized": round(sum(queries_normalized.values()), 3)
+        if queries_normalized
         else None,
         "sf": sf,
     }
