@@ -20,17 +20,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def aggregate_statements(statements: DataFrame) -> DataFrame:
+def aggregate_statements(
+    statements: DataFrame, salt_buckets: int | None = None
+) -> DataFrame:
     """Aggregate long-format statements into FTM entity rows.
 
     Output schema matches ENTITY_SCHEMA: id, schema, properties
     MAP<STRING, ARRAY<STRING>>, datasets ARRAY<STRING>.
+
+    ``salt_buckets`` (VERDICT r11 next-round #4): a celebrity entity at
+    100 TB concentrates a large share of statements on one
+    (canonical_id, prop) key, and a single-key collect_set cannot be
+    split by AQE — one reducer unions the hot key's values while the
+    rest idle. With salt_buckets set, the set union runs in two exact
+    phases: phase 1 groups by (canonical_id, prop, hash(value) % salt)
+    — duplicates of the same value land in the same salt bucket, so
+    partial dedup keeps working — and phase 2 merges the per-salt
+    partial arrays with flatten + array_distinct. Set union is
+    associative/commutative/idempotent, so the result is bit-identical
+    to the unsalted plan (law-tested); the price is one extra shuffle
+    over the collapsed partials. Leave None for uniform data (one
+    fewer shuffle); set ~32-128 when hot entities are possible.
     """
-    per_prop = statements.groupBy("canonical_id", "prop").agg(
-        F.sort_array(F.collect_set("value")).alias("values"),
-        # first() under groupBy is nondeterministic; min() is not.
-        F.min("schema").alias("schema"),
-    )
+    if salt_buckets:
+        salt = F.pmod(F.xxhash64("value"), F.lit(salt_buckets))
+        partial = statements.groupBy(
+            "canonical_id", "prop", salt.alias("__salt")
+        ).agg(
+            F.collect_set("value").alias("__pvals"),
+            F.min("schema").alias("schema"),
+        )
+        per_prop = partial.groupBy("canonical_id", "prop").agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("__pvals")))
+            ).alias("values"),
+            F.min("schema").alias("schema"),
+        )
+    else:
+        per_prop = statements.groupBy("canonical_id", "prop").agg(
+            F.sort_array(F.collect_set("value")).alias("values"),
+            # first() under groupBy is nondeterministic; min() is not.
+            F.min("schema").alias("schema"),
+        )
     per_entity = per_prop.groupBy("canonical_id").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("prop", "values")))

@@ -209,6 +209,72 @@ def statement_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew-hardened flagship twin (VERDICT r11 next-round #4): the same
+# aggregation with the per-(entity, prop) set union split into two
+# exact phases through a hash(value) salt, so a celebrity entity's hot
+# key fans in over `salt` reducers instead of one. Set union is
+# associative/commutative/idempotent — same oracle as
+# statement_aggregation, and the driver gate proves bit-equality.
+# Operator form: operators/statements.aggregate_statements(salt_buckets=…);
+# planted-skew spread evidence in SCALE_PROBE_r12 (probe_statement_skew).
+@register(
+    "statement_aggregation_salted",
+    oracle="""
+    WITH s AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS canonical_id,
+             event_type AS prop,
+             CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+      FROM events
+    ),
+    per_prop AS (
+      SELECT canonical_id, prop,
+             array_to_string(list_sort(list(DISTINCT value)), ',') AS vals
+      FROM s GROUP BY canonical_id, prop
+    )
+    SELECT canonical_id,
+           array_to_string(list_sort(list(prop || '=' || vals)), '|') AS properties,
+           COUNT(*) AS n_props
+    FROM per_prop
+    GROUP BY canonical_id
+    ORDER BY canonical_id
+    """,
+    tags=("agg", "reference", "flagship", "skew"),
+)
+def statement_aggregation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stmts = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("canonical_id"),
+        F.col("event_type").alias("prop"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"),
+    )
+    salt = F.pmod(F.xxhash64("value"), F.lit(32))
+    partial = stmts.groupBy(
+        "canonical_id", "prop", salt.alias("__salt")
+    ).agg(F.collect_set("value").alias("__pvals"))
+    per_prop = partial.groupBy("canonical_id", "prop").agg(
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("__pvals")))
+            ),
+            ",",
+        ).alias("vals")
+    )
+    return (
+        per_prop.groupBy("canonical_id")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.concat(F.col("prop"), F.lit("="), F.col("vals")))
+                ),
+                "|",
+            ).alias("properties"),
+            F.count("*").alias("n_props"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # A1/A3/A5: per-source dataset stats → catalog fan-in.
 # Reference: make_index(), ftm_datalake/archive/dataset.py:177-196.
 @register(

@@ -426,6 +426,78 @@ def probe_winnow_capped_skew(spark) -> dict:
     return out
 
 
+def probe_statement_skew(spark) -> dict:
+    """VERDICT r11 next-round #4: the flagship statement aggregation
+    under planted celebrity skew — ONE entity owns 20% of all
+    statements (4 props, distinct values: the collect_set worst case),
+    corpus sizes a decade apart. A single-key set union cannot be split
+    by AQE, so the unsalted plan funnels the hot key through one
+    reducer — visible as wild sample variance, not just a slow minimum.
+    The salted two-phase form (aggregate_statements salt_buckets=32)
+    bounds per-reducer fan-in at 1/32 of the hot key and must show
+    (a) a skew decade ratio < 2× the uniform one and (b) a collapsed
+    spread. Both modes are bit-identical (law in
+    tests/test_round12_ops.py; registry twin statement_aggregation_salted
+    shares the flagship's DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators.statements import aggregate_statements
+
+    def gen(n: int, skew: bool):
+        df = spark.range(n).select(
+            F.when(F.lit(skew) & (F.col("id") % 5 == 0), F.lit("celebrity"))
+            .otherwise(
+                F.concat(
+                    F.lit("e"), (F.col("id") % (n // 50)).cast("string")
+                )
+            )
+            .alias("canonical_id"),
+            F.concat(F.lit("p"), (F.col("id") % 4).cast("string")).alias(
+                "prop"
+            ),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("value"),
+            F.concat(F.lit("ds"), (F.col("id") % 7).cast("string")).alias(
+                "dataset"
+            ),
+            F.lit("Person").alias("schema"),
+        )
+        return df.localCheckpoint(eager=True)
+
+    out: dict = {}
+    for label, n in (("n1M", 1_000_000), ("n10M", 10_000_000)):
+        row: dict = {}
+        for mode, salt in (("unsalted", None), ("salted32", 32)):
+            for kind in ("uniform", "skew"):
+                df = gen(n, kind == "skew")
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    aggregate_statements(
+                        df, salt_buckets=salt
+                    ).write.format("noop").mode("overwrite").save()
+                    samples.append(round(time.perf_counter() - t0, 2))
+                row[f"{mode}_{kind}"] = {
+                    "min": min(samples),
+                    "max": max(samples),
+                }
+                df.unpersist()
+                print(
+                    f"stmt skew {label} {mode} {kind}: {samples}", flush=True
+                )
+        out[label] = row
+    out["salted_skew_decade_ratio"] = round(
+        out["n10M"]["salted32_skew"]["min"]
+        / out["n1M"]["salted32_skew"]["min"],
+        2,
+    )
+    out["unsalted_skew_decade_ratio"] = round(
+        out["n10M"]["unsalted_skew"]["min"]
+        / out["n1M"]["unsalted_skew"]["min"],
+        2,
+    )
+    return out
+
+
 def probe_random_projection(spark, src_dir: str) -> dict:
     """Full-corpus JL projection at 1× and 10× embeddings. The sign
     matrix is a plan constant and every coordinate is a per-row fold,
@@ -593,6 +665,9 @@ def main() -> None:
         # round-11: candidate-frame skyline + O(touched-buckets) CDC
         "skyline_3d_synthetic": probe_skyline_3d(spark),
         "partitioned_cdc_60rows": probe_partitioned_cdc(spark, src),
+        # round-12: the flagship under planted celebrity skew,
+        # unsalted vs the salted two-phase set union
+        "statement_skew": probe_statement_skew(spark),
     }
     line = json.dumps(payload)
     print(line)
