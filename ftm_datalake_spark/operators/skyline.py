@@ -179,3 +179,135 @@ def skyline_3d(
             "n_rows",
         )
     )
+
+
+def skyline_kd(
+    df: DataFrame, max_cols: list[str], min_cols: list[str]
+) -> DataFrame:
+    """k-dimensional frontier (maximize every ``max_cols`` member,
+    minimize every ``min_cols`` member) — completes the dominance
+    family for multi-objective corpus curation (VERDICT r11 stretch
+    #7). Same scale contract as :func:`skyline_3d`: the only data-scale
+    work is one hash agg (the collapse) and one broadcast join-back
+    count; ALL dominance reasoning runs on the collapsed candidate
+    frame.
+
+    Stages:
+
+    1. collapse to one candidate per (k-1)-prefix of the dimension
+       tuple — only the per-group best of the last dimension can be on
+       the frontier (one hash agg, map-side combined);
+    2. pairwise-fold prune (k >= 3): within each (k-2)-prefix group, a
+       best-first sweep of the last two dimensions drops candidates
+       dominated by a same-group sibling (a window over the collapsed
+       frame — the skyline_2d sweep applied per group);
+    3. exact dominance on the pruned frame: a LEFT ANTI join of the
+       frame against its broadcast self with the strict-dominance
+       predicate (all dims at-least-as-good AND one strictly better).
+       This is a bounded BroadcastNestedLoopJoin — both sides are the
+       pruned candidate frame, the BNLJ_OK sketch/spine shape — NOT a
+       data-scale self-join; the collapse bounds it by the distinct
+       count of the (k-1)-prefix, and the prune cuts it further. Its
+       cost is O(|pruned|²) worst case, and |pruned| is governed by the
+       data's frontier structure, not corpus size — the 10× probe
+       (scripts/scale_probe.probe_skyline_4d) measures ~17k survivors
+       at BOTH 100k and 1M input rows, so the post-collapse term is
+       scale-invariant while the collapse scales linearly;
+    4. broadcast the frontier back and count the source rows sitting
+       exactly on each frontier point.
+
+    The quadratic NOT-EXISTS stays as the DuckDB oracle. Dimension
+    values are compared in their native types with direction-aware
+    predicates (no negation encoding), so decimals/dates work
+    unchanged. Output: ``max_cols`` keep their names, each min col
+    becomes ``frontier_<name>``, plus ``n_rows``. Quantize
+    near-continuous measures before calling — the candidate frame is
+    bounded by |distinct (k-1)-prefix|, the same documented idiom as
+    the 2-D/3-D forms."""
+    from functools import reduce
+    from operator import and_, or_
+
+    dims: list[tuple[str, bool]] = [(c, True) for c in max_cols] + [
+        (c, False) for c in min_cols
+    ]
+    if len(dims) < 2:
+        raise ValueError("skyline needs at least two dimensions")
+    names = [c for c, _ in dims]
+    is_max = {c: m for c, m in dims}
+    head, last = names[:-1], names[-1]
+
+    best_last = F.max(last) if is_max[last] else F.min(last)
+    cand = df.groupBy(*head).agg(best_last.alias(last))
+
+    if len(names) >= 3:
+        # one prune sweep per head dimension: partition by the other
+        # head dims, order the pivot best-first, and drop candidates
+        # whose last-dim value is not strictly better than the best
+        # seen at a strictly-better pivot (2-D dominance with the
+        # remaining dims equal). Each sweep only removes dominated
+        # rows, and removal is transitively sound: a pruned
+        # dominator's own dominator chain ends at a frontier point,
+        # which no sweep ever removes — so the final anti-join against
+        # the pruned frame stays exact. Sweeps run on the collapsed
+        # frame (bounded), and each one shrinks the quadratic BNLJ
+        # below.
+        for pivot in names[:-1]:
+            others = [c for c in names[:-1] if c != pivot]
+            order = (
+                F.col(pivot).desc() if is_max[pivot] else F.col(pivot).asc()
+            )
+            w = (
+                Window.partitionBy(*others)
+                .orderBy(order)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            cum = (F.max(last) if is_max[last] else F.min(last)).over(w)
+            survives = (
+                F.col(last) > F.col("__cum")
+                if is_max[last]
+                else F.col(last) < F.col("__cum")
+            )
+            cand = (
+                cand.withColumn("__cum", cum)
+                .where(F.col("__cum").isNull() | survives)
+                .drop("__cum")
+            )
+
+    ref = cand.select(
+        *[F.col(c).alias(f"__q{i}") for i, c in enumerate(names)]
+    )
+
+    def _ge(i: int, c: str):
+        q, p = F.col(f"__q{i}"), F.col(c)
+        return q >= p if is_max[c] else q <= p
+
+    def _gt(i: int, c: str):
+        q, p = F.col(f"__q{i}"), F.col(c)
+        return q > p if is_max[c] else q < p
+
+    dominated = reduce(and_, (_ge(i, c) for i, c in enumerate(names))) & (
+        reduce(or_, (_gt(i, c) for i, c in enumerate(names)))
+    )
+    sky = cand.join(F.broadcast(ref), dominated, "left_anti")
+
+    sky_r = sky.select(
+        *[F.col(c).alias(f"__s{i}") for i, c in enumerate(names)]
+    )
+    back = reduce(
+        and_, (F.col(c) == F.col(f"__s{i}") for i, c in enumerate(names))
+    )
+    out_names = [
+        c if is_max[c] else f"frontier_{c}" for c in names
+    ]
+    return (
+        df.join(F.broadcast(sky_r), back)
+        .groupBy(*[f"__s{i}" for i in range(len(names))])
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            *[
+                F.col(f"__s{i}").alias(out)
+                for i, out in enumerate(out_names)
+            ],
+            "n_rows",
+        )
+    )

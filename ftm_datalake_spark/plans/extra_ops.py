@@ -1165,3 +1165,75 @@ def part_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size", "frontier_p_retailprice", "frontier_name_len")
     )
+
+
+# --------------------------------------------------------------------------
+# k-D skyline (VERDICT r11 stretch #7): the 4-objective frontier for
+# multi-objective part curation — maximize size, minimize price bucket,
+# name length, and type length. Iterated dominance over the collapsed
+# candidate frame (operators/skyline.skyline_kd): one data-scale hash
+# agg, a per-group prune sweep, a bounded BNLJ anti-join on the pruned
+# frame (BNLJ_OK), broadcast join-back count. Quadratic NOT EXISTS is
+# the oracle. FLOOR bucketing (not ROUND) so both engines share integer
+# semantics.
+@register(
+    "part_skyline_4d",
+    oracle="""
+    WITH pts AS (
+      SELECT p_size AS a,
+             CAST(FLOOR(p_retailprice) AS BIGINT) AS b,
+             LENGTH(p_name) AS c,
+             LENGTH(p_type) AS d
+      FROM part
+    ),
+    mm AS (SELECT a, b, c, MIN(d) AS d FROM pts GROUP BY a, b, c),
+    sky AS (
+      SELECT a, b, c, d FROM mm p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM mm q
+        WHERE q.a >= p.a AND q.b <= p.b AND q.c <= p.c AND q.d <= p.d
+          AND (q.a > p.a OR q.b < p.b OR q.c < p.c OR q.d < p.d))
+    )
+    SELECT CAST(s.a AS BIGINT) AS p_size,
+           s.b AS frontier_price_bucket,
+           CAST(s.c AS BIGINT) AS frontier_name_len,
+           CAST(s.d AS BIGINT) AS frontier_type_len,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM sky s
+    JOIN pts x ON x.a = s.a AND x.b = s.b AND x.c = s.c AND x.d = s.d
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1, 2, 3, 4
+    """,
+    tags=("skyline", "dominance", "agg"),
+)
+def part_skyline_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.skyline import skyline_kd
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_size",
+        F.floor(F.col("p_retailprice")).cast("long").alias("price_bucket"),
+        F.length("p_name").alias("name_len"),
+        F.length("p_type").alias("type_len"),
+    )
+    return (
+        skyline_kd(
+            part,
+            max_cols=["p_size"],
+            min_cols=["price_bucket", "name_len", "type_len"],
+        )
+        .select(
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("frontier_price_bucket").alias("frontier_price_bucket"),
+            F.col("frontier_name_len").cast("long").alias("frontier_name_len"),
+            F.col("frontier_type_len").cast("long").alias(
+                "frontier_type_len"
+            ),
+            "n_rows",
+        )
+        .orderBy(
+            "p_size",
+            "frontier_price_bucket",
+            "frontier_name_len",
+            "frontier_type_len",
+        )
+    )

@@ -31,6 +31,7 @@ BNLJ_OK = frozenset(
         "ann_ivfpq_topk",
         "ann_lsh_recall",
         "ann_pq_adc_topk",
+        "part_skyline_4d",
         "corpus_shard_source_balance",
         "customer_rfm_segments",
         "dedup_lsh_recall",
