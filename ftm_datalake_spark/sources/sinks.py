@@ -662,8 +662,14 @@ def write_webdataset_shards(
     binary_col: str | None = None,
     prefix: str = "shard",
     s3_conn: dict | None = None,
+    write_manifest: bool = True,
 ) -> list[dict]:
     """Training-data export: WebDataset-style tar shards + manifest.
+
+    ``write_manifest=False`` publishes the shards but NOT the
+    manifest.json commit record — for callers that own a larger commit
+    protocol (the streaming publisher merges per-batch entries into a
+    cumulative manifest atomically; see streaming/wds.py).
 
     The standard large-corpus training format (one tar per shard, one
     sample per key with `{key}.txt` / optional `{key}.bin` members,
@@ -823,6 +829,8 @@ def write_webdataset_shards(
         ),
         key=lambda m: m["shard_id"],
     )
+    if not write_manifest:
+        return manifest
     payload = json.dumps(manifest, indent=1).encode("utf-8")
     if scheme in ("", "file"):
         base = fsutil_strip(out_dir)
