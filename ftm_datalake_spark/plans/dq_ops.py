@@ -214,3 +214,64 @@ def dq_profile_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = table_profile(docs.where(F.col("doc_id") % 2 == 0), ["lang", "n_chars"])
     new = table_profile(docs, ["lang", "n_chars"])
     return profile_drift(old, new).orderBy("column")
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (round 12): the leading-digit distribution
+# of order totals vs Benford's law — the classic data-forensics screen
+# for fabricated or truncated numeric columns. Output per digit 1-9:
+# observed count, observed share (exact ppm), the Benford expectation
+# floor(1e6*log10(1+1/d)) (log10 of nine small rational constants —
+# both engines IEEE-double these identically, and none lands near a
+# floor boundary), and the signed deviation. Two hash aggs + a
+# broadcast 1-row total.
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT SUM(n_obs) AS n FROM c)
+    SELECT c.digit,
+           CAST(c.n_obs AS BIGINT) AS n_obs,
+           CAST(c.n_obs * 1000000 // t.n AS BIGINT) AS obs_ppm,
+           CAST(FLOOR(1000000 * LOG10(1 + 1.0 / c.digit)) AS BIGINT)
+             AS benford_ppm,
+           CAST(c.n_obs * 1000000 // t.n
+                - CAST(FLOOR(1000000 * LOG10(1 + 1.0 / c.digit)) AS BIGINT)
+                AS BIGINT) AS dev_ppm
+    FROM c, t
+    ORDER BY c.digit
+    """,
+    tags=("dq", "stats"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").alias("n"))
+    benford = F.floor(
+        F.lit(1000000) * F.log10(1 + 1.0 / F.col("digit"))
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.expr("(n_obs * 1000000) div n").cast("long").alias("obs_ppm"),
+            benford.alias("benford_ppm"),
+            (
+                F.expr("(n_obs * 1000000) div n").cast("long") - benford
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -382,3 +382,86 @@ def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"),
         df_w.alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis rank-location statistics (round 12): does the document
+# LENGTH distribution differ by source? Emits the exact sufficient
+# statistics of the k-sample rank test per source — average-rank sum
+# (x2 to stay integer under .5 ties), its deviation from the
+# null-hypothesis expectation n_j(N+1)/2 (x2), and the null variance
+# n_j(N+1)(N-n_j)/12 (x12) — so H and per-source z-scores are
+# derivable without a single float op inside the hash-compared result.
+# Rank sums use the per-score-tally + two-phase-cumsum shape of
+# eval_auc_quality (no global window).
+@register(
+    "eval_kruskal_wallis",
+    oracle="""
+    WITH s AS (SELECT source, n_chars AS score FROM documents),
+    g AS (SELECT score, COUNT(*) AS cnt FROM s GROUP BY score),
+    c AS (
+      SELECT score, cnt,
+             SUM(cnt) OVER (ORDER BY score) - cnt AS n_below
+      FROM g
+    ),
+    ps AS (SELECT source, score, COUNT(*) AS cs FROM s GROUP BY source, score),
+    r AS (
+      SELECT ps.source,
+             SUM(ps.cs * (2 * c.n_below + c.cnt + 1)) AS rank_sum_x2,
+             SUM(ps.cs) AS n
+      FROM ps JOIN c ON ps.score = c.score
+      GROUP BY ps.source
+    ),
+    t AS (SELECT SUM(n) AS big_n FROM r)
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n,
+           CAST(r.rank_sum_x2 AS BIGINT) AS rank_sum_x2,
+           CAST(r.rank_sum_x2 - r.n * (t.big_n + 1) AS BIGINT) AS dev_x2,
+           CAST(r.n * (t.big_n + 1) * (t.big_n - r.n) AS BIGINT) AS var_x12
+    FROM r, t
+    ORDER BY r.source
+    """,
+    tags=("eval", "stats", "rank"),
+    checkpointed=True,
+)
+def eval_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("score")
+    )
+    g = docs.groupBy("score").agg(F.count("*").alias("cnt"))
+    cum = with_global_cumsum(g, ["score"], "cnt", "cum_end").select(
+        "score", "cnt", (F.col("cum_end") - F.col("cnt")).alias("n_below")
+    )
+    ps = docs.groupBy("source", "score").agg(F.count("*").alias("cs"))
+    r = (
+        ps.join(cum, "score")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("cs") * (2 * F.col("n_below") + F.col("cnt") + 1)
+            ).alias("rank_sum_x2"),
+            F.sum("cs").alias("n"),
+        )
+    )
+    tot = r.agg(F.sum("n").alias("big_n"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank_sum_x2").cast("long").alias("rank_sum_x2"),
+            (F.col("rank_sum_x2") - F.col("n") * (F.col("big_n") + 1))
+            .cast("long")
+            .alias("dev_x2"),
+            (
+                F.col("n")
+                * (F.col("big_n") + 1)
+                * (F.col("big_n") - F.col("n"))
+            )
+            .cast("long")
+            .alias("var_x12"),
+        )
+        .orderBy("source")
+    )

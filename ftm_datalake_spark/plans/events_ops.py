@@ -1434,3 +1434,117 @@ def events_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_x1e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier hazard table (round 12): time-to-first-failure survival
+# with administrative right-censoring — the reliability estimator a
+# usage pipeline runs over its event log. A user's clock starts at
+# their first event; the terminal event is their first 'error', in
+# elapsed hours; the study window is 72 hours, so users whose failure
+# falls beyond it (or who never fail) are CENSORED at the horizon (or
+# at their last event if earlier). The output is the KM estimator's
+# exact per-event-time table: n_at_risk (duration >= t), n_events
+# (failed at t), n_censored_at (leaving at t without failing), and the
+# discrete hazard d_t/n_t in exact ppm — the survival curve is the
+# running product of (1 - hazard), derivable without any float op in
+# the hash-compared result. Risk-set counts come from the two-phase
+# cumsum over the per-duration tally frame (collapsed, user-scale),
+# never a global window.
+@register(
+    "events_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_part('epoch', MIN(ts)) AS BIGINT) AS t0,
+             CAST(date_part('epoch',
+               MIN(CASE WHEN event_type = 'error' THEN ts END)) AS BIGINT)
+               AS te,
+             CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS tl
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE
+               WHEN te IS NOT NULL AND (te - t0) // 3600 <= 72
+                 THEN (te - t0) // 3600
+               WHEN te IS NULL AND (tl - t0) // 3600 < 72
+                 THEN (tl - t0) // 3600
+               ELSE 72
+             END AS duration_h,
+             CASE WHEN te IS NOT NULL AND (te - t0) // 3600 <= 72
+                  THEN 1 ELSE 0 END AS failed
+      FROM u
+    ),
+    tal AS (
+      SELECT duration_h, COUNT(*) AS n_all, SUM(failed) AS n_evt
+      FROM obs GROUP BY duration_h
+    ),
+    t AS (SELECT SUM(n_all) AS big_n FROM tal),
+    c AS (
+      SELECT duration_h, n_all, n_evt,
+             SUM(n_all) OVER (ORDER BY duration_h) - n_all AS n_below
+      FROM tal
+    )
+    SELECT CAST(c.duration_h AS BIGINT) AS duration_hours,
+           CAST(t.big_n - c.n_below AS BIGINT) AS n_at_risk,
+           CAST(c.n_evt AS BIGINT) AS n_events,
+           CAST(c.n_all - c.n_evt AS BIGINT) AS n_censored_at,
+           CAST(c.n_evt * 1000000 // (t.big_n - c.n_below) AS BIGINT)
+             AS hazard_ppm
+    FROM c, t
+    WHERE c.n_evt > 0
+    ORDER BY duration_hours
+    """,
+    tags=("events", "survival", "stats"),
+    checkpointed=True,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("t0"),
+        F.unix_timestamp(
+            F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+        ).alias("te"),
+        F.unix_timestamp(F.max("ts")).alias("tl"),
+    )
+    fail_h = F.floor((F.col("te") - F.col("t0")) / 3600)
+    last_h = F.floor((F.col("tl") - F.col("t0")) / 3600)
+    obs = u.select(
+        F.when(F.col("te").isNotNull() & (fail_h <= 72), fail_h)
+        .when(F.col("te").isNull() & (last_h < 72), last_h)
+        .otherwise(F.lit(72))
+        .alias("duration_h"),
+        F.when(F.col("te").isNotNull() & (fail_h <= 72), 1)
+        .otherwise(0)
+        .alias("failed"),
+    )
+    tal = obs.groupBy("duration_h").agg(
+        F.count("*").alias("n_all"), F.sum("failed").alias("n_evt")
+    )
+    tot = tal.agg(F.sum("n_all").alias("big_n"))
+    c = with_global_cumsum(tal, ["duration_h"], "n_all", "cum_end").select(
+        "duration_h",
+        "n_all",
+        "n_evt",
+        (F.col("cum_end") - F.col("n_all")).alias("n_below"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("n_evt") > 0)
+        .select(
+            F.col("duration_h").cast("long").alias("duration_hours"),
+            (F.col("big_n") - F.col("n_below")).cast("long").alias(
+                "n_at_risk"
+            ),
+            F.col("n_evt").cast("long").alias("n_events"),
+            (F.col("n_all") - F.col("n_evt")).cast("long").alias(
+                "n_censored_at"
+            ),
+            F.expr("(n_evt * 1000000) div (big_n - n_below)")
+            .cast("long")
+            .alias("hazard_ppm"),
+        )
+        .orderBy("duration_hours")
+    )

@@ -33,6 +33,11 @@ BNLJ_OK = frozenset(
         "ann_pq_adc_topk",
         "part_skyline_4d",
         "corpus_shard_source_balance",
+        # round-12 stats family: 1-row broadcast scalar spines
+        "dq_benford_first_digit",
+        "eval_kruskal_wallis",
+        "events_kaplan_meier",
+        "text_source_divergence",
         "customer_rfm_segments",
         "dedup_lsh_recall",
         "dq_skew_report_orders",

@@ -1640,3 +1640,254 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth slope per source (round 12): V(N) ~ K*N^b
+# — sub-linear vocab growth is the signature of natural text, and a
+# source whose slope approaches 1 is emitting near-random tokens (a
+# strong corpus-QA signal). Per doc (in doc_id order): cumulative token
+# count T and cumulative distinct vocab V (exact, via each token's
+# FIRST containing doc — one hash agg, no cumulative-distinct window);
+# the slope is OLS over (log2 T, log2 V) in the integer bit-length
+# staircase (length(bin(x)) - 1, the text_zipf_slope idiom — zero libm
+# in the hash-compared result). The per-doc cumulative window is
+# partitioned by source over the per-DOC frame (one row per document,
+# collapsed from the token scale by hash aggs).
+@register(
+    "corpus_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, doc_id, COUNT(*) AS n_tok
+      FROM tok WHERE token <> '' GROUP BY source, doc_id
+    ),
+    firsts AS (
+      SELECT source, token, MIN(doc_id) AS first_doc
+      FROM tok WHERE token <> '' GROUP BY source, token
+    ),
+    nv AS (
+      SELECT source, first_doc AS doc_id, COUNT(*) AS n_new
+      FROM firsts GROUP BY source, first_doc
+    ),
+    per_doc AS (
+      SELECT tc.source, tc.doc_id, tc.n_tok, COALESCE(nv.n_new, 0) AS n_new
+      FROM tc LEFT JOIN nv
+        ON nv.source = tc.source AND nv.doc_id = tc.doc_id
+    ),
+    cum AS (
+      SELECT source,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS t,
+             SUM(n_new) OVER (PARTITION BY source ORDER BY doc_id) AS v
+      FROM per_doc
+    ),
+    pts AS (
+      SELECT source, length(bin(t)) - 1 AS x, length(bin(v)) - 1 AS y
+      FROM cum
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+                END AS BIGINT) AS slope_milli
+    FROM s ORDER BY source
+    """,
+    tags=("text", "stats", "corpus"),
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tc = tok.groupBy("source", "doc_id").agg(F.count("*").alias("n_tok"))
+    firsts = tok.groupBy("source", "token").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    nv = firsts.groupBy("source", "doc_id").agg(
+        F.count("*").alias("n_new")
+    )
+    per_doc = tc.join(nv, ["source", "doc_id"], "left").select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bitlen = lambda c: (F.length(F.conv(c.cast("long"), 10, 2)) - 1).cast("long")  # noqa: E731
+    pts = per_doc.select(
+        "source",
+        bitlen(F.sum("n_tok").over(w)).alias("x"),
+        bitlen(F.sum("n_new").over(w)).alias("y"),
+    )
+    s = pts.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " ELSE ((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)"
+            " END AS LONG)"
+        ).alias("slope_milli"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Per-source total-variation divergence from the corpus unigram
+# distribution (round 12): TVD = (1/2) * sum_t |p_t - q_t| — the
+# domain-shift score a mixing pipeline uses to spot sources whose
+# token distribution drifts from the corpus it is feeding. Exact
+# rational arithmetic: |c_st*C - c_t*C_s| summed as integers, one
+# DECIMAL(38) floor division at the end — no logs, no floats (KL needs
+# libm; TVD carries the same signal hash-exactly).
+@register(
+    "text_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, COUNT(*) AS c_st
+      FROM tok WHERE token <> '' GROUP BY source, token
+    ),
+    srctot AS (SELECT source, SUM(c_st) AS c_s FROM st GROUP BY source),
+    gt AS (SELECT token, SUM(c_st) AS c_t FROM st GROUP BY token),
+    tot AS (SELECT SUM(c_t) AS c FROM gt),
+    terms AS (
+      SELECT st.source,
+             ABS(st.c_st * tot.c - gt.c_t * srctot.c_s) AS num
+      FROM st
+      JOIN gt ON gt.token = st.token
+      JOIN srctot ON srctot.source = st.source
+      CROSS JOIN tot
+    )
+    SELECT t.source,
+           CAST(s2.c_s AS BIGINT) AS n_tokens,
+           CAST((SUM(t.num)::HUGEINT * 1000000)
+                // (2::HUGEINT * s2.c_s * tt.c) AS BIGINT) AS tvd_ppm
+    FROM terms t
+    JOIN srctot s2 ON s2.source = t.source
+    CROSS JOIN tot tt
+    GROUP BY t.source, s2.c_s, tt.c
+    ORDER BY t.source
+    """,
+    tags=("text", "stats", "corpus"),
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c_st"))
+    srctot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    glob = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    tot = glob.agg(F.sum("c_t").alias("c"))
+    terms = (
+        st.join(glob, "token")
+        .join(F.broadcast(srctot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_s",
+            "c",
+            F.abs(
+                F.col("c_st") * F.col("c") - F.col("c_t") * F.col("c_s")
+            ).alias("num"),
+        )
+    )
+    agg = terms.groupBy("source", "c_s", "c").agg(
+        F.sum(F.col("num").cast("decimal(38,0)")).alias("num_sum")
+    )
+    # exact floor of a decimal ratio: subtract the remainder first so
+    # the division is exact (Spark decimal division ROUNDS to the
+    # result scale, which could cross the floor boundary)
+    scaled = agg.select(
+        "source",
+        F.col("c_s").cast("long").alias("n_tokens"),
+        (F.col("num_sum") * F.lit(1000000)).alias("snum"),
+        (F.lit(2).cast("decimal(38,0)") * F.col("c_s") * F.col("c")).alias(
+            "den"
+        ),
+    )
+    return scaled.select(
+        "source",
+        "n_tokens",
+        ((F.col("snum") - F.pmod(F.col("snum"), F.col("den"))) / F.col("den"))
+        .cast("long")
+        .alias("tvd_ppm"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language (round 12): BPE-ish pre-tokens per
+# whitespace word — the per-language cost multiplier a token-budgeted
+# training mix pays (fertility near 1 for well-covered languages,
+# higher where the pre-tokenizer fragments). Exact integer counts and
+# one ppm floor division; same pre-tokenization regex as
+# text_bpe_tokens.
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS n_words,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) * 1000000
+                // SUM(len(string_split_regex(trim(text), '\\s+')))
+                AS BIGINT) AS fertility_ppm
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "stats"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    per = docs.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(pattern)).alias("bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("words"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+            F.sum("words").cast("long").alias("n_words"),
+        )
+        .select(
+            "lang",
+            "n_bpe_tokens",
+            "n_words",
+            F.expr("(n_bpe_tokens * 1000000) div n_words")
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -88,6 +88,13 @@ GLOBAL_SCALAR_OK = {
     # report is a 1-row eval summary, so its finals are SinglePartition
     # by construction
     "customer_rfm_segments",  # global max(o_orderdate) reference scalar
+    # round-12 stats family: each ships a 1-row global total (N, corpus
+    # token count, censor-cut timestamp) via crossJoin(broadcast(agg))
+    # — the data term is already collapsed when the exchange runs
+    "dq_benford_first_digit",
+    "eval_kruskal_wallis",
+    "events_kaplan_meier",
+    "text_source_divergence",
     "orders_basket_size_distribution",  # total over the <=7-row histogram frame
     "dedup_lsh_recall",
     "dq_validation_suite",
