@@ -1651,9 +1651,12 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST containing doc — one hash agg, no cumulative-distinct window);
 # the slope is OLS over (log2 T, log2 V) in the integer bit-length
 # staircase (length(bin(x)) - 1, the text_zipf_slope idiom — zero libm
-# in the hash-compared result). The per-doc cumulative window is
-# partitioned by source over the per-DOC frame (one row per document,
-# collapsed from the token scale by hash aggs).
+# in the hash-compared result). The per-doc cumulatives run as ONE
+# two-phase global cumsum over (source, doc_id) minus per-source
+# offsets from the tiny source-totals frame — a per-source window
+# would funnel each source's doc rows through a single task, which at
+# 100 TB is millions of rows per task; the range-partitioned cumsum
+# spreads them across the cluster.
 @register(
     "corpus_heaps_law",
     oracle="""
@@ -1701,9 +1704,10 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s ORDER BY source
     """,
     tags=("text", "stats", "corpus"),
+    checkpointed=True,
 )
 def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ftm_datalake_spark.operators.rank import with_global_cumsums
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -1724,16 +1728,26 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = with_global_cumsums(
+        per_doc, ["source", "doc_id"], [("n_tok", "ct"), ("n_new", "cv")]
+    )
+    # per-source start offsets: cumsum over the |sources|-row totals
+    # frame (same two-phase helper — tiny, but no 1-partition window)
+    stot = per_doc.groupBy("source").agg(
+        F.sum("n_tok").alias("tt"), F.sum("n_new").alias("tv")
+    )
+    offs = with_global_cumsums(
+        stot, ["source"], [("tt", "ot"), ("tv", "ov")]
+    ).select(
+        "source",
+        (F.col("ot") - F.col("tt")).alias("off_t"),
+        (F.col("ov") - F.col("tv")).alias("off_v"),
     )
     bitlen = lambda c: (F.length(F.conv(c.cast("long"), 10, 2)) - 1).cast("long")  # noqa: E731
-    pts = per_doc.select(
+    pts = cum.join(F.broadcast(offs), "source").select(
         "source",
-        bitlen(F.sum("n_tok").over(w)).alias("x"),
-        bitlen(F.sum("n_new").over(w)).alias("y"),
+        bitlen(F.col("ct") - F.col("off_t")).alias("x"),
+        bitlen(F.col("cv") - F.col("off_v")).alias("y"),
     )
     s = pts.groupBy("source").agg(
         F.count("*").alias("n"),
