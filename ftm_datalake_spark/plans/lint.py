@@ -34,6 +34,7 @@ BNLJ_OK = frozenset(
         "part_skyline_4d",
         "corpus_shard_source_balance",
         # round-12 stats family: 1-row broadcast scalar spines
+        "corpus_token_budget",
         "dq_benford_first_digit",
         "eval_kruskal_wallis",
         "events_kaplan_meier",

@@ -645,3 +645,66 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
     return random_project(emb, d=64, k=16).orderBy("vec_id", "dim")
+
+
+# --------------------------------------------------------------------------
+# Embedding-norm QA profile per label (round 12): the sanity table an
+# ANN pipeline checks before indexing — unnormalized vectors, collapsed
+# clusters, and dead labels all show up as squared-norm anomalies.
+# Exactness without fold-order sensitivity: each element's square is
+# quantized to an integer PER ELEMENT (floor(1e8 * x²) in float64 —
+# float32→float64 conversion is exact, so both engines square the same
+# doubles), and integer sums are order-free; no float accumulates
+# across elements or rows anywhere in the compared result.
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 100000000) AS BIGINT))) AS sqnorm_x1e8
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(sqnorm_x1e8) AS BIGINT) AS min_sqnorm_x1e8,
+           CAST(MAX(sqnorm_x1e8) AS BIGINT) AS max_sqnorm_x1e8,
+           CAST(SUM(sqnorm_x1e8) // COUNT(*) AS BIGINT) AS avg_sqnorm_x1e8
+    FROM n GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "dq", "stats"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elem = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * x.cast("double") * F.lit(100000000.0)
+        ).cast("long"),
+    )
+    n = emb.select(
+        "label",
+        F.aggregate(
+            elem, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("sqnorm_x1e8"),
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("sqnorm_x1e8").cast("long").alias("min_sqnorm_x1e8"),
+            F.max("sqnorm_x1e8").cast("long").alias("max_sqnorm_x1e8"),
+            F.expr("(SUM(sqnorm_x1e8)) div COUNT(*)")
+            .cast("long")
+            .alias("avg_sqnorm_x1e8"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "min_sqnorm_x1e8",
+            "max_sqnorm_x1e8",
+            "avg_sqnorm_x1e8",
+        )
+        .orderBy("label")
+    )

@@ -1092,3 +1092,131 @@ def corpus_shard_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split audit (round 12): the md5-bucket
+# split every training pipeline needs — engine- and run-independent
+# (bucket = md5(doc_id) mod 100: 0-97 train, 98 val, 99 test), so any
+# system recomputes the SAME assignment with no RNG state to ship.
+# Emits the per-(source, split) census a data card reports: doc count,
+# token mass, and the split's exact ppm share of its source.
+@register(
+    "sample_deterministic_split",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 >= 98
+               THEN CASE
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 = 98 THEN 'val' ELSE 'test' END
+               ELSE 'train'
+             END AS split,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, split, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      FROM d GROUP BY source, split
+    ),
+    t AS (SELECT source, SUM(n_docs) AS src_docs FROM c GROUP BY source)
+    SELECT c.source, c.split,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.n_docs * 1000000 // t.src_docs AS BIGINT) AS share_ppm
+    FROM c JOIN t ON t.source = c.source
+    ORDER BY c.source, c.split
+    """,
+    tags=("training", "sampling"),
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d = docs.select(
+        "source",
+        F.when(bucket == 98, F.lit("val"))
+        .when(bucket == 99, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    c = d.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    t = c.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    return (
+        c.join(F.broadcast(t), "source")
+        .select(
+            "source",
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(n_docs * 1000000) div src_docs")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget planning table (round 12): token mass by (lang, doc-size
+# class) with each cell's exact ppm share of the corpus — the input a
+# mixture planner scales its per-language sampling temperatures from.
+# Size classes are powers-of-two token-count buckets (integer bit
+# length — the zipf/heaps idiom), so the table is stable across
+# engines with zero float ops.
+@register(
+    "corpus_token_budget",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             length(bin(len(string_split_regex(trim(text), '\\s+')))) - 1
+               AS size_class,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, size_class, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      FROM d GROUP BY lang, size_class
+    ),
+    t AS (SELECT SUM(n_tokens) AS total FROM c)
+    SELECT c.lang, CAST(c.size_class AS BIGINT) AS size_class,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.n_tokens * 1000000 // t.total AS BIGINT) AS token_share_ppm
+    FROM c, t
+    ORDER BY c.lang, size_class
+    """,
+    tags=("training", "corpus", "stats"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bitlen = (F.length(F.conv(ntok.cast("long"), 10, 2)) - 1).cast("long")
+    d = docs.select(
+        "lang", bitlen.alias("size_class"), ntok.alias("n_tok")
+    )
+    c = d.groupBy("lang", "size_class").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    t = c.agg(F.sum("n_tokens").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("size_class").cast("long").alias("size_class"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(n_tokens * 1000000) div total")
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("lang", "size_class")
+    )

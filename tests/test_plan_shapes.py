@@ -91,6 +91,7 @@ GLOBAL_SCALAR_OK = {
     # round-12 stats family: each ships a 1-row global total (N, corpus
     # token count, censor-cut timestamp) via crossJoin(broadcast(agg))
     # — the data term is already collapsed when the exchange runs
+    "corpus_token_budget",
     "dq_benford_first_digit",
     "eval_kruskal_wallis",
     "events_kaplan_meier",
