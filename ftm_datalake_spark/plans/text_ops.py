@@ -1905,3 +1905,87 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate FAMILIES (round 12): MinHash-LSH candidate pairs collapsed
+# into connected components — the step between pair discovery and
+# actually deleting duplicates: a family of N near-identical docs is
+# ONE cluster keeping ONE representative (the min doc_id, exactly how
+# FTM canonical ids collapse merged entities), not N*(N-1)/2 unrelated
+# pairs. Spark side: operators/components.connected_components
+# (synchronous min-label propagation, one equi-join + one agg per
+# round, run to convergence). Oracle: the SAME synchronous schedule
+# unrolled 10 rounds — once converged, further rounds are fixpoints,
+# so the results agree whenever the candidate graph's diameter is
+# <= 10 (duplicate families are near-cliques; convergence is 2-3
+# rounds). The members CSV is the oracle-readable demo form; the scale
+# form is the operator's (node, component) pair rows.
+def _oracle_cc(iters: int) -> str:
+    head = f"""
+    WITH docs_aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    ),
+    edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS comp FROM edges)"""
+    steps = "".join(
+        f""",
+    l{k + 1} AS MATERIALIZED (
+      SELECT l.node, LEAST(l.comp, COALESCE(m.mn, l.comp)) AS comp
+      FROM l{k} l LEFT JOIN (
+        SELECT e.a AS node, MIN(l2.comp) AS mn
+        FROM edges e JOIN l{k} l2 ON l2.node = e.b
+        GROUP BY e.a) m ON m.node = l.node)"""
+        for k in range(iters)
+    )
+    return head + steps + f"""
+    SELECT CAST(comp AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removable,
+           array_to_string(list_sort(list(node)), ',') AS members
+    FROM l{iters}
+    GROUP BY comp
+    ORDER BY cluster_id
+    """
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=_oracle_cc(10),
+    tags=("dedup", "iterative"),
+    checkpointed=True,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.components import connected_components
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.count("*") - 1).cast("long").alias("n_removable"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            "n_docs",
+            "n_removable",
+            "members",
+        )
+        .orderBy("cluster_id")
+    )
