@@ -9,15 +9,15 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-11 curation (VERDICT r10 next #6): the r1–r10 sample union
-stands at 256/256 — every pre-r11 query driver-green at least once,
-zero never-sampled. Round 11 ADDED four oracled queries (part_skyline_3d,
-corpus_shard_source_balance, events_user_activity_gini,
-text_hapax_ratio), which lead because they have NO driver evidence
-yet. The remaining 49
-slots buy FRESHNESS: the queries with the OLDEST driver evidence,
-oldest round first (the r5 sampler/text block the r10 prefix did not
-reach, then the r6 analytics block). Regenerate with
+Round-12 curation: the r1-r11 sample union stands at 260/260 — every
+pre-r12 query driver-green at least once, zero never-sampled. Round 12
+ADDED twelve oracled queries (the salted flagship twin, 4-D skyline,
+Kruskal-Wallis, Kaplan-Meier, Heaps' law, source divergence, tokenizer
+fertility, Benford audit, deterministic split, token budget, embedding
+norms, MinHash clusters), which lead because they have NO driver
+evidence yet. The remaining slots buy FRESHNESS: the queries with the
+OLDEST driver evidence, oldest round first (the tail of the r6
+analytics block the r11 prefix did not reach). Regenerate with
 scripts/gen_evidence.py each round.
 
 Everything not listed keeps registration order after these.
@@ -26,57 +26,54 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    "part_skyline_3d",  # NEW r11 — never driver-sampled
-    "corpus_shard_source_balance",  # NEW r11 — never driver-sampled
-    "events_user_activity_gini",  # NEW r11 — never driver-sampled
-    "text_hapax_ratio",  # NEW r11 — never driver-sampled
-    "sample_importance_weighted",  # last driver sample: r5
-    "sample_per_source_cap",  # last driver sample: r5
-    "sample_reservoir_k",  # last driver sample: r5
-    "sample_stratified",  # last driver sample: r5
-    "sample_weighted_aes",  # last driver sample: r5
-    "sample_weighted_per_lang",  # last driver sample: r5
-    "sequence_packing",  # last driver sample: r5
-    "sketch_moments_quantiles",  # last driver sample: r5
-    "statement_incremental_merge",  # last driver sample: r5
-    "text_bpe_tokens",  # last driver sample: r5
-    "text_fingerprint",  # last driver sample: r5
-    "text_langid",  # last driver sample: r5
-    "text_pmi_collocations",  # last driver sample: r5
-    "text_quality",  # last driver sample: r5
-    "text_repetition",  # last driver sample: r5
-    "text_token_count",  # last driver sample: r5
-    "text_trigram_novelty",  # last driver sample: r5
-    "ann_hard_negatives",  # last driver sample: r6
-    "ann_ivf_topk_nprobe2",  # last driver sample: r6
-    "asof_next_purchase",  # last driver sample: r6
-    "basket_brand_association",  # last driver sample: r6
-    "cube_order_stats",  # last driver sample: r6
-    "customer_rfm_segments",  # last driver sample: r6
-    "doc_commonness",  # last driver sample: r6
-    "docs_source_vocab_overlap",  # last driver sample: r6
-    "embedding_centroids",  # last driver sample: r6
-    "events_active_windows",  # last driver sample: r6
-    "events_conversion_latency",  # last driver sample: r6
-    "events_dau_stickiness",  # last driver sample: r6
-    "events_dau_stickiness_hll",  # last driver sample: r6
-    "events_ewma_smoothed",  # last driver sample: r6
-    "events_hourly_autocorr",  # last driver sample: r6
-    "events_interarrival",  # last driver sample: r6
-    "events_ohlc_hourly",  # last driver sample: r6
-    "events_rolling_7d_users",  # last driver sample: r6
-    "events_seasonality_profile",  # last driver sample: r6
-    "grouping_sets_orders",  # last driver sample: r6
-    "hypertable_daily_rollup",  # last driver sample: r6
-    "lineitem_yoy_growth",  # last driver sample: r6
-    "lm_surprisal_topdocs",  # last driver sample: r6
-    "median_price_by_priority",  # last driver sample: r6
-    "mode_event_type",  # last driver sample: r6
-    "ntile_customer_quartiles",  # last driver sample: r6
-    "orders_basket_size_distribution",  # last driver sample: r6
-    "orders_cohort_ltv",  # last driver sample: r6
-    "orders_revenue_pareto",  # last driver sample: r6
+    "statement_aggregation_salted",  # NEW r12 — never driver-sampled
+    "part_skyline_4d",  # NEW r12 — never driver-sampled
+    "eval_kruskal_wallis",  # NEW r12 — never driver-sampled
+    "events_kaplan_meier",  # NEW r12 — never driver-sampled
+    "corpus_heaps_law",  # NEW r12 — never driver-sampled
+    "text_source_divergence",  # NEW r12 — never driver-sampled
+    "text_tokenizer_fertility",  # NEW r12 — never driver-sampled
+    "dq_benford_first_digit",  # NEW r12 — never driver-sampled
+    "sample_deterministic_split",  # NEW r12 — never driver-sampled
+    "corpus_token_budget",  # NEW r12 — never driver-sampled
+    "embedding_norm_stats",  # NEW r12 — never driver-sampled
+    "dedup_minhash_clusters",  # NEW r12 — never driver-sampled
     "part_substitution_candidates",  # last driver sample: r6
     "pii_redact",  # last driver sample: r6
     "pit_labeled_examples",  # last driver sample: r6
+    "pivot_user_event_counts",  # last driver sample: r6
+    "rolling_7day_revenue",  # last driver sample: r6
+    "salted_hot_key_agg",  # last driver sample: r6
+    "salted_hot_key_join",  # last driver sample: r6
+    "slugify_keys",  # last driver sample: r6
+    "supplier_concentration_hhi",  # last driver sample: r6
+    "text_langid_confusion",  # last driver sample: r6
+    "text_vocab_oov_rate",  # last driver sample: r6
+    "tfidf_top_terms",  # last driver sample: r6
+    "unpivot_event_matrix",  # last driver sample: r6
+    "window_rank_functions",  # last driver sample: r6
+    "anti_join_unsold_parts",  # last driver sample: r7
+    "corpus_report_card",  # last driver sample: r7
+    "dq_profile_drift_documents",  # last driver sample: r7
+    "dq_skew_report_orders",  # last driver sample: r7
+    "dq_table_profile_documents",  # last driver sample: r7
+    "dq_validation_suite",  # last driver sample: r7
+    "embedding_pca_power",  # last driver sample: r7
+    "er_block_stats",  # last driver sample: r7
+    "er_blocked_matches",  # last driver sample: r7
+    "er_fellegi_sunter_matches",  # last driver sample: r7
+    "er_fuzzy_part_names",  # last driver sample: r7
+    "er_golden_record",  # last driver sample: r7
+    "eval_auc_quality",  # last driver sample: r7
+    "eval_calibration_bins",  # last driver sample: r7
+    "eval_cohens_kappa",  # last driver sample: r7
+    "eval_lift_deciles",  # last driver sample: r7
+    "eval_pr_threshold_sweep",  # last driver sample: r7
+    "events_cohort_retention",  # last driver sample: r7
+    "events_funnel",  # last driver sample: r7
+    "events_gapfill_hourly",  # last driver sample: r7
+    "events_holt_linear",  # last driver sample: r7
+    "events_transition_matrix",  # last driver sample: r7
+    "global_sort_topk",  # last driver sample: r7
+    "graph_kcore_trade",  # last driver sample: r7
 )
