@@ -332,6 +332,13 @@ def main(argv: list[str] | None = None) -> int:
         help="bucket count of a partitioned snapshot (init with the "
         "same value); omit for the whole-snapshot swap form",
     )
+    p_cdc.add_argument(
+        "--layout", choices=("swap", "pointer"), default="swap",
+        help="'pointer' maintains immutable generation dirs + an "
+        "atomically-replaced pointer file (object-store-safe; snapshot "
+        "arg is the base dir, init with init_pointer_snapshot); 'swap' "
+        "renames directories (atomic-rename filesystems)",
+    )
 
     p_pub = sub.add_parser("publish")
     p_pub.add_argument("--lake", required=True)
@@ -1124,26 +1131,40 @@ def _dispatch(spark, args) -> int:
         }))
     elif args.cmd == "cdc-apply":
         from ftm_datalake_spark.streaming.cdc import (
+            read_pointer_snapshot,
             run_cdc_upsert_stream,
             run_cdc_upsert_stream_partitioned,
+            run_cdc_upsert_stream_pointer,
         )
 
         keys = [k.strip() for k in args.keys.split(",") if k.strip()]
         stream = spark.readStream.schema(args.schema).json(args.feed)
-        if args.buckets:
+        if getattr(args, "layout", "swap") == "pointer":
+            if args.buckets:
+                raise SystemExit("--layout pointer and --buckets are exclusive")
+            q = run_cdc_upsert_stream_pointer(
+                stream, args.snapshot, args.checkpoint, keys
+            )
+            q.awaitTermination()
+            n = read_pointer_snapshot(spark, args.snapshot).count()
+            mode = "pointer"
+        elif args.buckets:
             q = run_cdc_upsert_stream_partitioned(
                 stream, args.snapshot, args.checkpoint, keys,
                 n_buckets=args.buckets,
             )
+            q.awaitTermination()
+            n = spark.read.parquet(args.snapshot).count()
+            mode = "partitioned"
         else:
             q = run_cdc_upsert_stream(
                 stream, args.snapshot, args.checkpoint, keys
             )
-        q.awaitTermination()
-        n = spark.read.parquet(args.snapshot).count()
+            q.awaitTermination()
+            n = spark.read.parquet(args.snapshot).count()
+            mode = "swap"
         print(json.dumps({
-            "snapshot": args.snapshot, "rows": n,
-            "mode": "partitioned" if args.buckets else "swap",
+            "snapshot": args.snapshot, "rows": n, "mode": mode,
         }))
     elif args.cmd == "publish":
         from ftm_datalake_spark.pipelines.ingest import publish
