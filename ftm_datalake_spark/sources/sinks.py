@@ -663,6 +663,7 @@ def write_webdataset_shards(
     prefix: str = "shard",
     s3_conn: dict | None = None,
     write_manifest: bool = True,
+    task_fs_factory=None,
 ) -> list[dict]:
     """Training-data export: WebDataset-style tar shards + manifest.
 
@@ -703,13 +704,17 @@ def write_webdataset_shards(
       plain-dict client config that crosses the task boundary, the
       sources/s3_store.py pattern); a single PUT is atomic on S3 and
       retries overwrite the same bytes; zero driver bytes;
-    - any other Hadoop scheme (viewfs://, hdfs://, ...) — executors
-      return tar BYTES as Arrow rows and the driver streams them
-      shard-by-shard through ``fsutil.write_bytes_atomic``
-      (``toLocalIterator`` — memory bounded by one output partition,
-      throughput bounded by the driver NIC: the documented generic
-      fallback; at fleet scale prefer the s3 path or a scheme with a
-      task-side client).
+    - any other scheme with a pure-Python filesystem client
+      (``pyarrow.fs.FileSystem.from_uri`` by default — gs://, hdfs://
+      with libhdfs — or a caller-supplied ``task_fs_factory``) —
+      executors publish their own shards through the pickled client
+      (atomic-on-close on object stores, stage+move elsewhere); zero
+      driver bytes (round 12, the blob archive's tiering);
+    - JVM-only schemes (viewfs://, ...) — executors return tar BYTES
+      as Arrow rows and the driver streams them shard-by-shard through
+      ``fsutil.write_bytes_atomic`` (``toLocalIterator`` — memory
+      bounded by one output partition, throughput bounded by the
+      driver NIC: the documented last-resort fallback).
 
     Returns the manifest entries.
     """
@@ -730,6 +735,16 @@ def write_webdataset_shards(
     )
     grouped = sharded.groupBy("__shard")
     spark = df.sparkSession
+
+    _generic_fs = None
+    if scheme not in ("", "file", "s3"):
+        from ftm_datalake_spark.sources.archive import _pyarrow_fs_for
+
+        _generic_fs = (
+            task_fs_factory(out_dir)
+            if task_fs_factory is not None
+            else _pyarrow_fs_for(out_dir)
+        )
 
     if scheme in ("", "file"):
         base = fsutil_strip(out_dir)
@@ -778,6 +793,32 @@ def write_webdataset_shards(
 
         meta_rows = grouped.applyInPandas(
             write_shard_s3,
+            "shard_id LONG, path STRING, n_samples LONG, sha256 STRING",
+        ).collect()
+    elif _generic_fs is not None:
+        # distributed generic tier (round 12, same design as the blob
+        # archive's): a pure-Python filesystem resolved on the driver
+        # pickles into the applyInPandas closure, so each task publishes
+        # its own shard through _task_fs_put (atomic-on-close on object
+        # stores, stage+move on filesystem-likes) — zero driver bytes
+        from ftm_datalake_spark.sources.archive import _task_fs_put
+
+        fs, root_path = _generic_fs
+        base = str(root_path).rstrip("/")
+
+        def write_shard_fs(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard_id = int(pdf["__shard"].iloc[0])
+            data = _webdataset_tar_bytes(pdf, key_col, text_col, binary_col)
+            target = f"{base}/{prefix}-{shard_id:06d}.tar"
+            _task_fs_put(fs, target, data)
+            return pd.DataFrame(
+                [{"shard_id": shard_id, "path": target,
+                  "n_samples": len(pdf),
+                  "sha256": hashlib.sha256(data).hexdigest()}]
+            )
+
+        meta_rows = grouped.applyInPandas(
+            write_shard_fs,
             "shard_id LONG, path STRING, n_samples LONG, sha256 STRING",
         ).collect()
     else:

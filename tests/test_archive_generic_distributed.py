@@ -253,3 +253,49 @@ def test_viewfs_fallback_uses_atomic_writes(spark, tmp_path, viewfs, monkeypatch
     ch = hashlib.sha1(b"fallback blob").hexdigest()
     local = tmp_path / "lake" / "ds1" / "archive" / ch[:2] / ch[2:4] / ch[4:6] / ch
     assert local.read_bytes() == b"fallback blob"
+
+
+def test_webdataset_generic_distributed_via_factory(spark, tmp_path, monkeypatch):
+    """The WDS sink's generic tier is task-side when a pure-Python fs
+    resolves (round 12): shards publish through the pickled client
+    with the driver byte-stream fallback hard-disabled, byte-identical
+    (per-shard sha256) to a local export of the same frame."""
+    import json as _json
+
+    from ftm_datalake_spark import fsutil
+    from ftm_datalake_spark.sources.sinks import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    monkeypatch.setattr(
+        fsutil,
+        "write_bytes_atomic",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver byte-stream fallback was taken")
+        ),
+    )
+    docs = spark.createDataFrame(
+        [(str(i), f"text-{i}") for i in range(45)],
+        "doc_id string, text string",
+    )
+    store = tmp_path / "store"
+    (store / "lake").mkdir(parents=True)
+    manifest = write_webdataset_shards(
+        docs,
+        "fakefs://store/lake",
+        shard_size=10,
+        write_manifest=False,
+        task_fs_factory=_subtree_factory(str(store)),
+    )
+    assert len(manifest) == 5
+    local = str(tmp_path / "golden")
+    os.makedirs(local)
+    monkeypatch.undo()
+    golden = write_webdataset_shards(docs, local, shard_size=10)
+    assert [m["sha256"] for m in sorted(manifest, key=lambda m: m["shard_id"])] == [
+        m["sha256"] for m in sorted(golden, key=lambda m: m["shard_id"])
+    ]
+    # shards landed at the factory root and round-trip through the reader
+    back = read_webdataset_shards(spark, str(store / "lake"))
+    assert back.where("member = 'txt'").count() == 45
