@@ -32,6 +32,13 @@ Readers: :func:`read_webdataset_manifest` lists committed shards;
 ``sources/sinks.read_webdataset_shards`` over the directory also works
 once orphans are impossible (steady state), but the manifest is the
 consistent view.
+
+Scheme support: shard BYTES dispatch exactly like the batch sink
+(local / s3 / pure-Python-resolvable / JVM fallback), but the manifest
+read-merge-swap runs through the driver's JVM FS client (fsutil), so
+``out_dir`` must be a scheme the JVM resolves — local, viewfs, hdfs,
+or s3a with cluster jars. An fsspec-style manifest backend would widen
+this; the batch sink + an external manifest is the workaround today.
 """
 
 from __future__ import annotations
