@@ -115,3 +115,51 @@ def generalization_ladder(
         F.col("w.n_buckets").alias("n_buckets"),
         F.col("w.min_group").alias("min_group"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int,
+) -> DataFrame:
+    """(quasi..., n, t_ppm, close): t-closeness per quasi-identifier
+    group — l-diversity's successor (Li/Li/Venkatasubramanian, ICDE
+    2007): a group whose sensitive-attribute DISTRIBUTION skews far
+    from the corpus-wide one still leaks (skewness attack), even with
+    many distinct values. Distance is total variation in exact ppm
+    (the categorical EMD): t = (1/2) * sum_s |P(s|group) - P(s)|,
+    computed as integer rationals |c_gs*C - c_s*C_g| // (2*C_g*C) —
+    no float anywhere. Plan shape: two hash aggs (group x sensitive,
+    then group) against broadcast global tallies."""
+    gs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").alias("c_gs")
+    )
+    g = gs.groupBy(*quasi_cols).agg(F.sum("c_gs").alias("c_g"))
+    s = df.groupBy(sensitive_col).agg(F.count("*").alias("c_s"))
+    tot = s.agg(F.sum("c_s").alias("c"))
+    terms = (
+        gs.join(F.broadcast(s), sensitive_col)
+        .join(g, quasi_cols)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *quasi_cols,
+            "c_g",
+            "c",
+            F.abs(
+                F.col("c_gs") * F.col("c") - F.col("c_s") * F.col("c_g")
+            ).alias("num"),
+        )
+    )
+    return (
+        terms.groupBy(*quasi_cols, "c_g", "c")
+        .agg(F.sum("num").alias("num_sum"))
+        .select(
+            *quasi_cols,
+            F.col("c_g").cast("long").alias("n"),
+            F.expr("(num_sum * 1000000) div (2 * c_g * c)")
+            .cast("long")
+            .alias("t_ppm"),
+        )
+        .withColumn("close", F.col("t_ppm") <= F.lit(int(t_ppm)))
+    )

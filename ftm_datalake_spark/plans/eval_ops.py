@@ -465,3 +465,119 @@ def eval_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (round 12): monotone association between
+# two quality signals — here document length (n_chars) vs BPE pre-token
+# count — the check a pipeline runs before trusting one signal as a
+# cheap proxy for another. Average ranks ride the per-value-tally +
+# two-phase-cumsum shape (x2 to stay integer under .5 ties); the output
+# is the exact tie-corrected sufficient-statistic row: n, the rank-
+# difference square sum (x4), per-signal tie terms sum(t^3 - t), and
+# the no-tie closed form rho = 1 - 6*sum(d^2)/(n^3-n) in exact ppm via
+# a remainder-subtracted decimal floor (ties here are corrections at
+# the ppm scale; the tie terms ship so the corrected rho is derivable
+# without re-scanning).
+@register(
+    "eval_spearman",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars AS x,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS y
+      FROM documents
+    ),
+    gx AS (SELECT x, COUNT(*) AS cnt FROM d GROUP BY x),
+    cx AS (
+      SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) - cnt AS n_below FROM gx
+    ),
+    gy AS (SELECT y, COUNT(*) AS cnt FROM d GROUP BY y),
+    cy AS (
+      SELECT y, cnt, SUM(cnt) OVER (ORDER BY y) - cnt AS n_below FROM gy
+    ),
+    r AS (
+      SELECT d.doc_id,
+             2 * cx.n_below + cx.cnt + 1 AS rx2,
+             2 * cy.n_below + cy.cnt + 1 AS ry2
+      FROM d JOIN cx ON cx.x = d.x JOIN cy ON cy.y = d.y
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM((rx2 - ry2) * (rx2 - ry2)) AS d2_x4
+      FROM r
+    ),
+    tx AS (SELECT SUM(cnt * cnt * cnt - cnt) AS tie_x FROM gx),
+    ty AS (SELECT SUM(cnt * cnt * cnt - cnt) AS tie_y FROM gy)
+    SELECT CAST(s.n AS BIGINT) AS n,
+           CAST(s.d2_x4 AS BIGINT) AS d2_x4,
+           CAST(tx.tie_x AS BIGINT) AS tie_x,
+           CAST(ty.tie_y AS BIGINT) AS tie_y,
+           CAST(1000000 - (6000000::HUGEINT * s.d2_x4)
+                // (4::HUGEINT * (s.n * s.n * s.n - s.n))
+                AS BIGINT) AS rho_no_ties_x1e6
+    FROM s, tx, ty
+    """,
+    tags=("eval", "stats", "rank"),
+    checkpointed=True,
+)
+def eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.regexp_count(F.col("text"), F.lit(pattern)).alias("y"),
+    )
+
+    def ranks2(col: str):
+        g = d.groupBy(col).agg(F.count("*").alias("cnt"))
+        cum = with_global_cumsum(g, [col], "cnt", "cum_end")
+        r = cum.select(
+            col,
+            (
+                2 * (F.col("cum_end") - F.col("cnt")) + F.col("cnt") + 1
+            ).alias(f"r{col}2"),
+        )
+        tie = g.agg(
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ).alias(f"tie_{col}")
+        )
+        return r, tie
+
+    rx, tiex = ranks2("x")
+    ry, tiey = ranks2("y")
+    r = d.join(rx, "x").join(ry, "y")
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("rx2") - F.col("ry2")) * (F.col("rx2") - F.col("ry2"))
+        ).alias("d2_x4"),
+    )
+    out = s.crossJoin(F.broadcast(tiex)).crossJoin(F.broadcast(tiey))
+    num = (F.lit(6000000).cast("decimal(38,0)") * F.col("d2_x4")).alias(
+        "snum"
+    )
+    den = (
+        F.lit(4).cast("decimal(38,0)")
+        * (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+    ).alias("den")
+    staged = out.select("n", "d2_x4", "tie_x", "tie_y", num, den)
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("d2_x4").cast("long").alias("d2_x4"),
+        F.col("tie_x").cast("long").alias("tie_x"),
+        F.col("tie_y").cast("long").alias("tie_y"),
+        (
+            F.lit(1000000)
+            - (
+                (F.col("snum") - F.pmod(F.col("snum"), F.col("den")))
+                / F.col("den")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rho_no_ties_x1e6"),
+    )

@@ -11,10 +11,10 @@ This list reorders the registry so the prefix is spent deliberately.
 
 Round-12 curation: the r1-r11 sample union stands at 260/260 — every
 pre-r12 query driver-green at least once, zero never-sampled. Round 12
-ADDED twelve oracled queries (the salted flagship twin, 4-D skyline,
+ADDED fourteen oracled queries (the salted flagship twin, 4-D skyline,
 Kruskal-Wallis, Kaplan-Meier, Heaps' law, source divergence, tokenizer
 fertility, Benford audit, deterministic split, token budget, embedding
-norms, MinHash clusters), which lead because they have NO driver
+norms, MinHash clusters, t-closeness, Spearman), which lead because they have NO driver
 evidence yet. The remaining slots buy FRESHNESS: the queries with the
 OLDEST driver evidence, oldest round first (the tail of the r6
 analytics block the r11 prefix did not reach). Regenerate with
@@ -26,6 +26,8 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
+    "privacy_t_closeness",  # NEW r12 — never driver-sampled
+    "eval_spearman",  # NEW r12 — never driver-sampled
     "statement_aggregation_salted",  # NEW r12 — never driver-sampled
     "part_skyline_4d",  # NEW r12 — never driver-sampled
     "eval_kruskal_wallis",  # NEW r12 — never driver-sampled
@@ -74,6 +76,4 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "events_gapfill_hourly",  # last driver sample: r7
     "events_holt_linear",  # last driver sample: r7
     "events_transition_matrix",  # last driver sample: r7
-    "global_sort_topk",  # last driver sample: r7
-    "graph_kcore_trade",  # last driver sample: r7
 )

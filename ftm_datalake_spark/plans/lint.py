@@ -37,6 +37,8 @@ BNLJ_OK = frozenset(
         "corpus_token_budget",
         "dq_benford_first_digit",
         "eval_kruskal_wallis",
+        "eval_spearman",
+        "privacy_t_closeness",
         "events_kaplan_meier",
         "text_source_divergence",
         "customer_rfm_segments",

@@ -123,3 +123,51 @@ def privacy_generalization_ladder(
     return generalization_ladder(
         docs, "source", "n_chars", _WIDTHS, k=_K
     ).orderBy("source")
+
+
+_T_PPM = 300000  # t = 0.3
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH gs AS (
+      SELECT lang, CAST(n_chars - n_chars % 500 AS BIGINT) AS bucket,
+             source, COUNT(*) AS c_gs
+      FROM documents GROUP BY lang, bucket, source
+    ),
+    g AS (SELECT lang, bucket, SUM(c_gs) AS c_g FROM gs GROUP BY lang, bucket),
+    s AS (SELECT source, SUM(c_gs) AS c_s FROM gs GROUP BY source),
+    tot AS (SELECT SUM(c_s) AS c FROM s),
+    terms AS (
+      SELECT gs.lang, gs.bucket, g.c_g, tot.c,
+             ABS(gs.c_gs * tot.c - s.c_s * g.c_g) AS num
+      FROM gs
+      JOIN s ON s.source = gs.source
+      JOIN g ON g.lang = gs.lang AND g.bucket = gs.bucket
+      CROSS JOIN tot
+    )
+    SELECT lang, bucket,
+           CAST(c_g AS BIGINT) AS n,
+           CAST(SUM(num) * 1000000 // (2 * c_g * c) AS BIGINT) AS t_ppm,
+           SUM(num) * 1000000 // (2 * c_g * c) <= {_T_PPM} AS close
+    FROM terms
+    GROUP BY lang, bucket, c_g, c
+    ORDER BY lang, bucket
+    """,
+    tags=("privacy", "agg"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over (lang, 500-char bucket) classes with `source`
+    as the sensitive attribute — completes the k-anonymity /
+    l-diversity / t-closeness release-audit trio. Exact-ppm total
+    variation per class (operators/privacy.t_closeness_audit)."""
+    from ftm_datalake_spark.operators.privacy import t_closeness_audit
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket",
+        (F.col("n_chars") - F.col("n_chars") % 500).cast("long"),
+    )
+    return t_closeness_audit(
+        docs, ["lang", "bucket"], "source", t_ppm=_T_PPM
+    ).orderBy("lang", "bucket")

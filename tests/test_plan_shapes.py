@@ -94,6 +94,8 @@ GLOBAL_SCALAR_OK = {
     "corpus_token_budget",
     "dq_benford_first_digit",
     "eval_kruskal_wallis",
+    "eval_spearman",
+    "privacy_t_closeness",
     "events_kaplan_meier",
     "text_source_divergence",
     "orders_basket_size_distribution",  # total over the <=7-row histogram frame
