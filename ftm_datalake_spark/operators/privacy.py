@@ -128,10 +128,18 @@ def t_closeness_audit(
     2007): a group whose sensitive-attribute DISTRIBUTION skews far
     from the corpus-wide one still leaks (skewness attack), even with
     many distinct values. Distance is total variation in exact ppm
-    (the categorical EMD): t = (1/2) * sum_s |P(s|group) - P(s)|,
-    computed as integer rationals |c_gs*C - c_s*C_g| // (2*C_g*C) —
-    no float anywhere. Plan shape: two hash aggs (group x sensitive,
-    then group) against broadcast global tallies."""
+    (the categorical EMD): t = (1/2) * sum_s |P(s|g) - P(s)| over the
+    WHOLE sensitive domain. Because both distributions sum to 1, that
+    equals the sum of POSITIVE deviations only, t = sum_s max(P(s|g) -
+    P(s), 0) — and a value ABSENT from the group deviates negatively,
+    contributing zero. So summing over the (group x sensitive) pairs
+    actually PRESENT is exact, no cross join over the domain needed
+    (ADVICE r12 #2: the former |·|/2 over present pairs dropped the
+    absent values' |0 - P(s)| mass and undercounted t — a one-value
+    group in a 50/50 corpus scored 0.25, not the true 0.5). Integer
+    rationals throughout: max(c_gs*C - c_s*C_g, 0) // (C_g*C), no
+    float anywhere. Plan shape: two hash aggs (group x sensitive, then
+    group) against broadcast global tallies."""
     gs = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count("*").alias("c_gs")
     )
@@ -146,8 +154,9 @@ def t_closeness_audit(
             *quasi_cols,
             "c_g",
             "c",
-            F.abs(
-                F.col("c_gs") * F.col("c") - F.col("c_s") * F.col("c_g")
+            F.greatest(
+                F.col("c_gs") * F.col("c") - F.col("c_s") * F.col("c_g"),
+                F.lit(0),
             ).alias("num"),
         )
     )
@@ -157,7 +166,7 @@ def t_closeness_audit(
         .select(
             *quasi_cols,
             F.col("c_g").cast("long").alias("n"),
-            F.expr("(num_sum * 1000000) div (2 * c_g * c)")
+            F.expr("(num_sum * 1000000) div (c_g * c)")
             .cast("long")
             .alias("t_ppm"),
         )

@@ -141,7 +141,7 @@ _T_PPM = 300000  # t = 0.3
     tot AS (SELECT SUM(c_s) AS c FROM s),
     terms AS (
       SELECT gs.lang, gs.bucket, g.c_g, tot.c,
-             ABS(gs.c_gs * tot.c - s.c_s * g.c_g) AS num
+             GREATEST(gs.c_gs * tot.c - s.c_s * g.c_g, 0) AS num
       FROM gs
       JOIN s ON s.source = gs.source
       JOIN g ON g.lang = gs.lang AND g.bucket = gs.bucket
@@ -149,8 +149,8 @@ _T_PPM = 300000  # t = 0.3
     )
     SELECT lang, bucket,
            CAST(c_g AS BIGINT) AS n,
-           CAST(SUM(num) * 1000000 // (2 * c_g * c) AS BIGINT) AS t_ppm,
-           SUM(num) * 1000000 // (2 * c_g * c) <= {_T_PPM} AS close
+           CAST(SUM(num) * 1000000 // (c_g * c) AS BIGINT) AS t_ppm,
+           SUM(num) * 1000000 // (c_g * c) <= {_T_PPM} AS close
     FROM terms
     GROUP BY lang, bucket, c_g, c
     ORDER BY lang, bucket

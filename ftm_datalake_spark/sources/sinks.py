@@ -805,14 +805,19 @@ def write_webdataset_shards(
 
         fs, root_path = _generic_fs
         base = str(root_path).rstrip("/")
+        # recorded paths keep the caller's URI form: pyarrow's from_uri
+        # strips the scheme (gs://bucket/dir -> bucket/dir), and a
+        # scheme-less manifest entry is unresolvable by consumers and
+        # inconsistent with the local/s3 tiers (ADVICE r12 #4)
+        uri_base = out_dir.rstrip("/")
 
         def write_shard_fs(pdf: pd.DataFrame) -> pd.DataFrame:
             shard_id = int(pdf["__shard"].iloc[0])
             data = _webdataset_tar_bytes(pdf, key_col, text_col, binary_col)
-            target = f"{base}/{prefix}-{shard_id:06d}.tar"
-            _task_fs_put(fs, target, data)
+            name = f"{prefix}-{shard_id:06d}.tar"
+            _task_fs_put(fs, f"{base}/{name}", data)
             return pd.DataFrame(
-                [{"shard_id": shard_id, "path": target,
+                [{"shard_id": shard_id, "path": f"{uri_base}/{name}",
                   "n_samples": len(pdf),
                   "sha256": hashlib.sha256(data).hexdigest()}]
             )

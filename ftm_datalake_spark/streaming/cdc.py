@@ -271,15 +271,36 @@ def run_cdc_upsert_stream_pointer(
     the same generation dir, and flips. The flip itself is the only
     publication event and is a single-object atomic replace.
 
+    A kill AFTER the flip but before the streaming checkpoint commits
+    closes the last window (ADVICE r12 #1): the re-delivered batch
+    finds the pointer already naming its own generation — re-merging
+    would read ``gen-<batch>`` and overwrite the very path it is lazily
+    reading (plan rejection or mid-read corruption). Generation names
+    are deterministic per batch id, so this replay is detected EXACTLY
+    (``live`` resolves to a generation >= the incoming batch id) and
+    the batch returns without touching data — the publish already
+    happened, only the checkpoint record was lost.
+
     GC: generations older than the newest ``keep`` are deleted after
     each successful flip (never the one the pointer names). ``keep >= 2``
     leaves the previous generation for in-flight readers; raise it if
     readers may lag more than one batch behind."""
 
+    def _age(name: str) -> int:
+        tail = name[len("gen-"):]
+        return int(tail) if tail.isdigit() else -1
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch.sparkSession
         base = base_dir.rstrip("/")
         live = _read_pointer(spark, base)
+        if _age(live) >= batch_id:
+            # Replay after publish (ADVICE r12 #1): the crash landed
+            # between the pointer flip and the checkpoint commit, so
+            # this batch's generation IS (or precedes) the live one.
+            # Re-merging would overwrite the directory being read;
+            # the exact gen-name check makes the skip precise.
+            return
         snap = spark.read.parquet(f"{base}/{live}")
         data_cols = list(snap.columns)
         merged = apply_cdc(snap, batch, key_cols).select(*data_cols)
@@ -292,10 +313,6 @@ def run_cdc_upsert_stream_pointer(
         # never the live one — metadata-only deletes. gen-init is the
         # oldest by definition (lexicographic order would rank it after
         # every numeric generation).
-        def _age(name: str) -> int:
-            tail = name[len("gen-"):]
-            return int(tail) if tail.isdigit() else -1
-
         gens = sorted(
             (n for n in fsutil.list_names(spark, base) if n.startswith("gen-")),
             key=_age,

@@ -102,8 +102,13 @@ def stream_webdataset_publish(
                 "sha256": m["sha256"],
                 "batch_id": batch_id,
             }
+        # batch_id is absent from entries a prior BATCH sink wrote into
+        # the same directory (write_manifest=True) — sort those first
+        # (-1) instead of KeyError-ing the first streaming batch that
+        # adopts the directory (ADVICE r12 #3)
         merged = sorted(
-            current.values(), key=lambda m: (m["batch_id"], m["shard_id"])
+            current.values(),
+            key=lambda m: (m.get("batch_id", -1), m["shard_id"]),
         )
         fsutil.write_bytes_atomic(
             spark,
