@@ -146,7 +146,7 @@ def main() -> None:
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     total = round(sum(timings.values()), 3)
-    payload = {
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -170,8 +170,45 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        detail["errors"] = errors
+
+    # Two-artifact output (VERDICT r12 #1): the driver's permanent
+    # record keeps only a ~2,000-char stdout tail, and r12's canary
+    # series pushed the single JSON line past it — BENCH_r12.json
+    # recorded `parsed: null` with the raw total truncated away. So
+    # the full per-query/spread/canary detail goes to a SIDECAR file
+    # (BENCH_DETAIL.json next to this script, or $BENCH_DETAIL_OUT;
+    # the round workflow copies it to BENCH_LOCAL_r{N}.json), and
+    # stdout gets ONE COMPACT summary line (< 1 kB) printed LAST so
+    # the tail capture always contains a parseable object carrying
+    # the raw total.
+    detail_path = os.environ.get(
+        "BENCH_DETAIL_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        ),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout still gets the compact line
+
+    compact = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "value_normalized": detail["value_normalized"],
+        "canary_drift_ratio": detail["canary_drift_ratio"],
+        "canary_median_sec": detail["canary_median_sec"],
+        "ref_canary_sec": ref_canary,
+    }
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in errors.items()}
+    print(json.dumps(compact))
     spark.stop()
 
 
