@@ -878,25 +878,13 @@ def write_webdataset_shards(
     if not write_manifest:
         return manifest
     payload = json.dumps(manifest, indent=1).encode("utf-8")
-    if scheme in ("", "file"):
-        base = fsutil_strip(out_dir)
-        with open(os.path.join(base, "manifest.json"), "wb") as fh:
-            fh.write(payload)
-    elif scheme == "s3":
-        from ftm_datalake_spark.sources.archive import _s3_put_verified
-        from ftm_datalake_spark.sources.s3_store import _client
+    # one metadata tier for every scheme (round 13): local os.replace,
+    # s3 ETag-verified PUT, pyarrow-resolvable schemes, JVM fallback
+    from ftm_datalake_spark import fsutil_py
 
-        key_prefix = parsed.path.strip("/")
-        key = f"{key_prefix}/manifest.json" if key_prefix else "manifest.json"
-        _s3_put_verified(
-            _client(dict(s3_conn or {})), parsed.netloc, key, payload
-        )
-    else:
-        from ftm_datalake_spark import fsutil
-
-        fsutil.write_bytes_atomic(
-            spark, out_dir.rstrip("/") + "/manifest.json", payload
-        )
+    fsutil_py.write_bytes_atomic(
+        spark, out_dir.rstrip("/") + "/manifest.json", payload, s3_conn
+    )
     return manifest
 
 

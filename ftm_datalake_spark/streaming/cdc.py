@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ftm_datalake_spark import fsutil
+from ftm_datalake_spark import fsutil, fsutil_py
 from ftm_datalake_spark.operators.documents import apply_cdc
 
 
@@ -215,14 +215,18 @@ def _gen_name(batch_id: int) -> str:
     return f"gen-{batch_id:012d}"
 
 
-def _read_pointer(spark: SparkSession, base_dir: str) -> str:
-    raw = fsutil.read_bytes_with_fallback(
-        spark, f"{base_dir.rstrip('/')}/{POINTER_NAME}"
+def _read_pointer(
+    spark: SparkSession, base_dir: str, s3_conn: dict | None = None
+) -> str:
+    raw = fsutil_py.read_bytes_with_fallback(
+        spark, f"{base_dir.rstrip('/')}/{POINTER_NAME}", s3_conn
     )
     return raw.decode("utf-8").strip()
 
 
-def init_pointer_snapshot(df: DataFrame, base_dir: str) -> None:
+def init_pointer_snapshot(
+    df: DataFrame, base_dir: str, s3_conn: dict | None = None
+) -> None:
     """Materialize the pointer-managed layout: the initial state lands
     as an immutable generation directory and the pointer file names it.
     The pointer write itself is the publish — a crash before it leaves
@@ -230,18 +234,20 @@ def init_pointer_snapshot(df: DataFrame, base_dir: str) -> None:
     base = base_dir.rstrip("/")
     gen = "gen-init"
     df.write.mode("overwrite").parquet(f"{base}/{gen}")
-    fsutil.write_bytes_atomic(
-        df.sparkSession, f"{base}/{POINTER_NAME}", gen.encode("utf-8")
+    fsutil_py.write_bytes_atomic(
+        df.sparkSession, f"{base}/{POINTER_NAME}", gen.encode("utf-8"), s3_conn
     )
 
 
-def read_pointer_snapshot(spark: SparkSession, base_dir: str) -> DataFrame:
+def read_pointer_snapshot(
+    spark: SparkSession, base_dir: str, s3_conn: dict | None = None
+) -> DataFrame:
     """Resolve the live generation through the pointer file and read
     it. Generations are immutable once published, so a reader holding
     this DataFrame is unaffected by later batches (until GC reclaims
     generations older than ``keep``)."""
     base = base_dir.rstrip("/")
-    return spark.read.parquet(f"{base}/{_read_pointer(spark, base)}")
+    return spark.read.parquet(f"{base}/{_read_pointer(spark, base, s3_conn)}")
 
 
 def run_cdc_upsert_stream_pointer(
@@ -250,6 +256,7 @@ def run_cdc_upsert_stream_pointer(
     checkpoint_dir: str,
     key_cols: list[str],
     keep: int = 2,
+    s3_conn: dict | None = None,
 ) -> StreamingQuery:
     """Object-store-safe form of :func:`run_cdc_upsert_stream`
     (ADVICE r11 #2): the snapshot is a set of IMMUTABLE generation
@@ -284,7 +291,16 @@ def run_cdc_upsert_stream_pointer(
     GC: generations older than the newest ``keep`` are deleted after
     each successful flip (never the one the pointer names). ``keep >= 2``
     leaves the previous generation for in-flight readers; raise it if
-    readers may lag more than one batch behind."""
+    readers may lag more than one batch behind.
+
+    Metadata plane (pointer read/flip, generation listing, GC deletes)
+    goes through fsutil_py — pure Python on local, ``s3://`` (via
+    ``s3_conn``), and pyarrow-resolvable schemes, JVM fsutil only for
+    viewfs-style schemes (VERDICT r12 next-round #3). The DATA plane
+    (generation parquet) still reads/writes through Spark's Hadoop
+    client, so ``base_dir`` must be Spark-resolvable for the parquet
+    IO — the honest split: a pure-s3 deployment without s3a jars can
+    host the pointer protocol but not the parquet generations."""
 
     def _age(name: str) -> int:
         tail = name[len("gen-"):]
@@ -293,7 +309,7 @@ def run_cdc_upsert_stream_pointer(
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch.sparkSession
         base = base_dir.rstrip("/")
-        live = _read_pointer(spark, base)
+        live = _read_pointer(spark, base, s3_conn)
         if _age(live) >= batch_id:
             # Replay after publish (ADVICE r12 #1): the crash landed
             # between the pointer flip and the checkpoint commit, so
@@ -306,20 +322,24 @@ def run_cdc_upsert_stream_pointer(
         merged = apply_cdc(snap, batch, key_cols).select(*data_cols)
         gen = _gen_name(batch_id)
         merged.write.mode("overwrite").parquet(f"{base}/{gen}")
-        fsutil.write_bytes_atomic(
-            spark, f"{base}/{POINTER_NAME}", gen.encode("utf-8")
+        fsutil_py.write_bytes_atomic(
+            spark, f"{base}/{POINTER_NAME}", gen.encode("utf-8"), s3_conn
         )
         # GC: immutable gens strictly older than the newest `keep`,
         # never the live one — metadata-only deletes. gen-init is the
         # oldest by definition (lexicographic order would rank it after
         # every numeric generation).
         gens = sorted(
-            (n for n in fsutil.list_names(spark, base) if n.startswith("gen-")),
+            (
+                n
+                for n in fsutil_py.list_names(spark, base, s3_conn)
+                if n.startswith("gen-")
+            ),
             key=_age,
         )
         for old in gens[:-keep] if keep > 0 else []:
             if old != gen:
-                fsutil.delete(spark, f"{base}/{old}")
+                fsutil_py.delete(spark, f"{base}/{old}", s3_conn=s3_conn)
 
     return (
         changes.writeStream.foreachBatch(apply_batch)
