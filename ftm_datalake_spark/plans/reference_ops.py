@@ -275,6 +275,80 @@ def statement_aggregation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Auto-salt flagship twin (VERDICT r12 next-round #5): same aggregation,
+# but the salting decision comes from the sampled skew probe
+# (operators/statements._auto_salt_buckets — deterministic seed, one
+# sampled hash-agg). Same oracle as the flagship: either branch is
+# bit-identical output, and the driver gate proves the probe's pick
+# never changes the answer.
+@register(
+    "statement_aggregation_auto",
+    oracle="""
+    WITH s AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS canonical_id,
+             event_type AS prop,
+             CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+      FROM events
+    ),
+    per_prop AS (
+      SELECT canonical_id, prop,
+             array_to_string(list_sort(list(DISTINCT value)), ',') AS vals
+      FROM s GROUP BY canonical_id, prop
+    )
+    SELECT canonical_id,
+           array_to_string(list_sort(list(prop || '=' || vals)), '|') AS properties,
+           COUNT(*) AS n_props
+    FROM per_prop
+    GROUP BY canonical_id
+    ORDER BY canonical_id
+    """,
+    tags=("agg", "reference", "flagship", "skew"),
+)
+def statement_aggregation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.statements import _auto_salt_buckets
+
+    events = load_table(spark, sf_dir, "events")
+    stmts = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("canonical_id"),
+        F.col("event_type").alias("prop"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"),
+    )
+    buckets = _auto_salt_buckets(stmts)
+    if buckets:
+        salt = F.pmod(F.xxhash64("value"), F.lit(buckets))
+        partial = stmts.groupBy(
+            "canonical_id", "prop", salt.alias("__salt")
+        ).agg(F.collect_set("value").alias("__pvals"))
+        per_prop = partial.groupBy("canonical_id", "prop").agg(
+            F.array_join(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list("__pvals")))
+                ),
+                ",",
+            ).alias("vals")
+        )
+    else:
+        per_prop = stmts.groupBy("canonical_id", "prop").agg(
+            F.array_join(F.sort_array(F.collect_set("value")), ",").alias(
+                "vals"
+            )
+        )
+    return (
+        per_prop.groupBy("canonical_id")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.concat(F.col("prop"), F.lit("="), F.col("vals")))
+                ),
+                "|",
+            ).alias("properties"),
+            F.count("*").alias("n_props"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # A1/A3/A5: per-source dataset stats → catalog fan-in.
 # Reference: make_index(), ftm_datalake/archive/dataset.py:177-196.
 @register(
