@@ -170,21 +170,79 @@ def generate(spark, src_dir: str) -> None:
         ).parquet(os.path.join(PROBE_DIR, f"{dim}.parquet"))
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def _canary(spark) -> float:
+    """Host-speed reading: the same data-independent hash-agg bench.py
+    uses (one shuffle, no I/O), so probe and bench canaries are
+    directly comparable."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 100_000_000, 1, 32)
+        .groupBy((F.col("id") % 4096).alias("k"))
+        .agg(F.sum(F.hash("id").cast("long")).alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def _robust_sec(samples: list[float]) -> float:
+    """Median after outlier rejection: drop samples > 2.5x the block
+    minimum (the shared host shows multi-second CPU-starvation bursts
+    that a plain median still absorbs at n=3), then take the median of
+    the survivors — VERDICT r12 next-round #4's replacement for
+    min-of-3, which could equally pick a suspiciously fast window."""
+    keep = sorted(s for s in samples if s <= 2.5 * min(samples))
+    mid = len(keep) // 2
+    return keep[mid] if len(keep) % 2 else round(
+        (keep[mid - 1] + keep[mid]) / 2, 3
+    )
+
+
+def time_queries(spark, sf_dir: str) -> dict:
+    """Per-query robust seconds with INTERLEAVED canaries (VERDICT r12
+    next-round #4, the bench.py hardening applied here): a host-speed
+    reading before each query and one after the block, so every
+    measurement normalizes by its nearest canary window and a tenancy
+    outlier or fast window cannot print a fake decade ratio."""
     from ftm_datalake_spark.plans import REGISTRY
 
-    out: dict[str, float] = {}
+    timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    canaries: list[float] = [min(_canary(spark), _canary(spark))]
     for name in HEADLINERS:
         builder = REGISTRY[name].builder
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         samples = []
-        for _ in range(3):
+        for attempt in range(5):
             t0 = time.perf_counter()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
-        out[name] = min(samples)
-        print(f"{sf_dir} {name}: {min(samples)} {samples}", flush=True)
-    return out
+            # 3 clean samples suffice; keep sampling only while the
+            # spread says the host was bursty during this block
+            if attempt >= 2 and max(samples) <= 2.0 * min(samples):
+                break
+        timings[name] = _robust_sec(samples)
+        spreads[name] = samples
+        canaries.append(_canary(spark))
+        print(f"{sf_dir} {name}: {timings[name]} {samples}", flush=True)
+    # per-query normalization by the nearest canary window (the
+    # reading before and after the query), like bench.py's
+    normalized = {}
+    for idx, name in enumerate(HEADLINERS):
+        nearest = min(canaries[idx], canaries[idx + 1])
+        if nearest:
+            normalized[name] = round(timings[name] / nearest, 3)
+    drift = (
+        round(max(canaries) / min(canaries), 3) if min(canaries) else None
+    )
+    return {
+        "sec": timings,
+        "sec_normalized": normalized,
+        "samples": spreads,
+        "canaries": canaries,
+        "canary_drift_ratio": drift,
+    }
 
 
 def probe_incremental_fold(spark, src_dir: str) -> dict:
@@ -678,8 +736,10 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.exists(os.path.join(PROBE_DIR, "lineitem.parquet")):
         generate(spark, src)
-    sf01 = time_queries(spark, src)
-    sf10 = time_queries(spark, PROBE_DIR)
+    blk01 = time_queries(spark, src)
+    blk10 = time_queries(spark, PROBE_DIR)
+    sf01, sf10 = blk01["sec"], blk10["sec"]
+    n01, n10 = blk01["sec_normalized"], blk10["sec_normalized"]
     # DEMO-config queries (VERDICT r11 next-round #6): shapes whose
     # registry parameters are sized for oracle-readable demos, not the
     # 100 TB configuration — their decade ratios measure the demo
@@ -692,12 +752,30 @@ def main() -> None:
     payload = {
         "sf0.1": sf01,
         "sf1.0": sf10,
+        # headline decade ratios are CANARY-NORMALIZED (each query's
+        # robust median divided by its nearest host-speed reading in
+        # its own block), so host drift between the two blocks cannot
+        # masquerade as super/sub-linear scaling; `ratio_raw` keeps
+        # the unnormalized view for transparency
         "ratio": {
+            k: round(n10[k] / n01[k], 2)
+            for k in n01
+            if k not in demo and k in n10
+        },
+        "ratio_raw": {
             k: round(sf10[k] / sf01[k], 2) for k in sf01 if k not in demo
         },
         "ratio_demo": {
-            k: round(sf10[k] / sf01[k], 2) for k in sf01 if k in demo
+            k: round(n10[k] / n01[k], 2)
+            for k in n01
+            if k in demo and k in n10
         },
+        "canaries_sf0.1": blk01["canaries"],
+        "canaries_sf1.0": blk10["canaries"],
+        "canary_drift_ratio_sf0.1": blk01["canary_drift_ratio"],
+        "canary_drift_ratio_sf1.0": blk10["canary_drift_ratio"],
+        "samples_sf0.1": blk01["samples"],
+        "samples_sf1.0": blk10["samples"],
         "ratio_demo_note": (
             "demo-sized configs (4-shard packing); the wide variants in "
             "`ratio` are the 100 TB configurations"
