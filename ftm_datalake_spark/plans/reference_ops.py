@@ -382,6 +382,64 @@ def dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A1-A3/A5 incremental twin (VERDICT r12 stretch #8): the same dataset
+# stats derived through the delta-aware fold — build partial state on
+# the base slice, fold an add batch, fold a delete batch, derive. The
+# oracle recomputes from the equivalent final corpus, so driver
+# evidence proves fold == full-recompute equality end-to-end.
+# Operator: operators/stats_fold.py (reference recomputes from scratch:
+# /root/reference/ftm_datalake/archive/dataset.py:177-196).
+@register(
+    "dataset_stats_incremental",
+    oracle="""
+    SELECT source AS dataset,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+    FROM documents
+    WHERE doc_id % 4 <> 0
+    GROUP BY source
+    ORDER BY dataset
+    """,
+    tags=("agg", "reference", "incremental"),
+)
+def dataset_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.stats_fold import (
+        build_stats_state,
+        fold_stats_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    kw = dict(
+        dataset_col="source", measure_col="n_chars", dim_cols=["lang"]
+    )
+    state = build_stats_state(docs.where(F.col("doc_id") % 10 != 0), **kw)
+    state = fold_stats_state(
+        state, adds=docs.where(F.col("doc_id") % 10 == 0), **kw
+    )
+    state = fold_stats_state(
+        state, deletes=docs.where(F.col("doc_id") % 4 == 0), **kw
+    )
+    doc = state.where(F.col("facet") == "doc").select(
+        "dataset",
+        F.col("n").alias("n_docs"),
+        F.col("val").alias("total_chars"),
+    )
+    langs = (
+        state.where((F.col("facet") == "lang") & (F.col("n") > 0))
+        .groupBy("dataset")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("key_str")), ",").alias(
+                "langs"
+            )
+        )
+    )
+    return doc.join(langs, "dataset").orderBy("dataset")
+
+
+# --------------------------------------------------------------------------
 # A2/P5: schema facets via a case-mapped class column.
 # Reference: mime→schema map ftm_datalake/util.py:19-38 + Collector facets.
 _LANG_SCHEMA_CASES = (
