@@ -9,15 +9,14 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-12 curation: the r1-r11 sample union stands at 260/260 — every
-pre-r12 query driver-green at least once, zero never-sampled. Round 12
-ADDED fourteen oracled queries (the salted flagship twin, 4-D skyline,
-Kruskal-Wallis, Kaplan-Meier, Heaps' law, source divergence, tokenizer
-fertility, Benford audit, deterministic split, token budget, embedding
-norms, MinHash clusters, t-closeness, Spearman), which lead because they have NO driver
-evidence yet. The remaining slots buy FRESHNESS: the queries with the
-OLDEST driver evidence, oldest round first (the tail of the r6
-analytics block the r11 prefix did not reach). Regenerate with
+Round-13 curation: the r1-r12 sample union stands at 274/274 — every
+pre-r13 query driver-green at least once, zero never-sampled. Round 13
+ADDED two oracled queries (the auto-salt flagship twin and the
+delta-aware stats fold), which lead because they have NO driver
+evidence yet. Then the r7-stale tranche the r12 verdict named
+explicitly (sketch_* block, five TPC-H heads, the graph pair, the
+r5-era text/search/quality rows — the OLDEST driver evidence left),
+then the oldest of the r8 block. Regenerate with
 scripts/gen_evidence.py each round.
 
 Everything not listed keeps registration order after these.
@@ -26,54 +25,54 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    "privacy_t_closeness",  # NEW r12 — never driver-sampled
-    "eval_spearman",  # NEW r12 — never driver-sampled
-    "statement_aggregation_salted",  # NEW r12 — never driver-sampled
-    "part_skyline_4d",  # NEW r12 — never driver-sampled
-    "eval_kruskal_wallis",  # NEW r12 — never driver-sampled
-    "events_kaplan_meier",  # NEW r12 — never driver-sampled
-    "corpus_heaps_law",  # NEW r12 — never driver-sampled
-    "text_source_divergence",  # NEW r12 — never driver-sampled
-    "text_tokenizer_fertility",  # NEW r12 — never driver-sampled
-    "dq_benford_first_digit",  # NEW r12 — never driver-sampled
-    "sample_deterministic_split",  # NEW r12 — never driver-sampled
-    "corpus_token_budget",  # NEW r12 — never driver-sampled
-    "embedding_norm_stats",  # NEW r12 — never driver-sampled
-    "dedup_minhash_clusters",  # NEW r12 — never driver-sampled
-    "part_substitution_candidates",  # last driver sample: r6
-    "pii_redact",  # last driver sample: r6
-    "pit_labeled_examples",  # last driver sample: r6
-    "pivot_user_event_counts",  # last driver sample: r6
-    "rolling_7day_revenue",  # last driver sample: r6
-    "salted_hot_key_agg",  # last driver sample: r6
-    "salted_hot_key_join",  # last driver sample: r6
-    "slugify_keys",  # last driver sample: r6
-    "supplier_concentration_hhi",  # last driver sample: r6
-    "text_langid_confusion",  # last driver sample: r6
-    "text_vocab_oov_rate",  # last driver sample: r6
-    "tfidf_top_terms",  # last driver sample: r6
-    "unpivot_event_matrix",  # last driver sample: r6
-    "window_rank_functions",  # last driver sample: r6
-    "anti_join_unsold_parts",  # last driver sample: r7
-    "corpus_report_card",  # last driver sample: r7
-    "dq_profile_drift_documents",  # last driver sample: r7
-    "dq_skew_report_orders",  # last driver sample: r7
-    "dq_table_profile_documents",  # last driver sample: r7
-    "dq_validation_suite",  # last driver sample: r7
-    "embedding_pca_power",  # last driver sample: r7
-    "er_block_stats",  # last driver sample: r7
-    "er_blocked_matches",  # last driver sample: r7
-    "er_fellegi_sunter_matches",  # last driver sample: r7
-    "er_fuzzy_part_names",  # last driver sample: r7
-    "er_golden_record",  # last driver sample: r7
-    "eval_auc_quality",  # last driver sample: r7
-    "eval_calibration_bins",  # last driver sample: r7
-    "eval_cohens_kappa",  # last driver sample: r7
-    "eval_lift_deciles",  # last driver sample: r7
-    "eval_pr_threshold_sweep",  # last driver sample: r7
-    "events_cohort_retention",  # last driver sample: r7
-    "events_funnel",  # last driver sample: r7
-    "events_gapfill_hourly",  # last driver sample: r7
-    "events_holt_linear",  # last driver sample: r7
-    "events_transition_matrix",  # last driver sample: r7
+    "statement_aggregation_auto",  # NEW r13 — never driver-sampled
+    "dataset_stats_incremental",  # NEW r13 — never driver-sampled
+    "global_sort_topk",  # last driver sample: r7
+    "graph_kcore_trade",  # last driver sample: r7
+    "graph_weighted_sssp",  # last driver sample: r7
+    "q12_priority_shipmode",  # last driver sample: r7
+    "q14_promo_share",  # last driver sample: r7
+    "q18_large_orders",  # last driver sample: r7
+    "q19_disjunctive_revenue",  # last driver sample: r7
+    "q1_pricing_summary",  # last driver sample: r7
+    "q3_shipping_priority",  # last driver sample: r7
+    "q5_region_revenue",  # last driver sample: r7
+    "quality_gopher_rules",  # last driver sample: r7
+    "quality_iqr_outliers",  # last driver sample: r7
+    "search_hybrid_rrf",  # last driver sample: r7
+    "semantic_dedup_pairs",  # last driver sample: r7
+    "semi_join_big_spenders",  # last driver sample: r7
+    "set_intersect_nations",  # last driver sample: r7
+    "sketch_bloom_decontaminate",  # last driver sample: r7
+    "sketch_cms_heavy_hitters",  # last driver sample: r7
+    "sketch_hll_by_event_type",  # last driver sample: r7
+    "sketch_hll_distinct_users",  # last driver sample: r7
+    "sketch_theta_set_ops",  # last driver sample: r7
+    "text_phrase_search",  # last driver sample: r7
+    "text_ranked_search",  # last driver sample: r7
+    "window_running_total",  # last driver sample: r7
+    "above_type_average_parts",  # last driver sample: r8
+    "ann_cosine_topk",  # last driver sample: r8
+    "ann_cosine_topk_vectorized",  # last driver sample: r8
+    "ann_ivf_topk",  # last driver sample: r8
+    "ann_lsh_topk",  # last driver sample: r8
+    "coalesce_source_url",  # last driver sample: r8
+    "corpus_curation",  # last driver sample: r8
+    "corpus_curation_v2",  # last driver sample: r8
+    "corpus_epoch_packing",  # last driver sample: r8
+    "corpus_epoch_packing_wide",  # last driver sample: r8
+    "corpus_epoch_shards",  # last driver sample: r8
+    "corpus_pipeline_e2e",  # last driver sample: r8
+    "corpus_segment_ledger",  # last driver sample: r8
+    "coverage_intervals",  # last driver sample: r8
+    "dataset_stats",  # last driver sample: r8
+    "dedup_common_segments",  # last driver sample: r8
+    "distinct_line_set",  # last driver sample: r8
+    "docs_latest_wins",  # last driver sample: r8
+    "docs_merge_upsert",  # last driver sample: r8
+    "embedding_kmeans",  # last driver sample: r8
+    "embedding_neardup",  # last driver sample: r8
+    "entity_projection",  # last driver sample: r8
+    "events_hourly_rollup",  # last driver sample: r8
+    "events_p90_value_by_type",  # last driver sample: r8
 )
