@@ -102,6 +102,192 @@ def build_ivf_index(
     return stats
 
 
+# ------------------------------------------------------------------ PQ layer
+PQ_META = "pq_meta.json"
+
+
+def _pq_subdist(vec_col, ref: list[int], s: int, sub: int):
+    """Exact integer squared distance between ``q``'s s-th subvector
+    and a codebook entry — the same ADC arithmetic as
+    similarity.pq_encode_topk (integer-replayable, no float order)."""
+    ref_arr = F.array(*[F.lit(int(v)).cast("long") for v in ref])
+    sl = F.slice(vec_col, s * sub + 1, sub)
+    return F.aggregate(
+        F.zip_with(sl, ref_arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_code_col(vec_col, codebook: list[list[list[int]]], s: int, sub: int):
+    """argmin over codebook entries for subspace ``s`` (id tiebreak)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _pq_subdist(vec_col, codebook[c][s], s, sub).alias("d"),
+                F.lit(c).cast("int").alias("c"),
+            )
+            for c in range(len(codebook))
+        ]
+    )
+    return F.array_min(scored)["c"]
+
+
+def _train_pq_codebooks(
+    rows: DataFrame,
+    n_subspaces: int,
+    codebook_size: int,
+    lloyd_steps: int = 2,
+) -> list[list[list[int]]]:
+    """Train PQ codebooks from (vid, q) rows: md5-order seed vectors
+    (a deterministic sample of the CURRENT corpus) refined by
+    ``lloyd_steps`` exact-integer Lloyd steps per subspace (assign
+    every subvector to its nearest entry, recenter as round(mean) —
+    one corpus pass per step, all subspaces at once). Because the
+    seeds and the refinement are drawn from the data the codebooks are
+    trained on, a retrain after drifted appends genuinely moves them —
+    the refresh :func:`rebuild_ivf_index` ``pq=True`` performs. Driver
+    state is the codebook only: n_subspaces x codebook_size x sub
+    ints."""
+    dims = rows.select(F.size("q").alias("d")).first()["d"]
+    sub = dims // n_subspaces
+    seeds = (
+        rows.withColumn("__ord", F.md5(F.col("vid").cast("string")))
+        .orderBy("__ord", "vid")
+        .limit(codebook_size)
+        .collect()
+    )
+    codebook = [
+        [list(r["q"])[s * sub : (s + 1) * sub] for s in range(n_subspaces)]
+        for r in seeds
+    ]
+    for _ in range(max(lloyd_steps, 0)):
+        exploded = rows.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("q", s * sub + 1, sub).alias("v"),
+                            _pq_code_col(
+                                F.col("q"), codebook, s, sub
+                            ).alias("c"),
+                        )
+                        for s in range(n_subspaces)
+                    ]
+                )
+            ).alias("x")
+        ).select("x.*")
+        means = (
+            exploded.groupBy("s", "c")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at("v", d + 1)))
+                    .cast("long")
+                    .alias(f"m{d}")
+                    for d in range(sub)
+                ]
+            )
+            .collect()
+        )
+        moved = False
+        for r in means:  # unassigned entries keep their current value
+            new = [int(r[f"m{d}"]) for d in range(sub)]
+            if codebook[r["c"]][r["s"]] != new:
+                codebook[r["c"]][r["s"]] = new
+                moved = True
+        if not moved:
+            break  # converged early — skip the remaining passes
+    return codebook
+
+
+def _read_pq_meta(spark: SparkSession, out_dir: str) -> dict | None:
+    import json
+
+    from ftm_datalake_spark import fsutil
+
+    path = os.path.join(out_dir, PQ_META)
+    if not fsutil.exists(spark, path):
+        return None
+    return json.loads(
+        fsutil.read_bytes_with_fallback(spark, path).decode("utf-8")
+    )
+
+
+def _write_pq_meta(spark: SparkSession, out_dir: str, meta: dict) -> None:
+    import json
+
+    from ftm_datalake_spark import fsutil
+
+    fsutil.write_bytes_atomic(
+        spark,
+        os.path.join(out_dir, PQ_META),
+        json.dumps(meta, sort_keys=True).encode("utf-8"),
+    )
+
+
+def _with_pq_codes(df: DataFrame, meta: dict) -> DataFrame:
+    """Add code0..codeS-1 columns encoding ``q`` against the given
+    codebooks — the append path's FROZEN-codebook encode and the
+    rebuild path's re-encode share this."""
+    codebook = meta["codebooks"]
+    n_subspaces = meta["n_subspaces"]
+    sub = meta["sub"]
+    return df.select(
+        "*",
+        *[
+            _pq_code_col(F.col("q"), codebook, s, sub).alias(f"code{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+
+
+def enable_pq(
+    spark: SparkSession,
+    out_dir: str,
+    n_subspaces: int = 4,
+    codebook_size: int = 16,
+) -> dict:
+    """Add the PQ compression layer to a persisted IVF index: train
+    codebooks from the CURRENT postings, re-encode every posting with
+    code columns (one pass, staged + swapped like rebuild), and record
+    the codebooks in ``pq_meta.json``. Appends after this encode
+    against the frozen codebooks (FAISS add() semantics); retrain via
+    :func:`rebuild_ivf_index` with ``pq=True`` when
+    ``appended_fraction`` says the quantizer drifted (VERDICT r12
+    stretch #7)."""
+    from ftm_datalake_spark import fsutil
+
+    out_dir = fsutil.heal_dir(spark, out_dir)
+    postings_dir = os.path.join(out_dir, "postings")
+    rows = spark.read.parquet(postings_dir).select(
+        "vid", "q", "norm2", "cluster"
+    )
+    dims = rows.select(F.size("q").alias("d")).first()["d"]
+    codebook = _train_pq_codebooks(rows, n_subspaces, codebook_size)
+    meta = {
+        "n_subspaces": n_subspaces,
+        "codebook_size": len(codebook),
+        "sub": dims // n_subspaces,
+        "dims": dims,
+        "codebooks": codebook,
+    }
+    encoded = _with_pq_codes(rows, meta).localCheckpoint(eager=True)
+    staged = postings_dir.rstrip("/") + ".__pq__"
+    fsutil.delete(spark, staged)
+    (
+        encoded.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(staged)
+    )
+    fsutil.replace_dir(spark, postings_dir, staged)
+    _write_pq_meta(spark, out_dir, meta)
+    return {"pq": True, "vectors": encoded.count(), **{
+        k: meta[k] for k in ("n_subspaces", "codebook_size", "sub")
+    }}
+
+
 def _read_clusters(
     spark: SparkSession, postings_dir: str, clusters: list[int]
 ) -> DataFrame:
@@ -164,7 +350,14 @@ def append_ivf_index(
             F.col(id_col).alias("vid"), "q", "norm2"
         ),
         cents,
-    ).localCheckpoint(eager=True)
+    )
+    pq_meta = _read_pq_meta(spark, out_dir)
+    if pq_meta is not None:
+        # PQ-enabled index: encode the delta against the FROZEN
+        # codebooks (appending never retrains — the refresh verb is
+        # rebuild(pq=True))
+        assigned_all = _with_pq_codes(assigned_all, pq_meta)
+    assigned_all = assigned_all.localCheckpoint(eager=True)
     # the delta's cluster set bounds both the anti-join read and the
     # write (bounded collect: <= n_clusters ints)
     touched_all = sorted(
@@ -268,6 +461,7 @@ def rebuild_ivf_index(
     spark: SparkSession,
     out_dir: str,
     centroids: DataFrame | None = None,
+    pq: bool = False,
 ) -> dict:
     """Retrain the coarse quantizer and remap the whole index in ONE
     pass over the stored postings — the rebuild verb the drift stats
@@ -282,6 +476,17 @@ def rebuild_ivf_index(
     quantized postings, so drifted lists pull their centroid toward
     the appended mass.
 
+    ``pq=True`` (VERDICT r12 stretch #7 — the codebook refresh): on a
+    PQ-enabled index, RETRAIN the PQ codebooks from the current
+    postings and re-encode every vector in the same staged rewrite.
+    The coarse quantizer re-clusters on every rebuild, but PQ
+    codebooks are otherwise train-once — after heavy appends from a
+    drifted distribution the frozen quantizer's cells no longer fit
+    the data and ADC recall decays; retraining restores it (recall
+    law in tests/test_ann_index_pq.py). ``pq=False`` on a PQ index
+    carries the EXISTING codes through unchanged (codes are
+    cluster-independent, so re-clustering does not invalidate them).
+
     Crash-safe: the complete new index (centroids + postings +
     index_meta.json) is staged to a sibling directory and swapped in
     with :func:`fsutil.replace_dir`; every reader heals a crashed swap
@@ -293,9 +498,18 @@ def rebuild_ivf_index(
     from ftm_datalake_spark import fsutil
 
     out_dir = fsutil.heal_dir(spark, out_dir)
-    rows = spark.read.parquet(os.path.join(out_dir, "postings")).select(
-        "vid", "q", "norm2", "cluster"
+    pq_meta = _read_pq_meta(spark, out_dir)
+    if pq and pq_meta is None:
+        raise ValueError(
+            "pq=True needs a PQ-enabled index — run enable_pq() first"
+        )
+    stored = spark.read.parquet(os.path.join(out_dir, "postings"))
+    code_cols = (
+        [f"code{s}" for s in range(pq_meta["n_subspaces"])]
+        if pq_meta is not None
+        else []
     )
+    rows = stored.select("vid", "q", "norm2", "cluster", *code_cols)
     if centroids is None:
         dims = rows.select(F.size("q").alias("d")).first()["d"]
         sums = rows.groupBy("cluster").agg(
@@ -316,8 +530,21 @@ def rebuild_ivf_index(
             "n",
         )
     cents = centroids.localCheckpoint(eager=True)
+    carry = rows.select("vid", "q", "norm2", *code_cols)
+    if pq:
+        # the codebook refresh: retrain from the CURRENT postings and
+        # re-encode in the same staged rewrite (codes replaced wholesale)
+        pq_meta = dict(pq_meta)
+        pq_meta["codebooks"] = _train_pq_codebooks(
+            rows.select("vid", "q"),
+            pq_meta["n_subspaces"],
+            pq_meta["codebook_size"],
+        )
+        carry = _with_pq_codes(
+            rows.select("vid", "q", "norm2"), pq_meta
+        )
     assigned = _assign_to_centroid(
-        rows.select("vid", "q", "norm2"), cents.select("cluster", "cq")
+        carry, cents.select("cluster", "cq")
     ).localCheckpoint(eager=True)
 
     staged = out_dir.rstrip("/") + ".__rebuild__"
@@ -337,8 +564,22 @@ def rebuild_ivf_index(
             {"built_vectors": n, "clusters": k}, sort_keys=True
         ).encode("utf-8"),
     )
+    if pq_meta is not None:
+        # the swap replaces the WHOLE index dir: the pq meta (retrained
+        # codebooks under pq=True, the frozen ones otherwise) must ride
+        # inside the staged tree or the layer is silently dropped
+        fsutil.write_bytes(
+            spark,
+            os.path.join(staged, PQ_META),
+            json.dumps(pq_meta, sort_keys=True).encode("utf-8"),
+        )
     fsutil.replace_dir(spark, out_dir, staged)
-    return {"vectors": n, "clusters": k, "rebuilt": True}
+    return {
+        "vectors": n,
+        "clusters": k,
+        "rebuilt": True,
+        "pq_retrained": bool(pq),
+    }
 
 
 def ivf_index_stats(spark: SparkSession, out_dir: str) -> dict:
@@ -410,17 +651,44 @@ def ivf_index_topk(
     nprobe: int = 1,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    use_pq: bool = False,
+    refine: int = 0,
 ) -> DataFrame:
     """Probe the persisted index: same output contract as
     similarity.ivf_topk — (qid, nid, rank, cosine), rank 1..k per
     query. The probed cluster set (a bounded driver list: |queries| ×
     nprobe ints) becomes a partition filter on the postings scan, so
-    only the probed inverted-list directories are read."""
+    only the probed inverted-list directories are read.
+
+    ``use_pq=True`` scores via asymmetric distance over the STORED PQ
+    codes (per-query lookup tables against the index codebooks,
+    broadcast — similarity.pq_encode_topk's ADC on the persisted
+    layout): the candidate scan never touches the full-precision ``q``
+    column, which is the memory story PQ exists for. Output is then
+    (qid, nid, rank, adist) with rank by ascending ADC distance.
+
+    ``refine`` (with use_pq): the standard two-stage probe (FAISS's
+    refine stage) — ADC selects ``k * refine`` candidates per query
+    from the codes, then EXACT integer L2 on ``q`` re-ranks only those
+    candidate rows (a semi-join back to the probed partitions, row
+    count bounded by |queries| * k * refine). Restores most of the
+    recall PQ's lossy codes give up while still never scanning
+    full-precision vectors corpus-wide."""
     from pyspark.sql import Window
 
     from ftm_datalake_spark import fsutil
 
     out_dir = fsutil.heal_dir(spark, out_dir)  # crashed rebuild swap
+    if use_pq:
+        meta = _read_pq_meta(spark, out_dir)
+        if meta is None:
+            raise ValueError(
+                "use_pq=True needs a PQ-enabled index — run enable_pq()"
+            )
+        return _ivf_index_topk_pq(
+            spark, out_dir, queries, meta, k, nprobe, emb_col, id_col,
+            refine=refine,
+        )
     cents = spark.read.parquet(os.path.join(out_dir, "centroids"))
     qs = _with_quantized(queries, emb_col).select(
         F.col(id_col).alias("vid"), "q", "norm2"
@@ -454,4 +722,107 @@ def ivf_index_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def _ivf_index_topk_pq(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    meta: dict,
+    k: int,
+    nprobe: int,
+    emb_col: str,
+    id_col: str,
+    refine: int = 0,
+) -> DataFrame:
+    """ADC probe over the persisted PQ codes (see ivf_index_topk).
+
+    Plan shape: queries assign to their nprobe nearest centroids
+    (broadcast centroids), per-query ADC lookup tables (n_subspaces x
+    codebook_size ints — tiny) broadcast against ONLY the probed
+    inverted-list partitions; distance is an exact integer sum of
+    table lookups, so results replay bit-identically. With ``refine``
+    the ADC pass keeps k*refine candidates and an exact integer-L2
+    re-rank over just those rows' ``q`` produces the final top-k."""
+    from pyspark.sql import Window
+
+    n_subspaces = meta["n_subspaces"]
+    codebook_size = meta["codebook_size"]
+    sub = meta["sub"]
+    codebook = meta["codebooks"]
+
+    cents = spark.read.parquet(os.path.join(out_dir, "centroids"))
+    qs = _with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("vid"), "q", "norm2"
+    )
+    qs_assigned = _assign_to_centroid(qs, cents, nprobe=nprobe)
+    qtabs = qs_assigned.select(
+        F.col("vid").alias("qid"),
+        F.col("cluster"),
+        *[
+            F.array(
+                *[
+                    _pq_subdist(F.col("q"), codebook[c][s], s, sub)
+                    for c in range(codebook_size)
+                ]
+            ).alias(f"dtab{s}")
+            for s in range(n_subspaces)
+        ],
+    ).localCheckpoint(eager=True)
+    probed = sorted(
+        int(r["cluster"])
+        for r in qtabs.select("cluster").distinct().collect()
+    )
+    code_cols = [f"code{s}" for s in range(n_subspaces)]
+    postings = _read_clusters(
+        spark, os.path.join(out_dir, "postings"), probed
+    ).select(F.col("vid").alias("nid"), "cluster", *code_cols)
+    adist = sum(
+        F.element_at(F.col(f"dtab{s}"), F.col(f"code{s}") + 1)
+        for s in range(n_subspaces)
+    )
+    scored = (
+        postings.join(F.broadcast(qtabs), "cluster")
+        .where(F.col("nid") != F.col("qid"))
+        .withColumn("adist", adist.cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    keep = k * refine if refine > 0 else k
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= keep)
+        .select("qid", "nid", "rank", "adist")
+    )
+    if refine <= 0:
+        return ranked
+    # exact re-rank stage: fetch q ONLY for the candidate rows (a
+    # broadcast semi-join into the probed partitions — |queries| * k *
+    # refine rows, never the lists wholesale)
+    cand = ranked.select("qid", "nid").localCheckpoint(eager=True)
+    full = _read_clusters(
+        spark, os.path.join(out_dir, "postings"), probed
+    ).select(F.col("vid").alias("nid"), F.col("q").alias("nq"))
+    qfull = qs_assigned.select(
+        F.col("vid").alias("qid"), F.col("q").alias("qq")
+    ).dropDuplicates(["qid"])
+    exact = (
+        cand.join(F.broadcast(qfull), "qid")
+        .join(full, "nid")
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qq"), F.col("nq"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adist")
     )
