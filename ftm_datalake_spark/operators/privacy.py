@@ -172,3 +172,39 @@ def t_closeness_audit(
         )
         .withColumn("close", F.col("t_ppm") <= F.lit(int(t_ppm)))
     )
+
+
+def delta_presence_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    member_col: str,
+    dmin_ppm: int,
+    dmax_ppm: int,
+) -> DataFrame:
+    """(quasi..., n_world, n_release, delta_ppm, within): δ-presence
+    per quasi-identifier group (Nergiz/Atzori/Clifton, SIGMOD 2007) —
+    the fourth release audit after k-anonymity / l-diversity /
+    t-closeness. Where those bound what a group REVEALS, δ-presence
+    bounds what MEMBERSHIP in the release leaks: given the public
+    world table and a boolean release-membership column, delta(g) =
+    P(row ∈ release | quasi group g) = n_release / n_world must stay
+    inside [δ_min, δ_max] — a group released wholesale (delta=1)
+    confirms membership for everyone matching it, a group never
+    released (delta=0) confirms absence. Exact integer ppm, one hash
+    agg; ``within`` flags the compliant groups."""
+    g = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("n_world"),
+        F.sum(F.col(member_col).cast("long")).cast("long").alias("n_release"),
+    )
+    return g.select(
+        *quasi_cols,
+        "n_world",
+        "n_release",
+        F.expr("(n_release * 1000000) div n_world")
+        .cast("long")
+        .alias("delta_ppm"),
+    ).withColumn(
+        "within",
+        (F.col("delta_ppm") >= F.lit(int(dmin_ppm)))
+        & (F.col("delta_ppm") <= F.lit(int(dmax_ppm))),
+    )

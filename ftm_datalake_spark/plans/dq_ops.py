@@ -275,3 +275,92 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence over the (lang, source) contingency
+# table — the categorical-drift / segment-independence check a corpus
+# QA suite runs next to the Benford and profile-drift audits. Exactness
+# scheme: chi2 = sum_cells (O*N - R*C)^2 / (N*R*C); each cell's term is
+# floored at 1e6 scale in DECIMAL(38,0)/HUGEINT and the SUM OF FLOORS
+# is the emitted statistic — deterministic in both engines (floor-sum,
+# not float-sum), off from the real-valued chi2 by < n_cells ULPs at
+# ppm scale. Plan: one (lang, source) hash agg, two tiny margin aggs
+# broadcast back.
+@register(
+    "dq_chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, SUM(o) AS r FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(o) AS c FROM o GROUP BY source),
+    t AS (SELECT SUM(o) AS n FROM o),
+    cells AS (
+      SELECT (o.o * t.n - r.r * c.c)::HUGEINT AS dev,
+             (t.n * r.r * c.c)::HUGEINT AS den
+      FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_lang,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_source,
+           CAST((SELECT SUM(dev * dev * 1000000 // den) FROM cells)
+                AS BIGINT) AS chi2_x1e6
+    FROM t
+    """,
+    tags=("dq", "stats", "agg"),
+)
+def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    r = o.groupBy("lang").agg(F.sum("o").alias("r"))
+    c = o.groupBy("source").agg(F.sum("o").alias("c"))
+    t = o.agg(F.sum("o").alias("n"))
+    dec = "decimal(38,0)"
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+            .cast(dec)
+            .alias("dev"),
+            (F.col("n") * F.col("r") * F.col("c")).cast(dec).alias("den"),
+            "n",
+        )
+    )
+    terms = cells.select(
+        "n",
+        (F.col("dev") * F.col("dev") * F.lit(1000000).cast(dec)).alias(
+            "snum"
+        ),
+        "den",
+    ).select(
+        "n",
+        # exact integer floor division on decimals (the Spearman
+        # pattern: (num - mod) / den stays integral)
+        (
+            (F.col("snum") - F.pmod(F.col("snum"), F.col("den")))
+            / F.col("den")
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("term").cast("long").alias("chi2_x1e6"),
+    )
+    margins = r.agg(F.count("*").cast("long").alias("n_lang")).crossJoin(
+        c.agg(F.count("*").cast("long").alias("n_source"))
+    )
+    return agg.crossJoin(F.broadcast(margins)).select(
+        F.col("n").cast("long").alias("n"),
+        "n_cells",
+        "n_lang",
+        "n_source",
+        "chi2_x1e6",
+    )

@@ -581,3 +581,92 @@ def eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho_no_ties_x1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: the nonparametric two-sample location test —
+# completes the eval/stats family's rank trio (Spearman for paired
+# monotone association, Kruskal-Wallis for k groups, M-W U for two).
+# Same exactness scheme as eval_spearman: tie mid-ranks carried as
+# DOUBLED ranks (2*below + cnt + 1, always an integer), so U is exact
+# at 2x scale: U2_a = R2_a - n_a*(n_a+1), with the tie correction term
+# sum(cnt^3 - cnt) emitted for the variance. Rank tallies cumulate via
+# the two-phase global cumsum (operators/rank.py) — no single-partition
+# rank funnel.
+@register(
+    "eval_mann_whitney",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp_a
+      FROM documents
+    ),
+    g AS (SELECT x, COUNT(*) AS cnt FROM d GROUP BY x),
+    c AS (
+      SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) - cnt AS n_below FROM g
+    ),
+    r AS (
+      SELECT d.grp_a, 2 * c.n_below + c.cnt + 1 AS r2
+      FROM d JOIN c ON c.x = d.x
+    ),
+    s AS (
+      SELECT CAST(SUM(grp_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) - SUM(grp_a) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN grp_a = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_a
+      FROM r
+    ),
+    t AS (SELECT CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_term FROM g)
+    SELECT s.n_a, s.n_b,
+           CAST(s.r2_a - s.n_a * (s.n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * s.n_a * s.n_b - (s.r2_a - s.n_a * (s.n_a + 1))
+                AS BIGINT) AS u2_b,
+           t.tie_term
+    FROM s, t
+    """,
+    tags=("eval", "stats", "rank"),
+    checkpointed=True,
+)
+def eval_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_datalake_spark.operators.rank import with_global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("grp_a"),
+    )
+    g = d.groupBy("x").agg(F.count("*").alias("cnt"))
+    cum = with_global_cumsum(g, ["x"], "cnt", "cum_end")
+    r2 = cum.select(
+        "x",
+        (2 * (F.col("cum_end") - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "r2"
+        ),
+    )
+    joined = d.join(r2, "x")
+    s = joined.agg(
+        F.sum("grp_a").cast("long").alias("n_a"),
+        (F.count("*") - F.sum("grp_a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("grp_a") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r2_a"),
+    )
+    tie = g.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_term")
+    )
+    return s.crossJoin(F.broadcast(tie)).select(
+        "n_a",
+        "n_b",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        (
+            2 * F.col("n_a") * F.col("n_b")
+            - (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        )
+        .cast("long")
+        .alias("u2_b"),
+        "tie_term",
+    )

@@ -171,3 +171,45 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness_audit(
         docs, ["lang", "bucket"], "source", t_ppm=_T_PPM
     ).orderBy("lang", "bucket")
+
+
+_DMIN_PPM = 100_000
+_DMAX_PPM = 600_000
+
+
+@register(
+    "privacy_delta_presence",
+    oracle=f"""
+    SELECT lang,
+           CAST(n_chars - n_chars % 500 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_world,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_release,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS delta_ppm,
+           SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) BETWEEN {_DMIN_PPM} AND {_DMAX_PPM} AS within
+    FROM documents
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+    tags=("privacy", "agg"),
+)
+def privacy_delta_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """δ-presence over (lang, 500-char bucket) groups with a synthetic
+    release membership (doc_id % 3 == 0 — a deterministic third of the
+    corpus published): completes the k-anonymity / l-diversity /
+    t-closeness / δ-presence release-audit quartet
+    (operators/privacy.delta_presence_audit)."""
+    from ftm_datalake_spark.operators.privacy import delta_presence_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") - F.col("n_chars") % 500)
+        .cast("long")
+        .alias("bucket"),
+        (F.col("doc_id") % 3 == 0).alias("released"),
+    )
+    return delta_presence_audit(
+        docs, ["lang", "bucket"], "released", _DMIN_PPM, _DMAX_PPM
+    ).orderBy("lang", "bucket")
