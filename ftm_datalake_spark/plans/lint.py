@@ -38,6 +38,10 @@ BNLJ_OK = frozenset(
         "dq_benford_first_digit",
         "eval_kruskal_wallis",
         "eval_spearman",
+        # round-13 stats family: 1-row scalar spines (rank/tie totals,
+        # contingency margins) via crossJoin(broadcast(agg))
+        "eval_mann_whitney",
+        "dq_chi_square_independence",
         "privacy_t_closeness",
         "events_kaplan_meier",
         "text_source_divergence",

@@ -1151,3 +1151,59 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("long").alias("holt_num"),
         F.lit(_HOLT_DEN).cast("long").alias("holt_den"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Reorder-gap profile: per-customer lag() over the order history — the
+# inter-purchase-interval analysis behind churn/repeat-rate dashboards,
+# and the registry's coverage of the lag/lead window family (rank/
+# running-total/ntile are covered elsewhere). Deterministic lag order:
+# (o_orderdate, o_orderkey) — same-day orders tie-break on the key in
+# both engines. Gaps in whole days, exact integers; one shuffle on
+# custkey, window runs inside each partition.
+@register(
+    "orders_reorder_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(SUM(gap_days), 0) AS BIGINT) AS total_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM seq
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    ORDER BY custkey
+    """,
+    tags=("window", "agg"),
+)
+def orders_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return (
+        seq.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count("gap_days").cast("long").alias("n_gaps"),
+            F.coalesce(F.sum("gap_days"), F.lit(0))
+            .cast("long")
+            .alias("total_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .where(F.col("n_orders") >= 3)
+        .orderBy("custkey")
+    )

@@ -95,6 +95,11 @@ GLOBAL_SCALAR_OK = {
     "dq_benford_first_digit",
     "eval_kruskal_wallis",
     "eval_spearman",
+    # round-13 stats family: same 1-row-global-total idiom (rank/tie
+    # sums, contingency margins) — data term collapsed before the
+    # exchange
+    "eval_mann_whitney",
+    "dq_chi_square_independence",
     "privacy_t_closeness",
     "events_kaplan_meier",
     "text_source_divergence",
