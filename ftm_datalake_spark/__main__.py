@@ -224,7 +224,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ann.add_argument(
         "action",
-        choices=["build", "append", "probe", "stats", "compact", "rebuild"],
+        choices=[
+            "build", "append", "probe", "stats", "compact", "rebuild",
+            "enable-pq",
+        ],
     )
     p_ann.add_argument(
         "source", nargs="?", default=None,
@@ -236,6 +239,23 @@ def main(argv: list[str] | None = None) -> int:
     p_ann.add_argument(
         "--min-files", type=int, default=2,
         help="compact: rewrite clusters with at least this many part files",
+    )
+    p_ann.add_argument(
+        "--pq", action="store_true",
+        help="rebuild: retrain the PQ codebooks; probe: ADC over stored "
+        "codes (requires enable-pq)",
+    )
+    p_ann.add_argument(
+        "--refine", type=int, default=0,
+        help="probe --pq: exact re-rank of k*refine ADC candidates",
+    )
+    p_ann.add_argument(
+        "--subspaces", type=int, default=8,
+        help="enable-pq: PQ subspace count",
+    )
+    p_ann.add_argument(
+        "--codebook-size", type=int, default=16,
+        help="enable-pq: entries per subspace codebook",
     )
 
     p_clf = sub.add_parser(
@@ -988,6 +1008,7 @@ def _dispatch(spark, args) -> int:
             append_ivf_index,
             build_ivf_index,
             compact_ivf_postings,
+            enable_pq,
             ivf_index_stats,
             ivf_index_topk,
             rebuild_ivf_index,
@@ -995,8 +1016,25 @@ def _dispatch(spark, args) -> int:
 
         if args.action == "stats":
             print(json.dumps(ivf_index_stats(spark, args.index)))
+        elif args.action == "enable-pq":
+            print(
+                json.dumps(
+                    enable_pq(
+                        spark,
+                        args.index,
+                        n_subspaces=getattr(args, "subspaces", 8),
+                        codebook_size=getattr(args, "codebook_size", 16),
+                    )
+                )
+            )
         elif args.action == "rebuild":
-            print(json.dumps(rebuild_ivf_index(spark, args.index)))
+            print(
+                json.dumps(
+                    rebuild_ivf_index(
+                        spark, args.index, pq=getattr(args, "pq", False)
+                    )
+                )
+            )
         elif args.action == "compact":
             print(
                 json.dumps(
@@ -1016,7 +1054,9 @@ def _dispatch(spark, args) -> int:
                 print(json.dumps(append_ivf_index(spark, frame, args.index)))
             else:
                 hits = ivf_index_topk(
-                    spark, args.index, frame, k=args.k, nprobe=args.nprobe
+                    spark, args.index, frame, k=args.k, nprobe=args.nprobe,
+                    use_pq=getattr(args, "pq", False),
+                    refine=getattr(args, "refine", 0),
                 )
                 for row in hits.orderBy("qid", "rank").collect():
                     print(json.dumps(row.asDict()))

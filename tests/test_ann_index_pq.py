@@ -214,3 +214,43 @@ def test_pq_flag_requires_enabled_index(spark, corpus, tmp_path):
         ivf_index_topk(
             spark, out, corpus.limit(2), k=3, use_pq=True
         ).collect()
+
+
+def test_cli_pq_lifecycle_roundtrip(spark, corpus, tmp_path, capsys):
+    """enable-pq -> probe --pq -> rebuild --pq through the CLI dispatch
+    (small codebook: this drives the verbs, the recall laws above drive
+    the math)."""
+    import argparse
+    import json as _json
+
+    from ftm_datalake_spark.__main__ import _dispatch
+
+    src = str(tmp_path / "emb.parquet")
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "idx")
+
+    def ns(action, source=None, **kw):
+        return argparse.Namespace(
+            cmd="ann-index", action=action, source=source, index=idx,
+            k=kw.get("k", 3), nprobe=kw.get("nprobe", 1),
+            min_files=2, pq=kw.get("pq", False),
+            refine=kw.get("refine", 0),
+            subspaces=kw.get("subspaces", 8),
+            codebook_size=kw.get("codebook_size", 8),
+        )
+
+    assert _dispatch(spark, ns("build", src)) in (0, None)
+    capsys.readouterr()
+    assert _dispatch(spark, ns("enable-pq")) in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pq"] and out["n_subspaces"] == 8
+
+    assert _dispatch(
+        spark, ns("probe", src, k=2, nprobe=2, pq=True, refine=3)
+    ) in (0, None)
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines and all("adist" in ln for ln in lines)
+
+    assert _dispatch(spark, ns("rebuild", pq=True)) in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebuilt"] and out["pq_retrained"]
