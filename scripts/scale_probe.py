@@ -199,6 +199,21 @@ def _robust_sec(samples: list[float]) -> float:
     )
 
 
+def _release_cached(spark) -> None:
+    """Unpersist every pinned RDD block (eager localCheckpoints from
+    the just-timed builder). Several headliners checkpoint eagerly
+    inside their builders; in a shared probe session those blocks
+    accumulate across queries and BLOCKS, squeezing unified memory
+    until the largest ObjectHashAggregate starts spilling — measured
+    r13: statement_aggregation_wide 36-69 s in-probe vs 3.5-4.6 s
+    standalone, canaries normal throughout (so not tenancy). Each
+    query must be timed against a clean storage pool, like its
+    standalone re-measure."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):  # py4j MapConverter: dict-like view
+        jrdd.unpersist()
+
+
 def time_queries(spark, sf_dir: str) -> dict:
     """Per-query robust seconds with INTERLEAVED canaries (VERDICT r12
     next-round #4, the bench.py hardening applied here): a host-speed
@@ -212,12 +227,14 @@ def time_queries(spark, sf_dir: str) -> dict:
     canaries: list[float] = [min(_canary(spark), _canary(spark))]
     for name in HEADLINERS:
         builder = REGISTRY[name].builder
+        _release_cached(spark)  # clean storage pool per query
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         samples = []
         for attempt in range(5):
             t0 = time.perf_counter()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+            _release_cached(spark)  # drop this run's eager checkpoints
             # 3 clean samples suffice; keep sampling only while the
             # spread says the host was bursty during this block
             if attempt >= 2 and max(samples) <= 2.0 * min(samples):
@@ -737,6 +754,15 @@ def main() -> None:
     if not os.path.exists(os.path.join(PROBE_DIR, "lineitem.parquet")):
         generate(spark, src)
     blk01 = time_queries(spark, src)
+    # fresh JVM for the decade block: the sf0.1 block's pinned blocks
+    # and heap fragmentation must not leak into the sf1.0 timings (the
+    # other half of the r13 in-probe-vs-standalone contradiction fix)
+    spark.stop()
+    spark = build_session(
+        app_name="scale-probe-sf10",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     blk10 = time_queries(spark, PROBE_DIR)
     sf01, sf10 = blk01["sec"], blk10["sec"]
     n01, n10 = blk01["sec_normalized"], blk10["sec_normalized"]
