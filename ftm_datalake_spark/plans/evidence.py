@@ -11,8 +11,9 @@ This list reorders the registry so the prefix is spent deliberately.
 
 Round-13 curation: the r1-r12 sample union stands at 274/274 — every
 pre-r13 query driver-green at least once, zero never-sampled. Round 13
-ADDED two oracled queries (the auto-salt flagship twin and the
-delta-aware stats fold), which lead because they have NO driver
+ADDED six oracled queries (auto-salt flagship twin, delta-aware stats
+fold, δ-presence, Mann-Whitney U, chi-square independence, reorder
+gaps), which lead because they have NO driver
 evidence yet. Then the r7-stale tranche the r12 verdict named
 explicitly (sketch_* block, five TPC-H heads, the graph pair, the
 r5-era text/search/quality rows — the OLDEST driver evidence left),
@@ -27,6 +28,10 @@ from __future__ import annotations
 EVIDENCE_PRIORITY: tuple[str, ...] = (
     "statement_aggregation_auto",  # NEW r13 — never driver-sampled
     "dataset_stats_incremental",  # NEW r13 — never driver-sampled
+    "privacy_delta_presence",  # NEW r13 — never driver-sampled
+    "eval_mann_whitney",  # NEW r13 — never driver-sampled
+    "dq_chi_square_independence",  # NEW r13 — never driver-sampled
+    "orders_reorder_gaps",  # NEW r13 — never driver-sampled
     "global_sort_topk",  # last driver sample: r7
     "graph_kcore_trade",  # last driver sample: r7
     "graph_weighted_sssp",  # last driver sample: r7
