@@ -236,3 +236,34 @@ def test_pointer_protocol_hosted_on_moto_s3(s3srv, no_jvm_fs):
         POINTER_NAME,
         "gen-000000000000",
     ]
+
+
+def test_jvm_fallback_tier_over_viewfs(spark, tmp_path):
+    """The last-resort tier: a scheme neither os/boto3/pyarrow resolve
+    (viewfs mount table) must route through the JVM fsutil client with
+    full read/write-atomic/list/exists/delete semantics — and demand a
+    SparkSession (spark=None raises instead of degrading)."""
+    import uuid
+
+    from ftm_datalake_spark import fsutil_py
+
+    name = f"graft-{uuid.uuid4().hex[:8]}"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = f"fs.viewfs.mounttable.{name}.link./data"
+    hconf.set(key, tmp_path.as_uri())
+    try:
+        base = f"viewfs://{name}/data"
+        uri = f"{base}/meta/artifact.json"
+        assert not fsutil_py.exists(spark, uri)
+        fsutil_py.write_bytes_atomic(spark, uri, b'{"v": 1}')
+        fsutil_py.write_bytes_atomic(spark, uri, b'{"v": 2}')
+        assert fsutil_py.read_bytes_with_fallback(spark, uri) == b'{"v": 2}'
+        assert fsutil_py.list_names(spark, f"{base}/meta") == [
+            "artifact.json"
+        ]
+        assert fsutil_py.delete(spark, uri)
+        assert not fsutil_py.exists(spark, uri)
+        with pytest.raises(ValueError):
+            fsutil_py.read_bytes(None, uri)
+    finally:
+        hconf.unset(key)

@@ -170,3 +170,67 @@ def test_update_is_delete_plus_add(spark):
         stats_from_state(build_stats_state(updated, **KW))
     )
     assert got == want
+
+
+def test_fold_equals_recompute_randomized(spark):
+    """Randomized law over many fold schedules: any partition of a
+    random corpus into base + add batches, with a random delete set
+    folded in arbitrary interleaving, converges to build(final)."""
+    import random
+
+    from ftm_datalake_spark.operators.stats_fold import (
+        build_stats_state,
+        fold_stats_state,
+        stats_from_state,
+    )
+
+    rnd = random.Random(29)
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                f"ds{rnd.randrange(3)}",
+                f"sch{rnd.randrange(4)}",
+                rnd.randrange(1, 500),
+                rnd.randrange(5),
+                rnd.randrange(7),
+            )
+            for i in range(80)
+        ]
+        corpus = _docs(spark, rows)
+        ids = [r[0] for r in rows]
+        rnd.shuffle(ids)
+        cut1, cut2 = len(ids) // 3, 2 * len(ids) // 3
+        base_ids, add1_ids, add2_ids = (
+            set(ids[:cut1]), set(ids[cut1:cut2]), set(ids[cut2:]),
+        )
+        del_ids = set(rnd.sample(ids, k=25))
+
+        state = build_stats_state(
+            corpus.where(F.col("doc_id").isin(base_ids)), **KW
+        )
+        # interleave: add batch 1, delete the part of del_ids already
+        # present, add batch 2, delete the rest
+        state = fold_stats_state(
+            state, adds=corpus.where(F.col("doc_id").isin(add1_ids)), **KW
+        )
+        first_dels = del_ids & (base_ids | add1_ids)
+        state = fold_stats_state(
+            state,
+            deletes=corpus.where(F.col("doc_id").isin(first_dels)),
+            **KW,
+        )
+        state = fold_stats_state(
+            state, adds=corpus.where(F.col("doc_id").isin(add2_ids)), **KW
+        )
+        state = fold_stats_state(
+            state,
+            deletes=corpus.where(
+                F.col("doc_id").isin(del_ids - first_dels)
+            ),
+            **KW,
+        )
+        final = corpus.where(~F.col("doc_id").isin(del_ids))
+        got = _stats_map(stats_from_state(state))
+        want = _stats_map(stats_from_state(build_stats_state(final, **KW)))
+        assert got == want, f"trial {trial} diverged"
