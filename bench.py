@@ -195,21 +195,30 @@ def main() -> None:
     except OSError:
         pass  # a read-only checkout still gets the compact line
 
+    print(json.dumps(make_compact(detail)))
+    spark.stop()
+
+
+def make_compact(detail: dict) -> dict:
+    """The driver-facing summary: everything a permanent record needs
+    (raw total, per-query raw seconds, normalized total, drift ratio)
+    in well under the ~2,000-char stdout tail the driver keeps —
+    size-bound pinned by tests/test_bench_compact.py."""
     compact = {
         "metric": detail["metric"],
-        "value": total,
+        "value": detail["value"],
         "unit": "sec",
-        "queries": timings,
-        "sf": sf,
+        "queries": detail["queries"],
+        "sf": detail["sf"],
         "value_normalized": detail["value_normalized"],
         "canary_drift_ratio": detail["canary_drift_ratio"],
         "canary_median_sec": detail["canary_median_sec"],
-        "ref_canary_sec": ref_canary,
+        "ref_canary_sec": detail["ref_canary_sec"],
     }
+    errors = detail.get("errors")
     if errors:
         compact["errors"] = {k: v[:80] for k, v in errors.items()}
-    print(json.dumps(compact))
-    spark.stop()
+    return compact
 
 
 if __name__ == "__main__":
