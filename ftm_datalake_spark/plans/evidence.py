@@ -11,9 +11,9 @@ This list reorders the registry so the prefix is spent deliberately.
 
 Round-13 curation: the r1-r12 sample union stands at 274/274 — every
 pre-r13 query driver-green at least once, zero never-sampled. Round 13
-ADDED six oracled queries (auto-salt flagship twin, delta-aware stats
+ADDED seven oracled queries (auto-salt flagship twin, delta-aware stats
 fold, δ-presence, Mann-Whitney U, chi-square independence, reorder
-gaps), which lead because they have NO driver
+gaps, graph link prediction), which lead because they have NO driver
 evidence yet. Then the r7-stale tranche the r12 verdict named
 explicitly (sketch_* block, five TPC-H heads, the graph pair, the
 r5-era text/search/quality rows — the OLDEST driver evidence left),
@@ -32,6 +32,7 @@ EVIDENCE_PRIORITY: tuple[str, ...] = (
     "eval_mann_whitney",  # NEW r13 — never driver-sampled
     "dq_chi_square_independence",  # NEW r13 — never driver-sampled
     "orders_reorder_gaps",  # NEW r13 — never driver-sampled
+    "graph_link_prediction_jaccard",  # NEW r13 — never driver-sampled
     "global_sort_topk",  # last driver sample: r7
     "graph_kcore_trade",  # last driver sample: r7
     "graph_weighted_sssp",  # last driver sample: r7

@@ -423,3 +423,94 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return label_propagation(edges, iters=_LPA_ITERS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor Jaccard over the supplier-part
+# bipartite graph — the graph family's missing scoring query (pagerank/
+# SSSP/k-core/LPA compute structure; this predicts edges). Candidate
+# generation is the dedup family's blocking idiom: pairs only through
+# SHARED parts, with hot parts (fanout > 20 suppliers) purged first —
+# the er_meta_blocking/winnow df-cap rationale: a part supplied by
+# everyone pairs everyone (quadratic, zero signal), so the cap bounds
+# candidate pairs at |parts| x cap^2/2 while keeping the discriminative
+# ones. Exact integers: common counts, capped degrees, jaccard in ppm;
+# fully-ordered top-100 (score desc, pair) so the cut is deterministic.
+_LP_FANOUT_CAP = 20
+_LP_TOPK = 100
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    keep AS (
+      SELECT p FROM e0 GROUP BY p HAVING COUNT(*) <= {_LP_FANOUT_CAP}
+    ),
+    e AS (SELECT e0.s, e0.p FROM e0 JOIN keep USING (p)),
+    deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2,
+           CAST(common AS BIGINT) AS common,
+           CAST(d1.d AS BIGINT) AS deg1,
+           CAST(d2.d AS BIGINT) AS deg2,
+           CAST(common * 1000000 // (d1.d + d2.d - common) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs
+    JOIN deg d1 ON d1.s = pairs.s1
+    JOIN deg d2 ON d2.s = pairs.s2
+    ORDER BY jaccard_ppm DESC, s1, s2
+    LIMIT {_LP_TOPK}
+    """,
+    tags=("graph", "join", "agg"),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    keep = (
+        e0.groupBy("p")
+        .agg(F.count("*").alias("fan"))
+        .where(F.col("fan") <= _LP_FANOUT_CAP)
+        .select("p")
+    )
+    e = e0.join(keep, "p")
+    deg = e.groupBy("s").agg(F.count("*").alias("d"))
+    a = e.select(F.col("s").alias("s1"), "p")
+    b = e.select(F.col("s").alias("s2"), "p")
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg1").cast("long").alias("deg1"),
+            F.col("deg2").cast("long").alias("deg2"),
+            F.expr("(common * 1000000) div (deg1 + deg2 - common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), "s1", "s2"
+    ).limit(_LP_TOPK)
