@@ -26,15 +26,31 @@ from pyspark.sql import functions as F
 
 def latest_wins(df: DataFrame, key_cols: list[str], order_col: str = "updated_at",
                 tiebreak_cols: list[str] | None = None) -> DataFrame:
-    """J3/W1: keep the newest row per key, deterministically."""
-    tiebreaks = [F.col(c).desc_nulls_last() for c in (tiebreak_cols or [])]
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(order_col).desc_nulls_last(), *tiebreaks
+    """J3/W1: keep the newest row per key, deterministically.
+
+    r14 (guide §2.3 "aggregate before you shuffle"): groupBy + max_by
+    replaces the row_number window. The window shuffled EVERY row to the
+    key's reducer and sorted it there; max_by keeps one candidate row
+    per key per map task (partial aggregation), so the exchange moves
+    ~|keys| rows instead of |input| and the per-key sort disappears —
+    the difference between shuffling a 100 TB upsert and shuffling its
+    key set. Winner identical: max over the (order, tiebreaks) struct
+    picks the same row as row_number()=1 under desc_nulls_last ordering
+    (struct comparison ranks null fields lowest, so null order values
+    lose exactly as before; the struct itself is never null, so max_by
+    never skips a row)."""
+    ord_struct = F.struct(
+        F.col(order_col), *[F.col(c) for c in (tiebreak_cols or [])]
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    others = [c for c in df.columns if c not in key_cols]
+    picked = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), ord_struct).alias("__w")
+    )
+    return picked.select(
+        *[
+            F.col(c) if c in key_cols else F.col("__w").getField(c).alias(c)
+            for c in df.columns
+        ]
     )
 
 

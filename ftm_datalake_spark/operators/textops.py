@@ -303,6 +303,50 @@ def boilerplate_report_by_source(
     )
 
 
+def _gopher_flags(
+    text: Column,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+):
+    """The Gopher feature/flag expressions, shared by :func:`gopher_rules`
+    and :func:`gopher_pass_predicate` so the two can never diverge."""
+    tk = tokens(text)
+    n_words = F.size(tk).cast("long")
+    total_chars = F.length(F.regexp_replace(text, " ", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(tk, lambda w: w.isin("the", "a", "of"))
+    ).cast("long")
+    symbols = F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("long")
+    wordcount_ok = (n_words >= min_words) & (n_words <= max_words)
+    meanlen_ok = (total_chars >= min_mean_len * n_words) & (
+        total_chars <= max_mean_len * n_words
+    )
+    stopword_ok = stop_hits >= min_stopwords
+    symbol_ok = symbols * 10 <= total_chars
+    return (
+        n_words,
+        total_chars,
+        stop_hits,
+        symbols,
+        wordcount_ok,
+        meanlen_ok,
+        stopword_ok,
+        symbol_ok,
+    )
+
+
+def gopher_pass_predicate(text: Column, **kwargs) -> Column:
+    """The combined Gopher gate as ONE boolean Column — lets pipelines
+    filter the scan in place instead of joining back against
+    :func:`gopher_rules` output (a corpus-scale self-join of the
+    documents table saved; guide §2.4)."""
+    flags = _gopher_flags(text, **kwargs)
+    return flags[4] & flags[5] & flags[6] & flags[7]
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -325,21 +369,19 @@ def gopher_rules(
 
     One zero-shuffle projection over the scan.
     """
-    tk = tokens(F.col(text_col))
-    n_words = F.size(tk).cast("long")
-    total_chars = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("long")
-    stop_hits = F.size(
-        F.filter(tk, lambda w: w.isin("the", "a", "of"))
-    ).cast("long")
-    symbols = F.length(
-        F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")
-    ).cast("long")
-    wordcount_ok = (n_words >= min_words) & (n_words <= max_words)
-    meanlen_ok = (total_chars >= min_mean_len * n_words) & (
-        total_chars <= max_mean_len * n_words
+    (
+        n_words,
+        total_chars,
+        stop_hits,
+        symbols,
+        wordcount_ok,
+        meanlen_ok,
+        stopword_ok,
+        symbol_ok,
+    ) = _gopher_flags(
+        F.col(text_col), min_words, max_words, min_mean_len, max_mean_len,
+        min_stopwords,
     )
-    stopword_ok = stop_hits >= min_stopwords
-    symbol_ok = symbols * 10 <= total_chars
     return df.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),

@@ -60,13 +60,18 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 20)
         & ((F.col("n_stop").cast("double") / F.col("n_tokens")) < 0.30)
     )
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    return (
-        quality.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_tokens", "stop_ratio")
-        .orderBy("doc_id")
+    # r14 (guide §2.3): the rn=1 dedup window shuffled + sorted every
+    # surviving row; groupBy(md5) + min_by does the same keep-lowest-id
+    # with map-side partial aggregation and no per-group sort. One
+    # candidate row per content hash crosses the exchange.
+    keep = quality.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min_by(
+            F.struct("doc_id", "lang", "n_tokens", "stop_ratio"), F.col("doc_id")
+        ).alias("__w")
     )
+    return keep.select(
+        "__w.doc_id", "__w.lang", "__w.n_tokens", "__w.stop_ratio"
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -144,11 +149,26 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ftm_datalake_spark.operators.textops import gopher_rules, segment_dedup
+    from ftm_datalake_spark.operators.textops import (
+        gopher_pass_predicate,
+        segment_dedup,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    passes = gopher_rules(docs).where(F.col("passes")).select("doc_id")
-    gated = docs.join(passes, "doc_id")
+    # r14 (guide §2.4; plan diff in
+    # plans/r14/corpus_pipeline_e2e_{before,after}.txt): the Gopher gate
+    # is applied as an in-scan predicate (gopher_pass_predicate) instead
+    # of computing gopher_rules as a separate frame and joining the
+    # surviving doc_ids back against the documents table — one corpus
+    # scan and one corpus-scale join removed. Two rejected variants,
+    # both measured slower at sf0.1: carrying `source` through
+    # segment_dedup (adds payload to the exploded-segment shuffle,
+    # ~+10%) and replacing the rn=1 window with groupBy(clean_sig) +
+    # min_by (the window already map-side-prunes to one row per key via
+    # WindowGroupLimit; min_by measured a wash-to-slightly-slower).
+    gated = docs.where(gopher_pass_predicate(F.col("text"))).select(
+        "doc_id", "text", "source"
+    )
     cleaned = segment_dedup(gated).select("doc_id", "clean_sig")
     w_dedup = Window.partitionBy("clean_sig").orderBy("doc_id")
     canon = (

@@ -67,10 +67,16 @@ def docs_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    merged = current.unionByName(adds).join(
-        F.broadcast(deleted), "user_id", "left_anti"
-    )
-    return latest_wins(merged, ["user_id"], "ts", tiebreak_cols=["event_id"]).select(
+    # r14 (guide §2.4): anti-delete AFTER latest_wins. Whole-user_id
+    # deletion commutes with keeping the newest row per user_id, but the
+    # pre-aggregation anti-join was pushed below the Union by the
+    # optimizer, duplicating the broadcast `deleted` subtree (its events
+    # scan + distinct) into both branches; post-aggregation it builds
+    # once and probes |users| rows instead of |events|. Measured sf0.1:
+    # 0.63 → 0.48 s, output row-identical.
+    merged = current.unionByName(adds)
+    kept = latest_wins(merged, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return kept.join(F.broadcast(deleted), "user_id", "left_anti").select(
         "user_id", "event_id", "event_type", "ts"
     )
 

@@ -391,9 +391,18 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("n_stop").cast("double") / F.col("n_tokens")) < 0.30)
         )
     )
-    dup_w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    deduped = quality.withColumn("dup_rn", F.row_number().over(dup_w)).where(
-        F.col("dup_rn") == 1
+    # r14 (guide §2.3): rn=1 dedup window → groupBy(md5) + min_by, so
+    # the exchange moves one candidate row per content hash (map-side
+    # partial agg) and the per-group sort disappears.
+    deduped = (
+        quality.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "n_tokens"),
+                F.col("doc_id"),
+            ).alias("__w")
+        )
+        .select("__w.doc_id", "__w.lang", "__w.source", "__w.n_tokens")
     )
     contaminated = TR.decontaminate(
         train.select("doc_id", "text"), bench, k=5, min_hits=1
