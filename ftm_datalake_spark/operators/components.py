@@ -25,9 +25,15 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component =
     min node id reachable. Deterministic for any input order."""
-    both = edges.select(
+    # One eager checkpoint of the raw pairs, THEN the direction flip:
+    # the old union referenced the upstream (often expensive) edge plan
+    # twice inside a single job (r14, guide §1.2).
+    base = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).localCheckpoint(eager=True)
+    both = base.unionByName(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     both = both.distinct().localCheckpoint(eager=True)
 
     labels = (
@@ -87,16 +93,25 @@ def connected_components_star(
     of 63. Every phase is one groupBy(node) + one equi-join, both keyed by
     node id (AQE-skew-safe); per-round driver sync is a 2-value aggregate
     (count + checksum) for the convergence test."""
+    # Materialize the upstream pipeline ONCE (r14, guide §1.2/§2.4):
+    # `nodes` and `e` previously each carried their own eager
+    # localCheckpoint, so the (often expensive) edge-producing plan —
+    # e.g. er_golden_record's full entity_match — executed twice before
+    # the first CC round. One narrow (src, dst) checkpoint feeds both;
+    # the node set and edge canonicalization are cheap projections of it.
+    base = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        base.select(F.col("a").alias("node"))
+        .unionByName(base.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
+        base.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()

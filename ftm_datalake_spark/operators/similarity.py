@@ -321,26 +321,38 @@ def ivf_centroids(
     reproducible on any engine. The cluster column stands in for an
     externally trained k-means assignment (label = cluster in testdata);
     re-training would only change this frame, not the probe plan."""
+    # r14 (guide §1.2 per-task work): per-dimension sums via posexplode +
+    # (cluster, pos) hash-agg instead of `dims` separate sum(element_at)
+    # columns — the same fix clustering.kmeans documents (a 64-column
+    # agg costs ~1 s of analysis/codegen per invocation), and it drops
+    # the eager `dims` probe job entirely. The explosion collapses
+    # map-side (each task emits at most k*dims partial rows); the
+    # second exchange regrouping (cluster, pos) → cluster moves k*dims
+    # rows — negligible. round(s/n) is the same expression as before,
+    # so centroids are bit-identical.
     q = quantize(F.col(emb_col))
-    dims = embeddings.select(F.size(q).alias("d")).first()["d"]
-    sums = (
-        embeddings.select(F.col(cluster_col).alias("cluster"), q.alias("q"))
-        .groupBy("cluster")
+    stats = (
+        embeddings.select(
+            F.col(cluster_col).alias("cluster"),
+            F.posexplode(q).alias("pos", "v"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        stats.groupBy("cluster")
         .agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-                for i in range(dims)
-            ],
+            F.max("n").alias("n"),
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("__ps"),
+        )
+        .select(
+            "cluster",
+            F.transform(
+                "__ps", lambda x: F.round(x["s"] / F.col("n")).cast("long")
+            ).alias("cq"),
+            "n",
         )
     )
-    centroid = F.array(
-        *[
-            F.round(F.col(f"s{i}") / F.col("n")).cast("long")
-            for i in range(dims)
-        ]
-    )
-    return sums.select("cluster", centroid.alias("cq"), "n")
 
 
 def _assign_to_centroid(
