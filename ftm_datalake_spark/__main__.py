@@ -250,8 +250,8 @@ def main(argv: list[str] | None = None) -> int:
         help="probe --pq: exact re-rank of k*refine ADC candidates",
     )
     p_ann.add_argument(
-        "--subspaces", type=int, default=8,
-        help="enable-pq: PQ subspace count",
+        "--subspaces", type=int, default=4,
+        help="enable-pq: PQ subspace count (must divide dims)",
     )
     p_ann.add_argument(
         "--codebook-size", type=int, default=16,
@@ -1022,7 +1022,7 @@ def _dispatch(spark, args) -> int:
                     enable_pq(
                         spark,
                         args.index,
-                        n_subspaces=getattr(args, "subspaces", 8),
+                        n_subspaces=getattr(args, "subspaces", 4),
                         codebook_size=getattr(args, "codebook_size", 16),
                     )
                 )

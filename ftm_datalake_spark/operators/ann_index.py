@@ -150,6 +150,14 @@ def _train_pq_codebooks(
     state is the codebook only: n_subspaces x codebook_size x sub
     ints."""
     dims = rows.select(F.size("q").alias("d")).first()["d"]
+    if dims % n_subspaces:
+        # FAISS raises here too: dims // n_subspaces would silently drop
+        # the trailing dims % n_subspaces dimensions from every code,
+        # ADC table and training step, quietly degrading recall.
+        raise ValueError(
+            f"dims ({dims}) must be divisible by n_subspaces "
+            f"({n_subspaces})"
+        )
     sub = dims // n_subspaces
     seeds = (
         rows.withColumn("__ord", F.md5(F.col("vid").cast("string")))
@@ -256,6 +264,8 @@ def enable_pq(
     :func:`rebuild_ivf_index` with ``pq=True`` when
     ``appended_fraction`` says the quantizer drifted (VERDICT r12
     stretch #7)."""
+    import json
+
     from ftm_datalake_spark import fsutil
 
     out_dir = fsutil.heal_dir(spark, out_dir)
@@ -273,16 +283,40 @@ def enable_pq(
         "codebooks": codebook,
     }
     encoded = _with_pq_codes(rows, meta).localCheckpoint(eager=True)
-    staged = postings_dir.rstrip("/") + ".__pq__"
+    # Stage the COMPLETE index (encoded postings + pq_meta + the
+    # existing centroids/index_meta carried over) in a sibling of
+    # out_dir and swap ONCE at out_dir — the same crash-window
+    # discipline as rebuild_ivf_index, so the existing
+    # heal_dir(out_dir) in every reader covers a crashed swap. The
+    # previous postings/-level swap left two unhealed windows: a crash
+    # between replace_dir's renames stranded postings.__old__ where no
+    # reader heals (out_dir still "has data" via centroids/), and a
+    # crash between the swap and _write_pq_meta left encoded postings
+    # with no pq_meta.json — the PQ layer silently dropped.
+    staged = out_dir.rstrip("/") + ".__pq__"
     fsutil.delete(spark, staged)
     (
         encoded.repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
-        .parquet(staged)
+        .parquet(os.path.join(staged, "postings"))
     )
-    fsutil.replace_dir(spark, postings_dir, staged)
-    _write_pq_meta(spark, out_dir, meta)
+    spark.read.parquet(os.path.join(out_dir, "centroids")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(staged, "centroids"))
+    fsutil.write_bytes(
+        spark,
+        os.path.join(staged, "index_meta.json"),
+        fsutil.read_bytes_with_fallback(
+            spark, os.path.join(out_dir, "index_meta.json")
+        ),
+    )
+    fsutil.write_bytes(
+        spark,
+        os.path.join(staged, PQ_META),
+        json.dumps(meta, sort_keys=True).encode("utf-8"),
+    )
+    fsutil.replace_dir(spark, out_dir, staged)
     return {"pq": True, "vectors": encoded.count(), **{
         k: meta[k] for k in ("n_subspaces", "codebook_size", "sub")
     }}

@@ -175,6 +175,7 @@ def entity_match(
     k: int = 2,
     max_block_size: int = 100,
     threshold_pct: int = 80,
+    materialize_postings: bool = True,
 ) -> DataFrame:
     """Composed cross-source match: block → candidates → verify.
 
@@ -196,6 +197,16 @@ def entity_match(
     from pyspark.sql import Window
 
     postings = distinct_token_postings(df, text_col, id_col, source_col)
+    if materialize_postings:
+        # The postings relation feeds BOTH sides of the ranking join
+        # (the document-frequency aggregate and the probe side), and
+        # Spark executes a shared subtree once per consumer — the
+        # before-plan carried the full scan+explode+distinct twice
+        # (plans/r14/er_blocked_matches_before.txt). One narrow
+        # (doc_id, source, token) materialization feeds both (guide
+        # §2.4; the connected_components/pagerank policy). Callers
+        # must be registered checkpointed=True.
+        postings = postings.localCheckpoint(eager=True)
     keys = rare_token_block_keys(postings, k, carry_tokens=True)
     # Purge with a same-key window BEFORE collecting members: oversized
     # (stopword-like) blocks are dropped without ever materializing

@@ -91,8 +91,8 @@ def kmeans(
         F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
     )
     # Lloyd re-reads the corpus every round: cache the quantized input
-    # once (MEMORY_AND_DISK default — the MLlib pattern) so iterations
-    # and the final assignment don't rescan/requantize the source.
+    # once (MEMORY_AND_DISK default — the MLlib pattern) so the
+    # iterations don't rescan/requantize the source.
     q_df = q_df.persist()
     seeds = (
         q_df.withColumn("__ord", F.md5(F.col("vec_id").cast("string")))
@@ -128,6 +128,15 @@ def kmeans(
             for c in range(k)
         ]
 
+    # Drop the cache entry BEFORE handing back the lazy final
+    # assignment: the iterations (the part Lloyd re-reads) already got
+    # the reuse, and the returned frame re-derives from the source with
+    # one scan. Leaving the entry registered would let a LATER kmeans
+    # over the same input silently serve its quantized corpus from this
+    # call's cache (the CacheManager keys on the canonical plan) —
+    # cross-run result reuse a benchmark must not get, and a slow leak
+    # of storage memory in long sessions.
+    q_df.unpersist(blocking=False)
     return _assign(q_df, centroids), centroids
 
 

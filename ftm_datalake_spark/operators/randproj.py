@@ -63,23 +63,30 @@ def random_project(
     """(id, dim, proj_q) — dim in 1..k, proj_q the exact integer
     projection Σ_i round(v_i*1000) * R[dim][i]."""
     signs = jl_sign_matrix(k, d)
-    q = F.transform(F.col(vec_col), lambda x: _quant(x))
-    projs = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    q,
-                    F.array(*[F.lit(s).cast("long") for s in signs[j]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for j in range(k)
-        ]
+    # r14 (guide §1 measured): the original Column-API construction —
+    # 16 F.aggregate folds each holding a 64-element F.array of
+    # F.lit(...).cast(...) — issued ~2,000 py4j round-trips and
+    # dominated the query's wall time (build 3.7-28 s vs exec 0.5 s at
+    # sf0.1; plan/exec were never the cost). The SAME expressions
+    # rendered as one SQL string parse JVM-side in a single call.
+    # The quantized vector is computed once into a named column so the
+    # k folds share it instead of inlining the transform k times.
+    quant_sql = (
+        f"transform(`{vec_col}`, x -> "
+        "cast(round(cast(x as double) * 1000) as bigint))"
+    )
+    folds = ", ".join(
+        "aggregate(zip_with(__q, array("
+        + ", ".join(f"{s}L" for s in signs[j])
+        + "), (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"
+        for j in range(k)
     )
     return (
-        emb.select(F.col(id_col), F.posexplode(projs).alias("pos", "proj_q"))
+        emb.withColumn("__q", F.expr(quant_sql))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(f"array({folds})")).alias("pos", "proj_q"),
+        )
         .select(
             id_col,
             (F.col("pos") + 1).cast("long").alias("dim"),

@@ -169,6 +169,7 @@ def segment_dedup(
     keep_text: bool = False,
     extra_freq_docs: DataFrame | None = None,
     freq_table: DataFrame | None = None,
+    materialize_segments: bool = False,
 ) -> DataFrame:
     """CCNet-style common-segment removal (Wenzek et al. 2020 dedup by
     paragraph hash, adapted to fixed `seg_len`-word segments because the
@@ -198,6 +199,16 @@ def segment_dedup(
     the training export, which SHIPS the boilerplate-stripped text).
     """
     segs = segment_table(docs, seg_len, text_col, id_col)
+    if materialize_segments and freq_table is None:
+        # With internal counting the segment table feeds BOTH the
+        # frequency aggregate and the reassembly join, and Spark
+        # executes the shared scan+tokenize+explode+md5 subtree once
+        # per consumer. One localCheckpoint feeds both (guide §2.4,
+        # the connected_components policy); callers must be registered
+        # checkpointed=True. Opt-in because the materialization
+        # carries the segment text payload — callers with a
+        # freq_table already read the corpus once.
+        segs = segs.localCheckpoint(eager=True)
     if freq_table is not None:
         freq = freq_table.select("seg_key", F.col("n").cast("long").alias("n"))
     else:

@@ -113,6 +113,10 @@ def er_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("er", "blocking", "join", "bench"),
     bench=True,
+    # r14: entity_match materializes the shared postings subtree once
+    # (guide §2.4; A/B at sf0.1: 1.485 s → 0.857 s, min of 4
+    # interleaved) — the localCheckpoint truncates this plan's lineage.
+    checkpointed=True,
 )
 def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source matches: rare-token blocks → bounded candidates →

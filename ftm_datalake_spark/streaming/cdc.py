@@ -207,6 +207,13 @@ def run_cdc_upsert_stream_partitioned(
 # --------------------------------------------------------------- pointer
 POINTER_NAME = "SNAPSHOT"
 
+# Replay-skip sanity bound: a genuine exactly-once replay of the same
+# checkpoint only sees the live generation at most a few batches ahead
+# of the incoming id (multi-batch crash recovery). A gap beyond this
+# means batch ids restarted against an existing base_dir — warn instead
+# of silently treating it as replay (ADVICE r13 #2).
+_REPLAY_WINDOW = 100
+
 
 def _gen_name(batch_id: int) -> str:
     # deterministic per batch: a re-delivered batch overwrites ITS OWN
@@ -316,6 +323,29 @@ def run_cdc_upsert_stream_pointer(
             # this batch's generation IS (or precedes) the live one.
             # Re-merging would overwrite the directory being read;
             # the exact gen-name check makes the skip precise.
+            #
+            # A genuine replay only ever sees _age(live) == batch_id
+            # (or slightly above after multi-batch crash recovery of
+            # the SAME checkpoint). A much larger gap means batch ids
+            # restarted — a fresh checkpoint_dir pointed at an
+            # existing pointer-managed base_dir — and silently
+            # dropping every batch until ids catch up would be data
+            # loss dressed as replay (ADVICE r13 #2). Warn loudly;
+            # reusing a base_dir requires carrying its checkpoint_dir.
+            if _age(live) > batch_id + _REPLAY_WINDOW:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pointer_cdc_sink: live generation %s is %d batches "
+                    "ahead of incoming batch %d — this looks like a "
+                    "fresh checkpoint_dir replaying into an existing "
+                    "base_dir, not an exactly-once replay; batches are "
+                    "being skipped. Reuse of a base_dir must carry its "
+                    "checkpoint_dir.",
+                    live,
+                    _age(live) - batch_id,
+                    batch_id,
+                )
             return
         snap = spark.read.parquet(f"{base}/{live}")
         data_cols = list(snap.columns)

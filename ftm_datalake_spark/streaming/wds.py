@@ -97,13 +97,22 @@ def stream_webdataset_publish(
             s3_conn=s3_conn,
             write_manifest=False,
         )
+        # Keyed by shard BASENAME, not full path: the name
+        # (prefix-shardid.tar) is unique by construction and invariant
+        # across path forms, so a replay into a directory whose
+        # manifest predates the r13 caller-URI fix (generic-fs entries
+        # then recorded pyarrow's scheme-stripped form) overwrites the
+        # legacy entry instead of adding a duplicate under the new
+        # form (ADVICE r13 #4). The re-landed entry carries the
+        # current (caller-URI) path, normalizing the manifest forward.
         current = {
-            m["path"]: m for m in _read_manifest(spark, out_dir, s3_conn)
+            m["path"].rsplit("/", 1)[-1]: m
+            for m in _read_manifest(spark, out_dir, s3_conn)
         }
         for m in entries:
-            # idempotent by path: a replayed batch re-lands identical
+            # idempotent by name: a replayed batch re-lands identical
             # entries (byte-deterministic tars) under identical names
-            current[m["path"]] = {
+            current[m["path"].rsplit("/", 1)[-1]] = {
                 "shard_id": m["shard_id"],
                 "path": m["path"],
                 "n_samples": m["n_samples"],

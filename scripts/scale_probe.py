@@ -754,9 +754,14 @@ def main() -> None:
     if not os.path.exists(os.path.join(PROBE_DIR, "lineitem.parquet")):
         generate(spark, src)
     blk01 = time_queries(spark, src)
-    # fresh JVM for the decade block: the sf0.1 block's pinned blocks
-    # and heap fragmentation must not leak into the sf1.0 timings (the
-    # other half of the r13 in-probe-vs-standalone contradiction fix)
+    # fresh SparkContext (storage pool reset) for the decade block: the
+    # sf0.1 block's pinned blocks must not leak into the sf1.0 timings
+    # (the other half of the r13 in-probe-vs-standalone contradiction
+    # fix). NOTE this is NOT a fresh JVM — spark.stop() + build_session
+    # in local mode reuses the same driver JVM through the persistent
+    # py4j gateway, so heap fragmentation carries over and a new
+    # spark.driver.memory conf would be inert; only the SparkContext
+    # (block manager / storage pool) is actually fresh (ADVICE r13 #5).
     spark.stop()
     spark = build_session(
         app_name="scale-probe-sf10",
