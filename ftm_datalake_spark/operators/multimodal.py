@@ -1536,16 +1536,29 @@ def phash_features(media: DataFrame) -> DataFrame:
     )
 
 
-def phash_neardup_pairs(feats: DataFrame, max_hamming: int = 5) -> DataFrame:
+def phash_neardup_pairs(
+    feats: DataFrame,
+    max_hamming: int = 5,
+    materialize: bool = True,
+) -> DataFrame:
     """Near-duplicate image pairs by pHash Hamming distance, via banded
     blocking: 8 bands of 8 bits — two hashes within Hamming distance 7
     MUST agree on at least one band (pigeonhole), so the candidate join
     is an equi-join on (band_idx, band_bits) with NO false negatives for
     max_hamming ≤ 7, and the quadratic all-pairs comparison never runs.
-    Same scale shape as the SimHash/LSH text paths."""
+    Same scale shape as the SimHash/LSH text paths.
+
+    `materialize` (r14, guide §2.4): `feats` normally ends in the
+    mapInPandas decode+hash — the most expensive stage of any pHash
+    pipeline — and this function feeds it to BOTH sides of the band
+    self-join, so Spark would decode every image twice. One
+    localCheckpoint of the tiny (media_id, phash) relation feeds both
+    sides; registry callers must be tagged checkpointed=True."""
     if max_hamming > 7:
         raise ValueError("8x8-bit banding guarantees recall only to Hamming 7")
     hashed = feats.where(F.col("phash").isNotNull())
+    if materialize:
+        hashed = hashed.localCheckpoint(eager=True)
     bands = hashed.select(
         "media_id",
         "phash",

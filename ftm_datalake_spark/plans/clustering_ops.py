@@ -123,6 +123,96 @@ _SEM_BASE = """SELECT vec_id, embedding FROM embeddings
         FROM embeddings WHERE vec_id % 50 = 0"""
 
 
+def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup input: kmeans assignment over corpus+injected
+    dups, materialized ONCE with the squared norm precomputed per
+    vector.
+
+    r14 (guide §2.4 + §2.3): the assignment subtree
+    (scan → quantize → centroid argmin) previously re-ran per consumer
+    (both sides of the pair self-join; three consumers in the prune
+    summary), and `int_norm2` ran per PAIR instead of per vector —
+    two of the three 64-element folds in every pair comparison were
+    recomputing a per-vector constant. One localCheckpoint of
+    (vec_id, q, n2, cluster) feeds every consumer; callers must be
+    registered checkpointed=True."""
+    from ftm_datalake_spark.operators.similarity import int_norm2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    assigned, _ = C.kmeans(base, k=_K, iters=_ITERS, dims=_DIMS)
+    return assigned.withColumn("n2", int_norm2(F.col("q"))).localCheckpoint(
+        eager=True
+    )
+
+
+def _sem_pairs(spark: SparkSession, assigned: DataFrame) -> DataFrame:
+    """Within-cluster candidate pairs with exact integer cosine.
+
+    r14 (guide §2.5): the self-join key `cluster` has only _K=4
+    distinct values, so the pair-compare stage — the dominant cost,
+    ~n²/(2·_K) interpreted 64-dim dot products — ran on at most _K
+    tasks regardless of cluster size (58 s at sf0.1, 4 of 32 cores
+    busy). Salting restores parallelism exactly like the flagship's
+    salted aggregation: the probe side gets a deterministic salt
+    pmod(xxhash64(vec_id), B), the build side is replicated B ways, and
+    the join key becomes (cluster, salt) — identical pair set, B× the
+    tasks. B adapts to the session's core count (scale-adaptive per the
+    optimization rules: at production cluster-counts k is large and B
+    degenerates to 1; replication only kicks in when k < cores).
+
+    Both sides are EXPLICITLY repartitioned on the join key before the
+    join: AQE coalesces reducer partitions by BYTES, and this stage is
+    byte-light but compute-heavy (the first salted attempt measured
+    its pair stage coalesced to 2 partitions — all the dot products on
+    2 of 32 cores). An explicit user repartition is exempt from AQE
+    coalescing, and a join keyed identically with matching partition
+    counts reuses it instead of inserting its own exchange (guide
+    §2.4)."""
+    dp = spark.sparkContext.defaultParallelism
+    b_factor = max(1, (8 * dp) // _K)
+    n_parts = max(2, 2 * dp)
+    a = (
+        assigned.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("q").alias("qa"),
+            F.col("n2").alias("na"),
+            "cluster",
+        )
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("vec_a")), F.lit(b_factor))
+        )
+        .repartition(n_parts, "cluster", "__salt")
+    )
+    b = (
+        assigned.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("q").alias("qb"),
+            F.col("n2").alias("nb"),
+            "cluster",
+        )
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(b_factor - 1))
+            ),
+        )
+        .repartition(n_parts, "cluster", "__salt")
+    )
+    return (
+        a.join(b, ["cluster", "__salt"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", int_dot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "cosine", cosine(F.col("dot"), F.col("na"), F.col("nb"))
+        )
+    )
+
+
 @register(
     "semantic_dedup_pairs",
     oracle=f"""
@@ -153,36 +243,11 @@ _SEM_BASE = """SELECT vec_id, embedding FROM embeddings
     ORDER BY vec_a, vec_b
     """,
     tags=("clustering", "dedup", "similarity"),
+    checkpointed=True,
 )
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "embedding").unionByName(
-        emb.where(F.col("vec_id") % 50 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
-    assigned, _ = C.kmeans(base, k=_K, iters=_ITERS, dims=_DIMS)
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-        F.col("cluster"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-        F.col("cluster"),
-    )
-    from ftm_datalake_spark.operators.similarity import int_norm2
-
-    pairs = (
-        a.join(b, ["cluster"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", int_dot(F.col("qa"), F.col("qb")))
-        .withColumn(
-            "cosine",
-            cosine(F.col("dot"), int_norm2(F.col("qa")), int_norm2(F.col("qb"))),
-        )
-        .where(F.col("cosine") >= 0.999)
+    pairs = _sem_pairs(spark, _sem_assigned(spark, sf_dir)).where(
+        F.col("cosine") >= 0.999
     )
     return pairs.select("vec_a", "vec_b", "cluster", "cosine").orderBy(
         "vec_a", "vec_b"
@@ -228,6 +293,7 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.cluster
     """,
     tags=("clustering", "dedup", "similarity"),
+    checkpointed=True,
 )
 def semdedup_prune_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup's prune leg (Abbas et al. 2023): within each k-means
@@ -240,29 +306,10 @@ def semdedup_prune_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes near-dup pruning tractable at corpus scale); the drop
     set is a cluster-local anti-join, and the summary is one hash-agg
     keyed on the cluster id."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "embedding").unionByName(
-        emb.where(F.col("vec_id") % 50 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
-    assigned, _ = C.kmeans(base, k=_K, iters=_ITERS, dims=_DIMS)
-    from ftm_datalake_spark.operators.similarity import int_norm2
-
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), "cluster"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), "cluster"
-    )
+    assigned = _sem_assigned(spark, sf_dir)
     dropped = (
-        a.join(b, ["cluster"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", int_dot(F.col("qa"), F.col("qb")))
-        .where(
-            cosine(F.col("dot"), int_norm2(F.col("qa")), int_norm2(F.col("qb")))
-            >= 0.999
-        )
+        _sem_pairs(spark, assigned)
+        .where(F.col("cosine") >= 0.999)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(1))

@@ -149,26 +149,64 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand"
     )
-    a = part.select(
-        F.col("p_brand").alias("b"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
+    # r14 (guide §2.5 + §1; A/B in OPTIMIZATION_r14.md): the brand join
+    # key has ~25 distinct values, so the quadratic levenshtein stage —
+    # the whole cost of this query, ~19 s at sf0.1 — ran on a handful
+    # of byte-light partitions that AQE coalesced further. Salting the
+    # probe side + replicating the build side restores parallelism
+    # (identical pair set); the explicit repartition on the join key is
+    # exempt from AQE's byte-based coalescing. The distance itself is
+    # the THRESHOLDED levenshtein (early-abandon at 2; Spark ≥3.5):
+    # rows above the threshold return -1 and are dropped by the same
+    # predicate that previously dropped their exact distance — for
+    # kept rows the value is the exact distance, so results are
+    # unchanged. A |len(a)-len(b)| <= 2 prefilter (length difference
+    # lower-bounds edit distance) prunes before the O(n·m) work.
+    dp = spark.sparkContext.defaultParallelism
+    b_factor = max(1, dp // 2)
+    n_parts = max(2, 2 * dp)
+    a = (
+        part.select(
+            F.col("p_brand").alias("b"),
+            F.col("p_partkey").alias("key_a"),
+            F.col("p_name").alias("name_a"),
+        )
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("key_a")), F.lit(b_factor))
+        )
+        .repartition(n_parts, "b", "__salt")
     )
-    b = part.select(
-        F.col("p_brand").alias("b"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
+    b = (
+        part.select(
+            F.col("p_brand").alias("b"),
+            F.col("p_partkey").alias("key_b"),
+            F.col("p_name").alias("name_b"),
+        )
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(b_factor - 1))
+            ),
+        )
+        .repartition(n_parts, "b", "__salt")
     )
     return (
-        a.join(b, "b")
+        a.join(b, ["b", "__salt"])
         .where(
             (F.col("key_a") < F.col("key_b"))
             & (F.col("name_a") != F.col("name_b"))
+            & (
+                F.abs(
+                    F.length(F.col("name_a")) - F.length(F.col("name_b"))
+                )
+                <= 2
+            )
         )
         .withColumn(
-            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+            "dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b"), 2).cast("long"),
         )
-        .where(F.col("dist") <= 2)
+        .where(F.col("dist").between(0, 2))
         .select("key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("key_a", "key_b")
     )

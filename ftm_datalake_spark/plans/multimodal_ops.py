@@ -292,6 +292,7 @@ _PPM16_HEADER_HEX = "P6\n16 16\n255\n".encode().hex()
     ORDER BY media_a, media_b
     """,
     tags=("multimodal", "dedup", "phash"),
+    checkpointed=True,
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup under the driver gate. Each doc
@@ -310,7 +311,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_neardup_pairs,
     )
 
+    # r14 (guide §2.5 input skew): the documents parquet is 1-2 scan
+    # partitions at bench scale, so the Python decode+hash stage — the
+    # dominant cost — ran on 1-2 cores. Spreading the 8-byte doc_ids
+    # BEFORE synthesizing content costs a trivial shuffle and lets the
+    # mapInPandas stage use the whole session; the pair join downstream
+    # no longer re-runs it at all (phash_neardup_pairs materializes the
+    # hashes once — see operators/multimodal.py).
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(
+        max(2, spark.sparkContext.defaultParallelism), "doc_id"
+    )
     fam = F.col("doc_id") % 25
     b = (F.floor(F.col("doc_id") / 25) % 3) * 8
     fx = F.lit(1) + fam % 5

@@ -121,9 +121,68 @@ def _exp_seg_dedup():
     return {"old_dup_subtree": _variant(False), "new_ckpt": _variant(True)}
 
 
+def _exp_semdedup():
+    """semantic_dedup_pairs: old (dup'd kmeans-assign subtree, per-pair
+    norms, 4-key self-join) vs new (checkpointed assignment + per-vector
+    norms + salted join)."""
+    from pyspark.sql import functions as F
+
+    from ftm_datalake_spark.operators import clustering as C
+    from ftm_datalake_spark.operators.similarity import (
+        cosine,
+        int_dot,
+        int_norm2,
+    )
+    from ftm_datalake_spark.plans.clustering_ops import (
+        _DIMS,
+        _ITERS,
+        _K,
+    )
+    from ftm_datalake_spark.plans.registry import REGISTRY
+    from ftm_datalake_spark.sources.tables import load_table
+
+    def old(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select("vec_id", "embedding").unionByName(
+            emb.where(F.col("vec_id") % 50 == 0).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+            )
+        )
+        assigned, _ = C.kmeans(base, k=_K, iters=_ITERS, dims=_DIMS)
+        a = assigned.select(
+            F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), "cluster"
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), "cluster"
+        )
+        pairs = (
+            a.join(b, ["cluster"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("dot", int_dot(F.col("qa"), F.col("qb")))
+            .withColumn(
+                "cosine",
+                cosine(
+                    F.col("dot"),
+                    int_norm2(F.col("qa")),
+                    int_norm2(F.col("qb")),
+                ),
+            )
+            .where(F.col("cosine") >= 0.999)
+        )
+        return pairs.select("vec_a", "vec_b", "cluster", "cosine").orderBy(
+            "vec_a", "vec_b"
+        )
+
+    def new(spark, sf_dir):
+        return REGISTRY["semantic_dedup_pairs"].builder(spark, sf_dir)
+
+    return {"old": old, "new": new}
+
+
 EXPERIMENTS = {
     "er_postings": _exp_er_postings,
     "seg_dedup": _exp_seg_dedup,
+    "semdedup": _exp_semdedup,
 }
 
 
