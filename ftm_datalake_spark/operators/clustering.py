@@ -90,10 +90,19 @@ def kmeans(
     q_df = emb.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(emb_col)).alias("q")
     )
-    # Lloyd re-reads the corpus every round: cache the quantized input
-    # once (MEMORY_AND_DISK default — the MLlib pattern) so the
-    # iterations don't rescan/requantize the source.
-    q_df = q_df.persist()
+    # Lloyd re-reads the corpus every round: materialize the quantized
+    # input once so the iterations AND the returned final assignment
+    # don't rescan/requantize the source. localCheckpoint (not
+    # persist): persist registers the entry in the session-global
+    # CacheManager KEYED ON THE CANONICAL PLAN, so a later kmeans over
+    # the same input silently served its quantized corpus from an
+    # earlier call's cache — cross-run result reuse a benchmark must
+    # not get. A localCheckpoint is identity-keyed (this call's RDD
+    # only), gives every consumer in THIS call the same reuse, and is
+    # released by the ContextCleaner when the returned frame is
+    # dropped. Callers that register queries over the returned frame
+    # must be tagged checkpointed=True.
+    q_df = q_df.localCheckpoint(eager=True)
     seeds = (
         q_df.withColumn("__ord", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__ord", "vec_id")
@@ -128,15 +137,6 @@ def kmeans(
             for c in range(k)
         ]
 
-    # Drop the cache entry BEFORE handing back the lazy final
-    # assignment: the iterations (the part Lloyd re-reads) already got
-    # the reuse, and the returned frame re-derives from the source with
-    # one scan. Leaving the entry registered would let a LATER kmeans
-    # over the same input silently serve its quantized corpus from this
-    # call's cache (the CacheManager keys on the canonical plan) —
-    # cross-run result reuse a benchmark must not get, and a slow leak
-    # of storage memory in long sessions.
-    q_df.unpersist(blocking=False)
     return _assign(q_df, centroids), centroids
 
 

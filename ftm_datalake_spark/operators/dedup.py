@@ -71,8 +71,17 @@ def ngram_jaccard_pairs(
     """Pairwise shingle overlap: (doc_a, doc_b, common, uni).
 
     Jaccard = common/uni, kept as two exact integers so thresholds are
-    integer comparisons (no float drift)."""
-    sh = shingle_postings(df, text_col, id_col, k)
+    integer comparisons (no float drift).
+
+    r14 (guide §2.4): the shingle table feeds THREE consumers (both
+    sides of the overlap self-join and the per-doc counts) and Spark
+    executes a shared subtree once per consumer — one localCheckpoint
+    of the narrow (doc_id, shingle) relation replaces three
+    scan+tokenize+explode runs. Registry callers must be tagged
+    checkpointed=True."""
+    sh = shingle_postings(df, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -179,12 +188,24 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 12,
     rows_per_band: int = 3,
+    materialize_bands: bool = True,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band."""
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    `materialize_bands` (r14, guide §2.4): the band table ends in the
+    whole signature pipeline (scan → shingle explode → 12-way min
+    groupBy → band posexplode) and feeds BOTH sides of the band
+    self-join — Spark executes a shared subtree once per consumer, so
+    the signatures were computed twice (8 parquet scans in the before
+    plan). One localCheckpoint of the narrow (doc_id, band_id,
+    band_val) relation feeds both sides; registry callers must be
+    tagged checkpointed=True."""
     postings = shingle_postings(df, text_col, id_col, k)
     bands = lsh_bands(
         minhash_signatures(postings, num_hashes), num_hashes, rows_per_band
     )
+    if materialize_bands:
+        bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

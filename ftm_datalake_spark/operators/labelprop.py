@@ -69,13 +69,19 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         # isolated / no-in-edge nodes keep their previous label; the
         # per-round pin stops labels' double-reference from doubling
         # the lineage every iteration (see module docstring).
+        # r14: eager=False (the bfs/sssp in-loop precedent) — an eager
+        # pin made each superstep a blocking driver round-trip at
+        # BUILD time (4 sequential jobs before the query's own action
+        # ran); a lazy pin truncates lineage identically but lets the
+        # final action schedule the supersteps back-to-back without
+        # py4j stalls between them. A/B in OPTIMIZATION_r14.md.
         labels = (
             labels.select("node", F.col("label").alias("prev"))
             .join(winner, "node", "left")
             .select(
                 "node", F.coalesce(F.col("label"), F.col("prev")).alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
 

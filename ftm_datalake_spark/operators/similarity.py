@@ -392,7 +392,15 @@ def ivf_topk(
     partition-pruning story as the reference's dataset prefixes. Corpus
     lists are disjoint (hard assignment), so multi-probe results need no
     dedup: a (query, neighbor) pair can only arise from one list."""
-    cents = ivf_centroids(embeddings, cluster_col, emb_col)
+    # r14 (guide §2.4): the centroid aggregate is consumed by BOTH the
+    # corpus and the query assignment, and Spark executes a shared
+    # subtree once per consumer — each probe re-scanned and re-agg'd
+    # the corpus to rebuild the same k-row centroid table. One
+    # localCheckpoint (k rows) feeds both broadcasts; registry callers
+    # must be tagged checkpointed=True.
+    cents = ivf_centroids(embeddings, cluster_col, emb_col).localCheckpoint(
+        eager=True
+    )
     corpus = _with_quantized(embeddings, emb_col).select(
         F.col(id_col).alias("vid"), "q", "norm2"
     )

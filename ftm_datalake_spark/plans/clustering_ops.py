@@ -106,6 +106,10 @@ def _kmeans_ctes(base: str, k: int = _K, iters: int = _ITERS, dims: int = _DIMS)
     """,
     tags=("clustering", "similarity", "bench"),
     bench=True,
+    # r14: kmeans materializes the quantized corpus via localCheckpoint
+    # (identity-keyed; replaces the CacheManager persist whose
+    # plan-keyed entry leaked reuse across bench samples).
+    checkpointed=True,
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -218,6 +218,9 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the most in-distribution text), exactly CCNet's orientation.
 @register(
     "quality_perplexity_buckets",
+    # r14: trigram + doc-score tables checkpointed (guide §2.4 — the
+    # pipeline re-ran once per consumer chain).
+    checkpointed=True,
     oracle="""
     WITH tri AS (
       SELECT doc_id, unnest(list_transform(
@@ -260,18 +263,32 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
-    tri = toked.where(F.size("tk") >= 3).select(
-        "doc_id", F.explode(ngram_array(F.col("tk"), 3)).alias("trigram")
+    # r14 (guide §2.4): `tri` feeds the LM frequency aggregate AND the
+    # per-occurrence join, and `doc` feeds three consumers (bucket
+    # histogram, total, final labeling) — un-pinned, Spark re-ran the
+    # scan→tokenize→trigram-explode pipeline once per consumer chain
+    # (up to 6 times). Two checkpoints — the trigram table and the
+    # doc-scale score table — make each stage run once.
+    tri = (
+        toked.where(F.size("tk") >= 3)
+        .select(
+            "doc_id", F.explode(ngram_array(F.col("tk"), 3)).alias("trigram")
+        )
+        .localCheckpoint(eager=True)
     )
     lm = tri.groupBy("trigram").agg(F.count("*").alias("freq"))
     floor_log2 = F.length(F.conv(F.col("freq"), 10, 2)) - 1
     occ = tri.join(lm, "trigram").select(
         "doc_id", (F.lit(40) - floor_log2).alias("surprisal")
     )
-    doc = occ.groupBy("doc_id").agg(
-        F.floor((F.sum("surprisal") * 1000) / F.count("*"))
-        .cast("long")
-        .alias("score")
+    doc = (
+        occ.groupBy("doc_id")
+        .agg(
+            F.floor((F.sum("surprisal") * 1000) / F.count("*"))
+            .cast("long")
+            .alias("score")
+        )
+        .localCheckpoint(eager=True)
     )
     sc = doc.groupBy("score").agg(F.count("*").alias("n"))
     wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)

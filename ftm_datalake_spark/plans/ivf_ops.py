@@ -17,6 +17,9 @@ _QUANT = "CAST(round(CAST({x} AS DOUBLE) * 1000) AS BIGINT)"
 
 @register(
     "ann_ivf_topk",
+    # r14: ivf_topk checkpoints the k-row centroid table (guide §2.4 —
+    # it fed both the corpus and the query assignment).
+    checkpointed=True,
     oracle=f"""
     WITH qv AS (
       SELECT vec_id, label,
@@ -88,6 +91,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk_nprobe2",
+    checkpointed=True,
     oracle=f"""
     WITH qv AS (
       SELECT vec_id, label,

@@ -251,6 +251,9 @@ _SHINGLES_SQL = """
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup",),
+    # r14: ngram_jaccard_pairs checkpoints the shingle table (guide
+    # §2.4 — it fed three consumers).
+    checkpointed=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
@@ -296,6 +299,9 @@ _BANDS_SQL = _minhash_bands_sql()
 
 @register(
     "dedup_minhash_lsh",
+    # r14: minhash_lsh_pairs checkpoints the band table (guide
+    # §2.4 shared-subtree; signatures were computed twice).
+    checkpointed=True,
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLES_SQL}),
@@ -367,6 +373,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on the (tiny) candidate set.
 @register(
     "dedup_verified_pairs",
+    # r14: minhash_lsh_pairs checkpoints the band table (guide
+    # §2.4 shared-subtree; signatures were computed twice).
+    checkpointed=True,
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLES_SQL}),
@@ -537,6 +546,9 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the production path.
 @register(
     "dedup_lsh_recall",
+    # r14: minhash_lsh_pairs checkpoints the band table (guide
+    # §2.4 shared-subtree; signatures were computed twice).
+    checkpointed=True,
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLES_SQL}),

@@ -180,20 +180,19 @@ def run_cdc_upsert_stream_partitioned(
             .parquet(target)
         )
         # fully-emptied buckets: no output partition existed for the
-        # dynamic overwrite to replace — drop their directories
-        remaining = {
-            r[bucket_col]
-            for r in spark.read.parquet(target)
-            .where(F.col(bucket_col).isin(touched))
-            .select(bucket_col)
-            .distinct()
-            .collect()
-        }
+        # dynamic overwrite to replace — drop their directories.
+        # r14 (guide §5 driver work): the emptied set is exactly
+        # touched − survivors, already known from the pinned `merged`
+        # (reading it is a cache hit, not a recompute) — the previous
+        # post-write re-scan of the target's touched partitions plus a
+        # distinct+collect per batch existed only to recompute that
+        # set. fsutil.delete is a no-op for a bucket directory that
+        # never existed, so deleting the difference is identical.
         survivors = {
             r[bucket_col]
             for r in merged.select(bucket_col).distinct().collect()
         }
-        for bucket in remaining - survivors:
+        for bucket in set(touched) - survivors:
             fsutil.delete(spark, f"{target}/{bucket_col}={bucket}")
 
     return (

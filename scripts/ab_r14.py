@@ -25,9 +25,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def _noop(df) -> float:
+def _noop(builder, spark, sf_dir) -> float:
+    # Time builder + exec, like bench.py does (builder inside the timed
+    # region): eager localCheckpoints do their heavy compute at BUILD
+    # time, so timing only the noop write would silently exclude a
+    # checkpointing variant's main cost and bias every materialization
+    # A/B (this bug shipped in the first half of r14 and was caught when
+    # bench.py disagreed with the A/B verdicts).
     start = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - start, 3)
 
 
@@ -63,11 +69,11 @@ def main() -> None:
     c_pre = canary()
     samples: dict[str, list[float]] = {name: [] for name in variants}
     for name, builder in variants.items():  # warm: plan + JIT
-        _noop(builder(spark, sf_dir))
+        _noop(builder, spark, sf_dir)
     for _ in range(rounds):
         for name, builder in variants.items():
             spark.sparkContext.setJobDescription(f"ab:{exp_name}:{name}")
-            samples[name].append(_noop(builder(spark, sf_dir)))
+            samples[name].append(_noop(builder, spark, sf_dir))
     c_post = canary()
     print(f"canary pre={c_pre} post={c_post}")
     for name, vals in samples.items():
@@ -179,10 +185,29 @@ def _exp_semdedup():
     return {"old": old, "new": new}
 
 
+def _exp_minhash_bands():
+    """dedup_minhash_lsh: signature pipeline computed twice (both sides
+    of the band self-join) vs one checkpointed band table."""
+    from ftm_datalake_spark.operators import dedup as D
+    from ftm_datalake_spark.sources.tables import load_table
+
+    def _variant(materialize):
+        def build(spark, sf_dir):
+            docs = load_table(spark, sf_dir, "documents")
+            return D.minhash_lsh_pairs(
+                docs, materialize_bands=materialize
+            ).orderBy("doc_a", "doc_b")
+
+        return build
+
+    return {"old_dup_subtree": _variant(False), "new_ckpt": _variant(True)}
+
+
 EXPERIMENTS = {
     "er_postings": _exp_er_postings,
     "seg_dedup": _exp_seg_dedup,
     "semdedup": _exp_semdedup,
+    "minhash_bands": _exp_minhash_bands,
 }
 
 
