@@ -459,6 +459,13 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import audio_spectral_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r14 (guide §2.5 input skew, the phash fix applied family-wide to
+    # the heavy decoders): the documents parquet is 1-2 scan partitions
+    # at bench scale, so the Python decode stage ran on 1-2 cores;
+    # respread the 8-byte ids BEFORE synthesizing payloads.
+    docs = docs.repartition(
+        max(2, spark.sparkContext.defaultParallelism), "doc_id"
+    )
     n = (F.lit(64) + (F.col("doc_id") % 4) * 32).cast("int")
     c = (F.lit(3) + F.col("doc_id") % 5).cast("int")
     a = (F.lit(500) + F.col("doc_id") % 500).cast("int")
@@ -541,6 +548,13 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r14 (guide §2.5 input skew, the phash fix applied family-wide to
+    # the heavy decoders): the documents parquet is 1-2 scan partitions
+    # at bench scale, so the Python decode stage ran on 1-2 cores;
+    # respread the 8-byte ids BEFORE synthesizing payloads.
+    docs = docs.repartition(
+        max(2, spark.sparkContext.defaultParallelism), "doc_id"
+    )
     n = (F.lit(64) + (F.col("doc_id") % 4) * 32).cast("int")
     c = (F.lit(3) + F.col("doc_id") % 5).cast("int")
     a = (F.lit(500) + F.col("doc_id") % 500).cast("int")
@@ -958,6 +972,13 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r14 (guide §2.5 input skew, the phash fix applied family-wide to
+    # the heavy decoders): the documents parquet is 1-2 scan partitions
+    # at bench scale, so the Python decode stage ran on 1-2 cores;
+    # respread the 8-byte ids BEFORE synthesizing payloads.
+    docs = docs.repartition(
+        max(2, spark.sparkContext.defaultParallelism), "doc_id"
+    )
 
     def synth(batches):
         import numpy as np
