@@ -25,7 +25,7 @@ def main() -> None:
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
 
-    from ftm_datalake_spark.session import build_session
+    from ftm_datalake_spark.session import build_session, release_pinned_blocks
 
     spark = build_session(
         app_name="ftm-datalake-spark-bench",
@@ -96,6 +96,15 @@ def main() -> None:
             }
         except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
+        # Between queries (OUTSIDE every timed region): deterministically
+        # release the pinned blocks this query's localCheckpoints left.
+        # The ContextCleaner frees them only on a JVM GC, which a large
+        # idle driver heap may not run for hundreds of queries — r14
+        # measured a long session accumulating blocks until storage
+        # eviction slowed late queries 10-20×. Each sample re-builds its
+        # own checkpoints, so releasing here changes no measurement's
+        # work — it stops query N's leftovers from taxing query N+1.
+        release_pinned_blocks(spark)
         canaries.append(canary())  # host-speed reading after this query
 
     # Post-suite canary: paired with the pre-suite one, this separates

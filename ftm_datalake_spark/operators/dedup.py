@@ -389,8 +389,19 @@ def duplicate_span_coverage(
         F.sequence(F.lit(0), n_grams - 1),
         lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, k), " ")),
     )
-    grams = base.where(n_grams >= 1).select(
-        "doc_id", "n_tokens", F.posexplode(gram_arr).alias("pos", "h")
+    # r14 (guide §2.4): the gram table feeds BOTH the document-frequency
+    # aggregate and the semi-join probe — un-pinned, the expensive
+    # tokenize + per-gram md5 construction ran twice. One checkpoint of
+    # (doc_id, n_tokens, pos, h) feeds both; registry callers must be
+    # tagged checkpointed=True. (The final n_tokens join re-tokenizes
+    # once — carrying the token arrays through a checkpoint to avoid
+    # one regexp pass would pin corpus-scale text for doc-scale gain.)
+    grams = (
+        base.where(n_grams >= 1)
+        .select(
+            "doc_id", "n_tokens", F.posexplode(gram_arr).alias("pos", "h")
+        )
+        .localCheckpoint(eager=True)
     )
     dup_hashes = (
         grams.groupBy("h")

@@ -925,6 +925,9 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("dedup", "text", "training"),
+    # r14: duplicate_span_coverage checkpoints the gram table (guide
+    # §2.4 — the md5-gram construction fed two consumers).
+    checkpointed=True,
 )
 def dedup_duplicate_span_coverage(
     spark: SparkSession, sf_dir: str

@@ -55,3 +55,26 @@ def get_session() -> SparkSession:
     """Return the active session or build a default one."""
     active = SparkSession.getActiveSession()
     return active if active is not None else build_session()
+
+
+def release_pinned_blocks(spark: SparkSession) -> int:
+    """Unpersist every pinned RDD (localCheckpoint blocks and stray
+    persists) and return how many were released.
+
+    localCheckpoint blocks are cleaned by the ContextCleaner only when
+    the JVM garbage-collects the RDD object — with a large mostly-idle
+    driver heap that can lag hundreds of queries behind (measured in
+    r14: a 281-query session accumulated pinned blocks until storage
+    eviction slowed late queries 10-20×, while short sessions were
+    flat; an explicit System.gc() did not reclaim them). Calling this
+    BETWEEN queries makes the release deterministic. Never call it
+    while a query whose plan contains a checkpoint is still to be
+    consumed — between independent queries each build re-materializes
+    its own checkpoints, so the call is safe there by construction.
+    """
+    released = 0
+    # py4j exposes the java.util.Map as a dict-like JavaMap
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+        released += 1
+    return released

@@ -24,6 +24,8 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+from ftm_datalake_spark.session import release_pinned_blocks  # noqa: E402
+
 
 def _noop(builder, spark, sf_dir) -> float:
     # Time builder + exec, like bench.py does (builder inside the timed
@@ -34,7 +36,9 @@ def _noop(builder, spark, sf_dir) -> float:
     # bench.py disagreed with the A/B verdicts).
     start = time.perf_counter()
     builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - start, 3)
+    elapsed = round(time.perf_counter() - start, 3)
+    release_pinned_blocks(spark)  # outside the clock; see session.py
+    return elapsed
 
 
 def main() -> None:
@@ -43,7 +47,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from ftm_datalake_spark.session import build_session
+    from ftm_datalake_spark.session import build_session, release_pinned_blocks
 
     spark = build_session(
         app_name=f"ab-r14-{exp_name}",

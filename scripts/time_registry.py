@@ -26,7 +26,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from ftm_datalake_spark.session import build_session
+    from ftm_datalake_spark.session import build_session, release_pinned_blocks
 
     spark = build_session(
         app_name="time-registry",
@@ -66,6 +66,10 @@ def main() -> None:
             results[spec.name] = {"sec": min(samples), "samples": samples}
         except Exception as exc:  # noqa: BLE001
             results[spec.name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        # outside the timed region: deterministically drop this query's
+        # pinned checkpoint blocks so they never tax the next query
+        # (see session.release_pinned_blocks)
+        release_pinned_blocks(spark)
         if i % 10 == 9:
             results.setdefault("__canaries__", {"samples": []})["samples"].append(
                 canary()

@@ -57,6 +57,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report and continue
             fails.append(name)
             print(f"{name}: FAIL {str(exc)[:300]}", flush=True)
+        # between queries: deterministically drop pinned checkpoint
+        # blocks (see session.release_pinned_blocks) so a full-registry
+        # sweep doesn't accumulate storage until eviction slows the tail
+        from ftm_datalake_spark.session import release_pinned_blocks
+
+        release_pinned_blocks(spark)
 
     out = os.environ.get("VERIFY_OUT") or os.path.join(
         ROOT, f"VERIFY_LOCAL_r{rnd:02d}.json"
