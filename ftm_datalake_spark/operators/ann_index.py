@@ -106,31 +106,36 @@ def build_ivf_index(
 PQ_META = "pq_meta.json"
 
 
-def _pq_subdist(vec_col, ref: list[int], s: int, sub: int):
-    """Exact integer squared distance between ``q``'s s-th subvector
-    and a codebook entry — the same ADC arithmetic as
-    similarity.pq_encode_topk (integer-replayable, no float order)."""
-    ref_arr = F.array(*[F.lit(int(v)).cast("long") for v in ref])
-    sl = F.slice(vec_col, s * sub + 1, sub)
-    return F.aggregate(
-        F.zip_with(sl, ref_arr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+def _pq_subdist_sql(ref: list[int], s: int, sub: int) -> str:
+    """SQL for the exact integer squared distance between the ``q``
+    column's s-th subvector and a codebook entry — the same ADC
+    arithmetic as similarity.pq_encode_topk (integer-replayable, no
+    float order). Rendered as a SQL string parsed JVM-side in one call
+    because the Column-API form (per-value F.lit arrays) issued
+    hundreds of py4j round-trips per PQ plan (r14; the
+    random_projection finding). Identical fold order and casts."""
+    refs = ", ".join(f"{int(v)}L" for v in ref)
+    return (
+        f"aggregate(zip_with(slice(q, {s * sub + 1}, {sub}), "
+        f"array({refs}), (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
     )
+
+
+def _pq_subdist(vec_col, ref: list[int], s: int, sub: int):
+    """Column form of :func:`_pq_subdist_sql` (callers all read the
+    ``q`` column; ``vec_col`` is kept for signature stability)."""
+    return F.expr(_pq_subdist_sql(ref, s, sub))
 
 
 def _pq_code_col(vec_col, codebook: list[list[list[int]]], s: int, sub: int):
     """argmin over codebook entries for subspace ``s`` (id tiebreak)."""
-    scored = F.array(
-        *[
-            F.struct(
-                _pq_subdist(vec_col, codebook[c][s], s, sub).alias("d"),
-                F.lit(c).cast("int").alias("c"),
-            )
-            for c in range(len(codebook))
-        ]
+    structs = ", ".join(
+        f"struct({_pq_subdist_sql(codebook[c][s], s, sub)} as d, "
+        f"cast({c} as int) as c)"
+        for c in range(len(codebook))
     )
-    return F.array_min(scored)["c"]
+    return F.expr(f"array_min(array({structs})).c")
 
 
 def _train_pq_codebooks(

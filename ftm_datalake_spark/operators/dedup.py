@@ -290,6 +290,9 @@ def prefix_filter_pairs(
     # row_number window at one less shuffle); the array doubles as the
     # verification payload, so the candidate pairs never re-join the
     # postings relation (the entity_match array-intersect fix).
+    # r14 (guide §2.4): packed feeds THREE consumers (the prefix
+    # explode and both verification sides) — checkpoint it once;
+    # registry callers must be tagged checkpointed=True.
     packed = (
         tok.join(freq, "token")
         .groupBy("doc_id")
@@ -299,6 +302,7 @@ def prefix_filter_pairs(
             F.transform("__s", lambda s: s["token"]).alias("toks"),
             F.size("__s").alias("m"),
         )
+        .localCheckpoint(eager=True)
     )
     # prefix length: m - ceil(t*m) + 1, ceil as exact integer arithmetic
     plen = F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1
@@ -344,6 +348,19 @@ def prefix_filter_pairs(
         F.col("doc_id").alias("doc_b"),
         F.col("toks").alias("__tb"), F.col("m").alias("mb"),
     )
+    # r14 (guide §3.1): the candidate set can dwarf the doc set (a
+    # near-dup-heavy corpus measured 6.2 M candidates from ~10 K docs),
+    # and the planner's size ESTIMATE for the token-array side exceeds
+    # the auto-broadcast threshold — so both verification joins ran as
+    # sort-merge, shuffling every candidate twice and the token arrays
+    # with them. The doc→tokens relation is doc-scale and exactly
+    # counted (the checkpoint materialized it); broadcast it while it
+    # is provably bounded and let the candidates verify in place,
+    # shuffle-free. Above the guard the join stays planner-chosen —
+    # a 100 TB vocab side must keep the shuffle escape (the
+    # token_vote_predict rule).
+    if packed.count() <= 200_000:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     common = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
     uni = F.col("ma") + F.col("mb") - F.col("common")
     return (

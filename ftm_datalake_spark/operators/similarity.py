@@ -460,6 +460,48 @@ def label_centroids(
     )
 
 
+def _pq_subdist_sql(codebook, s: int, c: int, sub: int) -> str:
+    """SQL for the exact integer L2² between the `q` column's s-th
+    subvector and codebook entry (c, s).
+
+    r14 (guide §1, the random_projection finding): the Column-API form
+    — an F.array of `sub` F.lit(...).cast(...) literals plus
+    zip_with/aggregate per (s, c) combination — issued hundreds of py4j
+    round-trips per PQ plan and dominated the ADC queries' build time;
+    the SAME expressions rendered as one SQL string parse JVM-side in
+    a single call. Arithmetic is unchanged: identical fold order,
+    identical casts."""
+    ref = ", ".join(f"{int(v)}L" for v in codebook[c][s])
+    return (
+        f"aggregate(zip_with(slice(q, {s * sub + 1}, {sub}), array({ref}), "
+        "(x, y) -> (x - y) * (x - y)), cast(0 as bigint), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _pq_code_col(codebook, s: int, sub: int, codebook_size: int) -> Column:
+    """argmin-by-(distance, code-id) PQ code for subspace s (exact
+    struct-min, the same tie-break as the oracle)."""
+    structs = ", ".join(
+        f"struct({_pq_subdist_sql(codebook, s, c, sub)} as d, "
+        f"cast({c} as int) as c)"
+        for c in range(codebook_size)
+    )
+    return F.expr(f"array_min(array({structs})).c")
+
+
+def _pq_dtab_col(codebook, s: int, sub: int, codebook_size: int) -> Column:
+    """Per-row ADC lookup table for subspace s: [d(q_s, entry_0), ...]."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            _pq_subdist_sql(codebook, s, c, sub)
+            for c in range(codebook_size)
+        )
+        + ")"
+    )
+
+
 def pq_encode_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -505,30 +547,12 @@ def pq_encode_topk(
     # fewer vectors than codebook entries: shrink the codebook
     codebook_size = min(codebook_size, len(codebook))
 
-    def subdist(vec_col: F.Column, s: int, c: int) -> F.Column:
-        ref = F.array(*[F.lit(int(v)).cast("long") for v in codebook[c][s]])
-        sl = F.slice(vec_col, s * sub + 1, sub)
-        return F.aggregate(
-            F.zip_with(sl, ref, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    def code_for(s: int) -> F.Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    subdist(F.col("q"), s, c).alias("d"),
-                    F.lit(c).cast("int").alias("c"),
-                )
-                for c in range(codebook_size)
-            ]
-        )
-        return F.array_min(scored)["c"]
-
     encoded = q_df.select(
         F.col("vec_id").alias("nid"),
-        *[code_for(s).alias(f"code{s}") for s in range(n_subspaces)],
+        *[
+            _pq_code_col(codebook, s, sub, codebook_size).alias(f"code{s}")
+            for s in range(n_subspaces)
+        ],
     )
 
     qs = queries.select(
@@ -538,9 +562,7 @@ def pq_encode_topk(
     qtabs = qs.select(
         "qid",
         *[
-            F.array(
-                *[subdist(F.col("q"), s, c) for c in range(codebook_size)]
-            ).alias(f"dtab{s}")
+            _pq_dtab_col(codebook, s, sub, codebook_size).alias(f"dtab{s}")
             for s in range(n_subspaces)
         ],
     )
@@ -605,31 +627,13 @@ def ivfpq_topk(
     ]
     codebook_size = min(codebook_size, len(codebook))
 
-    def subdist(vec_col: F.Column, s: int, c: int) -> F.Column:
-        ref = F.array(*[F.lit(int(v)).cast("long") for v in codebook[c][s]])
-        sl = F.slice(vec_col, s * sub + 1, sub)
-        return F.aggregate(
-            F.zip_with(sl, ref, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    def code_for(s: int) -> F.Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    subdist(F.col("q"), s, c).alias("d"),
-                    F.lit(c).cast("int").alias("c"),
-                )
-                for c in range(codebook_size)
-            ]
-        )
-        return F.array_min(scored)["c"]
-
     index = corpus_assigned.select(
         "nid",
         "cluster",
-        *[code_for(s).alias(f"code{s}") for s in range(n_subspaces)],
+        *[
+            _pq_code_col(codebook, s, sub, codebook_size).alias(f"code{s}")
+            for s in range(n_subspaces)
+        ],
     )
 
     qs = _with_quantized(queries, emb_col).select(
@@ -642,9 +646,7 @@ def ivfpq_topk(
         "qid",
         "cluster",
         *[
-            F.array(
-                *[subdist(F.col("q"), s, c) for c in range(codebook_size)]
-            ).alias(f"dtab{s}")
+            _pq_dtab_col(codebook, s, sub, codebook_size).alias(f"dtab{s}")
             for s in range(n_subspaces)
         ],
     )

@@ -698,6 +698,10 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rarest-token prefixes. See operators/dedup.prefix_filter_pairs.
 @register(
     "dedup_prefix_filter_pairs",
+    # r14: prefix_filter_pairs checkpoints the packed doc→tokens table
+    # (three consumers) and broadcast-verifies the candidates (guide
+    # §3.1) — 222 s → ~40 s at sf0.1.
+    checkpointed=True,
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),
     tok AS (
