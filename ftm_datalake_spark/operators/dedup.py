@@ -276,6 +276,22 @@ def prefix_filter_pairs(
     All thresholds are integer cross-multiplications; the global order
     (frequency, token) is total, so any engine reproduces the exact
     pair set.
+
+    r14 adaptive small-alphabet path (guide §1.1 first-principles +
+    §2.3): prefix filtering assumes rare tokens exist — on a corpus
+    whose whole vocabulary is tiny (categorical event streams, DNA-like
+    alphabets; the bench corpus has 31 distinct tokens) every doc's
+    "rarest" tokens are corpus-common, candidate lists go quadratic and
+    the filter passes ~half of all pairs. When the vocabulary fits in
+    64 bits (probed with one vocabulary-count scalar, the auto-salt
+    precedent) the operator switches to an exact bitset form: identical
+    token SETS collapse into classes, the same prefix join runs at
+    class granularity on integer bit ids, and verification is an inline
+    bit_count over two longs instead of a string-array intersection —
+    no token arrays ever cross a shuffle, no verification join at all.
+    Surviving class pairs expand back to doc pairs, which reproduces
+    the exact pair set because (common, uni) depend only on the token
+    SETS. Above 64 tokens the general path below runs unchanged.
     """
     tok = (
         docs.select(
@@ -283,8 +299,12 @@ def prefix_filter_pairs(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
         )
         .distinct()
+        # feeds freq AND the packed/mask join in both branches (§2.4)
+        .localCheckpoint(eager=True)
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    if freq.count() <= _BITSET_VOCAB_MAX:
+        return _prefix_filter_pairs_bitset(tok, freq, t_num, t_den)
     # One windowless groupBy packs each doc's rarest-first token array
     # + size (the rare_token_block_keys idiom — replaces the old
     # row_number window at one less shuffle); the array doubles as the
@@ -370,6 +390,150 @@ def prefix_filter_pairs(
         .where(t_den * F.col("common") >= t_num * uni)
         .select("doc_a", "doc_b", "common", uni.cast("long").alias("uni"))
     )
+
+
+# Vocabulary size up to which the bitset form of prefix_filter_pairs
+# applies (one 64-bit mask per doc). Module-level so tests can force the
+# general path on a small-vocab corpus and assert bit-equality.
+_BITSET_VOCAB_MAX = 64
+
+
+def _prefix_filter_pairs_bitset(
+    tok: DataFrame, freq: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Small-alphabet exact set-similarity join (see prefix_filter_pairs).
+
+    `tok` is the checkpointed distinct (doc_id, token) relation and
+    `freq` its per-token counts, with at most 64 distinct tokens.
+
+    Shape: one bounded ≤64-row window assigns each token a bit id in
+    the same rarest-first (f, token) total order the general path
+    sorts by; each doc folds to one long mask; identical masks collapse
+    to classes (an exact-duplicate-heavy corpus shrinks quadratically);
+    the class self-join keys on the ≤64 bit ids, so it is salted with
+    an explicit repartition exactly like the few-key SemDeDup pair join
+    (guide §2.5 — AQE would coalesce this byte-light, compute-heavy
+    stage); the length/positional prefix bounds AND the full Jaccard
+    verification are inline integer filters (bit_count over two longs),
+    so only surviving (mask_a, mask_b) pairs — 16 bytes each — reach
+    the dedup exchange (§2.3). Expansion back to doc pairs emits
+    exactly the true result rows, never more.
+    """
+    # Bit ids: ascending (f, token) == the general path's rarest-first
+    # prefix order. The single-partition window is bounded by the ≤64
+    # vocabulary gate that routed us here.
+    w = Window.orderBy("f", "token")
+    ids = freq.select("token", (F.row_number().over(w) - 1).alias("bit"))
+    masks = (
+        tok.join(F.broadcast(ids), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"),
+            F.count("*").alias("m"),
+        )
+    )
+    cls = (
+        masks.groupBy("mask", "m")
+        .agg(
+            F.collect_list("doc_id").alias("members"),
+            F.count("*").alias("cnt"),
+        )
+        # feeds the prefix explode (both join sides) + both expansion
+        # joins — one narrow class-scale relation (§2.4)
+        .localCheckpoint(eager=True)
+    )
+    # Ascending set-bit ids of the mask == the class's tokens in
+    # rarest-first order; the prefix is the first plen of them.
+    set_bits = F.expr("filter(sequence(0, 63), i -> ((mask >> i) & 1) = 1)")
+    plen = F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1
+    pref = cls.select(
+        "mask",
+        "m",
+        F.posexplode(F.slice(set_bits, 1, plen.cast("int"))).alias(
+            "__p0", "bit"
+        ),
+    ).select("mask", "m", (F.col("__p0") + 1).alias("p"), "bit")
+    # Few-key self-join (≤64 bit ids): salt the probe side, replicate
+    # the build side, explicit repartition so AQE's byte-based
+    # coalescing cannot serialize the popcount stage (the _sem_pairs
+    # idiom; B degenerates to 1 on production core counts).
+    sc = tok.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    b_factor = max(1, (4 * dp) // 64)
+    n_parts = max(2, 2 * dp)
+    a = (
+        pref.select(
+            F.col("mask").alias("mask_a"),
+            "bit",
+            F.col("p").alias("pa"),
+            F.col("m").alias("ma"),
+        )
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col("mask_a")), F.lit(b_factor)))
+        .repartition(n_parts, "bit", "__salt")
+    )
+    b = (
+        pref.select(
+            F.col("mask").alias("mask_b"),
+            "bit",
+            F.col("p").alias("pb"),
+            F.col("m").alias("mb"),
+        )
+        .withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(b_factor - 1))),
+        )
+        .repartition(n_parts, "bit", "__salt")
+    )
+    ubound = 1 + F.least(F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb"))
+    common = F.bit_count(
+        F.col("mask_a").bitwiseAND(F.col("mask_b"))
+    ).cast("long")
+    uni = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b"))).cast("long")
+    cpairs = (
+        a.join(b, ["bit", "__salt"])
+        .where(
+            (F.col("mask_a") < F.col("mask_b"))
+            & (t_num * F.col("ma") <= t_den * F.col("mb"))
+            & (t_num * F.col("mb") <= t_den * F.col("ma"))
+            & ((t_den + t_num) * ubound >= t_num * (F.col("ma") + F.col("mb")))
+            & (t_den * common >= t_num * uni)
+        )
+        .select("mask_a", "mask_b")
+        .distinct()
+    )
+    ca = cls.select(F.col("mask").alias("mask_a"), F.col("members").alias("__ca"))
+    cb = cls.select(F.col("mask").alias("mask_b"), F.col("members").alias("__cb"))
+    if cls.count() <= 200_000:
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
+    cross = (
+        cpairs.join(ca, "mask_a")
+        .join(cb, "mask_b")
+        .select("mask_a", "mask_b", F.explode("__ca").alias("__da"), "__cb")
+        .select("mask_a", "mask_b", "__da", F.explode("__cb").alias("__db"))
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            common.alias("common"),
+            uni.alias("uni"),
+        )
+    )
+    if t_num > t_den:
+        # Jaccard can never exceed 1: identical sets only qualify when
+        # the threshold allows J = 1.
+        return cross
+    within = (
+        cls.where(F.col("cnt") >= 2)
+        .select("m", F.explode("members").alias("doc_a"), "members")
+        .select("m", "doc_a", F.explode("members").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("m").cast("long").alias("common"),
+            F.col("m").cast("long").alias("uni"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def duplicate_span_coverage(

@@ -700,7 +700,11 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_prefix_filter_pairs",
     # r14: prefix_filter_pairs checkpoints the packed doc→tokens table
     # (three consumers) and broadcast-verifies the candidates (guide
-    # §3.1) — 222 s → ~40 s at sf0.1.
+    # §3.1) — 222 s → ~40 s at sf0.1. Second pass: the ≤64-token
+    # vocabulary probe routes this corpus to the exact bitset/class
+    # form (inline bit_count verification, salted few-key join, doc
+    # pairs expanded from identical-set classes) — see
+    # operators/dedup._prefix_filter_pairs_bitset.
     checkpointed=True,
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),

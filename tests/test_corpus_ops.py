@@ -108,6 +108,58 @@ def test_prefix_filter_matches_bruteforce_on_small_corpus(spark, sf_dir):
     assert got == expected
 
 
+def test_prefix_filter_bitset_equals_general_path(spark, sf_dir, monkeypatch):
+    """r14 small-alphabet bitset form == the general packed-array form,
+    pair-for-pair including (common, uni), on a real small-vocab corpus
+    (the general path is forced by shrinking the vocabulary gate)."""
+    from ftm_datalake_spark.operators import dedup as D
+    from ftm_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    bitset = {
+        (r["doc_a"], r["doc_b"], r["common"], r["uni"])
+        for r in D.prefix_filter_pairs(docs).collect()
+    }
+    monkeypatch.setattr(D, "_BITSET_VOCAB_MAX", 0)
+    general = {
+        (r["doc_a"], r["doc_b"], r["common"], r["uni"])
+        for r in D.prefix_filter_pairs(docs).collect()
+    }
+    assert bitset == general
+    assert bitset  # the corpus has near-dups: a vacuous pass would hide a bug
+
+
+def test_prefix_filter_general_path_on_large_vocab(spark):
+    """A >64-token vocabulary must route to the general path and still
+    match brute force (the bench corpora are all small-vocab, so this
+    is the general path's only guard after the r14 bitset split)."""
+    from ftm_datalake_spark.operators.dedup import prefix_filter_pairs
+
+    # 70-token vocabulary; doc i holds tokens [i, i+12) of the ring, so
+    # adjacent docs overlap 11/13 > 0.8 and distant docs overlap none.
+    vocab = [f"w{i:02d}" for i in range(70)]
+    rows = [
+        (i, " ".join(vocab[j % 70] for j in range(i, i + 12)))
+        for i in range(0, 35)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["common"], r["uni"])
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    sets = {i: {vocab[j % 70] for j in range(i, i + 12)} for i, _ in rows}
+    ids = sorted(sets)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 5 * inter >= 4 * union:
+                expected.add((a, b, inter, union))
+    assert got == expected
+    assert got  # adjacent ring docs share 11/13 > 0.8 — never vacuous
+
+
 # --------------------------------------------------------------- sketches
 def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
     from ftm_datalake_spark.operators.sketches import cms_estimates
