@@ -314,22 +314,42 @@ def quantize_embeddings_int8(
     q_i = floor((x_i / scale) * 127 + 0.5) — explicit round-half-up so the
     arithmetic is the same IEEE double sequence on every engine; integer
     outputs (sum/min/max) are order-independent and exactly comparable.
-    Zero vectors quantize to all-zero (scale 0 guard)."""
+    Zero vectors quantize to all-zero (scale 0 guard).
+
+    r14 (guide §1.2 per-task work): higher-order array functions are
+    interpreted — no codegen, no common-subexpression elimination — so
+    inlining `absmax` inside the per-element lambda and repeating `q`
+    for sum/min/max re-evaluated the abs-max scan per ELEMENT and the
+    whole quantize transform per CONSUMER (~12k expression evals per
+    64-dim row). Staging scale and q as attributes in intermediate
+    projects makes each a single evaluation per row; CollapseProject
+    keeps multi-consumer non-cheap aliases staged (SPARK-36718)."""
     emb = F.col(vec_col)
     absmax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
-    q = F.transform(
-        emb,
-        lambda x: F.when(absmax == 0, F.lit(0).cast("long")).otherwise(
-            F.floor((x.cast("double") / absmax) * 127 + 0.5).cast("long")
-        ),
-    )
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         F.size(emb).alias("n_dims"),
         absmax.alias("scale"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.array_min(q).alias("q_min"),
-        F.array_max(q).alias("q_max"),
+        emb.alias("__e"),
+    )
+    q = F.transform(
+        F.col("__e"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((x.cast("double") / F.col("scale")) * 127 + 0.5).cast(
+                "long"
+            )
+        ),
+    )
+    staged_q = staged.select(F.col(id_col), "n_dims", "scale", q.alias("__q"))
+    return staged_q.select(
+        F.col(id_col),
+        "n_dims",
+        "scale",
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("__q").alias("q_min"),
+        F.array_max("__q").alias("q_max"),
     )
 
 

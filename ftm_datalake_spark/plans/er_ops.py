@@ -279,21 +279,44 @@ def er_fellegi_sunter_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.split(F.col("p_name"), " ").getItem(0).alias("p_head"),
     )
-    a = part.select(
-        F.col("p_brand").alias("b"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_type").alias("ta"),
-        F.col("p_size").alias("sa"),
-        F.col("p_head").alias("ca"),
+    # r14 (guide §2.5): the brand block key has ~25 distinct values, so
+    # the pair stage ran on a handful of AQE-coalesced partitions — the
+    # er_fuzzy_part_names salted-join fix applied verbatim (identical
+    # pair set, B× the tasks; B degenerates to 1 on production core
+    # counts where brands outnumber cores).
+    dp = spark.sparkContext.defaultParallelism
+    b_factor = max(1, dp // 2)
+    n_parts = max(2, 2 * dp)
+    a = (
+        part.select(
+            F.col("p_brand").alias("b"),
+            F.col("p_partkey").alias("key_a"),
+            F.col("p_type").alias("ta"),
+            F.col("p_size").alias("sa"),
+            F.col("p_head").alias("ca"),
+        )
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("key_a")), F.lit(b_factor))
+        )
+        .repartition(n_parts, "b", "__salt")
     )
-    b = part.select(
-        F.col("p_brand").alias("b"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_type").alias("tb"),
-        F.col("p_size").alias("sb"),
-        F.col("p_head").alias("cb"),
+    b = (
+        part.select(
+            F.col("p_brand").alias("b"),
+            F.col("p_partkey").alias("key_b"),
+            F.col("p_type").alias("tb"),
+            F.col("p_size").alias("sb"),
+            F.col("p_head").alias("cb"),
+        )
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(b_factor - 1))
+            ),
+        )
+        .repartition(n_parts, "b", "__salt")
     )
-    pairs = a.join(b, "b").where(F.col("key_a") < F.col("key_b"))
+    pairs = a.join(b, ["b", "__salt"]).where(F.col("key_a") < F.col("key_b"))
     ag_type = F.when(F.col("ta") == F.col("tb"), 1).otherwise(0)
     ag_size = F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)
     ag_cont = F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
