@@ -9,15 +9,16 @@ relation to which queries most need driver evidence.
 
 This list reorders the registry so the prefix is spent deliberately.
 
-Round-13 curation: the r1-r12 sample union stands at 274/274 — every
-pre-r13 query driver-green at least once, zero never-sampled. Round 13
-ADDED seven oracled queries (auto-salt flagship twin, delta-aware stats
-fold, δ-presence, Mann-Whitney U, chi-square independence, reorder
-gaps, graph link prediction), which lead because they have NO driver
-evidence yet. Then the r7-stale tranche the r12 verdict named
-explicitly (sketch_* block, five TPC-H heads, the graph pair, the
-r5-era text/search/quality rows — the OLDEST driver evidence left),
-then the oldest of the r8 block. Regenerate with
+Round-14 curation (an optimization round — zero new queries): the
+sample union after r13 is total (281/281, nothing never-sampled, no
+row older than r8). The r14 prefix leads with the twelve queries whose
+PLANS this round restructured most (bitset prefix filter, salted
+few-key joins, staged quantize, shared-subtree checkpoints) so the
+driver re-verifies exactly what changed, then rotates the 31 rows
+whose newest driver evidence is r8 (the r13 VERDICT's freshness list),
+then the oldest r9 rows to fill 50. Every listed query is green in
+this round's full local sweeps at sf0.01 AND sf0.1
+(VERIFY_LOCAL_r14.json / VERIFY_LOCAL_SF01_r14.json). Regenerate with
 scripts/gen_evidence.py each round.
 
 Everything not listed keeps registration order after these.
@@ -26,59 +27,54 @@ Everything not listed keeps registration order after these.
 from __future__ import annotations
 
 EVIDENCE_PRIORITY: tuple[str, ...] = (
-    "statement_aggregation_auto",  # NEW r13 — never driver-sampled
-    "dataset_stats_incremental",  # NEW r13 — never driver-sampled
-    "privacy_delta_presence",  # NEW r13 — never driver-sampled
-    "eval_mann_whitney",  # NEW r13 — never driver-sampled
-    "dq_chi_square_independence",  # NEW r13 — never driver-sampled
-    "orders_reorder_gaps",  # NEW r13 — never driver-sampled
-    "graph_link_prediction_jaccard",  # NEW r13 — never driver-sampled
-    "global_sort_topk",  # last driver sample: r7
-    "graph_kcore_trade",  # last driver sample: r7
-    "graph_weighted_sssp",  # last driver sample: r7
-    "q12_priority_shipmode",  # last driver sample: r7
-    "q14_promo_share",  # last driver sample: r7
-    "q18_large_orders",  # last driver sample: r7
-    "q19_disjunctive_revenue",  # last driver sample: r7
-    "q1_pricing_summary",  # last driver sample: r7
-    "q3_shipping_priority",  # last driver sample: r7
-    "q5_region_revenue",  # last driver sample: r7
-    "quality_gopher_rules",  # last driver sample: r7
-    "quality_iqr_outliers",  # last driver sample: r7
-    "search_hybrid_rrf",  # last driver sample: r7
-    "semantic_dedup_pairs",  # last driver sample: r7
-    "semi_join_big_spenders",  # last driver sample: r7
-    "set_intersect_nations",  # last driver sample: r7
-    "sketch_bloom_decontaminate",  # last driver sample: r7
-    "sketch_cms_heavy_hitters",  # last driver sample: r7
-    "sketch_hll_by_event_type",  # last driver sample: r7
-    "sketch_hll_distinct_users",  # last driver sample: r7
-    "sketch_theta_set_ops",  # last driver sample: r7
-    "text_phrase_search",  # last driver sample: r7
-    "text_ranked_search",  # last driver sample: r7
-    "window_running_total",  # last driver sample: r7
-    "above_type_average_parts",  # last driver sample: r8
-    "ann_cosine_topk",  # last driver sample: r8
-    "ann_cosine_topk_vectorized",  # last driver sample: r8
-    "ann_ivf_topk",  # last driver sample: r8
-    "ann_lsh_topk",  # last driver sample: r8
-    "coalesce_source_url",  # last driver sample: r8
-    "corpus_curation",  # last driver sample: r8
-    "corpus_curation_v2",  # last driver sample: r8
-    "corpus_epoch_packing",  # last driver sample: r8
-    "corpus_epoch_packing_wide",  # last driver sample: r8
-    "corpus_epoch_shards",  # last driver sample: r8
-    "corpus_pipeline_e2e",  # last driver sample: r8
-    "corpus_segment_ledger",  # last driver sample: r8
-    "coverage_intervals",  # last driver sample: r8
-    "dataset_stats",  # last driver sample: r8
-    "dedup_common_segments",  # last driver sample: r8
-    "distinct_line_set",  # last driver sample: r8
-    "docs_latest_wins",  # last driver sample: r8
-    "docs_merge_upsert",  # last driver sample: r8
+    "dedup_prefix_filter_pairs",  # r14-touched: r14 bitset/class rewrite - most-restructured plan
+    "er_fellegi_sunter_matches",  # r14-touched: r14 salted block join
+    "embedding_quantize_int8",  # r14-touched: r14 staged HOF expressions
+    "semantic_dedup_pairs",  # r14-touched: r14 salted pair join + shared assignment
+    "semdedup_prune_summary",  # r14-touched: r14 salted pair join + shared assignment
+    "er_fuzzy_part_names",  # r14-touched: r14 salted join + thresholded levenshtein
+    "multimodal_phash_neardup",  # r14-touched: r14 materialized hash + decode respread
+    "dedup_ngram_jaccard",  # r14-touched: r14 shingle checkpoint
+    "quality_perplexity_buckets",  # r14-touched: r14 double checkpoint
+    "docs_merge_upsert",  # r14-touched: r14 max_by latest-wins + hoisted anti-delete
+    "corpus_pipeline_e2e",  # r14-touched: r14 in-scan Gopher predicate
+    "dedup_duplicate_span_coverage",  # r14-touched: r14 gram-table checkpoint
     "embedding_kmeans",  # last driver sample: r8
     "embedding_neardup",  # last driver sample: r8
     "entity_projection",  # last driver sample: r8
     "events_hourly_rollup",  # last driver sample: r8
     "events_p90_value_by_type",  # last driver sample: r8
+    "folders_dim",  # last driver sample: r8
+    "gdpr_forget_users",  # last driver sample: r8
+    "glob_filter_sources",  # last driver sample: r8
+    "histogram_order_value",  # last driver sample: r8
+    "inverted_index",  # last driver sample: r8
+    "json_props_extract",  # last driver sample: r8
+    "make_reconcile",  # last driver sample: r8
+    "median_order_value",  # last driver sample: r8
+    "null_semantics_check",  # last driver sample: r8
+    "pagerank_trade_graph",  # last driver sample: r8
+    "part_copurchase_topk",  # last driver sample: r8
+    "q4_order_priority",  # last driver sample: r8
+    "q6_forecast_revenue",  # last driver sample: r8
+    "rollup_order_stats",  # last driver sample: r8
+    "scd2_event_history",  # last driver sample: r8
+    "schema_facets",  # last driver sample: r8
+    "set_equality_check",  # last driver sample: r8
+    "snapshot_diff_added",  # last driver sample: r8
+    "snapshot_diff_deleted",  # last driver sample: r8
+    "statement_aggregation",  # last driver sample: r8
+    "statement_aggregation_wide",  # last driver sample: r8
+    "stats_qty_price_regression",  # last driver sample: r8
+    "task_ledger_skip",  # last driver sample: r8
+    "token_vocabulary",  # last driver sample: r8
+    "topk_per_group",  # last driver sample: r8
+    "trigram_freq_top100",  # last driver sample: r8
+    "ann_ivfpq_topk",  # last driver sample: r9
+    "ann_lsh_recall",  # last driver sample: r9
+    "ann_pq_adc_topk",  # last driver sample: r9
+    "asof_last_purchase",  # last driver sample: r9
+    "boilerplate_by_source",  # last driver sample: r9
+    "bpe_encode_fixed",  # last driver sample: r9
+    "bpe_pair_freq_top20",  # last driver sample: r9
 )
