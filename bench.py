@@ -56,7 +56,16 @@ def main() -> None:
     canary()  # warm
     canary_sec = min(canary(), canary())  # pre-suite canary (kept name: round comparability)
 
-    bench_specs = [s for s in REGISTRY.values() if s.bench]
+    # Bench order pinned BY NAME (VERDICT r14 #2): bench.py used to
+    # iterate REGISTRY.values(), whose order plans/evidence.py reorders
+    # each round for the driver's correctness-sample prefix — the r14
+    # rotation silently moved docs_merge_upsert into the cold-JVM first
+    # slot and poisoned its round-over-round comparison. Sorting by
+    # name decouples bench execution order from evidence rotation
+    # permanently: the same 16 queries always run in the same order.
+    bench_specs = sorted(
+        (s for s in REGISTRY.values() if s.bench), key=lambda s: s.name
+    )
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
@@ -69,6 +78,12 @@ def main() -> None:
     # each query normalizes by min(canary_before, canary_after), the
     # window its best-of-N minimum was actually taken in.
     canaries: list[float] = [canary_sec]
+    # Per-query bracketing canary: the faster of the two host-speed
+    # readings around the window the query's recorded minimum came
+    # from. Kept as a dict (not list indexing) so the outlier-resample
+    # pass below can update a single query's window without disturbing
+    # its neighbours'.
+    win: dict[str, float] = {}
     for spec in bench_specs:
         # Fault isolation: one broken builder must not lose the whole
         # artifact — record its error and keep timing the rest.
@@ -106,6 +121,49 @@ def main() -> None:
         # work — it stops query N's leftovers from taxing query N+1.
         release_pinned_blocks(spark)
         canaries.append(canary())  # host-speed reading after this query
+        win[spec.name] = min(canaries[-2], canaries[-1])
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # Canary-outlier resample (VERDICT r13 #4, ordered again by VERDICT
+    # r14 #1): a query whose whole measurement window was host-starved
+    # (both bracketing canaries > 2× the run's median canary) gets ONE
+    # extra timed sample at the end of the suite, when the host/JVM has
+    # settled. The r14 driver run produced exactly this artifact —
+    # corpus_curation 3.0 s in a drift-12.9 window vs 0.62 s on the
+    # same driver at 8 cores. The resample can only ADD a sample (min
+    # over all samples is kept), so a genuinely slow plan keeps its
+    # honest number; only starved-window noise is corrected.
+    canary_median_main = _median(canaries)
+    resampled: list[str] = []
+    for spec in bench_specs:
+        if spec.name not in timings:
+            continue
+        if win[spec.name] <= 2.0 * canary_median_main:
+            continue
+        try:
+            c_before = canary()
+            start = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = round(time.perf_counter() - start, 3)
+            release_pinned_blocks(spark)
+            c_after = canary()
+            canaries.extend([c_before, c_after])
+            sp = spreads[spec.name]
+            sp["n"] += 1
+            sp["max"] = max(sp["max"], t)
+            if t < timings[spec.name]:
+                timings[spec.name] = t
+                sp["min"] = t
+                win[spec.name] = min(c_before, c_after)
+            resampled.append(spec.name)
+        except Exception:  # noqa: BLE001 — resample is best-effort
+            pass
 
     # Post-suite canary: paired with the pre-suite one, this separates
     # "host slowed down during the run" (pre != post) from a stable-host
@@ -133,26 +191,22 @@ def main() -> None:
             )
     except Exception:
         pass
-    # Per-query normalization by the NEAREST canaries: query i ran
-    # between canaries[i] and canaries[i+1]; its best-of-N minimum came
-    # from the fastest moment of that window, so normalize by the
-    # faster of the two adjacent readings. The normalized total is the
+    # Per-query normalization by the NEAREST canaries: each query's
+    # recorded minimum came from the fastest moment of its measurement
+    # window, so normalize by the faster of the two canary readings
+    # bracketing THAT window (`win`, updated by the resample pass when
+    # a resample produced the new minimum). The normalized total is the
     # sum of per-query normalized values — mid-run drift scales only
     # the queries it actually overlapped (the r11 failure mode).
     queries_normalized: dict[str, float] = {}
-    for idx, spec in enumerate(bench_specs):
+    for spec in bench_specs:
         if spec.name not in timings:
             continue
-        nearest = min(canaries[idx], canaries[idx + 1])
+        nearest = win.get(spec.name)
         if nearest:
             queries_normalized[spec.name] = round(
                 timings[spec.name] * (ref_canary / nearest), 3
             )
-
-    def _median(vals: list[float]) -> float:
-        s = sorted(vals)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -172,6 +226,7 @@ def main() -> None:
         if min(canaries)
         else None,
         "canary_median_sec": round(_median(canaries), 3),
+        "resampled": resampled,
         "ref_canary_sec": ref_canary,
         "value_normalized": round(sum(queries_normalized.values()), 3)
         if queries_normalized
