@@ -25,16 +25,20 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component =
     min node id reachable. Deterministic for any input order."""
-    # One eager checkpoint of the raw pairs, THEN the direction flip:
-    # the old union referenced the upstream (often expensive) edge plan
-    # twice inside a single job (r14, guide §1.2).
+    # One checkpoint of the raw pairs, THEN the direction flip: the old
+    # union referenced the upstream (often expensive) edge plan twice
+    # inside a single job (r14, guide §1.2). r15: the pins are LAZY —
+    # each round's n_changed count (a mandatory driver read) is the
+    # materializing action, so build-time blocking jobs halve while the
+    # plan truncation is identical (lazy localCheckpoint swaps the
+    # logical plan for a LogicalRDD immediately; guide §5).
     base = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     both = base.unionByName(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    both = both.distinct().localCheckpoint(eager=True)
+    both = both.distinct().localCheckpoint(eager=False)
 
     labels = (
         both.select(F.col("a").alias("node"))
@@ -61,7 +65,7 @@ def connected_components(
                     < F.col("component")
                 ).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
@@ -99,14 +103,21 @@ def connected_components_star(
     # e.g. er_golden_record's full entity_match — executed twice before
     # the first CC round. One narrow (src, dst) checkpoint feeds both;
     # the node set and edge canonicalization are cheap projections of it.
+    # r15: all pins LAZY (guide §5 driver round-trips) — the initial
+    # `_signature(e)` read is the action that materializes base+e in a
+    # single job (was: three eager checkpoint jobs + the signature job),
+    # and `nodes` materializes inside the first job that consumes it
+    # (the caller's own action on the returned labels). Plan truncation
+    # is identical: lazy localCheckpoint swaps the logical plan for a
+    # LogicalRDD at construction time.
     base = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (
         base.select(F.col("a").alias("node"))
         .unionByName(base.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e = (
         base.select(
@@ -115,7 +126,7 @@ def connected_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _signature(df: DataFrame) -> tuple[int, int]:
@@ -160,9 +171,14 @@ def connected_components_star(
                 F.least(F.col("a"), F.col("b")).alias("v"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
+        # The signature read is the materializing action for this
+        # round's lazy pin: one job per round executes the round's
+        # shuffles AND pins the edge set (was: an eager checkpoint job
+        # followed by a separate signature job — 2 blocking driver
+        # round-trips per round, r15 guide §5).
         new_sig = _signature(small)
         e = small
         if new_sig == sig:

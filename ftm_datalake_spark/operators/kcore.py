@@ -43,7 +43,9 @@ def kcore(
     (src, dst). `deg` is the degree in the induced subgraph after the
     final peel.
     """
-    edges = edges.localCheckpoint()
+    # r15: lazy pin — fixed peeling rounds, nothing reads the driver
+    # in-loop, so the caller's action materializes everything in one job.
+    edges = edges.localCheckpoint(eager=False)
     for _ in range(rounds):
         keep = _degrees(edges).where(F.col("deg") >= k).select("node")
         edges = (

@@ -40,8 +40,15 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     directed edge list ``edges(src, dst)``. Symmetrize before calling
     for undirected semantics. Nodes with no in-edges keep their own id.
     """
+    # r15: the pre-loop pins are LAZY too (the in-loop ones already
+    # were, r14) — LPA runs a FIXED iteration count, so nothing in the
+    # loop reads the driver and the two eager build-time jobs bought
+    # nothing: the caller's first action now schedules edge pin, label
+    # init and all supersteps back-to-back in one job (guide §5).
+    # Truncation is identical (lazy localCheckpoint swaps in the
+    # LogicalRDD at construction time).
     edges = (
-        edges.select("src", "dst").repartition("src").localCheckpoint(eager=True)
+        edges.select("src", "dst").repartition("src").localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -49,7 +56,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         .distinct()
     )
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
-        eager=True
+        eager=False
     )
     for _ in range(iters):
         votes = (

@@ -59,17 +59,21 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5) -> DataFrame:
     # shuffle-free on its side of the join instead of re-deriving
     # distinct+degree+join (same policy as sssp.py/kcore.py).
     edges_deg = (
-        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+        edges.join(deg, "src").repartition("src").localCheckpoint(eager=False)
     )
     # r14: localCheckpoint, not persist — persist registers the entry in
     # the plan-keyed CacheManager, so a later pagerank over the same
     # edges silently served this call's node set (cross-run reuse the
     # bench must not get; the kmeans fix, applied here). Identity-keyed
     # checkpoint gives the same within-call reuse for n/count + ranks.
+    # r15: both pins LAZY — the mandatory n = nodes.count() driver read
+    # below is the materializing action for edges_deg AND nodes in ONE
+    # job (was: two eager checkpoint jobs + the count — 3 blocking
+    # round-trips at build time, guide §5). Truncation is identical.
     nodes = (
         edges_deg.select(F.col("src").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     base = (SCALE * 15 // 100) // n

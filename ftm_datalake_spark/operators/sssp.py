@@ -34,7 +34,9 @@ def bellman_ford(
     """(node, dist) minimum path weight from `seed` using ≤ `rounds`
     edges; nodes unreachable within the bound are absent."""
     spark = edges.sparkSession
-    edges = edges.localCheckpoint()
+    # r15: lazy pin — fixed relaxation rounds, no in-loop driver reads;
+    # the caller's action materializes pin + rounds in one job.
+    edges = edges.localCheckpoint(eager=False)
     dist = spark.createDataFrame([(seed, 0)], "node long, dist long")
     for _ in range(rounds):
         step = edges.join(dist, edges[src] == dist["node"]).select(

@@ -42,7 +42,8 @@ def triangles(edges: DataFrame) -> DataFrame:
     three-way self-join: Spark does not share common subtrees across
     self-join branches, so without it the whole upstream edge
     construction would execute once per branch."""
-    o = orient_edges(edges).localCheckpoint()
+    # r15: lazy pin — first consumer's action materializes it once.
+    o = orient_edges(edges).localCheckpoint(eager=False)
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
