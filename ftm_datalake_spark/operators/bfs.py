@@ -31,9 +31,9 @@ def bfs_distances(
     spark = edges.sparkSession
     # materialize the edge list once — every round joins against it, and
     # re-deriving it per round would rescan/rejoin the source tables
-    # r15: lazy pin (same rationale as sssp.py — fixed rounds, no
-    # in-loop driver reads).
-    edges = edges.localCheckpoint(eager=False)
+    # Eager pin (kept eager on the r15 re-audit; see sssp.py — the
+    # per-round edge-side map stages schedule concurrently).
+    edges = edges.localCheckpoint()
     dist = spark.createDataFrame([(seed, 0)], "node long, dist long")
     for _ in range(max_depth):
         step = (

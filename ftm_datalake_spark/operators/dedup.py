@@ -189,6 +189,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     rows_per_band: int = 3,
     materialize_bands: bool = True,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
 
@@ -199,8 +200,14 @@ def minhash_lsh_pairs(
     the signatures were computed twice (8 parquet scans in the before
     plan). One localCheckpoint of the narrow (doc_id, band_id,
     band_val) relation feeds both sides; registry callers must be
-    tagged checkpointed=True."""
-    postings = shingle_postings(df, text_col, id_col, k)
+    tagged checkpointed=True.
+
+    `postings` (r15, guide §2.4): callers that ALSO consume the shingle
+    table (e.g. dedup_lsh_recall's exact ground-truth side) pass their
+    already-pinned (doc_id, shingle) frame so the scan+tokenize+explode
+    subtree is shared instead of re-derived here."""
+    if postings is None:
+        postings = shingle_postings(df, text_col, id_col, k)
     bands = lsh_bands(
         minhash_signatures(postings, num_hashes), num_hashes, rows_per_band
     )
@@ -299,8 +306,13 @@ def prefix_filter_pairs(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
         )
         .distinct()
-        # feeds freq AND the packed/mask join in both branches (§2.4)
-        .localCheckpoint(eager=True)
+        # feeds freq AND the packed/mask join in both branches (§2.4).
+        # r15 (ADVICE r14): LAZY pin — the vocabulary probe just below
+        # is the first mandatory driver read, and its job materializes
+        # tok as a side effect, so the routing count is the ONLY
+        # eager job paid at construction time (was: a full corpus
+        # scan for the checkpoint plus the probe).
+        .localCheckpoint(eager=False)
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("f"))
     if freq.count() <= _BITSET_VOCAB_MAX:
@@ -324,8 +336,15 @@ def prefix_filter_pairs(
         )
         .localCheckpoint(eager=True)
     )
-    # prefix length: m - ceil(t*m) + 1, ceil as exact integer arithmetic
-    plen = F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1
+    # prefix length: m - ceil(t*m) + 1, ceil as exact integer
+    # arithmetic; clamped at 0 (ADVICE r14) so a degenerate threshold
+    # t_num > t_den yields an empty prefix (and hence the correctly
+    # empty result) instead of a negative slice length, which raises
+    # at execution time.
+    plen = F.greatest(
+        F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1,
+        F.lit(0),
+    )
     pref = packed.select(
         "doc_id",
         "m",
@@ -445,7 +464,12 @@ def _prefix_filter_pairs_bitset(
     # Ascending set-bit ids of the mask == the class's tokens in
     # rarest-first order; the prefix is the first plen of them.
     set_bits = F.expr("filter(sequence(0, 63), i -> ((mask >> i) & 1) = 1)")
-    plen = F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1
+    # clamped at 0 like the general path (ADVICE r14): t_num > t_den
+    # must produce an empty prefix, not a negative slice length
+    plen = F.greatest(
+        F.col("m") - F.floor((t_num * F.col("m") + t_den - 1) / t_den) + 1,
+        F.lit(0),
+    )
     pref = cls.select(
         "mask",
         "m",
@@ -503,7 +527,13 @@ def _prefix_filter_pairs_bitset(
     )
     ca = cls.select(F.col("mask").alias("mask_a"), F.col("members").alias("__ca"))
     cb = cls.select(F.col("mask").alias("mask_b"), F.col("members").alias("__cb"))
-    if cls.count() <= 200_000:
+    # Broadcast guard on the DOC-scale payload (ADVICE r14): the
+    # broadcast relation carries the collect_list members lists, whose
+    # total size is the doc count, not the class count — an exact-dup-
+    # heavy corpus can pack millions of member ids into few classes.
+    # sum(cnt) over the pinned class table is exactly that doc count.
+    n_member_docs = cls.agg(F.sum("cnt")).first()[0] or 0
+    if n_member_docs <= 200_000:
         ca, cb = F.broadcast(ca), F.broadcast(cb)
     cross = (
         cpairs.join(ca, "mask_a")

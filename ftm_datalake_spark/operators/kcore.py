@@ -43,9 +43,12 @@ def kcore(
     (src, dst). `deg` is the degree in the induced subgraph after the
     final peel.
     """
-    # r15: lazy pin — fixed peeling rounds, nothing reads the driver
-    # in-loop, so the caller's action materializes everything in one job.
-    edges = edges.localCheckpoint(eager=False)
+    # Eager pin (kept eager on the r15 re-audit): the edge frame is
+    # consumed by CONCURRENT stages of the first peel (degree agg map
+    # side and both semi-join map sides) — a lazy pin loses the
+    # once-only-compute guarantee when independent consumer stages
+    # schedule in parallel before any block is pinned.
+    edges = edges.localCheckpoint()
     for _ in range(rounds):
         keep = _degrees(edges).where(F.col("deg") >= k).select("node")
         edges = (

@@ -40,15 +40,14 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     directed edge list ``edges(src, dst)``. Symmetrize before calling
     for undirected semantics. Nodes with no in-edges keep their own id.
     """
-    # r15: the pre-loop pins are LAZY too (the in-loop ones already
-    # were, r14) — LPA runs a FIXED iteration count, so nothing in the
-    # loop reads the driver and the two eager build-time jobs bought
-    # nothing: the caller's first action now schedules edge pin, label
-    # init and all supersteps back-to-back in one job (guide §5).
-    # Truncation is identical (lazy localCheckpoint swaps in the
-    # LogicalRDD at construction time).
+    # Pre-loop pins stay EAGER (r15 re-audit): `edges` is consumed by
+    # every round's vote-join map stage and those stages are
+    # independent of the label chain, so they can schedule
+    # concurrently — a lazy pin would lose the once-only-compute
+    # guarantee for the edge repartition. The in-loop label pins are
+    # lazy (r14) because each round's chain is strictly sequential.
     edges = (
-        edges.select("src", "dst").repartition("src").localCheckpoint(eager=False)
+        edges.select("src", "dst").repartition("src").localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -56,7 +55,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         .distinct()
     )
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
-        eager=False
+        eager=True
     )
     for _ in range(iters):
         votes = (

@@ -34,9 +34,11 @@ def bellman_ford(
     """(node, dist) minimum path weight from `seed` using ≤ `rounds`
     edges; nodes unreachable within the bound are absent."""
     spark = edges.sparkSession
-    # r15: lazy pin — fixed relaxation rounds, no in-loop driver reads;
-    # the caller's action materializes pin + rounds in one job.
-    edges = edges.localCheckpoint(eager=False)
+    # Eager pin (kept eager on the r15 re-audit): every round's join
+    # map stage over `edges` is independent of the dist chain, so all
+    # R of them can schedule concurrently at job start — a lazy pin
+    # would let them duplicate the upstream edge compute.
+    edges = edges.localCheckpoint()
     dist = spark.createDataFrame([(seed, 0)], "node long, dist long")
     for _ in range(rounds):
         step = edges.join(dist, edges[src] == dist["node"]).select(

@@ -416,6 +416,9 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_theta_set_ops",
+    # r15: the two kmv sketches are pinned (see builder) — the final
+    # plan is truncated at those boundaries.
+    checkpointed=True,
     oracle="""
     WITH ha AS (
       SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
@@ -485,8 +488,14 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("key")
         )
 
-    ska = kmv_sketch(users("click"), 32)
-    skb = kmv_sketch(users("purchase"), 32)
+    # r15 (guide §2.4): kmv_set_estimates consumes each sketch from
+    # 4-5 places (theta, merged union, intersection, its own estimate)
+    # and Spark executes a shared subtree once per consumer — the
+    # events scan + per-partition rank ran ~10× (44 parquet scans /
+    # 118 exchanges in the static plan). Each sketch is ≤ k = 32 rows:
+    # pin both once, and every downstream set-op is metadata-scale.
+    ska = kmv_sketch(users("click"), 32).localCheckpoint(eager=True)
+    skb = kmv_sketch(users("purchase"), 32).localCheckpoint(eager=True)
     return kmv_set_estimates(ska, skb, 32).orderBy("set_op")
 
 

@@ -23,10 +23,25 @@ from ftm_datalake_spark.plans.registry import register
 from ftm_datalake_spark.sources.tables import load_table
 
 
+def _spread_ids(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Respread doc ids across the session before payload synthesis
+    (r15, guide §2.5 input skew — the r14 phash fix applied to the
+    whole family): the documents parquet is 1-2 scan partitions at
+    bench scale, so without this every mapInPandas synth/decode stage
+    — the dominant cost of these queries — inherits 1-2 partitions and
+    runs on 1-2 cores. Spreading the 8-byte ids costs one trivial
+    shuffle and lets the Python stage use every core; the id hash is
+    uniform, so the spread is even at any scale."""
+    return docs.repartition(
+        max(2, spark.sparkContext.defaultParallelism), "doc_id"
+    )
+
+
 def _synth_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic in-engine P6 payload per documents row (see module
     docstring)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     w = (F.lit(2) + F.col("doc_id") % 3).cast("int")
     h = (F.lit(2) + F.col("doc_id") % 2).cast("int")
     v = (F.col("doc_id") % 256).cast("int")
@@ -162,6 +177,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import audio_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     n = (F.lit(4) + F.col("doc_id") % 4).cast("int")
     rate = (F.lit(8000) + (F.col("doc_id") % 4) * 1000).cast("int")
     v = (F.col("doc_id") % 1000).cast("int")
@@ -228,6 +244,7 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-13 (see multimodal_image_features), far inside the round(x1000)
     margin."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     w = (F.lit(3) + F.col("doc_id") % 5).cast("int")
     h = (F.lit(2) + F.col("doc_id") % 4).cast("int")
     v = (F.col("doc_id") % 256).cast("int")
@@ -385,6 +402,7 @@ def multimodal_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import bilinear_resize_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     w = (F.lit(8) + (F.col("doc_id") % 3) * 4).cast("int")
     h = (F.lit(8) + (F.col("doc_id") % 2) * 4).cast("int")
     b = (F.col("doc_id") % 150).cast("int")
@@ -459,13 +477,7 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import audio_spectral_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # r14 (guide §2.5 input skew, the phash fix applied family-wide to
-    # the heavy decoders): the documents parquet is 1-2 scan partitions
-    # at bench scale, so the Python decode stage ran on 1-2 cores;
-    # respread the 8-byte ids BEFORE synthesizing payloads.
-    docs = docs.repartition(
-        max(2, spark.sparkContext.defaultParallelism), "doc_id"
-    )
+    docs = _spread_ids(spark, docs)
     n = (F.lit(64) + (F.col("doc_id") % 4) * 32).cast("int")
     c = (F.lit(3) + F.col("doc_id") % 5).cast("int")
     a = (F.lit(500) + F.col("doc_id") % 500).cast("int")
@@ -548,13 +560,7 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # r14 (guide §2.5 input skew, the phash fix applied family-wide to
-    # the heavy decoders): the documents parquet is 1-2 scan partitions
-    # at bench scale, so the Python decode stage ran on 1-2 cores;
-    # respread the 8-byte ids BEFORE synthesizing payloads.
-    docs = docs.repartition(
-        max(2, spark.sparkContext.defaultParallelism), "doc_id"
-    )
+    docs = _spread_ids(spark, docs)
     n = (F.lit(64) + (F.col("doc_id") % 4) * 32).cast("int")
     c = (F.lit(3) + F.col("doc_id") % 5).cast("int")
     a = (F.lit(500) + F.col("doc_id") % 500).cast("int")
@@ -628,6 +634,7 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     widths 2, 3, and 0), constant BGR pixels so the channel flip and
     bottom-up flip are luma-invariant and the oracle stays pure SQL."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     w = (F.lit(2) + F.col("doc_id") % 3).cast("int")
     h = (F.lit(2) + F.col("doc_id") % 2).cast("int")
     v = (F.col("doc_id") % 256).cast("int")
@@ -705,6 +712,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import video_frame_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     n_frames = (F.lit(2) + F.col("doc_id") % 4).cast("int")
 
     def frame(idx: F.Column) -> F.Column:
@@ -773,6 +781,7 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import video_frame_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     n_frames = (F.lit(2) + F.col("doc_id") % 3).cast("int")
 
     def frame(idx: F.Column) -> F.Column:
@@ -840,6 +849,7 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     v = ((F.col("doc_id") % 16) * 16).cast("int")
     header = F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8")
     raster = F.unhex(F.repeat(F.lpad(F.hex(v), 2, "0"), 12))
@@ -879,6 +889,7 @@ def _synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import MEDIA_SCHEMA, encode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
 
     def synth(batches):
         import numpy as np
@@ -972,13 +983,7 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # r14 (guide §2.5 input skew, the phash fix applied family-wide to
-    # the heavy decoders): the documents parquet is 1-2 scan partitions
-    # at bench scale, so the Python decode stage ran on 1-2 cores;
-    # respread the 8-byte ids BEFORE synthesizing payloads.
-    docs = docs.repartition(
-        max(2, spark.sparkContext.defaultParallelism), "doc_id"
-    )
+    docs = _spread_ids(spark, docs)
 
     def synth(batches):
         import numpy as np
@@ -1045,6 +1050,7 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import MEDIA_SCHEMA, encode_gif
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
 
     def synth(batches):
         for pdf in batches:
@@ -1122,6 +1128,7 @@ def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_datalake_spark.operators.multimodal import video_scene_cuts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     n_frames = (F.lit(4) + F.col("doc_id") % 4).cast("int")
     cut = (F.lit(1) + F.col("doc_id") % 3).cast("int")
 
@@ -1191,6 +1198,7 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(spark, docs)
     n = (F.lit(12) + (F.col("doc_id") % 5) * 4).cast("int")
 
     def amp(i: F.Column) -> F.Column:

@@ -588,7 +588,13 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
-    sh = D.shingle_postings(docs)
+    # r15 (guide §2.4): ONE pinned shingle table feeds the exact
+    # ground-truth side (both halves of the overlap self-join + the
+    # per-doc counts) AND the MinHash band build (passed via
+    # `postings`). Before, the scan+tokenize+shingle-explode subtree
+    # executed once per consumer — 32 parquet scans / 42 exchanges in
+    # the static plan; after, the corpus is scanned and shingled once.
+    sh = D.shingle_postings(docs).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -606,13 +612,21 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
     uni = F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("common")
+    # truth and cand each feed TWO consumers (their own count + the hit
+    # join) — pinned so the overlap self-join and the band self-join
+    # execute once each instead of twice (guide §2.4).
     truth = (
         common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .where(F.col("common") * 5 >= uni * 4)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    cand = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cand = (
+        D.minhash_lsh_pairs(docs, postings=sh)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.join(cand, ["doc_a", "doc_b"])
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_found = hit.agg(F.count("*").alias("n_found"))

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') output for registry queries into
-plans/r14/<name>_<suffix>.txt (optimization-round evidence).
+plans/r15/<name>_<suffix>.txt (optimization-round evidence).
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
 With no query names, captures every bench=True query.
@@ -37,7 +37,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for spec in specs:
