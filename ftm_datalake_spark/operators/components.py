@@ -138,15 +138,25 @@ def connected_components_star(
         ).first()
         return row["n"], row["chk"]
 
-    sig = _signature(e)
+    # r15: no pre-loop signature job — `sig` starts as a sentinel, so
+    # the first convergence test happens after round 1 (the graph is
+    # virtually never already a star forest, and when it is, one extra
+    # idempotent round costs less than an unconditional extra driver
+    # job on every call).
+    sig: tuple[int, int] | None = None
     rounds = 0
     for _ in range(max_iterations):
         # Large-star: every node links its LARGER neighbors to the min of
         # its neighborhood (incl. itself). Output edges stay (larger,
         # smaller) by construction: w > u >= m.
+        # r15 (guide §2.4): ONE explicit repartition on the phase key
+        # feeds both the min-aggregate and the join probe — before,
+        # bidir was shuffled twice (once into the groupBy, once into
+        # the join's build of the same key), 6 exchanges per round;
+        # after, 4.
         bidir = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        ).repartition("u")
         nbr_min = bidir.groupBy("u").agg(F.min("v").alias("mn"))
         large = (
             bidir.join(nbr_min, "u")
@@ -157,6 +167,7 @@ def connected_components_star(
             )
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .repartition("u")  # shared by the m2 aggregate + its join
         )
         # Small-star: every node links its smaller-or-equal neighborhood
         # (and itself) to that neighborhood's min.

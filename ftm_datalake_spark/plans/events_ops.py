@@ -143,6 +143,8 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_gapfill_hourly",
+    # r15: the hourly rollup is pinned (see builder).
+    checkpointed=True,
     oracle="""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
@@ -179,6 +181,10 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
+    # r15 (guide §2.4): the hourly rollup feeds TWO consumers (the
+    # per-user grid bounds and the gap-fill join) and executed the
+    # events scan + hash-agg once per consumer — pinned once; it is
+    # user×hour scale, strictly smaller than the events input.
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
@@ -186,7 +192,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
             "hour_value"
         ),
-    )
+    ).localCheckpoint(eager=True)
     grid = (
         hourly.groupBy("user_id")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))

@@ -406,8 +406,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
-    cand = D.minhash_lsh_pairs(docs)
-    sh = D.shingle_postings(docs)
+    # r15 (guide §2.4): one pinned shingle table feeds the band build
+    # (via postings=) AND the verification sides + per-doc counts —
+    # before, the scan+tokenize+shingle subtree executed once per
+    # consumer (the dedup_lsh_recall fix applied here).
+    sh = D.shingle_postings(docs).localCheckpoint(eager=True)
+    cand = D.minhash_lsh_pairs(docs, postings=sh)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1038,6 +1042,8 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
 # (contained_doc, container_doc); exact copies qualify both ways.
 @register(
     "dedup_containment_pairs",
+    # r15: the shingle table is pinned (see builder).
+    checkpointed=True,
     oracle=f"""
     WITH docs_aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLES_SQL}),
@@ -1059,7 +1065,9 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
-    sh = D.shingle_postings(docs)
+    # r15 (guide §2.4): the shingle table feeds THREE consumers (both
+    # overlap-join halves + the per-doc counts) — pinned once.
+    sh = D.shingle_postings(docs).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
