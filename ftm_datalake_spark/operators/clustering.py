@@ -39,33 +39,30 @@ from ftm_datalake_spark.operators.similarity import quantize
 def _assign(q_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Add a `cluster` column: nearest centroid by exact integer L2^2.
 
-    Centroids are inlined as ONE nested-array literal (`F.lit` of the
-    k×dims matrix) indexed by a `sequence` of cluster ids — not k×dims
-    separate literal expression nodes. A literal-per-value plan costs
-    ~1s of analysis/whole-stage-codegen per iteration (measured 3×
-    slower end-to-end at k=8, dims=64); the single-literal plan compiles
-    in a fraction of that and generates identical results, which matters
-    because Lloyd recompiles the assign plan every iteration with fresh
-    centroid values. `array_min` over struct(dist, cluster) gives
+    The whole scoring expression — centroid matrix INCLUDED — is
+    rendered as ONE SQL string parsed JVM-side in a single call (r15;
+    the r14 PQ-codebook idiom from operators/ann_index.py). Building
+    the k×dims nested literal through the Python DSL cost one py4j
+    round-trip per element (k=4, dims=64 ⇒ ~300 ms of driver chatter
+    PER _assign CALL, and Lloyd rebuilds the plan every iteration with
+    fresh centroid values — measured 0.306 s → 0.036 s construction,
+    identical results). `array_min` over struct(dist, cluster) gives
     (min dist, then min cluster id). Zero shuffle.
     """
     if not centroids:
         return q_df.withColumn("cluster", F.lit(None).cast("long"))
-    cent = F.lit([[int(v) for v in vec] for vec in centroids]).cast(
-        "array<array<bigint>>"
+    cent_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+        for vec in centroids
+    ) + ")"
+    k = len(centroids)
+    expr = (
+        f"array_min(transform(sequence(0, {k - 1}), i -> "
+        f"struct(aggregate(zip_with(q, element_at({cent_sql}, i + 1), "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v) AS dist, "
+        f"CAST(i AS BIGINT) AS cluster))).cluster"
     )
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    dist = lambda i: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.col("q"), F.element_at(cent, i + 1), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = F.transform(
-        idx, lambda i: F.struct(dist(i).alias("dist"), i.cast("long").alias("cluster"))
-    )
-    return q_df.withColumn("cluster", F.array_min(scored)["cluster"])
+    return q_df.withColumn("cluster", F.expr(expr))
 
 
 def _floordiv(s: int, c: int) -> int:

@@ -17,6 +17,7 @@ def _args(**kw) -> argparse.Namespace:
     return argparse.Namespace(**kw)
 
 
+@pytest.mark.slow
 def test_crawl_archive_honors_excludes_and_table(spark, tmp_path):
     """ADVICE (medium): crawl --archive used to re-scan and re-hash the
     whole source tree with no include/exclude — excluded files ended up

@@ -63,6 +63,7 @@ def _recall(got_df, golden_df):
     ) / len(gold)
 
 
+@pytest.mark.slow
 def test_pq_probe_recall_floor_and_refine_recovery(spark, corpus, tmp_path):
     from ftm_datalake_spark.operators.ann_index import (
         build_ivf_index,
@@ -123,6 +124,7 @@ def test_pq_append_encodes_against_frozen_codebooks(spark, corpus, tmp_path):
     assert again["appended"] == 0
 
 
+@pytest.mark.slow
 def test_pq_rebuild_refresh_restores_recall_after_drift(
     spark, corpus, tmp_path
 ):

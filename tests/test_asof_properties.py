@@ -5,6 +5,8 @@ backward-wins ties), independent of row order and partitioning."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import given, settings, strategies as st
@@ -52,6 +54,7 @@ def _brute(lrows, rrows, mode):
 
 @settings(max_examples=25, deadline=None)
 @given(left_rows, right_rows)
+@pytest.mark.slow
 def test_backward_and_forward_match_brute_force(lrows, rrows):
     from ftm_datalake_spark.operators.asof import asof_join, asof_join_forward
 
@@ -77,6 +80,7 @@ def test_backward_and_forward_match_brute_force(lrows, rrows):
 
 @settings(max_examples=15, deadline=None)
 @given(left_rows, right_rows)
+@pytest.mark.slow
 def test_nearest_matches_brute_force(lrows, rrows):
     from ftm_datalake_spark.operators.asof import asof_join_nearest
 

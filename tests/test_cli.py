@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -23,6 +25,7 @@ def _run(*argv: str) -> str:
     return out.stdout
 
 
+@pytest.mark.slow
 def test_cli_crawl_ls_stats(tmp_path):
     src = tmp_path / "src"
     src.mkdir()
@@ -41,6 +44,7 @@ def test_cli_crawl_ls_stats(tmp_path):
     assert {x["name"] for x in stats["things"]["schemata"]} == {"PlainText", "Pages"}
 
 
+@pytest.mark.slow
 def test_cli_optimize_flow(spark, tmp_path):
     src = str(tmp_path / "tbl")
     spark.range(2000).selectExpr(
@@ -70,6 +74,7 @@ def test_cli_optimize_flow(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_cli_reference_verbs_flow(spark, tmp_path):
     """config / catalog / versions / diff / get / head — the remaining
     reference CLI verbs (ftm_datalake/cli.py:96-235), one subprocess
@@ -124,6 +129,7 @@ def test_cli_reference_verbs_flow(spark, tmp_path):
     assert [(o["op"], o["key"]) for o in ops] == [("added", "extra.txt")]
 
 
+@pytest.mark.slow
 def test_cli_sync_verbs(tmp_path):
     """memorious-sync imports sidecar metadata into the documents table;
     aleph-sync emits the exact upload payload with resolved folder ids."""

@@ -5,6 +5,8 @@ is Spark's ``div`` (truncation toward zero), mirrored by ``_tdiv``."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 SCORES = [-250, 0, 1, 99, 100, 9999, 10000, 30000, 99999, 100000, 150000]
@@ -105,6 +107,7 @@ def test_calibration_bins_match_bruteforce(spark, rows):
 
 @settings(max_examples=12, deadline=None)
 @given(rows=rows_st)
+@pytest.mark.slow
 def test_pr_sweep_matches_bruteforce(spark, rows):
     from ftm_datalake_spark.operators.evalmetrics import (
         pr_threshold_sweep_exact,
@@ -139,6 +142,7 @@ def test_pr_sweep_matches_bruteforce(spark, rows):
 
 @settings(max_examples=12, deadline=None)
 @given(rows=rows_st)
+@pytest.mark.slow
 def test_lift_deciles_match_bruteforce(spark, rows):
     from ftm_datalake_spark.operators.evalmetrics import lift_deciles_exact
 

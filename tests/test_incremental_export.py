@@ -456,6 +456,7 @@ def test_redelivered_dropped_delta_never_inflates_ledger(spark, tmp_path):
     assert dup_counts == {2}
 
 
+@pytest.mark.slow
 def test_crash_between_shard_writes_and_ledger_append_replays(spark, tmp_path):
     """ADVICE r8 #1b: a crash after the shard writes but before the
     ledger appends must NOT lose the delta's counts. The replayed fold
@@ -510,6 +511,7 @@ def test_crash_between_shard_writes_and_ledger_append_replays(spark, tmp_path):
     assert mg["stages"] == mc["stages"]
 
 
+@pytest.mark.slow
 def test_crash_after_ledgers_before_manifest_recovers(spark, tmp_path):
     """The other crash window: ledgers advanced, manifest commit lost.
     The replay must NOT double-append counts — it reconstructs the
@@ -576,6 +578,7 @@ def test_sig_ledger_bootstrap_for_legacy_exports(spark, tmp_path):
     assert compact_sig_ledger(spark, out) == 10
 
 
+@pytest.mark.slow
 def test_streamed_fold_reads_back_like_sequential_fold(spark, tmp_path):
     """VERDICT r8 #6 (compose streaming with the reader): a checkpointed
     streaming fold and the same deltas folded sequentially yield

